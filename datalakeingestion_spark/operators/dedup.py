@@ -1,0 +1,301 @@
+"""Document deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Greenfield scale operators (no reference pendant; the reference's only
+dedup is the latest-row-per-key view, covered by
+``relational.latest_rows``). Design targets:
+
+- **Exact** — one hash-groupBy; at 100 TB this is a single shuffle on a
+  16-byte key with map-side partial aggregation.
+- **MinHash+LSH** — shingle → 32-bit portable hash → k=16 min-hash
+  signature (computed as 16 parallel MIN aggregates: ONE shuffle on
+  doc_id, no k× row explosion) → b=4 bands × r=4 rows → candidate pairs
+  via an equi-join on (band, band-signature) → exact Jaccard verify.
+  All-pairs comparison never happens; cost is O(candidates), and the
+  band join is an ordinary hash join that AQE can skew-split.
+- **SimHash** — 60-bit fingerprint (md5-based portable hash); candidate
+  generation by banding the fingerprint into 4×15-bit chunks, which is
+  LOSSLESS for hamming distance ≤ 3 (pigeonhole: 3 differing bits touch
+  ≤ 3 of 4 bands). Verify with bit_count(xor).
+- **n-gram Jaccard** — direct shingle-join pairing (no LSH) for
+  small/medium corpora or as the verify stage.
+
+All hashes are the md5-prefix "portable" family so every operator has a
+value-identical ANSI-SQL oracle (see plans/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32, portable_hash60
+from ..functions.text import distinct_shingles
+
+# MinHash parameters — shared with the SQL oracle generator (plans/llm.py).
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+MERSENNE_P = 4_294_967_311  # smallest prime > 2^32
+
+# Deterministic affine coefficients (a odd < 2^30 so a*h stays < 2^62).
+KNUTH = 2_654_435_761
+MINHASH_A = [((KNUTH * (i + 1)) % (1 << 30)) | 1 for i in range(MINHASH_PERMS)]
+MINHASH_B = [(9973 * 40503 * (i + 1) + 12345) % (1 << 30) for i in range(MINHASH_PERMS)]
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 × 15-bit bands → lossless for hamming ≤ 3
+SIMHASH_MAX_HAMMING = 3
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: md5(text) → keeper id (min) + duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_table(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(distinct_shingles(text_col, n)).alias("s"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """k-perm MinHash signature per doc: columns mh0..mh{k-1}.
+
+    One explode to (doc, shingle), one groupBy(doc) computing all k mins
+    simultaneously — the signature costs a single shuffle regardless of k.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    h = portable_hash32(F.col("s"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_id, band_sig) rows."""
+    bands = []
+    for j in range(LSH_BANDS):
+        cols = [F.col(f"mh{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band_id"), F.concat_ws(",", *cols).alias("band_sig")
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_sig")
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct candidate (a,b) pairs sharing at least one LSH band."""
+    b1 = _lsh_bands(sig).alias("b1")
+    b2 = _lsh_bands(sig).alias("b2")
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_id_a"),
+            F.col("b2.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def _jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, filtered to >= threshold."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    t1 = shingles.alias("t1")
+    t2 = shingles.alias("t2")
+    inter = (
+        pairs.join(t1, F.col("t1.doc_id") == F.col("doc_id_a"))
+        .join(
+            t2,
+            (F.col("t2.doc_id") == F.col("doc_id_b"))
+            & (F.col("t2.s") == F.col("t1.s")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard verification.
+
+    Output: (doc_id_a, doc_id_b, jaccard) for LSH candidates whose true
+    shingle Jaccard >= threshold. Note the LSH stage is probabilistic: a
+    pair above threshold that never collides on a band is (by design) not
+    in the output — the SQL oracle replicates the banding exactly, so
+    results are deterministic and comparable.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, n)
+    pairs = lsh_candidate_pairs(sig)
+    shingles = _shingle_table(docs, text_col, id_col, n)
+    return _jaccard_verify(pairs, shingles, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle equi-join (no LSH).
+
+    Candidate generation joins docs that share >= 1 shingle — exact, but
+    O(sum of shingle-bucket²); use `minhash_near_duplicates` at corpus
+    scale. This variant doubles as the ground-truth for LSH recall tests.
+    """
+    shingles = _shingle_table(docs, text_col, id_col, n)
+    s1 = shingles.alias("s1")
+    s2 = shingles.alias("s2")
+    pairs = (
+        s1.join(
+            s2,
+            (F.col("s1.s") == F.col("s2.s"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_id_a"),
+            F.col("s2.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(pairs, shingles, threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """60-bit SimHash per doc from distinct-shingle hashes.
+
+    Explodes to (doc, shingle-hash) then aggregates 60 signed bit-sums in
+    ONE groupBy (map-side partials) and packs the sign bits into a BIGINT.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n).select(
+        "doc_id", portable_hash60(F.col("s")).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = sh.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else (fp + term)
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Candidates come from equality on one of 4 15-bit bands of the
+    fingerprint — lossless for max_hamming <= 3 (pigeonhole), so the
+    output equals a full O(n²) scan while costing only a hash join.
+    """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"banded candidate generation is only lossless for hamming <= "
+            f"{SIMHASH_BANDS - 1}, got {max_hamming}"
+        )
+    fps = simhash_fingerprints(docs, text_col, id_col, n)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright(F.col("simhash"), j * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
+    pairs = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_val") == F.col("b2.band_val"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_id_a"),
+            F.col("b2.doc_id").alias("doc_id_b"),
+            F.col("b1.simhash").alias("sh_a"),
+            F.col("b2.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

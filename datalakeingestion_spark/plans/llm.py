@@ -1,0 +1,358 @@
+"""LLM-data-pipeline queries (dedup / similarity / text analysis) with
+DuckDB oracles.
+
+These are the greenfield scale operators (SURVEY.md §7 M5 — no reference
+pendant). The oracle SQL strings are generated from the SAME constants as
+the Spark implementations (MinHash permutation coefficients, SimHash bit
+width, LSH banding), so the probabilistic stages are replicated exactly —
+the comparison is deterministic even where the algorithm is approximate.
+
+DuckDB-vs-Spark portability notes baked into the fragments below:
+- tokenization twins: Spark `split`/`filter` ≡ DuckDB
+  `string_split`/`list_filter` over the identically-normalized string;
+- portable hashes: Spark `conv(substr(md5(x),1,N),16,10)` ≡ DuckDB
+  `('0x'||substr(md5(x),1,N))::BIGINT`;
+- cosine values rounded to 6 dp before ranking on both sides so float
+  summation order cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..sources.fixtures import load_table
+from .registry import register
+
+# --- DuckDB SQL fragments (twins of functions/text.py) ---------------------
+
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+TOKS_SQL = f"list_filter(string_split({NORM_SQL}, ' '), t -> t <> '')"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    """Distinct n-word shingles of the token list (DuckDB twin of
+    functions/text.py::distinct_shingles)."""
+    return (
+        f"list_distinct(list_transform(range(1, len({TOKS_SQL}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({TOKS_SQL}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def _h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text); one shuffle on a 16-byte "
+    "key at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs)
+
+
+def _minhash_oracle(threshold: float) -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+    band_rows = []
+    for j in range(dd.LSH_BANDS):
+        cols = [f"mh{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+        sig = " || ',' || ".join(cols)
+        band_rows.append(
+            f"SELECT doc_id, {j} AS band_id, {sig} AS band_sig FROM sig"
+        )
+    bands = "\n         UNION ALL ".join(band_rows)
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins}
+            FROM th GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT b1.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
+             FROM bands b1 JOIN bands b2
+               ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+              AND b1.doc_id < b2.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh t1 ON t1.doc_id = c.doc_id_a
+              JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY c.doc_id_a, c.doc_id_b)
+    SELECT inter.doc_id_a, inter.doc_id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(0.5),
+    bench=True,
+    doc="MinHash(16)+LSH(4×4) near-dup pairs verified by exact shingle "
+    "Jaccard. The oracle replicates the banding, so the probabilistic "
+    "candidate stage compares deterministically.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT s1.doc_id AS doc_id_a, s2.doc_id AS doc_id_b
+             FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh t1 ON t1.doc_id = c.doc_id_a
+              JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY c.doc_id_a, c.doc_id_b)
+    SELECT inter.doc_id_a, inter.doc_id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+    """,
+    doc="All-pairs 3-gram Jaccard via shingle equi-join (exact; the "
+    "ground-truth twin of the LSH variant).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    th AS (SELECT doc_id, {_h60_sql('s')} AS h FROM sh),
+    sums AS (SELECT doc_id, {bit_sums}
+             FROM th GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM sums)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(dd.SIMHASH_MAX_HAMMING),
+    doc="60-bit SimHash near-dup pairs (hamming <= 3). Spark side generates "
+    "candidates by 4×15-bit banding (lossless for hamming <= 3 by "
+    "pigeonhole); the oracle scans all pairs — same output, different cost.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_duplicates(docs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                (SELECT vec_id, SUM(x * x) AS s FROM
+                   (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e)
+                 GROUP BY vec_id)),
+    dots AS (SELECT a_id, b_id, SUM(ax * bx) AS dot FROM
+               (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       unnest(a.embedding)::DOUBLE AS ax,
+                       unnest(b.embedding)::DOUBLE AS bx
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             GROUP BY a_id, b_id)
+    SELECT a_id AS vec_id_a, b_id AS vec_id_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = a_id
+              JOIN norms nb ON nb.vec_id = b_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs; ground truth for "
+    "the LSH-bucketed scale path).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_duplicates(emb, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                (SELECT vec_id, SUM(x * x) AS s FROM
+                   (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e)
+                 GROUP BY vec_id)),
+    dots AS (SELECT q_id, c_id, SUM(qx * cx) AS dot FROM
+               (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       unnest(q.embedding)::DOUBLE AS qx,
+                       unnest(c.embedding)::DOUBLE AS cx
+                FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 5)
+             GROUP BY q_id, c_id),
+    scored AS (SELECT q_id AS query_id, c_id AS neighbor_id,
+                      round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+               FROM dots JOIN norms nq ON nq.vec_id = q_id
+                         JOIN norms nc ON nc.vec_id = c_id)
+    SELECT query_id, neighbor_id, cosine FROM
+      (SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+       FROM scored)
+    WHERE rn <= 10
+    """,
+    bench=True,
+    doc="Brute-force cosine top-10 for query vectors (vec_id < 5): the exact "
+    "ANN baseline. Queries broadcast; corpus stays partitioned; dot product "
+    "folds JVM-side (zip_with + aggregate).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # probabilistic bucketing; recall vs brute force is pytest-checked
+    doc="LSH-bucketed approximate cosine top-10 (8 deterministic "
+    "hyperplanes): the 100-TB scale path — candidates shrink ~2^8 vs brute "
+    "force. Rows-only driver check; recall tested in tests/test_similarity.py.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_bucketed_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS_SQL}) AS n_tokens,
+           len(list_distinct({TOKS_SQL})) AS n_distinct_tokens,
+           round(len(list_distinct({TOKS_SQL})) / len({TOKS_SQL}), 6) AS ttr,
+           round(length(replace({NORM_SQL}, ' ', '')) / len({TOKS_SQL}), 6)
+               AS avg_token_len,
+           round(len(list_filter({TOKS_SQL},
+                     t -> list_contains(['the','of','and','a','to','in','is','it','that','for'], t)))
+                 / len({TOKS_SQL}), 6) AS stopword_ratio,
+           round((len(list_distinct({TOKS_SQL})) / len({TOKS_SQL}))
+                 * least(1.0, len({TOKS_SQL}) / 50.0), 6) AS quality_score
+    FROM documents
+    """,
+    bench=True,
+    doc="Per-doc quality features (length, diversity, stopword ratio) + "
+    "composite score — all codegen'd column expressions.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.quality_metrics(docs)
+
+
+def _langid_oracle() -> str:
+    hits = []
+    for lang in ta.LANGS:
+        lst = ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang])
+        hits.append(
+            f"len(list_filter({TOKS_SQL}, t -> list_contains([{lst}], t))) AS hits_{lang}"
+        )
+    # cascade: first lang (in LANGS order) with max hits and > 0 wins
+    cases = []
+    for i, lang in enumerate(ta.LANGS):
+        conds = [f"hits_{lang} > 0"]
+        for j, other in enumerate(ta.LANGS):
+            if j < i:
+                conds.append(f"hits_{lang} > hits_{other}")
+            elif j > i:
+                conds.append(f"hits_{lang} >= hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+           {case_sql} AS predicted_lang
+    FROM (SELECT doc_id, lang, {', '.join(hits)} FROM documents)
+    """
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=_langid_oracle(),
+    doc="Stopword-hit language heuristic with deterministic argmax cascade.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.language_id(docs)
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS_SQL}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(list_distinct({TOKS_SQL})) AS n_distinct_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.token_stats(docs)
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_h60_sql(NORM_SQL)} AS fingerprint FROM documents
+    """,
+    doc="60-bit normalized-text fingerprint (whitespace-insensitive dedup key).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.fingerprints(docs)

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    from datalakeingestion_spark.session import get_spark
+
+    return get_spark(app_name="dli-tests", cpus=8)
+
+
+def make_duck(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views —
+    mirrors the driver's oracle setup."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, type-normalized, row-sorted frame for exact
+    comparison (stricter than the driver's value hash: exact equality)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype(bool)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        else:
+            df[c] = s.astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
+    actual = canonicalize(spark_df.toPandas())
+    expected = canonicalize(duck_con.execute(oracle).df())
+    assert len(actual) == len(expected), (
+        f"{name}: row count {len(actual)} != oracle {len(expected)}"
+    )
+    pd.testing.assert_frame_equal(actual, expected, check_exact=True, obj=name)

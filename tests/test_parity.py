@@ -1,0 +1,54 @@
+"""Driver-mimic correctness gate: every registered query with an oracle is
+run through Spark AND DuckDB and compared exactly (stricter than the
+driver's order-insensitive value hash).
+
+Default scale is sf0.001 for speed; set PARITY_SF_DIR=/root/testdata/sf0.01
+to run at the driver's correctness scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMALL, assert_matches_oracle, make_duck
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", SF_SMALL)
+
+_ensure_loaded()
+ORACLE_QUERIES = sorted(n for n, qd in REGISTRY.items() if qd.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, qd in REGISTRY.items() if qd.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return make_duck(SF_DIR)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, SF_DIR)
+    assert_matches_oracle(df, duck, qd.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    # queries()/oracle_sql() contract: every oracle key exists in queries
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
