@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is forced with the noop sink (full plan runs, nothing collected
+to the driver), which is the closest local analog of a cluster job writing
+to a sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+    from datalakeingestion_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark(app_name="dli-bench")
+
+    # Warm the JVM/session (codegen, filesystem metadata) outside timings.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, qd in sorted(REGISTRY.items()):
+        if not qd.bench:
+            continue
+        # drop persisted intermediates of the previous query so timings are
+        # independent (operators like minhash persist hot tables)
+        spark.catalog.clearCache()
+        # one untimed warmup (codegen compile, broadcast build, FS cache),
+        # then the timed steady-state run
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = qd.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

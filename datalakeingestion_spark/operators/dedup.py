@@ -61,11 +61,26 @@ def exact_duplicates(
     )
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy input across cores.
+
+    Text corpora often arrive as few large-ish files whose *byte* size
+    under-estimates their *compute* cost (tokenize + hash per row), leaving
+    most executors idle. If the scan has fewer partitions than the cluster
+    has slots, shuffle-rebalance first; if it's already well-partitioned
+    (the 100 TB case), this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _shingle_table(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table."""
-    return docs.select(
+    return _rebalance(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(distinct_shingles(text_col, n)).alias("s"),
     )
@@ -74,12 +89,13 @@ def _shingle_table(
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """k-perm MinHash signature per doc: columns mh0..mh{k-1}.
+    """k-perm MinHash signature per doc: columns mh0..mh{k-1}."""
+    return _signatures_from_shingles(_shingle_table(docs, text_col, id_col, n))
 
-    One explode to (doc, shingle), one groupBy(doc) computing all k mins
-    simultaneously — the signature costs a single shuffle regardless of k.
-    """
-    sh = _shingle_table(docs, text_col, id_col, n)
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """One groupBy(doc) computing all k mins simultaneously — the signature
+    costs a single shuffle regardless of k (no k-fold row explosion)."""
     h = portable_hash32(F.col("s"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
@@ -105,8 +121,9 @@ def _lsh_bands(sig: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Distinct candidate (a,b) pairs sharing at least one LSH band."""
-    b1 = _lsh_bands(sig).alias("b1")
-    b2 = _lsh_bands(sig).alias("b2")
+    bands = _lsh_bands(sig)
+    b1 = bands.alias("b1")
+    b2 = bands.alias("b2")
     return (
         b1.join(
             b2,
@@ -172,9 +189,14 @@ def minhash_near_duplicates(
     in the output — the SQL oracle replicates the banding exactly, so
     results are deterministic and comparable.
     """
-    sig = minhash_signatures(docs, text_col, id_col, n)
+    # The shingle table feeds three consumers (signatures + both sides of
+    # the Jaccard-verify join) and the signature table two (both sides of
+    # the band self-join) — persist both so the md5 hashing and the explode
+    # run once. On a cluster these are small hot tables (ids + hashes);
+    # MEMORY_AND_DISK keeps the plan safe if they outgrow memory.
+    shingles = _shingle_table(docs, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(shingles).persist()
     pairs = lsh_candidate_pairs(sig)
-    shingles = _shingle_table(docs, text_col, id_col, n)
     return _jaccard_verify(pairs, shingles, threshold)
 
 
@@ -191,7 +213,7 @@ def ngram_jaccard_pairs(
     O(sum of shingle-bucket²); use `minhash_near_duplicates` at corpus
     scale. This variant doubles as the ground-truth for LSH recall tests.
     """
-    shingles = _shingle_table(docs, text_col, id_col, n)
+    shingles = _shingle_table(docs, text_col, id_col, n).persist()
     s1 = shingles.alias("s1")
     s2 = shingles.alias("s2")
     pairs = (
@@ -256,7 +278,9 @@ def simhash_near_duplicates(
             f"banded candidate generation is only lossless for hamming <= "
             f"{SIMHASH_BANDS - 1}, got {max_hamming}"
         )
-    fps = simhash_fingerprints(docs, text_col, id_col, n)
+    # fingerprints feed both sides of the band self-join — persist so the
+    # 60-bit-sum aggregation runs once
+    fps = simhash_fingerprints(docs, text_col, id_col, n).persist()
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     bands = fps.select(
