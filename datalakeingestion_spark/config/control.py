@@ -1,0 +1,70 @@
+"""Control table — the framework's ingestion catalog.
+
+The reference drives everything from a 21-column Excel sheet on S3
+(update_config.py:34-41; loaded + filtered at start_ingestion.py:206-240 /
+utils/common_utils.py:21-60). Here the control table is plain data — CSV or
+parquet read into a (tiny, driver-side) Spark DataFrame with an explicit
+schema; filtering is ordinary Catalyst predicates instead of pandas
+``df.query`` strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 21 columns, names per the reference (update_config.py:34-41).
+CONTROL_SCHEMA = T.StructType(
+    [
+        T.StructField("lake_ingestion_id", T.IntegerType()),
+        T.StructField("ingestion_type", T.StringType()),  # 'mysql-table'|'xlsx-file'
+        T.StructField("servername", T.StringType()),
+        T.StructField("databasename", T.StringType()),
+        T.StructField("tablename", T.StringType()),
+        T.StructField("delta_field", T.StringType()),
+        T.StructField("delta_field_expr", T.StringType()),
+        T.StructField("date_not_available", T.IntegerType()),  # 0=ts wm, 1=int wm
+        T.StructField("active_indicator", T.IntegerType()),
+        T.StructField("invalidated_by", T.StringType()),
+        T.StructField("crawler_name", T.StringType()),
+        T.StructField("glue_db_name", T.StringType()),
+        T.StructField("target_type", T.StringType()),
+        T.StructField("target_location", T.StringType()),
+        T.StructField("primary_key", T.StringType()),  # comma-joined
+        T.StructField("athena_view_db", T.StringType()),
+        T.StructField("athena_view_name", T.StringType()),
+        T.StructField("view_needed", T.IntegerType()),
+        T.StructField("partition_config", T.StringType()),
+        T.StructField("airflow_dag_group", T.StringType()),
+        T.StructField("update_datetime", T.StringType()),
+    ]
+)
+
+
+def load_control(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
+    if fmt == "csv":
+        return spark.read.schema(CONTROL_SCHEMA).option("header", True).csv(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported control format {fmt!r}")
+
+
+def filter_control(control: DataFrame, groups: Sequence[str] | None = None) -> DataFrame:
+    """Active rows, optionally restricted to DAG groups.
+
+    Reference predicate: ``active_indicator == 1 and (airflow_dag_group ==
+    g1 or ...)`` (start_ingestion.py:221-229).
+    """
+    out = control.filter(F.col("active_indicator") == 1)
+    if groups:
+        out = out.filter(F.col("airflow_dag_group").isin(list(groups)))
+    return out
+
+
+def next_ingestion_id(control: DataFrame) -> int:
+    """max(lake_ingestion_id)+1 (reference: update_config.py:121-125)."""
+    row = control.agg(F.max("lake_ingestion_id").alias("m")).first()
+    return int(row["m"] or 0) + 1

@@ -1,0 +1,88 @@
+"""Structured-Streaming form of the incremental pipeline.
+
+The reference's incremental pull loop is a hand-rolled micro-batch stream:
+each run consumes ``(last_success_end, now]`` guided by a CSV state store
+(SURVEY.md §2.10). Structured Streaming subsumes that design: the
+checkpoint IS the watermark store (exactly-once file-source offsets), and
+``Trigger.AvailableNow`` gives the same "drain everything new, then stop"
+batch-incremental behavior — with late-data semantics (`withWatermark`)
+the reference simply cannot express (T6: rows older than the watermark are
+permanently missed there).
+
+At cluster scale the same code runs continuously (drop the trigger) over
+kafka/file sources; `foreachBatch` writes through the partitioned sink so
+both modes share the lake layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config.partition_spec import PartitionSpec
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_location: str,
+    checkpoint: str,
+    partition_spec: PartitionSpec | None = None,
+):
+    """Drain all unprocessed files from ``source_dir`` into the partitioned
+    lake, then stop. Re-running picks up only new files (checkpointed
+    offsets replace the reference's execution-log watermark, T1/T4/T5 —
+    and the commit is exactly-once per batch).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df
+        writer_partition = None
+        if partition_spec is not None:
+            out = partition_spec.derive(out)
+            writer_partition = partition_spec.partition_column_name
+        writer = out.write.mode("append").option("compression", "snappy")
+        if writer_partition:
+            writer = writer.partitionBy(writer_partition)
+        writer.parquet(target_location)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts with late-data watermark — the
+    streaming aggregation surface (works on both static and streaming
+    DataFrames; on a stream, rows later than ``watermark`` are dropped and
+    state is garbage-collected)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return src.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -1,0 +1,192 @@
+"""Pipeline-level golden tests (SURVEY.md §5): incremental append over split
+fixture data must equal a full load; watermark advances across runs; the
+latest-row view over the lake equals latest_rows over the source; rollback
+on validation failure.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import PartitionSpec
+from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
+from datalakeingestion_spark.ingest.views import latest_view_sql, register_latest_view
+from datalakeingestion_spark.ingest.watermark import (
+    STATUS_NO_DATA,
+    STATUS_SUCCESS,
+    STATUS_VALIDATION_FAILURE,
+    ExecutionLog,
+)
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+# sf0.001 events span 2024-01-01 .. 2024-01-30; split mid-month
+MID = "2024-01-15 00:00:00"
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def _job(spark, events, tmp_path, **kw):
+    defaults = dict(
+        spark=spark,
+        ingestion_id=1,
+        source=events,
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / "events"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        partition_spec=PartitionSpec("ts", "time-based", "YYYYMM"),
+    )
+    defaults.update(kw)
+    return IncrementalIngestJob(**defaults)
+
+
+def test_two_run_incremental_equals_full_load(spark, events, tmp_path):
+    job = _job(spark, events, tmp_path, end_value_cap=MID)
+    r1 = job.run()
+    assert r1.status == STATUS_SUCCESS
+    assert r1.source_count == events.filter(F.col("ts") <= MID).count()
+    assert r1.files  # written-file tracking for rollback
+
+    # run 2: open-ended from the bumped watermark
+    job2 = _job(spark, events, tmp_path)
+    r2 = job2.run()
+    assert r2.status == STATUS_SUCCESS
+    assert r1.source_count + r2.source_count == events.count()
+
+    lake = spark.read.parquet(job.target_location)
+    assert lake.count() == events.count()
+    # partition column materialized + hive layout on disk
+    assert "ts_part" in lake.columns
+    assert any("ts_part=2024" in f for f in r1.files)
+
+    # run 3: nothing new → no-data, no files written
+    r3 = _job(spark, events, tmp_path).run()
+    assert r3.status == STATUS_NO_DATA
+
+
+def test_watermark_advances_not_rereads(spark, events, tmp_path):
+    job = _job(spark, events, tmp_path, end_value_cap=MID)
+    r1 = job.run()
+    r2 = _job(spark, events, tmp_path).run()
+    # second run starts strictly after first run's end (the +1s bump)
+    assert r2.start_value > r1.end_value
+    lake = spark.read.parquet(job.target_location)
+    assert lake.select("event_id").distinct().count() == lake.count()
+
+
+def test_latest_view_matches_source_latest(spark, events, tmp_path):
+    _job(spark, events, tmp_path).run()
+    view = register_latest_view(
+        spark,
+        "events_lv",
+        str(tmp_path / "lake" / "events"),
+        ["user_id"],
+        "ts",
+        tie_breaks=["event_id"],
+    )
+    from datalakeingestion_spark.operators.relational import latest_rows
+
+    expected = latest_rows(events, ["user_id"], "ts", ["event_id"])
+    got = {r["user_id"]: r["event_id"] for r in view.collect()}
+    want = {r["user_id"]: r["event_id"] for r in expected.collect()}
+    assert got == want
+    assert spark.sql("SELECT count(*) FROM events_lv").first()[0] == len(want)
+
+
+def test_validation_failure_rolls_back(spark, events, tmp_path):
+    # Pre-seed the lake with rows inside the run's delta range → lake count
+    # under the predicate exceeds the source count → rollback (T5).
+    target = str(tmp_path / "lake" / "events")
+    seed = events.filter(F.col("ts") <= MID).limit(7)
+    spec = PartitionSpec("ts", "time-based", "YYYYMM")
+    spec.derive(seed).write.partitionBy("ts_part").parquet(target)
+    before = set(
+        f for f in __import__("glob").glob(target + "/**/*.parquet", recursive=True)
+    )
+
+    job = _job(spark, events, tmp_path, end_value_cap=MID)
+    r = job.run()
+    assert r.status == STATUS_VALIDATION_FAILURE
+    # this run's files were deleted; the pre-existing lake survives
+    after = set(
+        f for f in __import__("glob").glob(target + "/**/*.parquet", recursive=True)
+    )
+    assert after == before
+    # log carries the written-file list as reason_code (reference quirk)
+    loaded = job.log.latest_entry(1, "data-loaded-to-s3")
+    assert json.loads(loaded["reason_code"]) == r.files
+
+
+def test_integer_watermark_pipeline(spark, tmp_path):
+    src = spark.range(1, 2501).select(
+        F.col("id").alias("seq_id"), (F.col("id") % 7).alias("val")
+    )
+    job = IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=9,
+        source=src,
+        delta_field="seq_id",
+        integer_watermark=True,
+        target_location=str(tmp_path / "lake" / "ints"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        partition_spec=PartitionSpec("seq_id", "non-time-based", "1K"),
+        end_value_cap="1000",
+    )
+    r1 = job.run()
+    assert (r1.start_value, r1.end_value, r1.source_count) == ("1", "1000", 1000)
+    job2 = IncrementalIngestJob(**{**job.__dict__, "end_value_cap": None})
+    r2 = job2.run()
+    assert r2.start_value == "1001" and r2.source_count == 1500
+    lake = spark.read.parquet(job.target_location)
+    assert lake.count() == 2500
+    assert sorted(
+        r[0] for r in lake.select("seq_id_part").distinct().collect()
+    ) == [0, 1, 2]
+
+
+def test_coalesce_watermark_quirks(spark, tmp_path):
+    # modified col null for some rows; end_value must be the conservative
+    # min(max(modified), max(created)) (reference ingest_mysql_data.py:281-282)
+    rows = [
+        (1, "2024-01-01 00:00:00", None),
+        (2, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+        (3, "2024-01-03 00:00:00", None),
+    ]
+    src = (
+        spark.createDataFrame(rows, ["id", "created_s", "modified_s"])
+        .withColumn("created_datetime", F.to_timestamp("created_s"))
+        .withColumn("modified_datetime", F.to_timestamp("modified_s"))
+        .drop("created_s", "modified_s")
+    )
+    job = IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=5,
+        source=src,
+        delta_field="created_datetime",
+        delta_expr_cols=("modified_datetime", "created_datetime"),
+        target_location=str(tmp_path / "lake" / "co"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        end_value_cap="2024-02-01 00:00:00",
+    )
+    r = job.run()
+    assert r.status == STATUS_SUCCESS
+    assert r.source_count == 3
+    # max(modified)=01-05, max(created)=01-03 → least = 01-03
+    assert r.end_value == "2024-01-03 00:00:00"
+    # validation skipped for expr watermarks (reference parity)
+    assert job.log.latest_entry(5, STATUS_SUCCESS)["reason_code"] == (
+        "validation-skipped"
+    )
+
+
+def test_latest_view_sql_shape():
+    sql = latest_view_sql("t_lv", "lake.t", ["id"], "modified_datetime")
+    assert "row_number() OVER (PARTITION BY id" in sql
+    assert "WHERE row_num = 1" in sql

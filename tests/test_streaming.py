@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import PartitionSpec
+from datalakeingestion_spark.sources.fixtures import load_table
+from datalakeingestion_spark.streaming.incremental import (
+    stream_ingest_available_now,
+    windowed_event_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_available_now_ingest_and_restart(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "landing")
+    target = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events.filter(F.col("ts") < "2024-01-15")
+    first.write.parquet(src)
+    schema = first.schema
+
+    q = stream_ingest_available_now(
+        spark, src, schema, target, ckpt,
+        PartitionSpec("ts", "time-based", "YYYYMMDD"),
+    )
+    q.awaitTermination(120)
+    lake = spark.read.parquet(target)
+    assert lake.count() == first.count()
+    assert any("ts_part=202401" in f for f in glob.glob(target + "/*"))
+
+    # second batch of files → only the new ones are processed (checkpointed
+    # offsets = the watermark store)
+    second = events.filter(F.col("ts") >= "2024-01-15")
+    second.write.mode("append").parquet(src)
+    q2 = stream_ingest_available_now(
+        spark, src, schema, target, ckpt,
+        PartitionSpec("ts", "time-based", "YYYYMMDD"),
+    )
+    q2.awaitTermination(120)
+    lake = spark.read.parquet(target)
+    assert lake.count() == events.count()
+    assert lake.select("event_id").distinct().count() == events.count()
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+
+    batch = windowed_event_counts(events, window="1 hour").orderBy(
+        "window_start", "event_type"
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
