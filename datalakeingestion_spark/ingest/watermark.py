@@ -19,6 +19,7 @@ extractors/ingest_mysql_data.py:73-149):
 
 from __future__ import annotations
 
+import uuid
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +55,15 @@ _TS_FMT = "%Y-%m-%d %H:%M:%S"
 
 class ExecutionLog:
     """Append-only parquet state table (the Delta-table shape without the
-    Delta dependency; single-row appends are driver-side and tiny)."""
+    Delta dependency; single-row appends are driver-side and tiny).
+
+    Every append writes its OWN batch subdirectory: concurrent writers
+    (the runner ingests tables in parallel threads — and possibly parallel
+    processes) would otherwise race on the shared parquet `_temporary`
+    committer directory. Distinct directories need no locking at all;
+    reads recurse over all batches. A Delta table's ACID append replaces
+    this on a production deployment.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -62,7 +71,11 @@ class ExecutionLog:
 
     def read(self) -> DataFrame:
         try:
-            return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
+            return (
+                self.spark.read.schema(LOG_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self.path)
+            )
         except Exception:
             return self.spark.createDataFrame([], LOG_SCHEMA)
 
@@ -87,7 +100,8 @@ class ExecutionLog:
             datetime.now(),
         )
         df = self.spark.createDataFrame([row], LOG_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(batch_dir)
 
     def latest_entry(self, ingestion_id: int, status: str | None = None):
         """Most recent log row for an id (argmax over insert_datetime —

@@ -1,0 +1,146 @@
+"""Group-filtered ingestion runner — ``start_ingestion.py`` parity.
+
+Reads the control table, filters to active rows (optionally by DAG group,
+reference start_ingestion.py:221-229), builds one IncrementalIngestJob per
+row, runs them with bounded inter-table parallelism (the reference's
+ThreadPool(cpu_count()), start_ingestion.py:456-465 — here driver threads
+submitting concurrent Spark jobs), and registers latest-row views for
+successful view_needed tables.
+
+Catalog note: the reference's post-load Glue-crawler + Athena round-trip
+(K6/S8) disappears — the engine IS the query layer; `saveAsTable`-style
+registration happens via `register_latest_view` into the session catalog
+(or an external metastore when configured).
+
+Source resolution is pluggable: production uses the JDBC incremental
+source; tests and file-landing zones use parquet directories. By
+convention, for ``ingestion_type='parquet-table'`` the control row's
+``servername`` holds the source directory.
+
+CLI:
+    spark-submit -m datalakeingestion_spark.runner \
+        --control /path/control.csv --state /path/execution_log \
+        --groups dag_lendingstream
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from .config.control import filter_control, load_control
+from .config.partition_spec import parse_partition_config
+from .ingest.pipeline import IncrementalIngestJob, IngestResult
+from .ingest.views import register_latest_view
+from .ingest.watermark import STATUS_FAILED, STATUS_SUCCESS, ExecutionLog
+
+SourceResolver = Callable[[SparkSession, Row], DataFrame]
+
+
+def parquet_source_resolver(spark: SparkSession, row: Row) -> DataFrame:
+    """Default resolver: servername = source parquet directory."""
+    return spark.read.parquet(row["servername"])
+
+
+@dataclass
+class RunReport:
+    results: dict[int, IngestResult]
+
+    @property
+    def succeeded(self) -> list[int]:
+        return [k for k, v in self.results.items() if v.status == STATUS_SUCCESS]
+
+
+def run_groups(
+    spark: SparkSession,
+    control: DataFrame,
+    state_path: str,
+    groups: Sequence[str] | None = None,
+    source_resolver: SourceResolver = parquet_source_resolver,
+    max_parallel_tables: int = 4,
+    register_views: bool = True,
+) -> RunReport:
+    rows = filter_control(control, groups).collect()
+    log = ExecutionLog(spark, state_path)
+
+    def run_one(row: Row) -> tuple[int, IngestResult]:
+        ingestion_id = row["lake_ingestion_id"]
+        try:
+            job = IncrementalIngestJob(
+                spark=spark,
+                ingestion_id=ingestion_id,
+                source=source_resolver(spark, row),
+                delta_field=row["delta_field"],
+                integer_watermark=bool(row["date_not_available"]),
+                delta_expr_cols=_expr_cols(row["delta_field_expr"]),
+                target_location=row["target_location"],
+                log=log,
+                partition_spec=parse_partition_config(row["partition_config"]),
+            )
+            return ingestion_id, job.run()
+        except Exception as exc:  # extraction failure → logged, not fatal
+            log.append(ingestion_id, STATUS_FAILED, reason_code=str(exc)[:500])
+            return ingestion_id, IngestResult(STATUS_FAILED, "")
+
+    # inter-table parallelism: concurrent Spark jobs from driver threads
+    with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+        results = dict(pool.map(run_one, rows))
+
+    if register_views:
+        for row in rows:
+            rid = row["lake_ingestion_id"]
+            if (
+                row["view_needed"]
+                and row["primary_key"]
+                and results[rid].status == STATUS_SUCCESS
+            ):
+                register_latest_view(
+                    spark,
+                    row["athena_view_name"],
+                    row["target_location"],
+                    row["primary_key"].split(","),
+                    row["delta_field"],
+                )
+    return RunReport(results)
+
+
+def _expr_cols(expr: str | None) -> tuple[str, ...]:
+    """Parse 'coalesce(a, b)' into ('a', 'b') (reference delta_field_expr)."""
+    if not expr:
+        return ()
+    inner = expr.strip()
+    if not inner.lower().startswith("coalesce("):
+        raise ValueError(f"unsupported delta_field_expr: {expr!r}")
+    inner = inner[len("coalesce(") : inner.rindex(")")]
+    return tuple(c.strip() for c in inner.split(","))
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="incremental lake ingestion run")
+    parser.add_argument("--control", required=True, help="control table CSV path")
+    parser.add_argument("--state", required=True, help="execution-log table path")
+    parser.add_argument(
+        "--groups", default=None, help="comma-separated airflow_dag_group filter"
+    )
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="dli-runner")
+    control = load_control(spark, args.control)
+    groups = args.groups.split(",") if args.groups else None
+    report = run_groups(spark, control, args.state, groups)
+    for rid, res in sorted(report.results.items()):
+        print(f"[{rid}] {res.status} rows={res.source_count}")
+    return 0 if all(
+        r.status in (STATUS_SUCCESS, "no-data-to-load")
+        for r in report.results.values()
+    ) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

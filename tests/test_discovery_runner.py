@@ -1,0 +1,148 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.control import CONTROL_SCHEMA, next_ingestion_id
+from datalakeingestion_spark.config.discovery import discover_tables, merge_control
+from datalakeingestion_spark.ingest.watermark import STATUS_SUCCESS
+from datalakeingestion_spark.runner import _expr_cols, run_groups
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+INFO_COLS = ["table_name", "column_name", "data_type", "column_key", "extra"]
+
+
+@pytest.fixture()
+def info_schema(spark):
+    rows = [
+        # orders_t: created+modified+auto-inc id+PK → coalesce expr, time partition
+        ("orders_t", "id", "bigint", "PRI", "auto_increment"),
+        ("orders_t", "created_datetime", "datetime", "", ""),
+        ("orders_t", "modified_datetime", "datetime", "", ""),
+        ("orders_t", "status", "varchar", "", ""),
+        # seq_t: only auto-inc → integer watermark, 1M partition
+        ("seq_t", "seq_id", "bigint", "PRI", "auto_increment"),
+        ("seq_t", "name", "varchar", "", ""),
+        # nokey_t: nothing usable → inactive
+        ("nokey_t", "a", "varchar", "", ""),
+        # already_t: already in control → excluded
+        ("already_t", "created_datetime", "datetime", "", ""),
+    ]
+    return spark.createDataFrame(rows, INFO_COLS)
+
+
+@pytest.fixture()
+def existing(spark):
+    row = (
+        3, "mysql-table", "srv", "db1", "already_t", "created_datetime", "",
+        0, 1, "NULL", "c", "g", "s3", "/lake/db1/already_t", "id",
+        "vdb", "already_t_lv", 1, "()", "dag_db1", "2024-01-01",
+    )
+    return spark.createDataFrame([row], CONTROL_SCHEMA)
+
+
+def test_discovery_rules(spark, info_schema, existing):
+    new = discover_tables(spark, info_schema, existing, "db1").collect()
+    by_name = {r["tablename"]: r for r in new}
+    assert set(by_name) == {"orders_t", "seq_t", "nokey_t"}  # anti-join excluded already_t
+
+    o = by_name["orders_t"]
+    assert o["delta_field"] == "created_datetime"
+    assert o["delta_field_expr"] == "coalesce(modified_datetime, created_datetime)"
+    assert o["date_not_available"] == 0
+    assert o["primary_key"] == "id"
+    assert o["view_needed"] == 1
+    assert "time-based" in o["partition_config"]
+    assert o["active_indicator"] == 1
+
+    s = by_name["seq_t"]
+    assert s["delta_field"] == "seq_id"
+    assert s["date_not_available"] == 1
+    assert "non-time-based" in s["partition_config"]
+
+    n = by_name["nokey_t"]
+    assert n["active_indicator"] == 0 and n["delta_field"] == ""
+
+    # ids continue from max existing + 1, deterministic order
+    ids = sorted(r["lake_ingestion_id"] for r in new)
+    assert ids == [4, 5, 6]
+
+    merged = merge_control(existing, discover_tables(spark, info_schema, existing, "db1"))
+    assert merged.count() == 4
+    assert next_ingestion_id(merged) == 7
+
+    # discovered partition_config round-trips through the parser
+    from datalakeingestion_spark.config.partition_spec import parse_partition_config
+
+    assert parse_partition_config(o["partition_config"]).fmt == "YYYYMM"
+    assert parse_partition_config(s["partition_config"]).fmt == "1M"
+
+
+def test_expr_cols_parsing():
+    assert _expr_cols("coalesce(modified_datetime, created_datetime)") == (
+        "modified_datetime",
+        "created_datetime",
+    )
+    assert _expr_cols("") == () and _expr_cols(None) == ()
+    with pytest.raises(ValueError):
+        _expr_cols("greatest(a,b)")
+
+
+def test_run_groups_end_to_end(spark, tmp_path):
+    # two parquet-backed "tables" driven purely by control rows
+    events = load_table(spark, SF_SMALL, "events")
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    events.write.parquet(src_a)
+    # seq_id starts at 1: the integer-watermark epoch is 1 (reference
+    # semantics — MySQL auto-increment), so an id=0 row would be excluded
+    events.selectExpr("event_id + 1 AS seq_id", "value").write.parquet(src_b)
+
+    mk = lambda rid, src, tbl, delta, int_wm, part, group: (
+        rid, "parquet-table", src, "db1", tbl, delta, "", int_wm, 1, "NULL",
+        "c", "g", "s3", str(tmp_path / "lake" / tbl), "user_id" if tbl == "ev" else "",
+        "vdb", f"{tbl}_lv", 1 if tbl == "ev" else 0, part, group, "2024-01-01",
+    )
+    control = spark.createDataFrame(
+        [
+            mk(1, src_a, "ev", "ts", 0,
+               "({'partition_seq_no': 1, 'partition_column_type': 'time-based', "
+               "'partition_column': 'ts', 'partition_format': 'YYYYMM'},)", "dag_a"),
+            mk(2, src_b, "seq", "seq_id", 1, "()", "dag_a"),
+            mk(3, src_a, "skip_inactive", "ts", 0, "()", "dag_b"),
+        ],
+        CONTROL_SCHEMA,
+    )
+
+    report = run_groups(
+        spark, control, str(tmp_path / "state"), groups=["dag_a"],
+        max_parallel_tables=2,
+    )
+    assert sorted(report.results) == [1, 2]  # dag_b filtered out
+    assert report.succeeded == [1, 2]
+    assert spark.read.parquet(str(tmp_path / "lake" / "ev")).count() == events.count()
+    assert spark.read.parquet(str(tmp_path / "lake" / "seq")).count() == events.count()
+    # view registered for the view_needed table
+    assert spark.sql("SELECT count(*) FROM ev_lv").first()[0] == 15
+
+    # re-run: incremental no-data, still successful overall exit semantics
+    report2 = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_a"])
+    assert all(r.status == "no-data-to-load" for r in report2.results.values())
+
+
+def test_run_groups_isolates_failures(spark, tmp_path):
+    bad = (
+        7, "parquet-table", str(tmp_path / "missing"), "db1", "bad", "ts", "",
+        0, 1, "NULL", "c", "g", "s3", str(tmp_path / "lake" / "bad"), "",
+        "vdb", "bad_lv", 0, "()", "dag_x", "2024-01-01",
+    )
+    control = spark.createDataFrame([bad], CONTROL_SCHEMA)
+    report = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_x"])
+    assert report.results[7].status == "failed"
+    # failure recorded in the state table
+    from datalakeingestion_spark.ingest.watermark import ExecutionLog
+
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    assert log.latest_entry(7, "failed") is not None
