@@ -1,0 +1,276 @@
+"""Extended query coverage: remaining §2 scalar/filter operators plus the
+grouped/window generalizations the Spark engine gets beyond the reference
+(rollup, pivot, exact percentiles, sessionization, running frames —
+SURVEY.md §2.5/§2.6 note these as free capabilities; they are first-class
+here with oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+
+def _dec(col, scale: int = 4):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Remaining filter / scalar operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f3_predicate_string_filter",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200.0
+    GROUP BY o_orderpriority
+    """,
+    doc="F3: composed SQL-string predicate — the reference's pandas "
+    "df.query('active_indicator == 1 and ...') (start_ingestion.py:221-229) "
+    "is the same string, natively parsed by Catalyst.",
+)
+def f3_predicate_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter("o_orderstatus = 'O' AND o_totalprice > 200.0")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "f5_key_lookup",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_custkey = 42
+    """,
+    doc="F5: key-lookup filter (per-id control row selection, "
+    "start_ingestion.py:346) — an equality predicate pushed to the scan; "
+    "broadcast semi-join shape at scale.",
+)
+def f5_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_custkey") == 42).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@register(
+    "c3_parse_truncate",
+    oracle="""
+    SELECT event_id,
+           CAST(substr(CAST(ts AS VARCHAR), 1, 19) AS TIMESTAMP) AS ts_sec
+    FROM events WHERE event_id < 100
+    """,
+    doc="C3: strptime(v[:19]) parse-and-truncate "
+    "(ingest_mysql_data.py:141-143) as substring+cast.",
+)
+def c3_parse_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.substring(F.col("ts").cast("string"), 1, 19)
+        .cast("timestamp")
+        .alias("ts_sec"),
+    )
+
+
+@register(
+    "c6_regex_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+    FROM events WHERE event_id < 100
+    """,
+    doc="C6/C8: regex extraction (URL/path parsing shapes, "
+    "aws_utils.py:234-237, ingest_files.py:136).",
+)
+def c6_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long").alias("k_val"),
+    )
+
+
+@register(
+    "c7_concat_case",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) || '|' || trim(c_name) AS seg_name
+    FROM customer WHERE c_custkey <= 50
+    """,
+    doc="C7: string concat/trim/case (query-assembly shapes, "
+    "start_ingestion.py:222-227).",
+)
+def c7_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_custkey") <= 50).select(
+        "c_custkey",
+        F.concat(
+            F.upper("c_mktsegment"), F.lit("|"), F.trim(F.col("c_name"))
+        ).alias("seg_name"),
+    )
+
+
+@register(
+    "a4_count_with_predicate",
+    oracle="""
+    SELECT COUNT(*) AS t_count FROM events
+    WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+    """,
+    doc="A4: COUNT under the delta predicate — the validation count the "
+    "reference sends to Athena (aws_utils.py:139-163), in-engine.",
+)
+def a4_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        F.col("ts") >= F.lit("2024-03-01").cast("timestamp")
+    ).agg(F.count(F.lit(1)).alias("t_count"))
+
+
+# ---------------------------------------------------------------------------
+# Window / grouping generalizations beyond the reference
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (SELECT user_id,
+                 SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM g)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    doc="Sessionization: lag-gap (30 min) + running sum session ids — the "
+    "batch twin of streaming session_window. Gap arithmetic in integral "
+    "epoch-microseconds on both engines for exactness.",
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(us - F.lag(us).over(w) > 1_800_000_000, 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "w4_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey <= 100
+    """,
+    doc="Frame-based running aggregate per key (cumulative spend) — exact "
+    "decimal accumulation so frame order can't produce float drift.",
+)
+def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") <= 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "g1_rollup_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals — grouped-aggregation generalization "
+    "(SURVEY §2.5: the reference has no GROUP BY at all).",
+)
+def g1_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
+@register(
+    "g2_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (status → columns) via groupBy().pivot(); the oracle is the "
+    "equivalent FILTER-aggregation form.",
+)
+def g2_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "g3_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact continuous percentiles per group (Spark percentile ≡ DuckDB "
+    "quantile_cont: linear interpolation on the sorted values; rounded to "
+    "6 dp against float division noise).",
+)
+def g3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
