@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pytest
+
+from datalakeingestion_spark.operators import dedup as dd
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+def test_exact_duplicates_groups(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.keep_doc_id: r.dup_count for r in dd.exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_perfect_recall_on_planted_dups(spark, docs):
+    """The fixture plants near-dup pairs with Jaccard >= 0.9; at that
+    similarity the 4×4 banding miss probability is (1-j^4)^4 < 2% per pair
+    — with the fixed md5 hash family the outcome is deterministic, and it
+    is full recall."""
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    found = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.minhash_near_duplicates(docs, threshold=0.9).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    assert found == truth
+
+
+def test_minhash_output_is_verified_subset(spark, docs):
+    # every emitted pair carries its TRUE jaccard (verify stage) >= threshold
+    out = dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    ngram = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for r in out:
+        assert r.doc_id_a < r.doc_id_b
+        assert r.jaccard >= 0.5
+        assert ngram[(r.doc_id_a, r.doc_id_b)] == r.jaccard
+
+
+def test_simhash_pairs_are_high_jaccard(spark, docs):
+    sh = {(r.doc_id_a, r.doc_id_b) for r in dd.simhash_near_duplicates(docs).collect()}
+    truth = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert sh, "planted dups should collide within 3 simhash bits"
+    assert sh <= truth  # hamming<=3 pairs are all true near-dups here
+
+
+def test_simhash_banding_guard():
+    with pytest.raises(ValueError, match="lossless"):
+        dd.simhash_near_duplicates(None, max_hamming=5)
+
+
+def test_signatures_shape(spark, docs):
+    sig = dd.minhash_signatures(docs)
+    assert sig.columns == ["doc_id"] + [f"mh{i}" for i in range(dd.MINHASH_PERMS)]
+    row = sig.first()
+    for i in range(dd.MINHASH_PERMS):
+        assert 0 <= row[f"mh{i}"] < dd.MERSENNE_P

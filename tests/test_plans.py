@@ -1,0 +1,99 @@
+"""Plan-shape regression tests — the scale-safety contract.
+
+Correctness tests prove the queries right at small SF; these prove the
+PLANS stay right for 100 TB: predicates reach the parquet scan, projection
+is pruned, dimension joins broadcast, aggregation is partial (map-side),
+and nothing degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMALL
+
+_ensure_loaded()
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def run(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMALL)
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    plan = formatted_plan(run(spark, "q6_revenue_forecast"))
+    assert "PushedFilters" in plan
+    # all four predicates reach the scan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            frag in line for line in plan.splitlines() if "PushedFilters" in line
+        ), f"{frag} not pushed: {plan}"
+    # projection pruned to the 4 referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_f1_range_scan_pushdown(spark):
+    plan = formatted_plan(run(spark, "f1_watermark_range_scan"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "ts" in pushed[0]
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = formatted_plan(run(spark, "q5_local_supplier_volume"))
+    # all four dims broadcast; the one big join (orders⋈lineitem) may be
+    # SMJ/shuffled-hash — but never cartesian
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = formatted_plan(run(spark, "q1_pricing_summary"))
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_w1_single_shuffle(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "w1_latest_event_per_user"))
+    # latest-row dedup = exactly one exchange (hash on user_id) + window;
+    # Spark 3.5+ also applies WindowGroupLimit: partial top-1 BEFORE the
+    # shuffle, so only per-partition winners move — keep that property.
+    # Count operator detail sections "(n) Exchange" = unique plan nodes.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit\b", plan)) == 2, plan
+
+
+def test_dedup_queries_avoid_cartesian(spark):
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
+        plan = formatted_plan(run(spark, name))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+
+
+def test_ann_broadcasts_queries(spark):
+    plan = formatted_plan(run(spark, "ann_cosine_topk"))
+    # small query side broadcast; corpus side stays partitioned
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["u2_anti_join_new_tables", "v1_count_reconciliation"]
+)
+def test_joins_have_no_cartesian(spark, name):
+    assert "CartesianProduct" not in formatted_plan(run(spark, name))

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.operators import similarity as sim
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_cosine_topk_contract(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    out = sim.cosine_topk(emb, q, k=10).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id  # self excluded
+        assert -1.0 <= r.cosine <= 1.0
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for cosines in by_q.values():
+        assert len(cosines) == 10
+        assert cosines == sorted(cosines, reverse=True)  # ranked
+
+
+def test_lsh_recall_against_brute_force(spark, emb):
+    """Multi-table LSH (8 tables × 4 planes) recall@10 — deterministic
+    (md5-derived planes), pinned at the measured value."""
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb, q, 10).collect()}
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_bucketed_topk(emb, q, 10).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.8
+    # approximate results are a subset of legal neighbors (no fabrications)
+    assert all(a != b for a, b in lsh)
+
+
+def test_hyperplanes_deterministic():
+    a = sim.hyperplanes(4, 16, seed=1)
+    b = sim.hyperplanes(4, 16, seed=1)
+    c = sim.hyperplanes(4, 16, seed=2)
+    assert a == b and a != c
+    assert all(-1.0 <= v < 1.0 for row in a for v in row)
+
+
+def test_embedding_near_duplicates_contract(spark, emb):
+    out = sim.embedding_near_duplicates(emb, threshold=0.9).collect()
+    for r in out:
+        assert r.vec_id_a < r.vec_id_b  # canonical pair order, no dupes
+        assert r.cosine >= 0.9

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+
+from datalakeingestion_spark.operators import text_analysis as ta
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog sat", "en"),
+        (2, "der Hund ist nicht mit der Katze", "de"),
+        (3, "le chat est dans la maison pour le chien", "fr"),
+        (4, "qqq zzz xxx", "xx"),  # no stopword hits → unknown
+        (5, "Hello,   world!  Hello?", "en"),
+    ]
+    return _df(rows)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _spark(spark):
+    global _SPARK
+    _SPARK = spark
+
+
+def _df(rows):
+    return _SPARK.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_quality_metrics_known_values(docs):
+    out = {r.doc_id: r for r in ta.quality_metrics(docs).collect()}
+    r1 = out[1]  # "the cat and the dog sat" → 6 tokens, 5 distinct
+    assert r1.n_tokens == 6 and r1.n_distinct_tokens == 5
+    assert r1.ttr == round(5 / 6, 6)
+    # alnum chars: thecatandthedogsat = 18 → avg 3.0
+    assert r1.avg_token_len == 3.0
+    # stopwords: the, and, the → 3/6
+    assert r1.stopword_ratio == 0.5
+    assert r1.quality_score == round((5 / 6) * (6 / 50), 6)
+    # punctuation/casing normalized away
+    r5 = out[5]
+    assert r5.n_tokens == 3 and r5.n_distinct_tokens == 2
+
+
+def test_language_id_cascade(docs):
+    out = {r.doc_id: r.predicted_lang for r in ta.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "unknown"
+
+
+def test_language_id_tie_prefers_langs_order():
+    # equal hit counts ("the" en + "der" de) → tie broken by LANGS order
+    out = ta.language_id(_df([(1, "the der", "x")])).collect()[0]
+    assert out.hits_en == out.hits_de == 1
+    assert out.predicted_lang == "en"
+
+
+def test_token_stats_bpe_vs_ws():
+    out = ta.token_stats(_df([(1, "Hello, world! its-fine", "en")])).collect()[0]
+    assert out.n_ws_tokens == 4  # hello world its fine
+    # bpe-ish: hello , world ! its - fine → 7
+    assert out.n_bpe_tokens == 7
+    assert out.n_distinct_tokens == 4
+
+
+def test_fingerprint_normalization_invariance():
+    df = _df(
+        [
+            (1, "The   cat; sat!", "en"),
+            (2, "the cat sat", "en"),
+            (3, "the cat stood", "en"),
+        ]
+    )
+    out = {r.doc_id: r.fingerprint for r in ta.fingerprints(df).collect()}
+    assert out[1] == out[2]  # whitespace/punct/case-insensitive
+    assert out[1] != out[3]
