@@ -274,3 +274,77 @@ def g3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom operators Spark lacks natively: as-of join, deterministic sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order_per_event",
+    oracle="""
+    WITH u AS (
+      SELECT user_id AS k, ts AS t, 1 AS tag, NULL::BIGINT AS tie,
+             event_id, NULL::BIGINT AS v_orderkey, NULL::DOUBLE AS v_totalprice
+      FROM events WHERE event_id < 2000
+      UNION ALL
+      SELECT o_custkey, o_orderdate, 0, o_orderkey,
+             NULL, o_orderkey, o_totalprice
+      FROM orders),
+    s AS (SELECT event_id, k, tag,
+            last_value(v_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+            last_value(v_totalprice IGNORE NULLS) OVER w AS o_totalprice
+          FROM u
+          WINDOW w AS (PARTITION BY k ORDER BY t ASC, tag ASC, tie ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, k AS user_id, o_orderkey, o_totalprice
+    FROM s WHERE tag = 1
+    """,
+    doc="As-of join (Spark has no native one): each event matched to the "
+    "user's most recent order at/before the event time, via the "
+    "union+window formulation — ONE shuffle on the key, no quadratic "
+    "range join (operators/asof.py). Oracle uses the identical window "
+    "formulation in DuckDB.",
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM (SELECT DISTINCT l_partkey FROM lineitem)),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT 256 AS k, MAX(h) AS kth_hash,
+           CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                ELSE CAST(round(255 / (MAX(h) / 1152921504606846976.0)) AS BIGINT)
+           END AS est_distinct
+    FROM k
+    """,
+    doc="KMV distinct-count sketch (operators/sketches.py): an approximate "
+    "operator whose estimate is a pure function of the input set thanks to "
+    "the portable hash family — unlike HLL, even the sketch is "
+    "oracle-checkable. Executes as distinct + global top-k (partial "
+    "per-partition top-k, tiny final merge).",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_estimate(li, "l_partkey", k=256)
