@@ -1,0 +1,60 @@
+"""Landing-zone file ingestion (reference operator S9, post-download half).
+
+The reference pulls BingAds/GoogleAds report attachments from a mailbox
+and uploads them for ingestion (extractors/ingest_files.py — acquisition
+is out-of-engine here). Once files land in a directory, this reader turns
+them into typed DataFrames:
+
+- csv / parquet / json natively;
+- xlsx behind an import-try (openpyxl is not in the base image — the
+  reference's Excel dependency is exactly the kind of thing the engine
+  gates rather than requires);
+- ``binaryFile`` for opaque payloads (feeds operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_landing(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    fmt = fmt.lower()
+    if fmt == "csv":
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.options(**options).csv(path)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "json":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).json(path)
+    if fmt == "binary":
+        return spark.read.format("binaryFile").options(**options).load(path)
+    if fmt in ("xlsx", "excel"):
+        return _read_excel(spark, path)
+    raise ValueError(f"unsupported landing format {fmt!r}")
+
+
+def _read_excel(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "xlsx ingestion needs openpyxl (or the spark-excel package on "
+            "a cluster); neither is available in this environment"
+        ) from exc
+    pdf = pd.read_excel(path)
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import PartitionSpec
+from datalakeingestion_spark.ingest.merge import merge_upsert
+from datalakeingestion_spark.operators.bucketing import bucketed_join, write_bucketed
+from datalakeingestion_spark.operators.skew import salted_join
+from datalakeingestion_spark.sources.files import read_landing
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # tables land in the session warehouse (spark-warehouse/, gitignored);
+    # warehouse.dir is a static conf and cannot move per-test
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "okey"), "b_orders", "okey", 4
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "okey"), "b_lineitem", "okey", 4
+    )
+    joined = bucketed_join(spark, "b_orders", "b_lineitem", "okey")
+    # at fixture size the planner correctly prefers broadcast; disable it
+    # to expose the bucket property (at 100 TB neither side broadcasts)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+
+
+def test_merge_upsert_latest_wins(spark, tmp_path):
+    target = str(tmp_path / "lake" / "t")
+    spec = PartitionSpec("ts", "time-based", "YYYYMM")
+    base = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", "a"), (2, "2024-02-05 00:00:00", "b")],
+        ["id", "ts_s", "val"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    n = merge_upsert(spark, target, base, ["id"], spec)
+    assert n == 2
+
+    updates = spark.createDataFrame(
+        [(2, "2024-03-01 00:00:00", "b2"), (3, "2024-03-02 00:00:00", "c")],
+        ["id", "ts_s", "val"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    n = merge_upsert(spark, target, updates, ["id"], spec)
+    assert n == 3
+    rows = {
+        r["id"]: r["val"] for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: "a", 2: "b2", 3: "c"}  # update won, insert added
+    # partition layout materialized
+    import glob
+
+    assert any("ts_part=202403" in p for p in glob.glob(target + "/*"))
+    # no staging/backup leftovers
+    assert not glob.glob(str(tmp_path / "lake" / "t.__*"))
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "lake" / "t2")
+    df = spark.range(10).select(F.col("id"), F.lit("x").alias("v"))
+    merge_upsert(spark, target, df, ["id"])
+    merge_upsert(spark, target, df, ["id"])
+    assert spark.read.parquet(target).count() == 10
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey", salt_n=4).count()
+    assert salted == plain
+
+
+def test_read_landing_formats(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events").limit(50)
+    events.write.parquet(str(tmp_path / "p"))
+    assert read_landing(spark, str(tmp_path / "p"), "parquet").count() == 50
+
+    events.select("event_id", "event_type").write.option("header", True).csv(
+        str(tmp_path / "c")
+    )
+    csv_df = read_landing(spark, str(tmp_path / "c"), "csv")
+    assert csv_df.count() == 50 and "event_type" in csv_df.columns
+
+    events.select("event_id", "props").write.json(str(tmp_path / "j"))
+    assert read_landing(spark, str(tmp_path / "j"), "json").count() == 50
+
+    binary = read_landing(spark, str(tmp_path / "p"), "binary", pathGlobFilter="*.parquet")
+    assert binary.count() >= 1 and "content" in binary.columns
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_landing(spark, str(tmp_path / "p"), "avroish")
+
+    # xlsx gated behind import-try in this environment
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_landing(spark, str(tmp_path / "x.xlsx"), "xlsx")
