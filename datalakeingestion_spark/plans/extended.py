@@ -130,7 +130,9 @@ def c7_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference sends to Athena (aws_utils.py:139-163), in-engine.",
 )
 def a4_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    from ..sources.fixtures import load_events_pruned
+
+    events = load_events_pruned(spark, sf_dir, lo="2024-03-01 00:00:00")
     return events.filter(
         F.col("ts") >= F.lit("2024-03-01").cast("timestamp")
     ).agg(F.count(F.lit(1)).alias("t_count"))

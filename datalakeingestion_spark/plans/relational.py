@@ -24,7 +24,7 @@ from ..operators.relational import (
     latest_rows,
     topk_per_group,
 )
-from ..sources.fixtures import load_table
+from ..sources.fixtures import load_events_pruned, load_table
 from .registry import register
 
 
@@ -273,7 +273,11 @@ def w2_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parquet scan; on JDBC the same predicate reaches MySQL.",
 )
 def f1_watermark_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    # superset range prefilter on the raw column reaches the parquet scan
+    # (row-group skipping); the exact predicate below is the residual
+    events = load_events_pruned(
+        spark, sf_dir, lo="2024-06-01 00:00:00", hi="2024-07-01 00:00:00"
+    )
     return events.filter(
         (F.col("ts") > F.lit("2024-06-01").cast("timestamp"))
         & (F.col("ts") <= F.lit("2024-07-01").cast("timestamp"))
@@ -372,7 +376,7 @@ def f8_null_fill_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that, automatic).",
 )
 def a1_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_events_pruned(spark, sf_dir, lo="2024-06-01 00:00:00")
     return events.filter(F.col("ts") > F.lit("2024-06-01").cast("timestamp")).agg(
         F.min("ts").alias("min_delta"),
         F.max("ts").alias("max_delta"),

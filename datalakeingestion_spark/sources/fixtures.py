@@ -48,3 +48,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
+
+
+def load_events_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """events with a pushdown-friendly time-range prefilter.
+
+    The ns→µs conversion wraps ``ts`` in an expression, so a filter on the
+    CONVERTED column cannot reach the parquet scan (only IsNotNull pushes
+    → full scan at scale). This loader filters the RAW nanosecond long
+    first — a strict superset of any [lo, hi] predicate on the truncated
+    µs value (truncation only lowers values; +999 ns covers the upper
+    edge) — so row-group min/max skipping works; callers still apply
+    their exact predicate on the converted column (cheap residual).
+    """
+    import pandas as pd
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(int(pd.Timestamp(lo).value)))
+        if hi is not None:
+            df = df.filter(F.col("ts") <= F.lit(int(pd.Timestamp(hi).value) + 999))
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:  # future-proof: native µs read
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp"))
+    return df

@@ -48,7 +48,11 @@ def test_q6_filters_pushed_and_columns_pruned(spark):
 def test_f1_range_scan_pushdown(spark):
     plan = formatted_plan(run(spark, "f1_watermark_range_scan"))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and "ts" in pushed[0]
+    # the superset ns-range prefilter must reach the scan (row-group
+    # skipping) — IsNotNull alone means the whole table is read
+    assert pushed, plan
+    assert "GreaterThanOrEqual(ts" in pushed[0], pushed[0]
+    assert "LessThanOrEqual(ts" in pushed[0], pushed[0]
 
 
 def test_q5_dimensions_broadcast(spark):
