@@ -40,12 +40,16 @@ def main() -> None:
         # independent (operators like minhash persist hot tables)
         spark.catalog.clearCache()
         # one untimed warmup (codegen compile, broadcast build, FS cache),
-        # then the timed steady-state run
+        # then two timed runs; report the min — single-run numbers on a
+        # shared 32-core box occasionally catch a GC/compaction stall
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        df = qd.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            df = qd.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -145,6 +145,7 @@ def a4_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w3_sessionize",
+    bench=True,
     oracle="""
     WITH g AS (
       SELECT user_id, ts, event_id,
@@ -213,6 +214,7 @@ def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g1_rollup_counts",
+    bench=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
@@ -285,6 +287,7 @@ def g3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_latest_order_per_event",
+    bench=True,
     oracle="""
     WITH u AS (
       SELECT user_id AS k, ts AS t, 1 AS tag, NULL::BIGINT AS tie,
@@ -329,6 +332,7 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_kmv_distinct",
+    bench=True,
     oracle="""
     WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
                FROM (SELECT DISTINCT l_partkey FROM lineitem)),

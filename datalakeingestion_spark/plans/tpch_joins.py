@@ -27,6 +27,7 @@ _REV = None  # computed inline per query
 
 @register(
     "q4_order_priority_exists",
+    bench=True,
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
@@ -59,6 +60,7 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    bench=True,
     oracle="""
     SELECT c_custkey, c_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -148,6 +150,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume_orders",
+    bench=True,
     oracle="""
     SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
