@@ -1,0 +1,169 @@
+"""Property-based checks for the tricky semantics (SURVEY.md §5):
+watermark bump, partition-config parsing, coalesce OR-rewrite exactness,
+bucket boundaries, portable-hash cross-engine parity.
+
+Hypothesis drives the pure driver-side functions; the Spark-side
+properties run as ONE vectorized job over a generated batch (hypothesis-
+per-example Spark jobs would be pathologically slow).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import parse_partition_config
+from datalakeingestion_spark.ingest.watermark import bump_watermark
+from datalakeingestion_spark.operators.relational import coalesce_range_filter
+
+_TS = st.datetimes(
+    min_value=datetime(1900, 1, 2), max_value=datetime(2260, 12, 31)
+)
+
+
+@given(_TS)
+@settings(max_examples=200, deadline=None)
+def test_bump_is_strictly_later_seconds(ts):
+    s = ts.strftime("%Y-%m-%d %H:%M:%S")
+    bumped = bump_watermark(s, integer_watermark=False)
+    assert datetime.strptime(bumped, "%Y-%m-%d %H:%M:%S") == (
+        ts.replace(microsecond=0) + timedelta(seconds=1)
+    )
+    assert bumped > s  # lexical monotonicity in the fixed format
+
+
+@given(_TS, st.integers(min_value=1, max_value=999_999))
+@settings(max_examples=200, deadline=None)
+def test_bump_micro_precision(ts, micros):
+    s = ts.replace(microsecond=micros).strftime("%Y-%m-%d %H:%M:%S.%f")
+    bumped = bump_watermark(s, integer_watermark=False)
+    got = datetime.strptime(bumped, "%Y-%m-%d %H:%M:%S.%f")
+    assert got == ts.replace(microsecond=micros) + timedelta(microseconds=1)
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_bump_integer(v):
+    assert bump_watermark(str(v), integer_watermark=True) == str(v + 1)
+
+
+@given(
+    st.sampled_from(["time-based", "non-time-based"]),
+    st.sampled_from(["YYYY", "YYYYMM", "YYYYMMDD", "1M", "100K", "1K"]),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=12
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_partition_config_parse_total(kind, fmt, col):
+    raw = (
+        f"({{'partition_seq_no': 1, 'partition_column_type': '{kind}', "
+        f"'partition_column': '{col}', 'partition_format': '{fmt}'}},)"
+    )
+    time_fmt = fmt in ("YYYY", "YYYYMM", "YYYYMMDD")
+    valid = (kind == "time-based") == time_fmt
+    if valid:
+        spec = parse_partition_config(raw)
+        assert spec.column == col and spec.kind == kind and spec.fmt == fmt
+    else:
+        with pytest.raises(ValueError):
+            parse_partition_config(raw)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_partition_config_never_crashes_unexpectedly(raw):
+    # total function: either a spec, None, or ValueError — nothing else
+    try:
+        out = parse_partition_config(raw)
+    except ValueError:
+        return
+    assert out is None or out.column
+
+
+def test_coalesce_or_rewrite_exactness(spark):
+    """coalesce_range_filter ≡ plain coalesce BETWEEN for arbitrary nullable
+    pairs — the OR prefilter over-selects but the residual restores
+    exactness (one vectorized job over 5000 seeded random rows)."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(5000):
+        a = rng.randrange(0, 100) if rng.random() < 0.7 else None
+        b = rng.randrange(0, 100) if rng.random() < 0.9 else None
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    lo, hi = F.lit(30), F.lit(60)
+    ours = coalesce_range_filter(df, ["a", "b"], lo, hi)
+    plain = df.filter(F.coalesce(F.col("a"), F.col("b")).between(lo, hi))
+    assert sorted(r.id for r in ours.collect()) == sorted(
+        r.id for r in plain.collect()
+    )
+    # and the prefilter really is a superset (over-selection exists)
+    prefilter_only = df.filter(
+        F.col("a").between(lo, hi) | F.col("b").between(lo, hi)
+    )
+    assert prefilter_only.count() >= ours.count()
+
+
+def test_bucket_boundaries_vectorized(spark):
+    """int_bucket floor semantics across boundaries incl. the reference's
+    exact 1M divisor (FIXTURES.md B4 boundary values)."""
+    from datalakeingestion_spark.functions.buckets import date_bucket, int_bucket
+
+    vals = [0, 1, 999, 1000, 1001, 999_999, 1_000_000, 1_000_001, 2**40]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r.b for r in df.select(int_bucket("v", 1_000_000).alias("b")).collect()
+    ]
+    assert got == [v // 1_000_000 for v in vals]
+
+    rng = random.Random(7)
+    ts_rows = [
+        (datetime(1900, 1, 1) + timedelta(seconds=rng.randrange(0, 4_000_000_000)),)
+        for _ in range(500)
+    ]
+    tdf = spark.createDataFrame(ts_rows, "t timestamp")
+    got = [
+        r.p for r in tdf.select(date_bucket(F.col("t"), "YYYYMM").alias("p")).collect()
+    ]
+    want = [r[0].strftime("%Y%m") for r in ts_rows]
+    assert got == want
+
+
+def test_portable_hash_cross_engine(spark):
+    """portable_hash32/60 must agree with the DuckDB hex-cast formula for
+    arbitrary strings — the foundation of every oracle-checkable sketch."""
+    import duckdb
+
+    from datalakeingestion_spark.functions.hashing import (
+        portable_hash32,
+        portable_hash60,
+    )
+
+    rng = random.Random(13)
+    strings = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ] + ["", " ", "ünïcode ❄", "a" * 1000]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: (r.h32, r.h60)
+        for r in df.select(
+            "s",
+            portable_hash32("s").alias("h32"),
+            portable_hash60("s").alias("h60"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        h32, h60 = con.execute(
+            "SELECT ('0x'||substr(md5(?),1,8))::BIGINT, "
+            "('0x'||substr(md5(?),1,15))::BIGINT",
+            [s, s],
+        ).fetchone()
+        assert got[s] == (h32, h60), repr(s)
