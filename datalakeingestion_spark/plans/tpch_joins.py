@@ -22,9 +22,6 @@ def _dec(col, scale: int = 4):
     return c.cast(f"decimal(18,{scale})")
 
 
-_REV = None  # computed inline per query
-
-
 @register(
     "q4_order_priority_exists",
     bench=True,

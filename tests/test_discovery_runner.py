@@ -146,3 +146,15 @@ def test_run_groups_isolates_failures(spark, tmp_path):
 
     log = ExecutionLog(spark, str(tmp_path / "state"))
     assert log.latest_entry(7, "failed") is not None
+
+
+def test_sql_session_api(spark, tmp_path):
+    from datalakeingestion_spark.api import open_session
+
+    s = open_session("/root/testdata/sf0.001", spark=spark)
+    n = s.sql(
+        "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).first()[0]
+    # every lineitem row has a parent order → join preserves cardinality
+    assert n == s.sql("SELECT count(*) FROM lineitem").first()[0] > 0
+    assert s.sql("SELECT count(*) FROM documents").first()[0] > 0
