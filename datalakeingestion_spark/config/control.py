@@ -64,6 +64,13 @@ def filter_control(control: DataFrame, groups: Sequence[str] | None = None) -> D
     return out
 
 
+def save_control(control: DataFrame, path: str) -> None:
+    """Persist the (tiny) control table as one headered CSV — the
+    reference writes a new Excel to S3 (K3, update_config.py:322-326);
+    plain CSV keeps the config diffable and eval-free."""
+    control.toPandas().to_csv(path, index=False)
+
+
 def next_ingestion_id(control: DataFrame) -> int:
     """max(lake_ingestion_id)+1 (reference: update_config.py:121-125)."""
     row = control.agg(F.max("lake_ingestion_id").alias("m")).first()

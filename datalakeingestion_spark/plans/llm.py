@@ -356,3 +356,30 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ta.fingerprints(docs)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id, gs.i AS dim_idx,
+           ('0x' || substr(md5(text), gs.i * 4 + 1, 4))::BIGINT / 65536.0 AS feat
+    FROM documents, (SELECT unnest(range(0, 8)) AS i) gs
+    """,
+    doc="Multimodal plumbing end-to-end: text bytes as a binary media "
+    "column -> Arrow-batched mapInPandas feature kernel "
+    "(operators/multimodal.py). The deterministic fake decoder is md5-"
+    "based, so even this pandas-UDF path has an exact SQL oracle "
+    "(features are n/65536 -> exact in float32 and double).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "feat")
+    ).withColumn("feat", F.col("feat").cast("double"))

@@ -42,8 +42,43 @@ SourceResolver = Callable[[SparkSession, Row], DataFrame]
 
 
 def parquet_source_resolver(spark: SparkSession, row: Row) -> DataFrame:
-    """Default resolver: servername = source parquet directory."""
+    """servername = source parquet directory."""
     return spark.read.parquet(row["servername"])
+
+
+def default_source_resolver(spark: SparkSession, row: Row) -> DataFrame:
+    """Dispatch on the control row's ingestion_type (reference
+    start_ingestion.py:37-55 dispatches 'mysql-table' vs 'xlsx-file'):
+
+    - 'mysql-table' → JDBC incremental source (servername = host[:port])
+    - 'parquet-table' / 'csv-file' / 'json-file' → landing-zone directory
+      in servername (the reference's post-download file path, S9)
+    """
+    itype = (row["ingestion_type"] or "").lower()
+    if itype == "mysql-table":
+        from .sources.jdbc import JdbcIncrementalSource
+
+        src = JdbcIncrementalSource(
+            url=f"jdbc:mysql://{row['servername']}/{row['databasename']}",
+            table=f"{row['databasename']}.{row['tablename']}",
+            delta_field=row["delta_field"],
+        )
+        # full-relation load; the pipeline applies the watermark predicate
+        # (pushed to MySQL by Catalyst through the JDBC relation)
+        return (
+            spark.read.format("jdbc")
+            .option("url", src.url)
+            .option("dbtable", src.table)
+            .option("fetchsize", str(src.fetchsize))
+            .load()
+        )
+    if itype == "parquet-table":
+        return spark.read.parquet(row["servername"])
+    if itype in ("csv-file", "json-file"):
+        from .sources.files import read_landing
+
+        return read_landing(spark, row["servername"], itype.split("-")[0])
+    raise ValueError(f"unsupported ingestion_type {row['ingestion_type']!r}")
 
 
 @dataclass

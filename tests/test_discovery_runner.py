@@ -158,3 +158,38 @@ def test_sql_session_api(spark, tmp_path):
     # every lineitem row has a parent order → join preserves cardinality
     assert n == s.sql("SELECT count(*) FROM lineitem").first()[0] > 0
     assert s.sql("SELECT count(*) FROM documents").first()[0] > 0
+
+
+def test_default_resolver_dispatch(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark import Row as _Row  # noqa: F401
+    from datalakeingestion_spark.runner import default_source_resolver
+
+    events = load_table(spark, SF_SMALL, "events").limit(20)
+    pq = str(tmp_path / "pq"); events.write.parquet(pq)
+    cv = str(tmp_path / "cv")
+    events.select("event_id", "event_type").write.option("header", True).csv(cv)
+
+    mkrow = lambda itype, src: spark.createDataFrame(
+        [(itype, src, "db", "t", "ts")],
+        ["ingestion_type", "servername", "databasename", "tablename", "delta_field"],
+    ).first()
+    assert default_source_resolver(spark, mkrow("parquet-table", pq)).count() == 20
+    assert default_source_resolver(spark, mkrow("csv-file", cv)).count() == 20
+    with _pytest.raises(ValueError, match="unsupported ingestion_type"):
+        default_source_resolver(spark, mkrow("xlsx-file", cv))
+    # mysql-table builds a JDBC plan lazily (no driver in this env: the
+    # load itself fails, which is the correct seam)
+    with _pytest.raises(Exception):
+        default_source_resolver(spark, mkrow("mysql-table", "host:3306"))
+
+
+def test_save_control_roundtrip(spark, tmp_path, existing):
+    from datalakeingestion_spark.config.control import load_control, save_control
+
+    path = str(tmp_path / "control.csv")
+    save_control(existing, path)
+    back = load_control(spark, path)
+    assert back.count() == 1
+    r = back.first()
+    assert r["tablename"] == "already_t" and r["lake_ingestion_id"] == 3
