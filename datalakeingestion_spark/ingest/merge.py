@@ -24,6 +24,56 @@ from pyspark.sql import functions as F
 from ..config.partition_spec import PartitionSpec
 
 
+def merge_latest(
+    spark: SparkSession,
+    latest_path: str,
+    batch: DataFrame,
+    primary_key: list[str],
+    order_col: str,
+    tie_breaks: list[str] | None = None,
+) -> int:
+    """Incrementally maintain a materialized latest-row table.
+
+    The reference recomputes its "latest data zone" view over the WHOLE
+    table at read time (and it times out there, README.md:34-35). This
+    maintains the materialization at O(|latest| + |batch|) per ingest
+    batch: reduce the batch to per-key winners, union with the current
+    materialization, keep each key's winner, swap. With Delta this becomes
+    ``MERGE INTO ... WHEN MATCHED AND s.{order} > t.{order}``.
+    """
+    from ..operators.relational import latest_rows
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(latest_path)
+    fs = path.getFileSystem(conf)
+
+    batch_winners = latest_rows(batch, primary_key, order_col, tie_breaks or [])
+    if fs.exists(path):
+        current = spark.read.parquet(latest_path)
+        merged = latest_rows(
+            current.unionByName(batch_winners),
+            primary_key,
+            order_col,
+            tie_breaks or [],
+        )
+    else:
+        merged = batch_winners
+
+    staging = latest_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    backup = jvm.org.apache.hadoop.fs.Path(latest_path.rstrip("/") + ".__old__")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(path):
+        fs.rename(path, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    return n
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,

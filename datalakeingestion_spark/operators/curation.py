@@ -1,0 +1,68 @@
+"""Corpus curation pipeline — the end-to-end training-data flow.
+
+Composes the LLM-data operators into the standard curation sequence a
+100 TB text pipeline runs before training:
+
+    1. exact dedup        — keep the min-id doc per md5(text) group
+    2. near-dedup         — drop the higher-id side of every verified
+                            MinHash-LSH near-duplicate pair
+    3. quality filter     — minimum token count + type-token-ratio band
+    4. language filter    — keep docs whose stopword heuristic matches
+                            the requested languages (or 'unknown' if
+                            allowed)
+
+Every stage is a DataFrame transform over the previous stage's survivors;
+nothing materializes to the driver. Stage costs at scale: one 16-byte-key
+shuffle (exact), the LSH pipeline (bounded candidates), then two
+shuffle-free codegen filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_duplicates, minhash_near_duplicates
+from .text_analysis import language_id, quality_metrics
+
+
+def curate(
+    docs: DataFrame,
+    near_dup_threshold: float = 0.5,
+    min_tokens: int = 10,
+    min_ttr: float = 0.05,
+    keep_langs: tuple[str, ...] = ("en", "unknown"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the curated docs (original columns) + per-doc quality cols."""
+    # 1. exact dedup: survivors are each hash group's min id
+    keepers = exact_duplicates(docs, text_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    # each stage frontier feeds several consumers (minhash internals, the
+    # anti-join, quality and language joins) — persist so the semi-join and
+    # tokenization run once per stage, not once per consumer
+    stage1 = docs.join(keepers, id_col, "left_semi").persist()
+
+    # 2. near-dedup: drop the b-side of each verified near-dup pair
+    pairs = minhash_near_duplicates(
+        stage1, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    )
+    drop = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    stage2 = stage1.join(drop, id_col, "left_anti").persist()
+
+    # 3+4. quality + language filters (pure codegen expressions)
+    quality = quality_metrics(stage2, text_col).select(
+        id_col, "n_tokens", "ttr", "quality_score"
+    )
+    lang = language_id(stage2, text_col).select(id_col, "predicted_lang")
+    return (
+        stage2.join(quality, id_col)
+        .join(lang, id_col)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("ttr") >= min_ttr)
+            & F.col("predicted_lang").isin(*keep_langs)
+        )
+    )

@@ -70,7 +70,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs)
 
 
-def _minhash_oracle(threshold: float) -> str:
+def _minhash_oracle(threshold: float, source: str = "documents") -> str:
     mins = ",\n           ".join(
         f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
         for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
@@ -84,7 +84,7 @@ def _minhash_oracle(threshold: float) -> str:
         )
     bands = "\n         UNION ALL ".join(band_rows)
     return f"""
-    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM {source}),
     th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
     sig AS (SELECT doc_id, {mins}
             FROM th GROUP BY doc_id),
@@ -383,3 +383,76 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", F.posexplode("feature").alias("dim_idx", "feat")
     ).withColumn("feat", F.col("feat").cast("double"))
+
+
+def _curation_oracle() -> str:
+    """Composed oracle for the full curation pipeline: exact dedup →
+    minhash-LSH near-dedup (banding replicated) → quality + language
+    filters, mirroring operators/curation.py stage by stage."""
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+    band_rows = []
+    for j in range(dd.LSH_BANDS):
+        cols = [f"mh{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+        sig = " || ',' || ".join(cols)
+        band_rows.append(f"SELECT doc_id, {j} AS band_id, {sig} AS band_sig FROM sig")
+    bands = "\n         UNION ALL ".join(band_rows)
+    hits_en = (
+        f"len(list_filter({TOKS_SQL}, t -> list_contains("
+        "['the','of','and','a','to','in','is','it','that','for'], t)))"
+    )
+    langid = _langid_oracle().replace("FROM documents", "FROM s2")
+    return f"""
+    WITH s1 AS (SELECT * FROM documents
+                WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM s1),
+    th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins}
+            FROM th GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT b1.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
+             FROM bands b1 JOIN bands b2
+               ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+              AND b1.doc_id < b2.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh t1 ON t1.doc_id = c.doc_id_a
+              JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY c.doc_id_a, c.doc_id_b),
+    dups AS (SELECT DISTINCT inter.doc_id_b AS doc_id
+             FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+                        JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+             WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+    q AS (SELECT doc_id,
+                 len({TOKS_SQL}) AS n_tokens,
+                 round(len(list_distinct({TOKS_SQL})) / len({TOKS_SQL}), 6) AS ttr,
+                 round((len(list_distinct({TOKS_SQL})) / len({TOKS_SQL}))
+                       * least(1.0, len({TOKS_SQL}) / 50.0), 6) AS quality_score
+          FROM s2),
+    l AS (SELECT doc_id, predicted_lang FROM ({langid}))
+    SELECT s2.doc_id, s2.text, s2.lang, s2.source, s2.n_chars,
+           q.n_tokens, q.ttr, q.quality_score, l.predicted_lang
+    FROM s2 JOIN q USING (doc_id) JOIN l USING (doc_id)
+    WHERE q.n_tokens >= 10 AND q.ttr >= 0.05
+      AND l.predicted_lang IN ('en', 'unknown')
+    """
+
+
+@register(
+    "curation_pipeline",
+    bench=True,
+    oracle=_curation_oracle(),
+    doc="Capstone: the full training-data curation flow (exact dedup → "
+    "MinHash-LSH near-dedup → quality + language filters) as one composed "
+    "DataFrame pipeline (operators/curation.py), oracle-checked stage-for-"
+    "stage.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate(docs)

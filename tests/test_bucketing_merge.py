@@ -123,3 +123,34 @@ def test_read_landing_formats(spark, tmp_path):
     # xlsx gated behind import-try in this environment
     with pytest.raises(NotImplementedError, match="openpyxl"):
         read_landing(spark, str(tmp_path / "x.xlsx"), "xlsx")
+
+
+def test_merge_latest_incremental_equals_batch_view(spark, tmp_path):
+    """Materialized latest table maintained across two ingest batches must
+    equal the latest-row view computed over the full data."""
+    from datalakeingestion_spark.ingest.merge import merge_latest
+    from datalakeingestion_spark.operators.relational import latest_rows
+
+    events = load_table(spark, SF_SMALL, "events")
+    latest_path = str(tmp_path / "events__latest")
+    b1 = events.filter(F.col("ts") < "2024-01-15")
+    b2 = events.filter(F.col("ts") >= "2024-01-15")
+    merge_latest(spark, latest_path, b1, ["user_id"], "ts", ["event_id"])
+    n = merge_latest(spark, latest_path, b2, ["user_id"], "ts", ["event_id"])
+    assert n == 15  # one winner per user
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(latest_path).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_rows(events, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    assert got == want
+    # out-of-order arrival: re-merging the OLD batch must not regress winners
+    merge_latest(spark, latest_path, b1, ["user_id"], "ts", ["event_id"])
+    got2 = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(latest_path).collect()
+    }
+    assert got2 == want
