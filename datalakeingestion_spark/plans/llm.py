@@ -456,3 +456,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate(docs)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate cell probing; recall pinned in pytest
+    doc="IVF approximate top-10 (spherical k-means cells, nprobe probing): "
+    "the density-adaptive ANN scale path beside the LSH variant "
+    "(operators/ivf.py). Deterministic end-to-end (hash-seeded init, "
+    "decimal-exact centroid means); rows-only driver check.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6)

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import PartitionSpec
+from datalakeingestion_spark.ingest.maintenance import compact, count_data_files
+from datalakeingestion_spark.operators import similarity as sim
+from datalakeingestion_spark.operators.ivf import ivf_topk, train_centroids
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    c1 = train_centroids(emb, k=8, iters=2)
+    c2 = train_centroids(emb, k=8, iters=2)
+    assert c1.shape == (8, 64)
+    assert (c1 == c2).all()  # decimal-exact means → bit-identical runs
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(emb, q, 10).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=6).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    # deterministic pipeline → stable measured value (0.70 at 6/16 cells on
+    # these weakly-clustered synthetic vectors); pinned with margin
+    assert recall >= 0.65, recall
+    assert all(a != b for a, b in ivf)
+
+
+def test_compact_partitioned_lake(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    target = str(tmp_path / "lake" / "ev")
+    spec = PartitionSpec("ts", "time-based", "YYYYMMDD")
+    # simulate many small incremental appends → many files
+    derived = spec.derive(events)
+    for i in range(4):
+        derived.filter(F.col("event_id") % 4 == i).write.mode("append").partitionBy(
+            "ts_part"
+        ).parquet(target)
+    before = count_data_files(spark, target)
+    n = compact(spark, target, partition_col="ts_part", files_per_partition=1)
+    after = count_data_files(spark, target)
+    n_partitions = derived.select("ts_part").distinct().count()
+    assert n == events.count()
+    assert after <= n_partitions < before
+    # data identical post-compaction
+    back = spark.read.parquet(target)
+    assert back.count() == events.count()
+    assert back.select(F.sum("event_id")).first()[0] == events.select(
+        F.sum("event_id")
+    ).first()[0]
+    # layout preserved
+    assert "ts_part" in back.columns
+    import glob
+
+    assert not glob.glob(target + ".__*")
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    target = str(tmp_path / "flat")
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(target)
+    assert count_data_files(spark, target) >= 5
+    n = compact(spark, target)
+    assert n == 50
+    assert count_data_files(spark, target) == 1
+    assert spark.read.parquet(target).count() == 50
