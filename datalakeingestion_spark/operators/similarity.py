@@ -30,12 +30,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (JVM higher-order functions).
+
+    Deterministic element order, but interpreted PER ELEMENT — fine for
+    small candidate sets, ~50× slower than the vectorized form on
+    millions of pairs."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+_DOT_PD = None
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Vectorized pairwise dot product: one numpy einsum per Arrow batch.
+
+    Summation order differs from the sequential fold by ~1 ulp — all
+    cosine consumers round to 6 dp BEFORE ranking/compare, so results are
+    unaffected; this is the hot path for all-pairs scoring. The UDF is
+    built lazily: pandas_udf parses its DDL against the active session,
+    which doesn't exist at import time.
+    """
+    global _DOT_PD
+    if _DOT_PD is None:
+
+        def kernel(x: pd.Series, y: pd.Series) -> pd.Series:
+            import numpy as np
+
+            A = np.vstack(x.to_numpy()).astype(np.float64)
+            B = np.vstack(y.to_numpy()).astype(np.float64)
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        _DOT_PD = F.pandas_udf(kernel, "double")
+    return _DOT_PD(a, b)
 
 
 def _norm(a: Column) -> Column:
