@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.zorder import z_value_sql
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -385,4 +386,27 @@ def t7_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "zorder_clustering_key",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey,
+           {z_value_sql('(l_orderkey % 65536)', '(l_partkey % 65536)')} AS z
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    doc="Z-order (Morton) clustering key: bit-interleave of two key "
+    "columns (functions/zorder.py) — the layout primitive behind "
+    "two-dimensional file skipping (Delta OPTIMIZE ZORDER equivalent); "
+    "pure codegen shifts with an exact SQL twin.",
+)
+def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_partkey",
+        z_value(F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536).alias("z"),
     )

@@ -72,3 +72,51 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert n == 50
     assert count_data_files(spark, target) == 1
     assert spark.read.parquet(target).count() == 50
+
+
+def test_zorder_write_roundtrip_and_locality(spark, tmp_path):
+    from datalakeingestion_spark.functions.zorder import write_zordered, z_value
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    target = str(tmp_path / "zli")
+    write_zordered(li, target, "l_orderkey", "l_partkey", n_files=4)
+    back = spark.read.parquet(target)
+    assert back.count() == li.count()
+    assert back.select(F.sum("l_orderkey")).first()[0] == li.select(
+        F.sum("l_orderkey")
+    ).first()[0]
+
+    # python-reference check of the interleave
+    rows = li.limit(20).select(
+        "l_orderkey", "l_partkey",
+        z_value(F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536).alias("z"),
+    ).collect()
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == interleave(r["l_orderkey"] % 65536, r["l_partkey"] % 65536)
+
+    # locality: per-file envelopes on BOTH columns are tight vs global span
+    import pyarrow.parquet as pq
+    import glob as g
+
+    spans_a = []
+    for f in g.glob(target + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_orderkey
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans_a.append(max(maxs) - min(mins))
+    global_span = li.agg(
+        F.max("l_orderkey") - F.min("l_orderkey")
+    ).first()[0]
+    # each z-range file covers a fraction of the orderkey domain
+    assert sum(spans_a) / len(spans_a) < global_span
