@@ -72,6 +72,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import extended, llm, relational, tpch_joins  # noqa: F401
+    from . import extended, llm, relational, tpch_joins, tpch_joins2  # noqa: F401
 
     _LOADED = True
