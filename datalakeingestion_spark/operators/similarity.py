@@ -241,6 +241,85 @@ def lsh_bucketed_topk(
     )
 
 
+def embedding_near_duplicates_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine near-duplicates via block matrix multiply.
+
+    Same output as ``embedding_near_duplicates`` (same oracle), different
+    cost model: vectors are grouped into blocks of ``block_size``; every
+    block PAIR becomes one task computing X @ Yᵀ as a single BLAS matmul
+    and emitting only qualifying pairs. Each vector is shipped once per
+    block pair (O(n²/B) transfer vs O(n²) for the row-pair join) and the
+    per-pair Python/Arrow overhead disappears. This is the scale path
+    when exactness is required (LSH recall not acceptable); n² work is
+    inherent, but it parallelizes perfectly across block pairs.
+    """
+    import numpy as np
+
+    blocks = embeddings.select(
+        (F.col(id_col) / block_size).cast("long").alias("block"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    packed = blocks.groupBy("block").agg(
+        F.collect_list("vid").alias("ids"),
+        F.collect_list("vec").alias("vecs"),
+    )
+    a = packed.select(
+        F.col("block").alias("block_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = packed.select(
+        F.col("block").alias("block_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    pairs = a.join(b, F.col("block_a") <= F.col("block_b"))
+
+    out_schema = "vec_id_a long, vec_id_b long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            rows_a, rows_b, rows_c = [], [], []
+            for _, r in pdf.iterrows():
+                ids_a = np.asarray(r["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(r["ids_b"], dtype=np.int64)
+                X = _unit_rows(np.vstack([np.asarray(v) for v in r["vecs_a"]]))
+                Y = _unit_rows(np.vstack([np.asarray(v) for v in r["vecs_b"]]))
+                C = np.round(X @ Y.T, 6)
+                ia, ib = np.where(C >= threshold)
+                va, vb, vc = ids_a[ia], ids_b[ib], C[ia, ib]
+                keep = va < vb  # canonical order; also drops self-pairs
+                rows_a.append(va[keep])
+                rows_b.append(vb[keep])
+                rows_c.append(vc[keep])
+            if rows_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_id_a": np.concatenate(rows_a),
+                        "vec_id_b": np.concatenate(rows_b),
+                        "cosine": np.concatenate(rows_c),
+                    }
+                )
+
+    return pairs.mapInPandas(score, out_schema)
+
+
+def _unit_rows(X):
+    import numpy as np
+
+    X = X.astype(np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return X / n
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -106,6 +106,32 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the token distribution per doc (nats).
+
+    H = ln(n) − (Σ c·ln c)/n over per-token counts c — a language-model-
+    free proxy for repetitiveness (low entropy → boilerplate/spam).
+    Computed via explode + two-level aggregation (map-side partials);
+    rounded to 6 dp so float summation order can't leak into comparisons.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens")) - F.col("clogc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit portable hash of the normalized text
     (whitespace/punctuation-insensitive exact dedup key)."""

@@ -25,7 +25,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..sources.fixtures import load_table
-from .registry import register
+from .registry import REGISTRY, register
 
 # --- DuckDB SQL fragments (twins of functions/text.py) ---------------------
 
@@ -472,3 +472,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6)
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    oracle=REGISTRY["dedup_embedding_cosine"].oracle,
+    doc="Exact all-pairs embedding dedup via BLOCK MATRIX MULTIPLY "
+    "(operators/similarity.py::embedding_near_duplicates_blocked): same "
+    "semantics and oracle as dedup_embedding_cosine, but one BLAS matmul "
+    "per block pair — each vector ships once per block pair instead of "
+    "once per row pair. The scale path when exactness is required.",
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_duplicates_blocked(emb, threshold=0.95)
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Shannon token entropy per doc (repetitiveness/boilerplate "
+    "signal): H = ln n - (sum c ln c)/n over token counts; 6dp rounding "
+    "absorbs libm/summation-order ulps.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.token_entropy(docs)
