@@ -193,3 +193,35 @@ def test_save_control_roundtrip(spark, tmp_path, existing):
     assert back.count() == 1
     r = back.first()
     assert r["tablename"] == "already_t" and r["lake_ingestion_id"] == 3
+
+
+def test_run_groups_coalesce_expr_row(spark, tmp_path):
+    """delta_field_expr control rows flow through the runner into the
+    coalesce-watermark pipeline path (validation skipped, reference
+    parity)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", None),
+        (2, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    ]
+    src = (
+        spark.createDataFrame(rows, ["id", "c_s", "m_s"])
+        .withColumn("created_datetime", F.to_timestamp("c_s"))
+        .withColumn("modified_datetime", F.to_timestamp("m_s"))
+        .drop("c_s", "m_s")
+    )
+    src_path = str(tmp_path / "src_co")
+    src.write.parquet(src_path)
+    row = (
+        1, "parquet-table", src_path, "db1", "co", "created_datetime",
+        "coalesce(modified_datetime, created_datetime)", 0, 1, "NULL",
+        "c", "g", "s3", str(tmp_path / "lake" / "co"), "id",
+        "vdb", "co_lv", 0, "()", "dag_c", "2024-01-01",
+    )
+    control = spark.createDataFrame([row], CONTROL_SCHEMA)
+    report = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_c"])
+    assert report.results[1].status == STATUS_SUCCESS
+    assert report.results[1].source_count == 2
+    from datalakeingestion_spark.ingest.watermark import ExecutionLog
+
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    assert log.latest_entry(1, STATUS_SUCCESS)["reason_code"] == "validation-skipped"
