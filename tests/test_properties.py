@@ -167,3 +167,40 @@ def test_portable_hash_cross_engine(spark):
             [s, s],
         ).fetchone()
         assert got[s] == (h32, h60), repr(s)
+
+
+def test_retry_semantics():
+    from datalakeingestion_spark.utils import with_retries
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_retries(flaky, attempts=3, backoff_seconds=0) == "ok"
+    assert len(calls) == 3
+
+    def always_fails():
+        raise ValueError("permanent")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="permanent"):
+        with_retries(always_fails, attempts=2, backoff_seconds=0)
+
+
+def test_section_logger(tmp_path):
+    import pytest as _pytest
+
+    from datalakeingestion_spark.utils import section_logger
+
+    log = section_logger("PROCESS", log_dir=str(tmp_path))
+    log.info("hello process")
+    for h in log.handlers:
+        h.flush()
+    assert (tmp_path / "process.out").read_text().strip().endswith("hello process")
+    with _pytest.raises(ValueError):
+        section_logger("NOPE")
