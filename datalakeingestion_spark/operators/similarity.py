@@ -69,14 +69,28 @@ def _dot(a: Column, b: Column) -> Column:
     return _DOT_PD(a, b)
 
 
+_NORM_PD = None
+
+
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    """Vectorized L2 norm (one numpy pass per Arrow batch).
+
+    Like ``_dot``: the per-element interpreted fold dominates corpus-wide
+    indexing (measured 100k×64 vectors: the fold made LSH indexing slower
+    than brute force); cosine consumers round to 6 dp so the summation-
+    order ulp is invisible. Built lazily (pandas_udf needs a session).
+    """
+    global _NORM_PD
+    if _NORM_PD is None:
+
+        def kernel(col: pd.Series) -> pd.Series:
+            import numpy as np
+
+            X = np.vstack(col.to_numpy()).astype(np.float64)
+            return pd.Series(np.linalg.norm(X, axis=1))
+
+        _NORM_PD = F.pandas_udf(kernel, "double")
+    return _NORM_PD(a)
 
 
 def cosine_topk(
