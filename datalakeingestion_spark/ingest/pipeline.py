@@ -101,6 +101,11 @@ class IncrementalIngestJob:
     delta_expr_cols: tuple[str, ...] = ()
     partition_spec: PartitionSpec | None = None
     end_value_cap: str | None = None  # optional closed upper bound ("now")
+    # materialized latest-row zone, maintained incrementally per batch
+    # (merge.merge_latest) instead of the reference's read-time view
+    maintain_latest: bool = False
+    primary_key: tuple[str, ...] = ()
+    latest_tie_breaks: tuple[str, ...] = ()
 
     def _delta_col(self) -> Column:
         if self.delta_expr_cols:
@@ -200,6 +205,7 @@ class IncrementalIngestJob:
                 source_count=n,
                 reason_code="validation-skipped",
             )
+            self._maintain_latest(delta)
             return IngestResult(STATUS_SUCCESS, mn, mx, n, files=written)
 
         lake = self.spark.read.parquet(self.target_location)
@@ -229,4 +235,32 @@ class IncrementalIngestJob:
             source_count=n,
             target_count=target_n,
         )
+        self._maintain_latest(delta)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n, written)
+
+    def _maintain_latest(self, batch: DataFrame) -> None:
+        if not self.maintain_latest:
+            return
+        if not self.primary_key:
+            raise ValueError("maintain_latest requires a primary_key")
+        from .merge import merge_latest
+
+        drop_cols = (
+            [self.partition_spec.partition_column_name]
+            if self.partition_spec is not None
+            else []
+        )
+        merge_latest(
+            self.spark,
+            self.target_location.rstrip("/") + "__latest",
+            batch.drop(*drop_cols),
+            list(self.primary_key),
+            self._latest_order_col(),
+            list(self.latest_tie_breaks),
+        )
+
+    def _latest_order_col(self) -> str:
+        # coalesce watermarks order the view by the delta expr's first col
+        # chain — use the plain delta field, matching the reference's view
+        # ORDER BY {delta} DESC (start_ingestion.py:369)
+        return self.delta_field

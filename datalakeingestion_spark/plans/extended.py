@@ -410,3 +410,20 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         z_value(F.col("l_orderkey") % 65536, F.col("l_partkey") % 65536).alias("z"),
     )
+
+
+@register(
+    "g4_cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status × priority — completes the grouping-set family "
+    "(GROUP BY / ROLLUP / CUBE / pivot).",
+)
+def g4_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

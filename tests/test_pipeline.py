@@ -190,3 +190,35 @@ def test_latest_view_sql_shape():
     sql = latest_view_sql("t_lv", "lake.t", ["id"], "modified_datetime")
     assert "row_number() OVER (PARTITION BY id" in sql
     assert "WHERE row_num = 1" in sql
+
+
+def test_maintained_latest_zone(spark, events, tmp_path):
+    """maintain_latest keeps the materialized latest table in sync across
+    incremental runs — equal to the view computed over the full lake."""
+    from datalakeingestion_spark.operators.relational import latest_rows
+
+    job1 = _job(
+        spark, events, tmp_path,
+        end_value_cap=MID,
+        maintain_latest=True,
+        primary_key=("user_id",),
+        latest_tie_breaks=("event_id",),
+    )
+    assert job1.run().status == STATUS_SUCCESS
+    job2 = _job(
+        spark, events, tmp_path,
+        maintain_latest=True,
+        primary_key=("user_id",),
+        latest_tie_breaks=("event_id",),
+    )
+    assert job2.run().status == STATUS_SUCCESS
+
+    latest = spark.read.parquet(str(tmp_path / "lake" / "events__latest"))
+    got = {r["user_id"]: r["event_id"] for r in latest.collect()}
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_rows(events, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    assert got == want
+    # the latest zone excludes the derived partition column
+    assert "ts_part" not in latest.columns
