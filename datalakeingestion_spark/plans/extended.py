@@ -427,3 +427,25 @@ def g4_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "w5_latest_composite_key",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate
+    FROM (SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    doc="W1 with a COMPOSITE key (the reference's comma-joined primary_key, "
+    "update_config.py:160-174): latest order per (customer, status).",
+)
+def w5_latest_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import latest_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_rows(
+        orders, ["o_custkey", "o_orderstatus"], "o_orderdate", ["o_orderkey"]
+    ).select("o_custkey", "o_orderstatus", "o_orderkey", "o_orderdate")
