@@ -238,6 +238,61 @@ class IncrementalIngestJob:
         self._maintain_latest(delta)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n, written)
 
+    def run_windows(self, until: str, window_hours: int = 24) -> list[IngestResult]:
+        """Voluminous-table mode: pull in serial time windows until caught
+        up to ``until`` (reference T2 — the day-advance while-loop,
+        ingest_mysql_data.py:231-303, used to bound per-query source load).
+
+        Each window is a normal ``run()`` with a capped end value, so
+        watermark records advance per window and a failure loses at most
+        one window. On JDBC sources, prefer the PARALLEL range read
+        (partition options, sources/jdbc.py) — this serial mode exists for
+        sources that throttle concurrent scans.
+        """
+        from datetime import datetime, timedelta
+
+        if self.integer_watermark:
+            raise ValueError("run_windows applies to datetime watermarks")
+        results: list[IngestResult] = []
+        fmt = "%Y-%m-%d %H:%M:%S"
+        end = datetime.strptime(until[:19], fmt)
+        while True:
+            start_s = resolve_watermark(
+                self.log, self.ingestion_id, self.integer_watermark
+            )
+            start = datetime.strptime(start_s[:19], fmt)
+            if start > end:
+                break
+            # fast-forward over empty ranges: one cheap min-aggregate
+            # instead of crawling empty windows (the reference walks
+            # day-by-day from the epoch default — ~1500 no-op source
+            # queries on a first voluminous run)
+            first = self.source.filter(
+                self._delta_col() >= self._wm_lit(start_s)
+            ).agg(F.min(self._delta_col()).alias("m")).first()["m"]
+            if first is None:
+                break  # nothing at/after the watermark at all
+            start = max(start, first.replace(microsecond=0))
+            cap = min(start + timedelta(hours=window_hours), end)
+            windowed = IncrementalIngestJob(
+                **{**self.__dict__, "end_value_cap": cap.strftime(fmt)}
+            )
+            res = windowed.run()
+            results.append(res)
+            if res.status == STATUS_NO_DATA:
+                # nothing in this window; advance past it by recording an
+                # empty successful window so the loop terminates
+                self.log.append(
+                    self.ingestion_id,
+                    STATUS_SUCCESS,
+                    start_value=start_s,
+                    end_value=cap.strftime(fmt),
+                    reason_code="empty-window",
+                )
+            if res.status not in (STATUS_SUCCESS, STATUS_NO_DATA):
+                break
+        return results
+
     def _maintain_latest(self, batch: DataFrame) -> None:
         if not self.maintain_latest:
             return

@@ -222,3 +222,20 @@ def test_maintained_latest_zone(spark, events, tmp_path):
     assert got == want
     # the latest zone excludes the derived partition column
     assert "ts_part" not in latest.columns
+
+
+def test_windowed_voluminous_mode(spark, events, tmp_path):
+    """Serial window loop (reference T2): repeated capped runs until caught
+    up; union of windows == full load, one success record per window."""
+    job = _job(spark, events, tmp_path)
+    results = job.run_windows("2024-01-30 23:59:59", window_hours=24 * 10)
+    ingested = sum(r.source_count for r in results)
+    assert ingested == events.filter(F.col("ts") <= "2024-01-30 23:59:59").count()
+    assert len([r for r in results if r.source_count > 0]) >= 3  # 30 days / 10
+    lake = spark.read.parquet(job.target_location)
+    assert lake.select("event_id").distinct().count() == ingested
+
+    # re-run: already caught up → at most empty windows, no duplicates
+    again = job.run_windows("2024-01-30 23:59:59", window_hours=24 * 10)
+    assert all(r.source_count == 0 for r in again)
+    assert spark.read.parquet(job.target_location).count() == ingested
