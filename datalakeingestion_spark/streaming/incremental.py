@@ -59,6 +59,28 @@ def stream_ingest_available_now(
     )
 
 
+def streaming_dedup_exact(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-by-key stream dedup: drop re-deliveries of the same id
+    arriving within the watermark horizon.
+
+    ``dropDuplicates`` on a watermarked stream keeps per-key state only
+    until the watermark passes — bounded state, unlike the reference's
+    design where duplicate versions accumulate in the lake and every
+    reader pays the latest-row window (T6). Batch DataFrames pass through
+    a plain dropDuplicates (same semantics, no state).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicates(
+            [*id_cols]
+        )
+    return events.dropDuplicates([*id_cols])
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

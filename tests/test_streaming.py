@@ -119,3 +119,30 @@ def test_stateful_latest_rows_across_batches(spark, tmp_path):
     # state actually carried across batches: total emissions are bounded by
     # (keys × batches) but at least one key emitted twice (winner changed)
     assert len(emitted) > len(want)
+
+
+def test_streaming_dedup_exact_drops_redeliveries(spark, tmp_path):
+    from datalakeingestion_spark.streaming.incremental import streaming_dedup_exact
+
+    events = load_table(spark, SF_SMALL, "events").limit(200)
+    src = str(tmp_path / "dup_src")
+    # deliver the same 200 events twice (two files → two micro-batches)
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_dedup_exact(stream, watermark="365 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").first()
+    assert got["n"] == got["d"] == 200  # re-deliveries dropped across batches
