@@ -449,3 +449,44 @@ def w5_latest_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_rows(
         orders, ["o_custkey", "o_orderstatus"], "o_orderdate", ["o_orderkey"]
     ).select("o_custkey", "o_orderstatus", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "t8_session_window_counts",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM g)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Native session_window(ts, gap) sessionization — merges events "
+    "within a 30-min inactivity gap per user; the oracle derives identical "
+    "sessions via the lag-gap formulation (window end = last event + gap). "
+    "Same code runs on a stream with state GC via withWatermark.",
+)
+def t8_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -146,3 +146,44 @@ def test_streaming_dedup_exact_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_out").first()
     assert got["n"] == got["d"] == 200  # re-deliveries dropped across batches
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """session_window on a stream (with watermark) converges to the batch
+    sessionization for fully-arrived data."""
+    from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    events = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    batch = REGISTRY["t8_session_window_counts"].fn(spark, SF_SMALL)
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == want and len(want) > 100
