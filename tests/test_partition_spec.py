@@ -85,3 +85,43 @@ def test_validation_errors(spark):
     idf = df.withColumn("t_time", F.expr("INTERVAL '10' SECOND"))
     with pytest.raises(ValueError, match="interval"):
         PartitionSpec("t_time", "time-based", "YYYY").derive(idf)
+
+
+def test_type_mapping_and_compat(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datalakeingestion_spark.config.type_mapping import (
+        apply_compat,
+        spark_type_for,
+    )
+
+    assert spark_type_for("DECIMAL") == T.DecimalType(38, 10)
+    assert spark_type_for("datetime") == T.TimestampType()
+    assert spark_type_for("json") == T.StringType()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unmapped"):
+        spark_type_for("geometry")
+
+    df = spark.createDataFrame(
+        [(Decimal("12.3456789012"), "2300-01-01 00:00:00", "1850-06-01 00:00:00")],
+        "amount decimal(38,10), hi_s string, lo_s string",
+    ).select(
+        "amount",
+        F.to_timestamp("hi_s").alias("hi"),
+        F.to_timestamp("lo_s").alias("lo"),
+    )
+    # defaults: exact (no casts)
+    same = apply_compat(df)
+    assert dict(same.dtypes)["amount"] == "decimal(38,10)"
+    r = same.first()
+    assert r["hi"].year == 2300 and r["lo"].year == 1850
+
+    # opt-in reference modes: lossy decimal + pandas-range clamp
+    compat = apply_compat(df, decimal_as_double=True, clamp_timestamps=True)
+    assert dict(compat.dtypes)["amount"] == "double"
+    r = compat.first()
+    assert r["hi"].year == 2262 and r["lo"].year == 1900
