@@ -490,3 +490,33 @@ def t8_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+    doc="Column profiling (operators/profiling.py): per-column row/null/"
+    "exact-distinct counts in ONE scan (single aggregation + stack "
+    "unpivot); the approx=True variant swaps in HLL++ for corpus scale.",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
