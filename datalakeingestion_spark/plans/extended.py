@@ -520,3 +520,57 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "d3_grouped_zscore",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events WHERE user_id < 5
+    """,
+    doc="D3 grouped-map UDAF surface: per-user z-score normalization via "
+    "applyInPandas (Arrow batch per group, vectorized numpy inside) — "
+    "checked against the window-function oracle; 6dp rounding absorbs the "
+    "mean/std summation-order ulps.",
+)
+def d3_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "zscore": ((pdf["value"] - mu) / sd).round(6),
+            }
+        )
+
+    return events.select("user_id", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(zscore, "user_id long, event_id long, zscore double")
+
+
+@register(
+    "g5_unpivot_balances",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val
+    FROM customer WHERE c_custkey <= 20
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+    FROM customer WHERE c_custkey <= 20
+    """,
+    doc="Unpivot/melt (wide→long) via stack — the inverse of g2's pivot.",
+)
+def g5_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_custkey") <= 20).selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, val)",
+    )
