@@ -1,0 +1,95 @@
+"""Deterministic sampling, splitting, and corpus mixing.
+
+Training-data pipelines sample, split, and mix corpora constantly — and
+reproducibility matters more than statistical purity: the same document
+must land in the same split on every run, on any cluster, regardless of
+partitioning. All three operators therefore key off the portable md5
+hash of a stable id (``functions/hashing``), NOT ``rand()``:
+
+- ``deterministic_sample`` — keep rows whose hash falls under
+  rate·2^32 (a fixed pseudo-random but reproducible subset);
+- ``hash_split`` — disjoint train/val/test buckets from hash ranges;
+- ``mix_corpora`` — per-source sampling rates + union (the "data
+  mixture" step before training).
+
+Everything is a pushable filter over a hash expression — no shuffle, no
+RNG state, exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash32
+
+HASH_SPACE_32 = float(1 << 32)
+
+
+def _rate_hash(key: Column | str, salt: str = "") -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    base = c.cast("string")
+    if salt:
+        base = F.concat(base, F.lit("#"), F.lit(salt))
+    return portable_hash32(base)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key: str, salt: str = ""
+) -> DataFrame:
+    """Reproducible ~rate sample: hash(key) < rate·2^32. ``salt`` yields
+    independent samples from the same keys."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    threshold = int(rate * HASH_SPACE_32)
+    return df.filter(_rate_hash(key, salt) < F.lit(threshold))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: Sequence[float] = (0.95, 0.05),
+    labels: Sequence[str] = ("train", "val"),
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic splits: appends a ``split`` label column
+    chosen by which cumulative hash range the row falls into."""
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    h = _rate_hash(key, salt)
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    bounds = []
+    for frac in fractions[:-1]:
+        cum += frac
+        bounds.append(int(cum * HASH_SPACE_32))
+    # build the CASE back-to-front so earlier ranges win
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(h < F.lit(bounds[i]), F.lit(labels[i])).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def mix_corpora(
+    sources: Sequence[tuple[DataFrame, float, str]],
+    key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture: per-source deterministic sampling rates +
+    union, with a ``mix_source`` provenance column.
+
+    ``sources`` is (df, rate, name) — rate is the KEEP fraction of that
+    source (the standard way data mixtures are specified, e.g. wiki×2
+    epochs ≈ rate 1.0 twice with different salts).
+    """
+    parts = []
+    for df, rate, name in sources:
+        sampled = deterministic_sample(df, rate, key, salt=f"{salt}:{name}")
+        parts.append(sampled.withColumn("mix_source", F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

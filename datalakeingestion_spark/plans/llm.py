@@ -505,3 +505,80 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ta.token_entropy(docs)
+
+
+@register(
+    "sample_documents_deterministic",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < 858993459
+    """,
+    doc="Deterministic ~20% sample via portable-hash thresholding "
+    "(operators/sampling.py): the same docs are kept on every run and "
+    "every cluster — rand()-free reproducible subsetting; the filter is "
+    "a pushable expression.",
+)
+def sample_documents_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "split_train_val",
+    oracle="""
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT
+                     < 4080218931
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic 95/5 train-val split (hash ranges, disjoint and "
+    "stable across runs); grouped counts for the check.",
+)
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "mix_corpora_weighted",
+    oracle="""
+    SELECT mix_source, COUNT(*) AS n_docs FROM (
+      SELECT 'en_docs' AS mix_source, doc_id FROM documents
+      WHERE lang = 'en'
+        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix:en_docs'), 1, 8))::BIGINT
+            < 4294967296
+      UNION ALL
+      SELECT 'other_docs', doc_id FROM documents
+      WHERE lang <> 'en'
+        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix:other_docs'), 1, 8))::BIGINT
+            < 1288490188
+    ) GROUP BY mix_source
+    """,
+    doc="Weighted corpus mixture (the pre-training data-mix step): keep "
+    "all English docs, 30% of the rest, with provenance labels — "
+    "per-source deterministic rates, reproducible run to run.",
+)
+def mix_corpora_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_corpora
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_corpora(
+        [
+            (docs.filter(F.col("lang") == "en"), 1.0, "en_docs"),
+            (docs.filter(F.col("lang") != "en"), 0.3, "other_docs"),
+        ],
+        key="doc_id",
+    )
+    return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))

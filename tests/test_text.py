@@ -76,3 +76,41 @@ def test_fingerprint_normalization_invariance():
     out = {r.doc_id: r.fingerprint for r in ta.fingerprints(df).collect()}
     assert out[1] == out[2]  # whitespace/punct/case-insensitive
     assert out[1] != out[3]
+
+
+def test_sampling_determinism_and_disjointness():
+    from datalakeingestion_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        mix_corpora,
+    )
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = _SPARK.range(10_000).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id for r in deterministic_sample(df, 0.1, "doc_id").collect()}
+    s2 = {r.doc_id for r in deterministic_sample(df, 0.1, "doc_id").collect()}
+    assert s1 == s2  # reproducible
+    assert 800 <= len(s1) <= 1200  # ~10%
+    # rate monotonicity: a bigger rate is a superset (same hash, higher bar)
+    s_big = {r.doc_id for r in deterministic_sample(df, 0.2, "doc_id").collect()}
+    assert s1 <= s_big
+    # salts decorrelate
+    s_salt = {r.doc_id for r in deterministic_sample(df, 0.1, "doc_id", salt="x").collect()}
+    assert s_salt != s1
+
+    split = hash_split(df, "doc_id", (0.8, 0.1, 0.1), ("train", "val", "test"))
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # disjoint + exhaustive
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+    with _pytest.raises(ValueError):
+        deterministic_sample(df, 1.5, "doc_id")
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", (0.5, 0.4))  # doesn't sum to 1
+
+    mixed = mix_corpora(
+        [(df, 1.0, "all"), (df, 0.5, "half")], key="doc_id"
+    )
+    by_src = {r["mix_source"]: r["n"] for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["all"] == 10_000 and 4_000 <= by_src["half"] <= 6_000
