@@ -93,7 +93,7 @@ def discover_tables(
         if delta and not int_wm:
             partition = (
                 "({'partition_seq_no': 1, 'partition_column_type': 'time-based', "
-                f"'partition_column': '{delta}', 'partition_format': 'YYYYMM'}},)"
+                f"'partition_column': '{delta}', 'partition_format': 'YYYYMMDD'}},)"
             )
         elif delta:
             partition = (

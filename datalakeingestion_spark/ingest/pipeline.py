@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..config.partition_spec import PartitionSpec
 from ..operators.relational import coalesce_range_filter
 from .watermark import (
+    STATUS_FAILED,
     STATUS_LOADED,
     STATUS_NO_DATA,
     STATUS_STARTED,
@@ -156,15 +157,47 @@ class IncrementalIngestJob:
             return str(row["mn"]), str(row["mx"]), row["n"]
 
         def _fmt(ts):
-            # keep full microsecond precision when present: a truncated
-            # end_value would make the validation predicate (and the next
-            # watermark) silently drop sub-second rows
+            # Spark TimestampType always carries microsecond precision, so
+            # ALWAYS record the 6-digit fraction — even when it is .000000.
+            # Dropping it for exact-second maxima would make bump_watermark
+            # take the +1s path and skip rows later committed inside that
+            # same sub-second window (the gap the µs bump exists to close).
+            # Date watermarks (no sub-second notion) keep the bare format.
             base = ts.strftime("%Y-%m-%d %H:%M:%S")
-            return f"{base}.{ts.microsecond:06d}" if ts.microsecond else base
+            us = getattr(ts, "microsecond", None)
+            return base if us is None else f"{base}.{us:06d}"
 
         return _fmt(row["mn"]), _fmt(row["mx"]), row["n"]
 
+    def _cleanup_orphans(self) -> None:
+        """Crash-recovery for the non-atomic append (reference T5 analog).
+
+        A crash between the parquet append and the follow-up log row leaves
+        the run's trailing record at STATUS_LOADED with the written-file
+        list in reason_code. Those files ARE in the lake but the watermark
+        never advanced, so the next run re-pulls the same range and count
+        validation then fails forever (lake > source in the window). Delete
+        the orphaned batch up front — the data is re-ingested by this run.
+        """
+        last = self.log.latest_entry(self.ingestion_id)
+        if last is None or last["execution_status"] != STATUS_LOADED:
+            return
+        try:
+            files = set(json.loads(last["reason_code"] or "[]"))
+        except ValueError:
+            files = set()
+        if files:
+            _delete_files(self.spark, files)
+        self.log.append(
+            self.ingestion_id,
+            STATUS_FAILED,
+            start_value=last["start_value"] or "",
+            end_value=last["end_value"] or "",
+            reason_code="orphaned-batch-cleaned",
+        )
+
     def run(self) -> IngestResult:
+        self._cleanup_orphans()
         start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
         self.log.append(self.ingestion_id, STATUS_STARTED, start_value=start)
 

@@ -69,15 +69,25 @@ class ExecutionLog:
         self.spark = spark
         self.path = path
 
+    def _exists(self) -> bool:
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
     def read(self) -> DataFrame:
-        try:
-            return (
-                self.spark.read.schema(LOG_SCHEMA)
-                .option("recursiveFileLookup", "true")
-                .parquet(self.path)
-            )
-        except Exception:
+        """Missing path == genuinely empty log (first run). Any OTHER read
+        failure re-raises: swallowing a transient error here would silently
+        reset the watermark to the 2020 epoch and re-ingest the whole
+        source as duplicates. The reference likewise propagates log-read
+        errors (utils/common_utils.py:292-401 has no blanket except)."""
+        if not self._exists():
             return self.spark.createDataFrame([], LOG_SCHEMA)
+        return (
+            self.spark.read.schema(LOG_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.path)
+        )
 
     def append(
         self,
@@ -111,14 +121,29 @@ class ExecutionLog:
             df = df.filter(F.col("execution_status") == status)
         return df.orderBy(F.desc("insert_datetime")).limit(1).first()
 
-    def last_success_end(self, ingestion_id: int) -> str | None:
+    def last_success_end(
+        self, ingestion_id: int, integer_watermark: bool = False
+    ) -> str | None:
+        """Largest successful end_value in the watermark's own order.
+
+        end_value is stored as a string; a plain string max is lexicographic
+        and regresses integer watermarks at digit-length boundaries
+        ('99' > '100'). Order by the TYPED cast instead — long for integer
+        watermarks, timestamp for datetime ones — and return the original
+        string via max_by."""
+        order = (
+            F.col("end_value").cast("long")
+            if integer_watermark
+            else F.col("end_value").cast("timestamp")
+        )
         row = (
             self.read()
             .filter(
                 (F.col("lake_ingestion_id") == ingestion_id)
                 & (F.col("execution_status") == STATUS_SUCCESS)
+                & (F.col("end_value") != "")
             )
-            .agg(F.max("end_value").alias("m"))
+            .agg(F.max_by("end_value", order).alias("m"))
             .first()
         )
         return row["m"]
@@ -148,7 +173,7 @@ def resolve_watermark(
     log: ExecutionLog, ingestion_id: int, integer_watermark: bool
 ) -> str:
     """Start value for the next incremental pull (T1)."""
-    last = log.last_success_end(ingestion_id)
+    last = log.last_success_end(ingestion_id, integer_watermark)
     if last is None or last == "":
         return INTEGER_EPOCH if integer_watermark else DATETIME_EPOCH
     return bump_watermark(last, integer_watermark)

@@ -76,7 +76,9 @@ def test_discovery_rules(spark, info_schema, existing):
     # discovered partition_config round-trips through the parser
     from datalakeingestion_spark.config.partition_spec import parse_partition_config
 
-    assert parse_partition_config(o["partition_config"]).fmt == "YYYYMM"
+    # reference parity: time-based discovery defaults to daily buckets
+    # (update_config.py:176-222 → 'YYYYMMDD')
+    assert parse_partition_config(o["partition_config"]).fmt == "YYYYMMDD"
     assert parse_partition_config(s["partition_config"]).fmt == "1M"
 
 

@@ -15,6 +15,8 @@ from datalakeingestion_spark.config.partition_spec import PartitionSpec
 from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
 from datalakeingestion_spark.ingest.views import latest_view_sql, register_latest_view
 from datalakeingestion_spark.ingest.watermark import (
+    STATUS_FAILED,
+    STATUS_LOADED,
     STATUS_NO_DATA,
     STATUS_SUCCESS,
     STATUS_VALIDATION_FAILURE,
@@ -178,8 +180,10 @@ def test_coalesce_watermark_quirks(spark, tmp_path):
     r = job.run()
     assert r.status == STATUS_SUCCESS
     assert r.source_count == 3
-    # max(modified)=01-05, max(created)=01-03 → least = 01-03
-    assert r.end_value == "2024-01-03 00:00:00"
+    # max(modified)=01-05, max(created)=01-03 → least = 01-03; timestamp
+    # end_values always carry the µs fraction (ADVICE r1: exact-second
+    # maxima must not fall back to the +1s bump)
+    assert r.end_value == "2024-01-03 00:00:00.000000"
     # validation skipped for expr watermarks (reference parity)
     assert job.log.latest_entry(5, STATUS_SUCCESS)["reason_code"] == (
         "validation-skipped"
@@ -222,6 +226,66 @@ def test_maintained_latest_zone(spark, events, tmp_path):
     assert got == want
     # the latest zone excludes the derived partition column
     assert "ts_part" not in latest.columns
+
+
+def test_orphaned_loaded_batch_cleaned(spark, events, tmp_path):
+    """ADVICE r1 (medium): crash between the parquet append and the SUCCESS
+    log row leaves orphaned files + a trailing LOADED record. The next run
+    must delete the orphaned batch up front, or validation fails forever
+    (lake count > source count in the re-pulled window)."""
+    import os
+
+    job = _job(spark, events, tmp_path, end_value_cap=MID)
+    assert job.run().status == STATUS_SUCCESS
+
+    # simulate the crash: orphan file on disk, trailing LOADED record
+    orphan_dir = os.path.join(job.target_location, "ts_part=209901")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"orphaned bytes")
+    job.log.append(
+        1,
+        STATUS_LOADED,
+        start_value="2024-01-15 00:00:01.000000",
+        end_value="2099-01-01 00:00:00.000000",
+        source_count=1,
+        reason_code=json.dumps([orphan]),
+    )
+
+    r2 = _job(spark, events, tmp_path).run()
+    assert not os.path.exists(orphan)
+    assert r2.status == STATUS_SUCCESS  # not a validation failure
+    cleanup = job.log.latest_entry(1, STATUS_FAILED)
+    assert cleanup["reason_code"] == "orphaned-batch-cleaned"
+    # lake holds exactly the source rows — no duplicates, no orphans
+    lake = spark.read.parquet(job.target_location)
+    assert lake.select("event_id").distinct().count() == events.count()
+
+
+def test_exact_second_max_bumps_by_microsecond(spark, tmp_path):
+    """ADVICE r1 (medium): a batch max landing on an exact second must
+    still store the .000000 fraction so the next watermark advances +1µs,
+    not +1s — rows committed inside that second are not skipped."""
+    rows = [(1, "2024-01-01 00:00:05.000000"), (2, "2024-01-01 00:00:05.500000")]
+    src = spark.createDataFrame(rows, ["id", "ts_s"]).select(
+        "id", F.to_timestamp("ts_s").alias("ts")
+    )
+    job = IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=3,
+        source=src,
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / "us"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        end_value_cap="2024-01-01 00:00:05",
+    )
+    r1 = job.run()
+    assert (r1.source_count, r1.end_value) == (1, "2024-01-01 00:00:05.000000")
+    r2 = IncrementalIngestJob(**{**job.__dict__, "end_value_cap": None}).run()
+    # the +1s bump would have started at :06 and skipped row 2 forever
+    assert r2.source_count == 1
+    assert r2.start_value == "2024-01-01 00:00:05.500000"
 
 
 def test_windowed_voluminous_mode(spark, events, tmp_path):

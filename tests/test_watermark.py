@@ -51,3 +51,31 @@ def test_latest_entry_argmax(log):
 def test_empty_log_reads_empty(log):
     assert log.read().count() == 0
     assert log.latest_entry(7) is None
+
+
+def test_integer_watermark_digit_boundary(log):
+    """ADVICE r1 (high): '99' vs '100' — the max over end_value must be
+    numeric for integer watermarks, not lexicographic, or the watermark
+    regresses at digit-length boundaries and re-ingests duplicates."""
+    log.append(1, STATUS_SUCCESS, end_value="99")
+    log.append(1, STATUS_SUCCESS, end_value="100")
+    assert log.last_success_end(1, integer_watermark=True) == "100"
+    assert resolve_watermark(log, 1, integer_watermark=True) == "101"
+
+
+def test_corrupt_log_raises_not_resets(log, tmp_path):
+    """ADVICE r1 (medium): a log path that EXISTS but fails to read must
+    raise — silently returning an empty log would reset the watermark to
+    the epoch and duplicate the whole source."""
+    (tmp_path / "execution_log").mkdir()
+    (tmp_path / "execution_log" / "garbage.parquet").write_text("not parquet")
+    with pytest.raises(Exception):
+        log.read().count()
+
+
+def test_mixed_precision_end_values_ordered_as_timestamps(log):
+    # fraction-less empty-window records and µs-precision batch records
+    # coexist; the typed (timestamp) order must pick the true max
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01 00:00:00.500000")
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01 00:00:00")
+    assert log.last_success_end(1) == "2024-03-01 00:00:00.500000"
