@@ -72,6 +72,13 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import extended, llm, relational, tpch_joins, tpch_joins2  # noqa: F401
+    from . import (  # noqa: F401
+        extended,
+        llm,
+        relational,
+        tpch_joins,
+        tpch_joins2,
+        tpch_joins3,
+    )
 
     _LOADED = True

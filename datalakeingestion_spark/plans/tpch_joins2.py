@@ -31,8 +31,8 @@ def _dec(col, scale: int = 4):
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON n1.n_nationkey = s_nationkey
       JOIN nation n2 ON n2.n_nationkey = c_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3
@@ -59,8 +59,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("c_nationkey"))
         .filter(
-            ((F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY"))
-            | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+            # fixture nations are NATION_0..24 (TPC-H names like FRANCE
+            # don't exist there — they'd make this query trivially empty)
+            ((F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2"))
+            | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
         )
     )
     return (
