@@ -323,3 +323,77 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: label every document
+    with the smallest doc_id reachable through the pair graph (undirected
+    connectivity). Output: (doc_id, cluster_id), one row per document that
+    appears in at least one pair.
+
+    This is the step real dedup pipelines need after pair generation —
+    keeping "one doc per pair" over-deletes when A~B and B~C but A≁C;
+    cluster resolution keeps exactly one canonical doc (min id) per
+    transitively-connected group.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in <= graph-diameter rounds. Near-dup clusters are shallow (diameter
+    is a handful of hops), so rounds are few; each round is ONE
+    shuffle-join + grouped min. Convergence is detected via the sum of
+    labels (strictly decreasing until fixpoint — one scalar action per
+    round, no expensive frame comparison). For billion-edge graphs with
+    adversarially long chains, swap the propagation loop for alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — same join primitive, O(log n)
+    rounds; not needed for dedup-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # empty graph
+        edges.unpersist()
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    for _ in range(max_iterations):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    # final labels stay persisted: the returned frame's lineage is the whole
+    # propagation loop, so dropping the cache here would force consumers to
+    # re-run every round (callers / bench clear the session cache when done)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

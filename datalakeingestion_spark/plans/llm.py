@@ -70,7 +70,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs)
 
 
-def _minhash_oracle(threshold: float, source: str = "documents") -> str:
+def _minhash_pairs_ctes(threshold: float, source: str = "documents") -> str:
+    """CTE chain ending in ``pairs(doc_id_a, doc_id_b, jaccard)`` — shared
+    by the pair query and the connected-components oracle."""
     mins = ",\n           ".join(
         f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
         for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
@@ -83,8 +85,7 @@ def _minhash_oracle(threshold: float, source: str = "documents") -> str:
             f"SELECT doc_id, {j} AS band_id, {sig} AS band_sig FROM sig"
         )
     bands = "\n         UNION ALL ".join(band_rows)
-    return f"""
-    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM {source}),
+    return f"""sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM {source}),
     th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
     sig AS (SELECT doc_id, {mins}
             FROM th GROUP BY doc_id),
@@ -98,13 +99,19 @@ def _minhash_oracle(threshold: float, source: str = "documents") -> str:
               FROM cand c
               JOIN sh t1 ON t1.doc_id = c.doc_id_a
               JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
-              GROUP BY c.doc_id_a, c.doc_id_b)
-    SELECT inter.doc_id_a, inter.doc_id_b,
-           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
-    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
-    WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+              GROUP BY c.doc_id_a, c.doc_id_b),
+    pairs AS (SELECT inter.doc_id_a, inter.doc_id_b,
+                     round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+              JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+              WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold})"""
+
+
+def _minhash_oracle(threshold: float, source: str = "documents") -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes(threshold, source)}
+    SELECT doc_id_a, doc_id_b, jaccard FROM pairs
     """
 
 
@@ -119,6 +126,35 @@ def _minhash_oracle(threshold: float, source: str = "documents") -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(0.5)},
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+              UNION ALL
+              SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Near-dup CLUSTER resolution over the MinHash-LSH pair graph: each "
+    "doc labeled with the min doc_id in its connected component (keeping "
+    "one doc per PAIR over-deletes when A~B~C but A≁C). Spark: iterative "
+    "min-label propagation, one shuffle-join per round, label-sum "
+    "convergence test; oracle: recursive transitive closure. See "
+    "operators/dedup.py::connected_components for the 100 TB notes "
+    "(large-star/small-star escalation path).",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    return dd.connected_components(pairs)
 
 
 @register(

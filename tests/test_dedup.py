@@ -71,3 +71,22 @@ def test_signatures_shape(spark, docs):
     row = sig.first()
     for i in range(dd.MINHASH_PERMS):
         assert 0 <= row[f"mh{i}"] < dd.MERSENNE_P
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 3-1-2 plus disjoint pair (5,4) plus triangle 6-7-8:
+    # min-label must propagate TRANSITIVELY (3 reaches 1 via 2 hops)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (6, 7), (7, 8), (6, 8)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert dd.connected_components(pairs).count() == 0
