@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash60
-from ..functions.text import distinct_tokens, normalized_text, tokens
+from ..functions.text import (
+    distinct_tokens,
+    normalized_text,
+    tokens,
+    word_shingles,
+)
 
 # Tiny deterministic stopword lists for the n-gram language heuristic.
 # Order of LANGS is the tie-break precedence of the argmax cascade.
@@ -138,4 +143,98 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         portable_hash60(normalized_text(text_col)).alias("fingerprint"),
+    )
+
+
+# PII redaction patterns — written in the regex subset valid AND equivalent
+# in both Java regex (Spark) and RE2 (DuckDB), so the oracle matches.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_NUMBER_RE = r"[0-9]{7,}"
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals, per document.
+
+    - dup_3gram_frac — fraction of 3-gram occurrences that are repeats
+      (1 - distinct/total); boilerplate and looping generations score high
+    - top_2gram_frac — share of the single most frequent 2-gram
+    - keep — both signals under threshold (0.05/0.05 splits the fixture
+      corpus ~390/500)
+
+    Everything is per-doc column arithmetic — embarrassingly parallel,
+    ZERO shuffles at any corpus size (this is why repetition filters are
+    the cheap first stage of web-scale curation). The top-2-gram count
+    runs over the SORTED shingle array with a single O(k) aggregate pass
+    (longest equal-run), not an O(k²) count-per-element scan.
+    """
+    toks = tokens(text_col)
+    sh3 = word_shingles(toks, 3)
+    sh2_sorted = F.array_sort(word_shingles(toks, 2))
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        sh2_sorted,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _merge,
+        lambda acc: acc["best"],
+    )
+    dup3 = F.when(
+        F.size(sh3) > 0,
+        (F.size(sh3) - F.size(F.array_distinct(sh3))).cast("double")
+        / F.size(sh3),
+    ).otherwise(F.lit(0.0))
+    # share of the dominant REPEATED 2-gram: a doc whose 2-grams are all
+    # unique scores 0.0 regardless of length (1/(n-1) would otherwise flag
+    # every short document)
+    top2 = F.when(
+        (F.size(sh2_sorted) > 0) & (max_run > 1),
+        max_run.cast("double") / F.size(sh2_sorted),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        dup3.alias("dup_3gram_frac"),
+        top2.alias("top_2gram_frac"),
+        (
+            (dup3 <= F.lit(0.05)) & (top2 <= F.lit(0.05))
+        ).alias("keep"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, URLs, and long digit runs (phone/account numbers)
+    before training — replacing each with a typed placeholder token.
+
+    Redaction order matters and is fixed: emails first (their local part
+    may contain digits), then URLs (their paths may contain digits), then
+    bare long numbers — each pattern counted on the text as it existed at
+    its own stage, so nothing is double-counted. Pure regexp_replace
+    column expressions: per-doc, shuffle-free, linear in corpus size.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(EMAIL_RE))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_urls = F.regexp_count(t1, F.lit(URL_RE))
+    t2 = F.regexp_replace(t1, URL_RE, "<URL>")
+    n_numbers = F.regexp_count(t2, F.lit(LONG_NUMBER_RE))
+    t3 = F.regexp_replace(t2, LONG_NUMBER_RE, "<NUMBER>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_numbers.cast("long").alias("n_numbers"),
+        t3.alias("clean_text"),
     )

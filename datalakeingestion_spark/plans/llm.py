@@ -382,6 +382,99 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_stats(docs)
 
 
+def _shingles_all_sql(n: int) -> str:
+    """ALL n-word shingles (with duplicates — repetition metrics need the
+    multiset, unlike the dedup shingles which are distinct)."""
+    return (
+        f"list_transform(range(1, len({TOKS_SQL}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({TOKS_SQL}, i, i + {n - 1}), ' '))"
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_shingles_all_sql(3)} AS s3,
+                         {_shingles_all_sql(2)} AS s2
+                  FROM documents),
+    u AS (SELECT doc_id, unnest(s2) AS g FROM base),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1),
+    m AS (SELECT b.doc_id,
+            CASE WHEN len(s3) > 0
+                 THEN (len(s3) - len(list_distinct(s3)))::DOUBLE / len(s3)
+                 ELSE 0.0 END AS dup_3gram_frac,
+            CASE WHEN COALESCE(tot, 0) > 0 AND mx > 1 THEN mx::DOUBLE / tot
+                 ELSE 0.0 END AS top_2gram_frac
+          FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id)
+    SELECT doc_id, dup_3gram_frac, top_2gram_frac,
+           (dup_3gram_frac <= 0.05 AND top_2gram_frac <= 0.05) AS keep
+    FROM m
+    """,
+    doc="Gopher/RefinedWeb repetition signals: duplicate-3-gram fraction + "
+    "top-2-gram share, thresholded to a keep flag. Spark side is pure "
+    "per-doc column arithmetic (sorted-run aggregate for the top count) — "
+    "zero shuffles at any corpus size; the oracle counts via unnest+group.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.repetition_metrics(docs)
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id,
+                        text || ' contact doc' || doc_id
+                             || '@example.com or https://example.org/d/'
+                             || doc_id || ' ref 55501'
+                             || lpad(doc_id::VARCHAR, 5, '0') AS t
+                 FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, '{ta.EMAIL_RE}')) AS n_emails,
+                  regexp_replace(t, '{ta.EMAIL_RE}', '<EMAIL>', 'g') AS t1
+           FROM aug),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t1, '{ta.URL_RE}')) AS n_urls,
+                  regexp_replace(t1, '{ta.URL_RE}', '<URL>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_urls,
+                  len(regexp_extract_all(t2, '{ta.LONG_NUMBER_RE}')) AS n_numbers,
+                  regexp_replace(t2, '{ta.LONG_NUMBER_RE}', '<NUMBER>', 'g') AS t3
+           FROM s2)
+    SELECT doc_id, n_emails::BIGINT AS n_emails, n_urls::BIGINT AS n_urls,
+           n_numbers::BIGINT AS n_numbers, md5(t3) AS clean_hash
+    FROM s3
+    """,
+    doc="PII scrub before training: emails -> <EMAIL>, URLs -> <URL>, "
+    "7+-digit runs -> <NUMBER>, applied in that order on staged text so "
+    "counts never double-book. The fixture corpus carries no PII, so the "
+    "query plants a deterministic contact line per doc and both engines "
+    "redact the same augmented text (patterns live in the Java-regex ∩ "
+    "RE2 subset). clean_hash = md5 of the redacted text.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ident = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            ident,
+            F.lit("@example.com or https://example.org/d/"),
+            ident,
+            F.lit(" ref 55501"),
+            F.lpad(ident, 5, "0"),
+        ).alias("text"),
+    )
+    red = ta.redact_pii(aug)
+    return red.select(
+        "doc_id", "n_emails", "n_urls", "n_numbers",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""

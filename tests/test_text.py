@@ -114,3 +114,34 @@ def test_sampling_determinism_and_disjointness():
     )
     by_src = {r["mix_source"]: r["n"] for r in mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_src["all"] == 10_000 and 4_000 <= by_src["half"] <= 6_000
+
+
+def test_repetition_metrics_flags_loops(spark):
+    from datalakeingestion_spark.operators.text_analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark reads parquet files and writes delta tables with "
+                "catalyst planning the physical execution stages"),
+            (2, "buy now buy now buy now buy now buy now buy now buy now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False
+    assert got[2]["top_2gram_frac"] > 0.5  # "now buy" dominates
+    assert got[2]["dup_3gram_frac"] > 0.5
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from datalakeingestion_spark.operators.text_analysis import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.com or visit "
+             "https://e.org/x?id=99 call 5551234567 ok")],
+        ["doc_id", "text"],
+    )
+    row = redact_pii(docs).first()
+    assert (row["n_emails"], row["n_urls"], row["n_numbers"]) == (1, 1, 1)
+    assert row["clean_text"] == "mail <EMAIL> or visit <URL> call <NUMBER> ok"
