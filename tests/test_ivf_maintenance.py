@@ -28,9 +28,10 @@ def test_ivf_recall_against_brute_force(spark):
         for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=6).collect()
     }
     recall = len(bf & ivf) / len(bf)
-    # deterministic pipeline → stable measured value (0.70 at 6/16 cells on
-    # these weakly-clustered synthetic vectors); pinned with margin
-    assert recall >= 0.65, recall
+    # deterministic pipeline → stable measured value (0.90 at 6/16 cells
+    # with assign_n=2 multi-assignment on these weakly-clustered synthetic
+    # vectors; was 0.70 single-assign); pinned with margin
+    assert recall >= 0.85, recall
     assert all(a != b for a, b in ivf)
 
 
