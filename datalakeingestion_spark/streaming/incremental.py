@@ -108,3 +108,43 @@ def windowed_event_counts(
         "n_events",
         "sum_value",
     )
+
+
+def interval_join_events_orders(
+    events: DataFrame,
+    orders: DataFrame,
+    event_ts: str = "ts",
+    order_ts: str = "o_orderdate",
+    user_key: str = "user_id",
+    order_key: str = "o_custkey",
+    within: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each event with the same user's
+    orders placed within ``within`` AFTER the event (attribution-style
+    correlation).
+
+    On streams, BOTH sides carry a watermark and the join condition bounds
+    the time skew — that bound is what lets Spark garbage-collect join
+    state (an unbounded stream-stream equi-join would buffer both streams
+    forever; SPARK-26154 semantics). On batch frames the same expression
+    is an ordinary range-predicate join, which is exactly how the
+    equivalence test validates the streaming output.
+    """
+    ev, od = events, orders
+    if events.isStreaming:
+        ev = events.withWatermark(event_ts, watermark)
+    if orders.isStreaming:
+        od = orders.withWatermark(order_ts, watermark)
+    cond = (
+        (F.col(user_key) == F.col(order_key))
+        & (F.col(order_ts) >= F.col(event_ts))
+        & (F.col(order_ts) <= F.col(event_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return ev.join(od, cond, "inner").select(
+        F.col(user_key),
+        F.col("event_id"),
+        F.col(event_ts).alias("event_ts"),
+        F.col("o_orderkey"),
+        F.col(order_ts).alias("order_ts"),
+    )

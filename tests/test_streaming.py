@@ -187,3 +187,53 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked, time-bounded
+    condition → GC-able join state) must equal the batch range join."""
+    from datalakeingestion_spark.streaming.incremental import (
+        interval_join_events_orders,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    # deterministic synthetic orders stream derived from events: each user
+    # places an order 30 minutes after every 3rd event
+    orders = (
+        events.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("user_id").alias("o_custkey"),
+            (F.col("event_id") + 1_000_000).alias("o_orderkey"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("o_orderdate"),
+        )
+    )
+    ev_src, od_src = str(tmp_path / "ev"), str(tmp_path / "od")
+    events.write.parquet(ev_src)
+    orders.write.parquet(od_src)
+
+    batch = interval_join_events_orders(events, orders, within="2 hours")
+    want = {
+        (r["event_id"], r["o_orderkey"]) for r in batch.collect()
+    }
+    assert len(want) > 0
+
+    ev_s = spark.readStream.schema(events.schema).parquet(ev_src)
+    od_s = spark.readStream.schema(orders.schema).parquet(od_src)
+    joined = interval_join_events_orders(
+        ev_s, od_s, within="2 hours", watermark="4 hours"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in spark.sql("SELECT * FROM ij").collect()
+    }
+    assert got == want
