@@ -171,12 +171,26 @@ def q21_sole_late_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("late"))
     )
-    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late_supp"),
-        F.max(late_supp).alias("late_supp"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"),
+    # Two-level aggregate instead of countDistinct: two DISTINCT aggregates
+    # would Expand the fact rows 3x before the shuffle. Repartitioning on
+    # l_orderkey up front lets BOTH groupBys reuse the same partitioning
+    # (hash(ok) clusters (ok, sk) groups too), so the fact table moves
+    # exactly once and everything after runs exchange-free.
+    per_supp = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("late").alias("supp_late"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("supp_late_lines"),
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("supp_late"), F.col("supp_late_lines")).otherwise(0)).alias(
+            "late_lines"
+        ),
     )
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))

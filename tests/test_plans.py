@@ -101,3 +101,56 @@ def test_ann_broadcasts_queries(spark):
 )
 def test_joins_have_no_cartesian(spark, name):
     assert "CartesianProduct" not in formatted_plan(run(spark, name))
+
+
+def test_q1_long_sums_in_partials(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "q1_pricing_summary"))
+    # fixed-point rewrite: two exchanges, BOTH carrying only aggregate
+    # cells (~|groups|·|partitions| rows) — the (key,pid) partial collapses
+    # fully map-side, so no exchange ever moves fact rows. The hot partial
+    # sums are LONG sums; decimal appears only in the final merge.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "partial_sum(_q" in plan  # long partials over the fact rows
+    assert "decimal(38,0)" in plan  # exact merge of partials only
+
+
+def test_q17_decorrelated_joins_broadcast(spark):
+    plan = formatted_plan(run(spark, "q17_small_quantity_revenue"))
+    # part filter and the per-part aggregate both broadcast onto the fact
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_agg_single_fact_shuffle(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "q21_sole_late_supplier_agg"))
+    # the Spark-first rewrite: the fact table is shuffled ONCE (repartition
+    # on l_orderkey; both groupBys reuse that partitioning) and there is no
+    # countDistinct Expand; orders and supplier broadcast
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_anti_hashed_on_equi_key(spark):
+    plan = formatted_plan(run(spark, "q21_sole_late_supplier"))
+    # the non-equi suppkey condition must ride a HASHED join on the equi
+    # key, never a nested-loop over the fact table
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_assign_no_cartesian(spark):
+    plan = formatted_plan(run(spark, "dedup_cluster_assign"))
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_no_shuffle(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "text_repetition_filter"))
+    # per-doc arithmetic only: no Exchange anywhere in the plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
