@@ -476,6 +476,39 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    per AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2)
+    SELECT token, SUM(tf)::BIGINT AS term_freq, COUNT(*)::BIGINT AS doc_freq
+    FROM per GROUP BY token
+    ORDER BY term_freq DESC, token
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary statistics (tokenizer-training prep): term and "
+    "document frequency per token, top-100 by frequency with total "
+    "tie-break. Distinct-free two-level aggregate — groupBy(token, doc) "
+    "then groupBy(token) — so no countDistinct Expand ever touches the "
+    "exploded token stream; both levels partial-aggregate map-side.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    per = t.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per.groupBy("token")
+        .agg(
+            F.sum("tf").cast("long").alias("term_freq"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(100)
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, {_h60_sql(NORM_SQL)} AS fingerprint FROM documents
