@@ -30,6 +30,7 @@ Quirks preserved for parity (SURVEY.md §4):
 from __future__ import annotations
 
 import json
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -86,6 +87,28 @@ def _delete_files(spark: SparkSession, files: set[str]) -> None:
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)
         p.getFileSystem(conf).delete(p, False)
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)
+
+
+def _move_files(spark: SparkSession, moves: list[tuple[str, str]]) -> None:
+    """Per-file rename (same filesystem). Parent dirs are created; an
+    already-present destination means a retry already moved it — skip."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for src, dst in moves:
+        sp = jvm.org.apache.hadoop.fs.Path(src)
+        dp = jvm.org.apache.hadoop.fs.Path(dst)
+        fs = sp.getFileSystem(conf)
+        if fs.exists(dp):
+            continue
+        fs.mkdirs(dp.getParent())
+        fs.rename(sp, dp)
 
 
 @dataclass
@@ -169,18 +192,42 @@ class IncrementalIngestJob:
 
         return _fmt(row["mn"]), _fmt(row["mx"]), row["n"]
 
-    def _cleanup_orphans(self) -> None:
-        """Crash-recovery for the non-atomic append (reference T5 analog).
+    def _staging_dir(self, token: str) -> str:
+        # dot-prefixed → invisible to Spark/Hive lake readers while in flight
+        return f"{self.target_location.rstrip('/')}/.staging-{token}"
 
-        A crash between the parquet append and the follow-up log row leaves
-        the run's trailing record at STATUS_LOADED with the written-file
-        list in reason_code. Those files ARE in the lake but the watermark
-        never advanced, so the next run re-pulls the same range and count
-        validation then fails forever (lake > source in the window). Delete
-        the orphaned batch up front — the data is re-ingested by this run.
+    def _cleanup_orphans(self) -> None:
+        """Crash-recovery for the staged append (reference T5 analog).
+
+        Every append goes through a run-private staging dir whose path is
+        recorded in the STARTED row; the final file list is recorded in the
+        LOADED row BEFORE files move into place. Whatever the trailing log
+        record is, the crash point is therefore recoverable:
+
+        - trailing STARTED → crash before/while writing staging: delete the
+          staging dir (never visible to readers — it is dot-prefixed);
+        - trailing LOADED → crash during/after the move but before the
+          SUCCESS/VALIDATION row: delete the listed final files (the moved
+          ones) AND the staging dir (the unmoved ones). Without this, the
+          re-pulled range would out-count the source and validation would
+          fail on every retry.
         """
         last = self.log.latest_entry(self.ingestion_id)
-        if last is None or last["execution_status"] != STATUS_LOADED:
+        if last is None:
+            return
+        status = last["execution_status"]
+        if status == STATUS_STARTED:
+            staging = last["reason_code"] or ""
+            if staging.startswith(self._staging_dir("")):
+                _delete_dir(self.spark, staging)
+                self.log.append(
+                    self.ingestion_id,
+                    STATUS_FAILED,
+                    start_value=last["start_value"] or "",
+                    reason_code="orphaned-staging-cleaned",
+                )
+            return
+        if status != STATUS_LOADED:
             return
         try:
             files = set(json.loads(last["reason_code"] or "[]"))
@@ -188,6 +235,11 @@ class IncrementalIngestJob:
             files = set()
         if files:
             _delete_files(self.spark, files)
+        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
+        if started is not None:
+            staging = started["reason_code"] or ""
+            if staging.startswith(self._staging_dir("")):
+                _delete_dir(self.spark, staging)
         self.log.append(
             self.ingestion_id,
             STATUS_FAILED,
@@ -199,7 +251,13 @@ class IncrementalIngestJob:
     def run(self) -> IngestResult:
         self._cleanup_orphans()
         start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
-        self.log.append(self.ingestion_id, STATUS_STARTED, start_value=start)
+        staging = self._staging_dir(uuid.uuid4().hex)
+        self.log.append(
+            self.ingestion_id,
+            STATUS_STARTED,
+            start_value=start,
+            reason_code=staging,
+        )
 
         delta = self._delta_frame(start)
         if self.partition_spec is not None:
@@ -210,12 +268,24 @@ class IncrementalIngestJob:
             self.log.append(self.ingestion_id, STATUS_NO_DATA, start_value=start)
             return IngestResult(STATUS_NO_DATA, start)
 
-        before = _list_files(self.spark, self.target_location)
+        # staged commit: write the batch beside the lake, record the final
+        # destinations, THEN move into place — every crash point is
+        # recoverable from the log (see _cleanup_orphans)
         writer = delta.write.mode("append").option("compression", "snappy")
         if self.partition_spec is not None:
             writer = writer.partitionBy(self.partition_spec.partition_column_name)
-        writer.parquet(self.target_location)
-        written = sorted(_list_files(self.spark, self.target_location) - before)
+        writer.parquet(staging)
+        staged = sorted(_list_files(self.spark, staging))
+        target = self.target_location.rstrip("/")
+        # listed paths are fully-qualified URIs (file:/..., s3a://...);
+        # splice the destination around the staging path inside them
+        moves = []
+        for f in staged:
+            i = f.find(staging)
+            if i < 0:  # pragma: no cover - FS returned an unrelated path
+                raise RuntimeError(f"staged file {f} outside {staging}")
+            moves.append((f, f[:i] + target + f[i + len(staging):]))
+        written = sorted(dst for _, dst in moves)
 
         self.log.append(
             self.ingestion_id,
@@ -225,6 +295,8 @@ class IncrementalIngestJob:
             source_count=n,
             reason_code=json.dumps(written),
         )
+        _move_files(self.spark, moves)
+        _delete_dir(self.spark, staging)
 
         # Count validation (V1): lake rows under the same delta predicate
         # vs the source count. Skipped for coalesce watermarks, like the
@@ -288,12 +360,21 @@ class IncrementalIngestJob:
             raise ValueError("run_windows applies to datetime watermarks")
         results: list[IngestResult] = []
         fmt = "%Y-%m-%d %H:%M:%S"
-        end = datetime.strptime(until[:19], fmt)
+
+        def _parse(s: str) -> datetime:
+            # keep the fraction: truncating here would compare X.000001
+            # as X == end and loop forever on a batch whose max landed
+            # exactly on `until`
+            if "." in s:
+                return datetime.strptime(s, fmt + ".%f")
+            return datetime.strptime(s, fmt)
+
+        end = _parse(until)
         while True:
             start_s = resolve_watermark(
                 self.log, self.ingestion_id, self.integer_watermark
             )
-            start = datetime.strptime(start_s[:19], fmt)
+            start = _parse(start_s)
             if start > end:
                 break
             # fast-forward over empty ranges: one cheap min-aggregate
@@ -314,12 +395,15 @@ class IncrementalIngestJob:
             results.append(res)
             if res.status == STATUS_NO_DATA:
                 # nothing in this window; advance past it by recording an
-                # empty successful window so the loop terminates
+                # empty successful window so the loop terminates. Full µs
+                # precision like every other timestamp end_value — mixing
+                # bare-second and .000000 forms would create max_by ties
+                # between equal instants with different bump behavior.
                 self.log.append(
                     self.ingestion_id,
                     STATUS_SUCCESS,
                     start_value=start_s,
-                    end_value=cap.strftime(fmt),
+                    end_value=cap.strftime(fmt + ".%f"),
                     reason_code="empty-window",
                 )
             if res.status not in (STATUS_SUCCESS, STATUS_NO_DATA):

@@ -367,13 +367,10 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    if prev_sum is None:  # empty graph
-        edges.unpersist()
-        return labels.select(
-            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-        )
+    converged = labels.isEmpty()  # empty graph is trivially converged
     for _ in range(max_iterations):
+        if converged:
+            break
         neighbor = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -384,13 +381,24 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # fixpoint test by direct comparison — works for ANY orderable id
+        # type (a sum-of-labels shortcut would misread string ids as an
+        # empty graph and can overflow on wide hash-derived longs)
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — the pair graph has a longer chain than expected; "
+            "raise max_iterations or switch to large-star/small-star"
+        )
     # final labels stay persisted: the returned frame's lineage is the whole
     # propagation loop, so dropping the cache here would force consumers to
     # re-run every round (callers / bench clear the session cache when done)

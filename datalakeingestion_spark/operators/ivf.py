@@ -36,20 +36,20 @@ def _unit(X: np.ndarray) -> np.ndarray:
 
 
 def _assign_udf(centroids: np.ndarray):
-    """Cell id of the nearest centroid.
+    """Cell id of the nearest centroid — top-1 of the shared `_topcells_udf`
+    kernel, so training assignment and index/query cell selection can never
+    desynchronize.
 
     Spherical k-means: vectors are unit-normalized before assignment so
     cell geometry matches the COSINE ranking metric (plain-L2 cells over
     unnormalized vectors scatter cosine neighbors across cells — measured
     recall drop from ~0.9 to ~0.5 on the fixtures). Ties → lower id
-    (stable argmin).
+    (stable argsort).
     """
-    mat = _unit(centroids.astype(np.float64))
+    top1 = _topcells_udf(centroids, 1)
 
-    @F.pandas_udf("int")
-    def assign(col: pd.Series) -> pd.Series:
-        X = _unit(np.vstack(col.to_numpy()).astype(np.float64))
-        return pd.Series(np.argmax(X @ mat.T, axis=1).astype("int32"))
+    def assign(col):
+        return F.element_at(top1(col), 1)
 
     return assign
 
@@ -178,11 +178,13 @@ def ivf_topk(
                 6,
             ),
         )
-        # multi-assignment can surface the same pair through several shared
-        # cells — dedup before ranking
         .select("query_id", "neighbor_id", "cosine")
-        .distinct()
     )
+    if assign_n > 1:
+        # multi-assignment can surface the same pair through several shared
+        # cells — dedup before ranking. With assign_n=1 cells are disjoint
+        # and the distinct would be a pure extra shuffle.
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -47,15 +47,18 @@ def _dec(col, scale: int = 4):
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    # decorrelated inner aggregate: per-part sum/count of quantity.
-    # At scale this is one map-side-combinable shuffle on l_partkey; the
-    # result (one row per part) broadcasts back onto the fact table.
-    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+    # Prune the fact FIRST: only lineitems of the brand's parts can survive,
+    # and the per-part average over that subset equals the average over the
+    # full table (the aggregate is per partkey). Aggregating before pruning
+    # would build sums for EVERY part — and broadcasting that frame is
+    # |part|-sized at 100 TB. li_b is derived twice (aggregate + probe);
+    # both derivations are a brand-pruned broadcast-join scan.
+    li_b = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    pq = li_b.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
         F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(pq), F.col("pq_partkey") == F.col("l_partkey"))
+        li_b.join(pq, F.col("pq_partkey") == F.col("l_partkey"))
         .filter(F.lit(5.0) * F.col("l_quantity") * F.col("c") < F.col("s"))
         .agg(
             F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(

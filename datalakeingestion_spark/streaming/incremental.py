@@ -117,6 +117,8 @@ def interval_join_events_orders(
     order_ts: str = "o_orderdate",
     user_key: str = "user_id",
     order_key: str = "o_custkey",
+    event_id: str = "event_id",
+    order_id: str = "o_orderkey",
     within: str = "24 hours",
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -130,21 +132,29 @@ def interval_join_events_orders(
     forever; SPARK-26154 semantics). On batch frames the same expression
     is an ordinary range-predicate join, which is exactly how the
     equivalence test validates the streaming output.
+
+    Every column is a parameter; the two sides are alias-qualified so the
+    join stays a cross-frame equi-join even when both sides use the SAME
+    column names (e.g. user_key == order_key == 'user_id').
     """
     ev, od = events, orders
     if events.isStreaming:
         ev = events.withWatermark(event_ts, watermark)
     if orders.isStreaming:
         od = orders.withWatermark(order_ts, watermark)
+    ev, od = ev.alias("ev"), od.alias("od")
     cond = (
-        (F.col(user_key) == F.col(order_key))
-        & (F.col(order_ts) >= F.col(event_ts))
-        & (F.col(order_ts) <= F.col(event_ts) + F.expr(f"INTERVAL {within}"))
+        (F.col(f"ev.{user_key}") == F.col(f"od.{order_key}"))
+        & (F.col(f"od.{order_ts}") >= F.col(f"ev.{event_ts}"))
+        & (
+            F.col(f"od.{order_ts}")
+            <= F.col(f"ev.{event_ts}") + F.expr(f"INTERVAL {within}")
+        )
     )
     return ev.join(od, cond, "inner").select(
-        F.col(user_key),
-        F.col("event_id"),
-        F.col(event_ts).alias("event_ts"),
-        F.col("o_orderkey"),
-        F.col(order_ts).alias("order_ts"),
+        F.col(f"ev.{user_key}").alias(user_key),
+        F.col(f"ev.{event_id}").alias(event_id),
+        F.col(f"ev.{event_ts}").alias("event_ts"),
+        F.col(f"od.{order_id}").alias(order_id),
+        F.col(f"od.{order_ts}").alias("order_ts"),
     )

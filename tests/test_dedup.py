@@ -90,3 +90,25 @@ def test_connected_components_transitive_chain(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
     assert dd.connected_components(pairs).count() == 0
+
+
+def test_connected_components_string_ids(spark):
+    # ids are any orderable type — the fixpoint test must not assume
+    # numeric labels (a sum-based check would misread strings as empty)
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], ["doc_id_a", "doc_id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # a 6-hop chain cannot converge in 2 rounds; silent wrong clusters
+    # would split one component — must raise instead
+    chain = [(i, i + 1) for i in range(1, 8)]
+    pairs = spark.createDataFrame(chain, ["doc_id_a", "doc_id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iterations=2)

@@ -288,6 +288,68 @@ def test_exact_second_max_bumps_by_microsecond(spark, tmp_path):
     assert r2.start_value == "2024-01-01 00:00:05.500000"
 
 
+def test_orphaned_staging_cleaned_on_started_crash(spark, events, tmp_path):
+    """Crash BEFORE the LOADED record (trailing STARTED): the staging dir
+    recorded in the STARTED row is deleted; nothing ever reached the lake
+    (dot-prefixed staging is invisible to readers), so no validation debt."""
+    import os
+
+    job = _job(spark, events, tmp_path, end_value_cap=MID)
+    assert job.run().status == STATUS_SUCCESS
+
+    staging = job.target_location.rstrip("/") + "/.staging-deadbeef"
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-crash.parquet"), "wb") as f:
+        f.write(b"partial write")
+    job.log.append(
+        1, "started", start_value="2024-01-15 00:00:01.000000",
+        reason_code=staging,
+    )
+    # staging files are invisible to lake readers even before cleanup
+    lake_before = spark.read.parquet(job.target_location).count()
+
+    r2 = _job(spark, events, tmp_path).run()
+    assert r2.status == STATUS_SUCCESS
+    assert not os.path.exists(staging)
+    cleanup = job.log.read().filter(
+        F.col("reason_code") == "orphaned-staging-cleaned"
+    )
+    assert cleanup.count() == 1
+    lake = spark.read.parquet(job.target_location)
+    assert lake.count() == lake_before + r2.source_count
+    assert lake.select("event_id").distinct().count() == events.count()
+
+
+def test_run_windows_terminates_on_exact_boundary_max(spark, tmp_path):
+    """Batch max landing exactly on `until` must not loop forever: the
+    resolved watermark (max + 1µs) compares with full precision against
+    the window end, and empty-window records carry the µs fraction too."""
+    rows = [
+        (1, "2024-01-10 00:00:00"),
+        (2, "2024-01-12 00:00:00"),  # == until
+        (3, "2024-01-12 08:00:00"),  # after until
+    ]
+    src = spark.createDataFrame(rows, ["id", "ts_s"]).select(
+        "id", F.to_timestamp("ts_s").alias("ts")
+    )
+    job = IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=11,
+        source=src,
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / "b"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+    )
+    results = job.run_windows("2024-01-12 00:00:00", window_hours=24 * 5)
+    assert sum(r.source_count for r in results) == 2
+    # caught up: re-running ingests nothing and terminates
+    again = job.run_windows("2024-01-12 00:00:00", window_hours=24 * 5)
+    assert all(r.source_count == 0 for r in again)
+    # the row after `until` is picked up by a later horizon, not lost
+    more = job.run_windows("2024-02-01 00:00:00", window_hours=24 * 5)
+    assert sum(r.source_count for r in more) == 1
+
+
 def test_windowed_voluminous_mode(spark, events, tmp_path):
     """Serial window loop (reference T2): repeated capped runs until caught
     up; union of windows == full load, one success record per window."""
