@@ -69,6 +69,52 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+                      row_number() OVER (
+                          PARTITION BY p_partkey
+                          ORDER BY s_acctbal, s_suppkey) AS rn
+               FROM part
+                 JOIN ps ON l_partkey = p_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+               WHERE p_size <= 10)
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape adapted to the fixtures (no partsupp table — the "
+    "DISTINCT (l_partkey, l_suppkey) pairs of lineitem stand in for it): "
+    "per-part argmin supplier by account balance with total tie-break "
+    "(s_acctbal, s_suppkey), deterministic top-100. Spark: the pair "
+    "extraction is one dedup shuffle on the fact; suppliers and the "
+    "part filter broadcast; the argmin is a WindowGroupLimit-eligible "
+    "row_number window.",
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    joined = (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_acctbal", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
     "q21_sole_late_supplier",
     oracle="""
     WITH lo AS (SELECT l_orderkey, l_suppkey,
