@@ -119,3 +119,71 @@ def merge_upsert(
     if fs.exists(backup):
         fs.delete(backup, True)
     return n
+
+
+def merge_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    batch: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> int:
+    """Incrementally maintain a materialized GROUPED aggregate (rollup).
+
+    Algebraic aggregates (count / sum / min / max) combine associatively,
+    so the materialization never re-reads the fact table: reduce the new
+    batch to per-group partials, union with the stored partials, combine,
+    swap — O(|groups| + |batch|) per ingest batch regardless of lake size.
+    This is the incremental-view-maintenance pattern a 100 TB lake needs
+    for its hot dashboards (a full groupBy over the lake per refresh is
+    the anti-pattern). avg derives as sum/n at read time; non-algebraic
+    aggregates (exact distinct, medians) need their own structures
+    (see sketch_kmv_distinct for the mergeable-sketch route).
+
+    Stored schema: group_cols + n + sum_<c> + min_<c> + max_<c>.
+    Returns the number of groups in the new materialization.
+    """
+    sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+
+    def partials(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    def combine(df: DataFrame) -> DataFrame:
+        aggs = [F.sum("n").alias("n")]
+        aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = path.getFileSystem(conf)
+
+    new = partials(batch)
+    if fs.exists(path):
+        current = spark.read.parquet(rollup_path)
+        merged = combine(current.unionByName(new))
+    else:
+        merged = combine(new)  # idempotent: combine of partials is partials
+
+    staging = rollup_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    backup = jvm.org.apache.hadoop.fs.Path(rollup_path.rstrip("/") + ".__old__")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(path):
+        fs.rename(path, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    return n

@@ -154,3 +154,35 @@ def test_merge_latest_incremental_equals_batch_view(spark, tmp_path):
         for r in spark.read.parquet(latest_path).collect()
     }
     assert got2 == want
+
+
+def test_merge_rollup_incremental_equals_full(spark, tmp_path):
+    """Two incremental rollup merges must equal one full groupBy over the
+    concatenated data — the algebraic-combine invariant."""
+    from datalakeingestion_spark.ingest.merge import merge_rollup
+    from datalakeingestion_spark.sources.fixtures import load_table
+    from .conftest import SF_SMALL
+
+    events = load_table(spark, SF_SMALL, "events")
+    b1 = events.filter(F.col("ts") < "2024-01-15")
+    b2 = events.filter(F.col("ts") >= "2024-01-15")
+    path = str(tmp_path / "rollup")
+    for b in (b1, b2):
+        merge_rollup(
+            spark, path, b, ["event_type"],
+            sum_cols=["value"], min_cols=["ts"], max_cols=["ts"],
+        )
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6), r["min_ts"], r["max_ts"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6), r["min_ts"], r["max_ts"])
+        for r in events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
