@@ -405,3 +405,34 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination: flag TRAINING docs sharing >= min_overlap distinct
+    n-gram shingles with any BENCHMARK doc (the pre-training hygiene step
+    that keeps eval sets out of the corpus).
+
+    Output: (doc_id, bench_doc_id, n_shared) per contaminated pair.
+
+    Scale shape: the benchmark shingle set is small (eval sets are; the
+    training corpus is not) — broadcast it, so the only pass over the
+    training side is a broadcast hash join on the shingle hash followed by
+    a pair-count aggregate. No training-side self-join ever happens.
+    """
+    t = _shingle_table(train, text_col, id_col, n)
+    b = _shingle_table(benchmark, text_col, id_col, n).select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("s").alias("bs")
+    )
+    return (
+        t.join(F.broadcast(b), t.s == b.bs)
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -158,6 +158,30 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+               FROM documents WHERE doc_id % 97 <> 0),
+    b AS (SELECT doc_id AS bench_doc_id, unnest({_shingles_sql(3)}) AS s
+          FROM documents WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, bench_doc_id, COUNT(*) AS n_shared
+    FROM t JOIN b ON t.s = b.s
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+    doc="Decontamination (pre-training hygiene): flag training docs "
+    "sharing >= 3 distinct 3-gram shingles with any benchmark doc "
+    "(benchmark = the deterministic doc_id %% 97 == 0 slice here). The "
+    "small benchmark shingle set BROADCASTS, so the training corpus is "
+    "touched once by a broadcast hash join — no self-join at any scale.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dd.ngram_contamination(train, bench, min_overlap=3)
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
