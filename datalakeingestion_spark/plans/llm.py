@@ -533,6 +533,41 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_length_filter_percentile",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, len({TOKS_SQL}) AS n_tokens FROM documents),
+    b AS (SELECT round(quantile_cont(n_tokens, 0.05), 6) AS lo,
+                 round(quantile_cont(n_tokens, 0.95), 6) AS hi
+          FROM n)
+    SELECT doc_id, n_tokens,
+           (n_tokens >= lo AND n_tokens <= hi) AS keep
+    FROM n, b
+    """,
+    doc="Data-driven length filter: keep docs inside the corpus's own "
+    "[p05, p95] token-count band instead of hand-picked cutoffs "
+    "(fixed thresholds rot as the corpus mix changes). Two passes: an "
+    "exact interpolated percentile pair (Spark percentile ≡ DuckDB "
+    "quantile_cont, 6-dp rounded), then a scan with the scalar bounds — "
+    "at 100 TB swap pass one to approx_percentile and keep the shape.",
+)
+def text_length_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    row = n.agg(
+        F.round(F.percentile("n_tokens", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("n_tokens", F.lit(0.95)), 6).alias("hi"),
+    ).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    return n.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_tokens") >= lo) & (F.col("n_tokens") <= hi)).alias("keep"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id, {_h60_sql(NORM_SQL)} AS fingerprint FROM documents
