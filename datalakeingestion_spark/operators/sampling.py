@@ -93,3 +93,35 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY n rows per stratum, deterministically.
+
+    Rate-based hash sampling (``deterministic_sample``) gives each stratum
+    a binomial-sized draw — fine corpus-wide, wrong when a balanced set
+    needs exact per-class counts (eval-set construction, class-balanced
+    fine-tuning mixes). Here every row gets a portable-hash rank within
+    its stratum (salted, id tie-break → total order) and the top n are
+    kept: same rows on every run and every cluster.
+
+    Scale shape: one shuffle on the stratum key; WindowGroupLimit pushes
+    the top-n BEFORE the exchange (the w1/w2 plan property), so executors
+    ship at most n·|partitions| rows per stratum, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _rate_hash(F.col(id_col).cast("string"), salt), id_col
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -750,6 +750,31 @@ def sample_documents_deterministic(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stratified_sample_exact",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 30
+    """,
+    doc="Exactly-n-per-stratum deterministic sampling (balanced eval sets, "
+    "class-balanced fine-tuning mixes): portable-hash rank within each "
+    "stratum with id tie-break, top 30 per language kept — rate-based "
+    "hash sampling would draw binomial-sized strata instead. One shuffle "
+    "on the stratum key; WindowGroupLimit prunes to top-n pre-exchange.",
+)
+def stratified_sample_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", 30).select("doc_id", "lang")
+
+
+@register(
     "split_train_val",
     oracle="""
     SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT
