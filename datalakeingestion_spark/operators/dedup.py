@@ -341,18 +341,33 @@ def connected_components(
     cluster resolution keeps exactly one canonical doc (min id) per
     transitively-connected group.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes the min of its own label and its neighbors' labels; converges
-    in <= graph-diameter rounds. Near-dup clusters are shallow (diameter
-    is a handful of hops), so rounds are few; each round is ONE
-    shuffle-join + grouped min. Convergence is detected via the sum of
-    labels (strictly decreasing until fixpoint — one scalar action per
-    round, no expensive frame comparison). For billion-edge graphs with
-    adversarially long chains, swap the propagation loop for alternating
-    large-star/small-star rounds (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14) — same join primitive, O(log n)
-    rounds; not needed for dedup-shaped graphs.
+    Algorithm: min-label propagation with POINTER JUMPING. Each round
+    every node takes (1) the min of its own and its neighbors' labels,
+    then (2) the label of its own label (path-halving shortcut, the same
+    doubling trick as Kiveris et al.'s large-star/small-star, SoCC'14) —
+    so a component of diameter d converges in O(log d) rounds, not O(d).
+    Each round is two shuffle-joins + a grouped min.
+
+    Every round's result is CHECKPOINTED, not just persisted: persist
+    caches data but the logical plan still doubles per round (union +
+    convergence-check both embed the previous round), and by round ~20
+    the plan string hits gigabytes and Catalyst analysis dominates the
+    runtime. Checkpointing truncates lineage so per-round cost is flat —
+    and the returned frame is already materialized, so downstream
+    consumers never re-run the loop. If the session has a reliable
+    checkpoint dir configured (``sc.setCheckpointDir``) it is used
+    (survives executor loss — the right mode on a 1000-executor
+    cluster); otherwise ``localCheckpoint`` (executor-local blocks,
+    fine for local / small-cluster runs).
     """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -361,11 +376,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
     )
     converged = labels.isEmpty()  # empty graph is trivially converged
     for _ in range(max_iterations):
@@ -375,12 +389,31 @@ def connected_components(
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # pointer jump: label(label(x)). A label is always the id of a
+        # node in the same component (it entered via a path of edges),
+        # and label(y) <= y, so the shortcut only moves labels down and
+        # never across components. Left join + coalesce guards the root
+        # (label(root) = root always matches, but be explicit).
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("l_node"), F.col("label").alias("l_label")
+                ),
+                F.col("a.label") == F.col("l_node"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce(F.col("l_label"), F.col("a.label")).alias("label"),
+            )
+        )
+        new_labels = _checkpoint(jumped)
         # fixpoint test by direct comparison — works for ANY orderable id
         # type (a sum-of-labels shortcut would misread string ids as an
         # empty graph and can overflow on wide hash-derived longs)
@@ -390,7 +423,6 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .isEmpty()
         )
-        labels.unpersist()
         labels = new_labels
     edges.unpersist()
     if not converged:
@@ -399,9 +431,8 @@ def connected_components(
             "rounds — the pair graph has a longer chain than expected; "
             "raise max_iterations or switch to large-star/small-star"
         )
-    # final labels stay persisted: the returned frame's lineage is the whole
-    # propagation loop, so dropping the cache here would force consumers to
-    # re-run every round (callers / bench clear the session cache when done)
+    # labels is checkpointed (materialized): consumers re-reading the
+    # returned frame scan the checkpoint blocks, never re-run the loop
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -204,3 +204,44 @@ def test_section_logger(tmp_path):
     assert (tmp_path / "process.out").read_text().strip().endswith("hello process")
     with _pytest.raises(ValueError):
         section_logger("NOPE")
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must equal a reference union-find on seeded
+    random graphs (mix of chains, cliques, and isolated pairs)."""
+    from datalakeingestion_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = set()
+        # random edges over a 60-node id space plus a guaranteed chain
+        for _ in range(50):
+            a, b = rng.randrange(60), rng.randrange(60)
+            if a != b:
+                pairs.add((a, b))
+        chain_base = 100 + trial * 20
+        pairs.update((chain_base + i, chain_base + i + 1) for i in range(6))
+        df = spark.createDataFrame(sorted(pairs), ["doc_id_a", "doc_id_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, max_iterations=40).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in pairs:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+        assert got == want
