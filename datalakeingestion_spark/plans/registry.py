@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
         tpch_joins,
         tpch_joins2,
         tpch_joins3,
+        tpch_joins4,
     )
 
     _LOADED = True

@@ -154,3 +154,34 @@ def test_repetition_filter_no_shuffle(spark):
     plan = formatted_plan(run(spark, "text_repetition_filter"))
     # per-doc arithmetic only: no Exchange anywhere in the plan
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_q9_three_dims_broadcast_no_expand(spark):
+    plan = formatted_plan(run(spark, "q9_profit_by_nation_year"))
+    # part (name-filtered), supplier, and nation all broadcast; the only
+    # legitimate big joins are lineitem⋈orders + the final group-by.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+
+
+def test_q16_distinct_count_stays_two_phase(spark):
+    plan = formatted_plan(run(spark, "q16_supplier_part_variety"))
+    # single countDistinct must plan as the two-phase partial aggregate on
+    # (group, suppkey) — an Expand here would triple the fact pre-shuffle
+    assert "Expand" not in plan, plan
+    # the supplier blacklist rides a broadcast anti join, never a shuffle
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_q20_fact_pruned_before_aggregate(spark):
+    plan = formatted_plan(run(spark, "q20_half_volume_suppliers"))
+    # the part-name semi-join must broadcast and sit BELOW the aggregate,
+    # so only small-part lineitems reach the groupBy shuffle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    semi_pos = plan.find("LeftSemi")
+    agg_pos = plan.find("HashAggregate")
+    assert semi_pos != -1 and agg_pos != -1
