@@ -828,3 +828,34 @@ def mix_corpora_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
     )
     return mixed.groupBy("mix_source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "pack_sequences_512",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t)
+    SELECT doc_id, n_tokens, CAST(cum_before // 512 AS BIGINT) AS seq_id
+    FROM c
+    """,
+    doc="Token-budget sequence packing (pre-training sample assembly): "
+    "documents in stable id order are packed into 512-token sequences "
+    "(pack-with-overflow, boundaries preserved). The oracle's global "
+    "running sum would plan as a SINGLE-partition window in Spark; the "
+    "implementation is the two-pass distributed prefix sum in "
+    "operators/packing.py — range partition + tiny per-partition offsets "
+    "+ one Arrow mapInPandas pass, so it holds at 100 TB.",
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    return pack_sequences(sized, token_budget=512)

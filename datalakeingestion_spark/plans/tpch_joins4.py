@@ -198,3 +198,70 @@ def q20_half_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+                 AS value_dec
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            JOIN nation ON n_nationkey = s_nationkey
+                          WHERE n_name IN ('NATION_2', 'NATION_11', 'NATION_19'))
+      GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM v
+    WHERE 2000 * value_dec > (SELECT SUM(value_dec) FROM v)
+    ORDER BY value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape: per-part net value for three nations' suppliers, "
+    "kept when it exceeds 1/2000 of the filtered total — a grouped "
+    "aggregate compared against a SCALAR subquery over itself. Spark: the "
+    "supplier id set broadcasts (semi-join prunes the fact before its one "
+    "groupBy shuffle); the global total is a 1-row aggregate broadcast "
+    "back over the per-part frame (no driver round-trip, no second fact "
+    "scan — the grouped frame is reused for both sides). The threshold is "
+    "multiplied through (2000*value > total) so both engines compare "
+    "exact decimals, not divided doubles.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nation_ids = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_11", "NATION_19")
+    ).select("n_nationkey")
+    supp_ids = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation_ids),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    ext = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(5,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    v = (
+        li.join(
+            F.broadcast(supp_ids),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(ext * (one - disc)).alias("value_dec"))
+        .persist()  # reused by both sides of the threshold comparison
+    )
+    total = v.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.lit(2000) * F.col("value_dec") > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )

@@ -121,6 +121,7 @@ def interval_join_events_orders(
     order_id: str = "o_orderkey",
     within: str = "24 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each event with the same user's
     orders placed within ``within`` AFTER the event (attribution-style
@@ -133,10 +134,21 @@ def interval_join_events_orders(
     is an ordinary range-predicate join, which is exactly how the
     equivalence test validates the streaming output.
 
+    ``how='left_outer'`` additionally emits unmatched events with null
+    order columns — the conversion-funnel "no purchase followed" rows.
+    Outer results are emitted only once the watermark passes the event's
+    join horizon (event_ts + within + watermark): Spark must be sure no
+    matching order can still arrive. A finite availableNow drain
+    therefore needs a later batch (or no-data batch) to advance the
+    watermark past the tail events, else their outer rows stay in state —
+    that is correct streaming semantics, not data loss.
+
     Every column is a parameter; the two sides are alias-qualified so the
     join stays a cross-frame equi-join even when both sides use the SAME
     column names (e.g. user_key == order_key == 'user_id').
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     ev, od = events, orders
     if events.isStreaming:
         ev = events.withWatermark(event_ts, watermark)
@@ -151,7 +163,7 @@ def interval_join_events_orders(
             <= F.col(f"ev.{event_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return ev.join(od, cond, "inner").select(
+    return ev.join(od, cond, how).select(
         F.col(f"ev.{user_key}").alias(user_key),
         F.col(f"ev.{event_id}").alias(event_id),
         F.col(f"ev.{event_ts}").alias("event_ts"),

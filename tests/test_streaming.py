@@ -237,3 +237,82 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij").collect()
     }
     assert got == want
+
+
+def test_interval_join_left_outer_streaming_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched events must be
+    emitted (with null order columns) once the watermark passes their join
+    horizon — equal to the batch left join over the same data."""
+    import time as _time
+
+    from datalakeingestion_spark.streaming.incremental import (
+        interval_join_events_orders,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    orders = (
+        events.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("user_id").alias("o_custkey"),
+            (F.col("event_id") + 1_000_000).alias("o_orderkey"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("o_orderdate"),
+        )
+    )
+    batch = interval_join_events_orders(
+        events, orders, within="2 hours", how="left_outer"
+    )
+    want = {(r["event_id"], r["o_orderkey"]) for r in batch.collect()}
+    unmatched = {e for e, o in want if o is None}
+    assert unmatched, "fixture must produce some unmatched events"
+
+    ev_src, od_src = str(tmp_path / "ev"), str(tmp_path / "od")
+    events.write.parquet(ev_src)
+    orders.write.parquet(od_src)
+    # two sentinel events far past every real row, written with strictly
+    # later mtimes: with maxFilesPerTrigger=1 each lands in its own later
+    # micro-batch. Sentinel 1 advances the watermark past all real events'
+    # join horizon; the batch processing sentinel 2 applies that watermark
+    # and flushes the buffered outer rows (watermark_N is computed from
+    # batch N-1's data — without a following batch nothing is evicted).
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for bump in (1, 2):
+        _time.sleep(1.2)
+        spark.createDataFrame(
+            [(-bump, -bump, max_ts)], "user_id long, event_id long, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {30 + bump} DAYS")
+        ).coalesce(1).write.mode("append").parquet(ev_src)
+    # eviction is gated on the GLOBAL watermark = min over both inputs, so
+    # the ORDERS stream needs a far-future row too — otherwise its
+    # watermark pins the state horizon ~4h behind the last real order and
+    # the tail events' outer rows are never flushed
+    spark.createDataFrame(
+        [(-1, -1, max_ts)], "o_custkey long, o_orderkey long, o_orderdate timestamp"
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS")
+    ).coalesce(1).write.mode("append").parquet(od_src)
+
+    ev_s = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_src)
+    )
+    od_s = spark.readStream.schema(orders.schema).parquet(od_src)
+    joined = interval_join_events_orders(
+        ev_s, od_s, within="2 hours", watermark="4 hours", how="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in spark.sql("SELECT * FROM ij_outer").collect()
+        if r["event_id"] >= 0  # drop watermark sentinels
+    }
+    assert got == want
