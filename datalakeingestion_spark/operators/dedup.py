@@ -368,29 +368,31 @@ def connected_components(
             eager=True
         )
 
+    both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    # self-loops fold the "keep your own label" term into the neighbor-min
+    # join itself, so the propagation loop contains NO Union — a Union of
+    # a checkpointed child inside the loop trips Catalyst's
+    # InferFiltersFromConstraints on non-nullable lineage (key-not-found
+    # in UnionBase.rewriteConstraints), and one less operator per round
+    # keeps the per-round plan minimal anyway.
+    nodes = both.select(F.col("src").alias("node")).distinct()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        both.unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .distinct()
         .persist()
     )
-    labels = _checkpoint(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    labels = _checkpoint(nodes.select("node", F.col("node").alias("label")))
     converged = labels.isEmpty()  # empty graph is trivially converged
     for _ in range(max_iterations):
         if converged:
             break
-        neighbor = (
+        stepped = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
-        )
-        stepped = (
-            labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
