@@ -310,7 +310,7 @@ class IncrementalIngestJob:
                 source_count=n,
                 reason_code="validation-skipped",
             )
-            self._maintain_latest(delta)
+            self._maintain_latest(written)
             return IngestResult(STATUS_SUCCESS, mn, mx, n, files=written)
 
         lake = self.spark.read.parquet(self.target_location)
@@ -340,7 +340,7 @@ class IncrementalIngestJob:
             source_count=n,
             target_count=target_n,
         )
-        self._maintain_latest(delta)
+        self._maintain_latest(written)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n, written)
 
     def run_windows(self, until: str, window_hours: int = 24) -> list[IngestResult]:
@@ -388,8 +388,12 @@ class IncrementalIngestJob:
                 break  # nothing at/after the watermark at all
             start = max(start, first.replace(microsecond=0))
             cap = min(start + timedelta(hours=window_hours), end)
+            # full µs precision: a plain strftime(fmt) would TRUNCATE a
+            # sub-second `until` (e.g. now()) below the running watermark —
+            # the final window then either skips the tail rows or, via the
+            # empty-window record, re-resolves the same start forever
             windowed = IncrementalIngestJob(
-                **{**self.__dict__, "end_value_cap": cap.strftime(fmt)}
+                **{**self.__dict__, "end_value_cap": cap.strftime(fmt + ".%f")}
             )
             res = windowed.run()
             results.append(res)
@@ -410,22 +414,26 @@ class IncrementalIngestJob:
                 break
         return results
 
-    def _maintain_latest(self, batch: DataFrame) -> None:
+    def _maintain_latest(self, written: list[str]) -> None:
+        """Merge the appended batch into the latest zone by re-reading the
+        WRITTEN FILES, not the source delta frame: the delta frame is lazy,
+        so merging it would re-scan the source at merge time — a row
+        updated between the lake append and the merge would make the
+        latest zone disagree with the lake (and a JDBC source would pay a
+        second remote scan). The written data files are the batch as the
+        lake actually recorded it; partition columns live in directory
+        names, not the files, so the read matches the pre-partition schema
+        merge_latest expects."""
         if not self.maintain_latest:
             return
         if not self.primary_key:
             raise ValueError("maintain_latest requires a primary_key")
         from .merge import merge_latest
 
-        drop_cols = (
-            [self.partition_spec.partition_column_name]
-            if self.partition_spec is not None
-            else []
-        )
         merge_latest(
             self.spark,
             self.target_location.rstrip("/") + "__latest",
-            batch.drop(*drop_cols),
+            self.spark.read.parquet(*written),
             list(self.primary_key),
             self._latest_order_col(),
             list(self.latest_tie_breaks),

@@ -365,3 +365,32 @@ def test_windowed_voluminous_mode(spark, events, tmp_path):
     again = job.run_windows("2024-01-30 23:59:59", window_hours=24 * 10)
     assert all(r.source_count == 0 for r in again)
     assert spark.read.parquet(job.target_location).count() == ingested
+
+
+def test_windowed_mode_microsecond_until_ingests_tail(spark, events, tmp_path):
+    """A sub-second `until` (e.g. now()) must not be truncated to the
+    second when capping the final window: the old strftime('%S') cap fell
+    BELOW the running watermark, so rows in the fractional tail were
+    skipped and the empty-window record re-resolved the same start
+    forever. Build a source whose max row sits inside that tail."""
+    base = events.filter(F.col("ts") <= "2024-01-05 00:00:00").select(
+        "event_id", "user_id", "ts"
+    )
+    tail = spark.createDataFrame(
+        [(999_999, 1)], "event_id long, user_id long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.lit("2024-01-06 12:00:00.300000").cast("timestamp").alias("ts"),
+    )
+    src = base.unionByName(tail)
+    job = _job(spark, src, tmp_path)
+    results = job.run_windows("2024-01-06 12:00:00.500000", window_hours=24 * 10)
+    ingested = sum(r.source_count for r in results)
+    assert ingested == src.count()  # the .3s tail row IS pulled
+    lake = spark.read.parquet(job.target_location)
+    assert lake.filter(F.col("event_id") == 999_999).count() == 1
+
+    # caught up: re-running terminates with no new data
+    again = job.run_windows("2024-01-06 12:00:00.500000", window_hours=24 * 10)
+    assert all(r.source_count == 0 for r in again)
