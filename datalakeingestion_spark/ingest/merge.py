@@ -24,6 +24,45 @@ from pyspark.sql import functions as F
 from ..config.partition_spec import PartitionSpec
 
 
+def _fs(spark: SparkSession, p: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    return jvm, path.getFileSystem(conf), path
+
+
+def _backup_path(jvm, final_path: str):
+    return jvm.org.apache.hadoop.fs.Path(final_path.rstrip("/") + ".__old__")
+
+
+def _recover_swap(spark: SparkSession, final_path: str) -> None:
+    """Heal a crashed directory swap BEFORE reading the materialization.
+
+    A crash between ``rename(live -> backup)`` and ``rename(staging ->
+    live)`` leaves no live dir and the ONLY copy of the data in the
+    backup. Without this restore, the next merge would silently rebuild
+    from its batch alone and then delete the backup — discarding every
+    previously materialized key."""
+    jvm, fs, path = _fs(spark, final_path)
+    backup = _backup_path(jvm, final_path)
+    if not fs.exists(path) and fs.exists(backup):
+        fs.rename(backup, path)
+
+
+def _publish_swap(spark: SparkSession, staging: str, final_path: str) -> None:
+    """live -> backup -> publish staging -> drop backup (each step
+    idempotent under retry; the crash window is healed by _recover_swap)."""
+    jvm, fs, path = _fs(spark, final_path)
+    backup = _backup_path(jvm, final_path)
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(path):
+        fs.rename(path, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
+    if fs.exists(backup):
+        fs.delete(backup, True)
+
+
 def merge_latest(
     spark: SparkSession,
     latest_path: str,
@@ -43,10 +82,8 @@ def merge_latest(
     """
     from ..operators.relational import latest_rows
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(latest_path)
-    fs = path.getFileSystem(conf)
+    _recover_swap(spark, latest_path)
+    _, fs, path = _fs(spark, latest_path)
 
     batch_winners = latest_rows(batch, primary_key, order_col, tie_breaks or [])
     if fs.exists(path):
@@ -63,14 +100,7 @@ def merge_latest(
     staging = latest_path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
     n = spark.read.parquet(staging).count()
-    backup = jvm.org.apache.hadoop.fs.Path(latest_path.rstrip("/") + ".__old__")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    if fs.exists(path):
-        fs.rename(path, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
-    if fs.exists(backup):
-        fs.delete(backup, True)
+    _publish_swap(spark, staging, latest_path)
     return n
 
 
@@ -86,10 +116,8 @@ def merge_upsert(
 
     First call on an empty target is equivalent to a plain write.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = path.getFileSystem(conf)
+    _recover_swap(spark, target_path)
+    _, fs, path = _fs(spark, target_path)
 
     if partition_spec is not None:
         updates = partition_spec.derive(updates)
@@ -110,14 +138,7 @@ def merge_upsert(
 
     # swap: best-effort atomicity on a single filesystem (rename is atomic
     # on HDFS/local; on S3 use Delta instead — see module docstring)
-    backup = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + ".__old__")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    if fs.exists(path):
-        fs.rename(path, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
-    if fs.exists(backup):
-        fs.delete(backup, True)
+    _publish_swap(spark, staging, target_path)
     return n
 
 
@@ -163,10 +184,8 @@ def merge_rollup(
         aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
         return df.groupBy(*group_cols).agg(*aggs)
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(rollup_path)
-    fs = path.getFileSystem(conf)
+    _recover_swap(spark, rollup_path)
+    _, fs, path = _fs(spark, rollup_path)
 
     new = partials(batch)
     if fs.exists(path):
@@ -178,12 +197,5 @@ def merge_rollup(
     staging = rollup_path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
     n = spark.read.parquet(staging).count()
-    backup = jvm.org.apache.hadoop.fs.Path(rollup_path.rstrip("/") + ".__old__")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    if fs.exists(path):
-        fs.rename(path, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), path)
-    if fs.exists(backup):
-        fs.delete(backup, True)
+    _publish_swap(spark, staging, rollup_path)
     return n

@@ -186,3 +186,33 @@ def test_merge_rollup_incremental_equals_full(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_merge_latest_recovers_crashed_swap(spark, tmp_path):
+    """Crash window: live dir already moved to .__old__, staging never
+    published. The next merge must RESTORE the backup before reading —
+    otherwise it rebuilds from its batch alone and deletes the only copy
+    of every previously materialized key."""
+    import os
+
+    from datalakeingestion_spark.ingest.merge import merge_latest
+
+    events = load_table(spark, SF_SMALL, "events")
+    latest_path = str(tmp_path / "events__latest")
+    b1 = events.filter(F.col("ts") < "2024-01-15")
+    b2 = events.filter(F.col("ts") >= "2024-01-15")
+    merge_latest(spark, latest_path, b1, ["user_id"], "ts", ["event_id"])
+    before = spark.read.parquet(latest_path).count()
+    assert before > 0
+
+    # simulate the crash: live -> backup done, publish never happened
+    os.rename(latest_path, latest_path + ".__old__")
+
+    n = merge_latest(spark, latest_path, b2, ["user_id"], "ts", ["event_id"])
+    assert n == 15  # all users survive, not just batch-2's
+    keys = {r["user_id"] for r in spark.read.parquet(latest_path).collect()}
+    b1_only = {
+        r["user_id"]
+        for r in b1.select("user_id").distinct().collect()
+    } - {r["user_id"] for r in b2.select("user_id").distinct().collect()}
+    assert b1_only <= keys  # pre-crash-only keys were not discarded
