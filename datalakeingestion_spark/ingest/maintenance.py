@@ -48,6 +48,11 @@ def compact(
     At cluster scale pick ``files_per_partition`` so files land at
     ~128-512 MB; on Delta this is OPTIMIZE/auto-compaction.
     """
+    from .merge import _publish_swap, _recover_swap
+
+    # a compaction that crashed mid-swap left the lake in the .__old__
+    # backup — restore it before reading (else the read fails outright)
+    _recover_swap(spark, path)
     df = spark.read.parquet(path)
     n_before = df.count()
 
@@ -75,11 +80,5 @@ def compact(
     writer.parquet(staging)
     assert spark.read.parquet(staging).count() == n_before
 
-    jvm, fs, p = _fs(spark, path)
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    fs.rename(p, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p)
-    fs.delete(backup, True)
+    _publish_swap(spark, staging, path)
     return n_before
