@@ -39,28 +39,37 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     num_partitions: int | None = None,
+    order_cols: list[str] | None = None,
+    include_position: bool = False,
 ) -> DataFrame:
     """Assign each document a ``seq_id`` = floor(exclusive-prefix-sum of
-    ``tokens_col`` in ``id_col`` order / ``token_budget``).
+    ``tokens_col`` in ``order_cols`` order / ``token_budget``).
 
     Document boundaries are preserved: a document whose tail crosses the
     budget stays whole in its sequence (pack-with-overflow; split/truncate
-    is a downstream choice). ``docs`` must carry ``id_col`` (unique,
-    orderable) and ``tokens_col`` (non-negative int).
+    is a downstream choice). ``docs`` must carry ``id_col`` (unique),
+    ``tokens_col`` (non-negative int), and ``order_cols`` (defaults to
+    ``[id_col]``; the composite must be a total order for a deterministic
+    result). ``include_position=True`` adds the exclusive prefix sum
+    itself as a ``position`` column — with ``tokens_col`` ≡ 1 that is a
+    distributed 0-based row_number (see ``global_positions``).
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
+    order_cols = list(order_cols or [id_col])
     spark = docs.sparkSession
     n = int(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    keep = [id_col] + [c for c in order_cols if c != id_col]
     part = (
         docs.select(
-            F.col(id_col), F.col(tokens_col).cast("long").alias(tokens_col)
+            *[F.col(c) for c in keep],
+            F.col(tokens_col).cast("long").alias(tokens_col),
         )
-        .repartitionByRange(n, F.col(id_col))
-        .sortWithinPartitions(id_col)
+        .repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -79,13 +88,14 @@ def pack_sequences(
             running += int(totals.get(pid, 0) or 0)
 
         id_field = part.schema[id_col]
-        out_schema = T.StructType(
-            [
-                T.StructField(id_col, id_field.dataType),
-                T.StructField(tokens_col, T.LongType()),
-                T.StructField("seq_id", T.LongType()),
-            ]
-        )
+        fields = [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(tokens_col, T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+        ]
+        if include_position:
+            fields.append(T.StructField("position", T.LongType()))
+        out_schema = T.StructType(fields)
 
         def pack(batches):
             import numpy as np
@@ -103,6 +113,8 @@ def pack_sequences(
                 cum += int(t.sum())
                 out = pdf[[id_col, tokens_col]].copy()
                 out["seq_id"] = cum_before // token_budget
+                if include_position:
+                    out["position"] = cum_before
                 yield out
 
         result = part.mapInPandas(pack, schema=out_schema)
@@ -112,3 +124,34 @@ def pack_sequences(
     finally:
         part.unpersist()
     return result
+
+
+def global_positions(
+    docs: DataFrame,
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed 0-based row_number over a global order — the operator
+    Spark's window form can't scale (``row_number() OVER (ORDER BY ...)``
+    with no PARTITION BY collapses to a single task). This is the
+    prefix-sum machinery with a constant weight of 1: one range shuffle,
+    #partitions-row offsets, one Arrow pass. The canonical use is the
+    deterministic training-order shuffle: order by a seeded portable hash
+    and every engine/run agrees on the permutation.
+
+    Returns (id_col, global_pos).
+    """
+    ones = docs.select(
+        id_col, *[c for c in order_cols if c != id_col]
+    ).withColumn("_one", F.lit(1).cast("long"))
+    packed = pack_sequences(
+        ones,
+        token_budget=1 << 40,  # seq_id unused; one giant "sequence"
+        id_col=id_col,
+        tokens_col="_one",
+        num_partitions=num_partitions,
+        order_cols=order_cols,
+        include_position=True,
+    )
+    return packed.select(id_col, F.col("position").alias("global_pos"))

@@ -238,3 +238,40 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_numbers.cast("long").alias("n_numbers"),
         t3.alias("clean_text"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    windows (stride = chunk_tokens - overlap) — the context-window
+    chunking step for embedding/retrieval pipelines. Per-doc expression
+    work only (sequence + posexplode + slice): zero shuffles, scales with
+    cores. Empty documents yield no chunks; the final chunk keeps its
+    natural (shorter) tail rather than padding.
+
+    Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    base = docs.select("doc_id", toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(stride)
+    )
+    exploded = base.select(
+        "doc_id", "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

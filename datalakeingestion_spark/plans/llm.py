@@ -859,3 +859,91 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     return pack_sequences(sized, token_budget=512)
+
+
+@register(
+    "chunk_documents_128",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 96)) AS start
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 128), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 128)) AS BIGINT)
+               AS n_chunk_tokens
+    FROM s
+    """,
+    doc="Context-window chunking for retrieval/embedding pipelines: "
+    "128-token windows, 32-token overlap (stride 96), natural tail. "
+    "Pure per-doc expressions (sequence + posexplode + slice) — zero "
+    "shuffles, scales with cores.",
+)
+def chunk_documents_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+@register(
+    "shuffle_rank_deterministic",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT,
+                        doc_id) - 1 AS BIGINT) AS global_pos
+    FROM documents
+    """,
+    doc="Deterministic training-order shuffle: global 0-based rank in "
+    "seeded-portable-hash order. The oracle's bare row_number() window "
+    "is the SINGLE-TASK plan at scale; the implementation is "
+    "operators/packing.py::global_positions — distributed prefix sum "
+    "(range shuffle + offsets + Arrow pass), same answer, no serial "
+    "bottleneck. Reproducible across engines and runs by construction.",
+)
+def shuffle_rank_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash32
+    from ..operators.packing import global_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        portable_hash32(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    )
+    return global_positions(keyed, order_cols=["_h", "doc_id"])
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH m AS (SELECT vec_id, embedding,
+                      CAST(list_max(list_transform(embedding, x -> abs(x)))
+                           AS DOUBLE) AS mx
+               FROM embeddings)
+    SELECT vec_id, mx / 127.0 AS scale,
+           array_to_string(
+               CASE WHEN mx > 0
+                    THEN list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127.0))
+                                   AS INTEGER))
+                    ELSE list_transform(embedding, x -> 0) END, ',') AS qvec
+    FROM m
+    """,
+    doc="Symmetric per-vector int8 quantization (4x smaller ANN candidate "
+    "store; dequantize = q*scale). JVM-side transform/array_max only; "
+    "float32 inputs widen to double exactly, so both engines produce "
+    "identical codes. The query serializes qvec to CSV text for the "
+    "value-hash; the operator returns the real array<int>.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(vectors)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+    )

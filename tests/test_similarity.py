@@ -56,3 +56,37 @@ def test_embedding_near_duplicates_contract(spark, emb):
     for r in out:
         assert r.vec_id_a < r.vec_id_b  # canonical pair order, no dupes
         assert r.cosine >= 0.9
+
+
+def test_quantize_int8_roundtrip_preserves_neighbors(spark, emb):
+    """Dequantized int8 vectors must preserve cosine geometry: max
+    elementwise error <= scale/2 and exact top-10 neighbor overlap >= 0.9
+    on the fixture corpus."""
+    import numpy as np
+
+    rows = sim.quantize_embeddings(emb).collect()
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    deq, errs = {}, []
+    for r in rows:
+        v = np.array(r["qvec"], dtype=np.float64) * r["scale"]
+        deq[r["vec_id"]] = v
+        errs.append(np.max(np.abs(v - orig[r["vec_id"]])) if r["scale"] else 0.0)
+        assert max(abs(q) for q in r["qvec"]) <= 127
+    scales = {r["vec_id"]: r["scale"] for r in rows}
+    for vid, err in zip(deq, errs):
+        assert err <= scales[vid] / 2 + 1e-12
+
+    ids = sorted(deq)
+    X = np.stack([orig[i] for i in ids])
+    Q = np.stack([deq[i] for i in ids])
+
+    def topk(M, k=10):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        return np.argsort(-S, axis=1)[:, :k]
+
+    a, b = topk(X), topk(Q)
+    overlap = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(a, b)])
+    assert overlap >= 0.9, overlap

@@ -145,3 +145,31 @@ def test_redact_pii_counts_and_placeholders(spark):
     row = redact_pii(docs).first()
     assert (row["n_emails"], row["n_urls"], row["n_numbers"]) == (1, 1, 1)
     assert row["clean_text"] == "mail <EMAIL> or visit <URL> call <NUMBER> ok"
+
+
+def test_chunk_documents_windows(spark):
+    from datalakeingestion_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "solo"),
+            (3, ""),  # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=8, overlap=4).collect()
+    }
+    # doc 1: stride 4 -> starts 0,4,8 -> lengths 8, 6, 2
+    assert out[(1, 0)][0] == 8 and out[(1, 0)][1].startswith("w0 w1")
+    assert out[(1, 1)][0] == 6 and out[(1, 1)][1].startswith("w4")
+    assert out[(1, 2)] == (2, "w8 w9")
+    assert out[(2, 0)] == (1, "solo")
+    assert not any(d == 3 for d, _ in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
