@@ -185,3 +185,31 @@ def test_q20_fact_pruned_before_aggregate(spark):
     semi_pos = plan.find("LeftSemi")
     agg_pos = plan.find("HashAggregate")
     assert semi_pos != -1 and agg_pos != -1
+
+
+def test_chunking_no_shuffle(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "chunk_documents_128"))
+    # per-doc generate/slice only — no Exchange anywhere
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_shuffle_rank_avoids_global_window(spark):
+    plan = formatted_plan(run(spark, "shuffle_rank_deterministic"))
+    # the distributed prefix sum must NOT plan a Window (a bare
+    # row_number() window would collapse to a single partition). The
+    # prefix-sum pipeline itself is hidden behind the eager checkpoint,
+    # so the visible plan is the materialized scan — the pin is that no
+    # Window ever appears and the result arrives pre-computed.
+    assert "Window" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_quantize_stays_jvm_side(spark):
+    plan = formatted_plan(run(spark, "embedding_quantize_int8"))
+    # pure column expressions: no python/pandas evaluation, no shuffle
+    import re
+
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
