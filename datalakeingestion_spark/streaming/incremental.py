@@ -170,3 +170,51 @@ def interval_join_events_orders(
         F.col(f"od.{order_id}").alias(order_id),
         F.col(f"od.{order_ts}").alias("order_ts"),
     )
+
+
+def stream_upsert_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    latest_path: str,
+    checkpoint: str,
+    primary_key: list[str],
+    order_col: str,
+    tie_breaks: list[str] | None = None,
+):
+    """Streaming CDC-style upsert: drain new files from ``source_dir`` and
+    fold each micro-batch into the materialized latest-row zone
+    (``merge_latest``), then stop.
+
+    foreachBatch + the checkpoint give exactly-once PER BATCH: a replayed
+    batch re-merges the same rows, and merge_latest is idempotent (a key's
+    winner cannot regress), so retries are safe. This is the
+    reference-design inversion: instead of appending duplicate versions
+    and paying the latest-row window at EVERY read (T6), the stream pays
+    one bounded merge per batch and reads are plain scans. On Delta this
+    is ``foreachBatch + MERGE INTO``.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from ..ingest.merge import merge_latest
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_latest(
+            spark,
+            latest_path,
+            batch_df,
+            primary_key,
+            order_col,
+            tie_breaks or [],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -316,3 +316,53 @@ def test_interval_join_left_outer_streaming_matches_batch(spark, tmp_path):
         if r["event_id"] >= 0  # drop watermark sentinels
     }
     assert got == want
+
+
+def test_stream_upsert_maintains_latest_zone(spark, tmp_path):
+    """Streaming CDC upsert: two file drops drained by availableNow runs
+    must leave the latest zone equal to the batch latest-row view over
+    ALL data; re-draining with the same checkpoint changes nothing."""
+    from datalakeingestion_spark.operators.relational import latest_rows
+    from datalakeingestion_spark.streaming.incremental import (
+        stream_upsert_available_now,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    src = str(tmp_path / "src")
+    latest = str(tmp_path / "latest")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = events.filter(F.col("ts") < "2024-01-15")
+    b2 = events.filter(F.col("ts") >= "2024-01-15")
+    b1.write.parquet(src)
+
+    def drain():
+        q = stream_upsert_available_now(
+            spark, src, events.schema, latest, ckpt,
+            ["user_id"], "ts", ["event_id"],
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(latest).count()
+    assert n1 == b1.select("user_id").distinct().count()
+
+    b2.coalesce(2).write.mode("append").parquet(src)
+    drain()
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(latest).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_rows(events, ["user_id"], "ts", ["event_id"]).collect()
+    }
+    assert got == want
+
+    drain()  # nothing new: idempotent
+    got2 = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(latest).collect()
+    }
+    assert got2 == want
