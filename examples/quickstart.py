@@ -32,3 +32,21 @@ latest_rows(events, ["user_id"], "ts", ["event_id"]).show(5)
 docs = spark.table("documents")
 minhash_near_duplicates(docs, threshold=0.9).show(5)
 print("curated docs:", curate(docs).count(), "/", docs.count())
+
+# 4. Training-data assembly: chunk → count tokens → pack into sequences
+from datalakeingestion_spark.functions.text import tokens  # noqa: E402
+from datalakeingestion_spark.operators.packing import (  # noqa: E402
+    global_positions,
+    pack_sequences,
+)
+from datalakeingestion_spark.operators.text_analysis import (  # noqa: E402
+    chunk_documents,
+)
+
+chunks = chunk_documents(docs, chunk_tokens=128, overlap=32)
+print("chunks:", chunks.count())
+sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+packed = pack_sequences(sized, token_budget=512)
+print("sequences:", packed.select("seq_id").distinct().count())
+order = global_positions(sized, order_cols=["doc_id"])
+print("training order assigned:", order.count(), "docs")
