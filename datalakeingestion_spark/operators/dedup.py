@@ -469,3 +469,52 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-representative selection after cluster resolution: keep
+    exactly one document per near-duplicate cluster — the highest-
+    ``quality_col`` member, ties broken by smallest id — and flag the
+    rest for dropping. Documents absent from ``labels`` (in no pair) are
+    singleton clusters and always kept.
+
+    This is the final decision step of a real dedup pipeline: pair
+    generation (LSH) → cluster resolution (connected components) → THIS.
+    Keeping "min doc_id per pair" instead over-deletes chains and keeps
+    arbitrary-quality survivors; picking the best-quality member is what
+    RefinedWeb/SlimPajama-style dedups do.
+
+    Cost: one left join of the corpus against the (pairs-only, much
+    smaller) label frame, then one per-cluster window. The window
+    partitions on cluster_id — clusters are tiny (bounded by the near-dup
+    neighborhood), so no skew concern even at corpus scale.
+
+    Returns (doc_id, cluster_id, keep).
+    """
+    from pyspark.sql import Window
+
+    lab = (
+        docs.select(id_col, quality_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            quality_col,
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

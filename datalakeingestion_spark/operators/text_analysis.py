@@ -275,3 +275,127 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-probability under
+    the corpus's own unigram language model (CCNet-style — docs whose
+    token mix is far from the corpus distribution score low and are
+    curation candidates).
+
+    Two passes over the tokenized corpus:
+      1. the model — token frequencies ``tf`` plus the total count (the
+         vocabulary frame is tiny relative to the corpus and is reused via
+         persist, so pass 2 never recomputes it);
+      2. score — explode tokens, broadcast-join the vocabulary, aggregate
+         the per-occurrence log-probs per doc.
+
+    At 100 TB the vocabulary still fits a broadcast after a top-K cap
+    (Zipf: everything below the cap can share one OOV floor probability);
+    the join then touches the corpus exactly once with no shuffle on the
+    fact side. Determinism: each log-prob is rounded to 6 dp and summed
+    EXACTLY as decimal(27,6) — the mean is order-independent, so the
+    value-hash comparison cannot be flipped by partitioning.
+
+    Returns (doc_id, n_tokens, mean_logprob); docs with zero tokens have
+    no distribution and yield no row.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    total = vocab.agg(F.sum("tf")).first()[0]
+    logp = F.round(
+        F.log(F.col("tf").cast("double") / F.lit(float(total))), 6
+    ).cast("decimal(27,6)")
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(logp).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf · ln(N/df)) — the classic keyword/topic signal for corpus
+    exploration and near-dup triage.
+
+    Shuffle economy: the plan is ONE LINEAR PIPELINE — explicit
+    repartition on ``tok``, the per-(tok, doc) term-frequency aggregate,
+    and then document frequency as ``count() over (partition by tok)``,
+    all reusing the same hash(tok) exchange (no self-join: a groupBy-
+    then-join-back form re-plans the exploded corpus twice and ends up
+    broadcasting the full vocabulary — measured, not hypothetical).
+    Only the final per-doc top-k window re-shuffles, on doc_id: two
+    exchanges total, each carrying aggregate-sized rows. Scores are
+    rounded to 6 dp before ranking and ties break on the token string,
+    so the cut is deterministic.
+
+    Returns (doc_id, token, tfidf, term_rank), term_rank in [1, k].
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    ).repartition("tok")
+    per = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    wt = Window.partitionBy("tok")
+    idf = F.round(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(wt)), 6
+    )
+    scored = per.select(
+        "doc_id",
+        F.col("tok").alias("token"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "token", "tfidf", F.col("term_rank").cast("long").alias("term_rank"))
+    )
+
+
+def repetition_metrics_auto(
+    docs: DataFrame, q: float = 0.9, text_col: str = "text"
+) -> DataFrame:
+    """``repetition_metrics`` with DATA-DRIVEN thresholds: keep docs whose
+    duplicate-3-gram fraction AND top-2-gram share both sit at or below
+    the corpus's own q-quantile, instead of the hand-picked 0.05/0.05
+    cutoffs (fixed thresholds rot as the corpus mix changes — the same
+    argument as text_length_filter_percentile).
+
+    Two passes: an exact interpolated percentile pair over the per-doc
+    metrics (Spark percentile ≡ DuckDB quantile_cont, 6-dp rounded), then
+    the flagging scan with scalar bounds. At 100 TB swap pass one to
+    approx_percentile and keep the shape; the metrics themselves are
+    zero-shuffle per-doc arithmetic either way.
+    """
+    m = repetition_metrics(docs, text_col).select(
+        "doc_id", "dup_3gram_frac", "top_2gram_frac"
+    )
+    row = m.agg(
+        F.round(F.percentile("dup_3gram_frac", F.lit(q)), 6).alias("d3"),
+        F.round(F.percentile("top_2gram_frac", F.lit(q)), 6).alias("t2"),
+    ).first()
+    d3_hi, t2_hi = float(row["d3"]), float(row["t2"])
+    return m.select(
+        "doc_id",
+        "dup_3gram_frac",
+        "top_2gram_frac",
+        (
+            (F.col("dup_3gram_frac") <= d3_hi)
+            & (F.col("top_2gram_frac") <= t2_hi)
+        ).alias("keep"),
+    )

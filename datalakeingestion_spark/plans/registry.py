@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
     from . import (  # noqa: F401
         extended,
         llm,
+        llm2,
         relational,
         tpch_joins,
         tpch_joins2,
