@@ -1,0 +1,176 @@
+"""Log-based time travel over the append-only lake.
+
+The execution log already records, per ingestion batch, the exact data
+files the commit added (the LOADED row's ``reason_code`` carries the final
+file list — ingest/pipeline.py) and the instant the batch became durable
+(the following SUCCESS row's ``insert_datetime``). That is a commit log,
+i.e. the same information a Delta/Iceberg table keeps in its transaction
+log — so snapshot reads fall out for free:
+
+- ``history``      — one row per committed batch (Delta ``DESCRIBE
+                     HISTORY`` analog);
+- ``read_version`` — the lake as of commit N (0-based);
+- ``read_as_of``   — the lake as of a wall-clock instant.
+
+The reference has no equivalent (its lake is mutate-in-place S3 prefixes);
+this is a beyond-reference capability enabled by the state-table design.
+
+Scale notes:
+- the log is metadata-sized (a handful of rows per run), so the
+  single-partition window used to pair LOADED rows with their terminal
+  status is a non-issue — it never sees data-scale rows;
+- reads list explicit data files, so Catalyst still prunes columns and
+  pushes filters per file; partition columns are recovered from directory
+  names via ``basePath``.
+
+Limits (documented, by design): compaction (``maintenance.compact``)
+rewrites data files without rewriting history, so snapshots older than the
+last compaction raise a clear error instead of returning wrong rows. On a
+production deployment Delta/Iceberg time travel replaces this module.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .watermark import (
+    STATUS_FAILED,
+    STATUS_LOADED,
+    STATUS_SUCCESS,
+    STATUS_VALIDATION_FAILURE,
+    ExecutionLog,
+)
+
+_TERMINAL = (STATUS_SUCCESS, STATUS_VALIDATION_FAILURE, STATUS_FAILED)
+
+
+def history(log: ExecutionLog, ingestion_id: int) -> DataFrame:
+    """One row per COMMITTED batch, in commit order.
+
+    A batch is committed iff its LOADED row is immediately followed (among
+    status-bearing rows) by a SUCCESS row: the pipeline appends
+    LOADED → moved files → SUCCESS, while a validation rollback appends
+    VALIDATION_FAILURE and orphan cleanup appends FAILED — both of which
+    un-commit the files the LOADED row listed. Empty-window SUCCESS rows
+    (run_windows) carry no files and are not data commits.
+
+    Columns: version (0-based), committed_at, start_value, end_value,
+    source_count, num_files, files (json array string).
+    """
+    rows = (
+        log.read()
+        .filter(F.col("lake_ingestion_id") == ingestion_id)
+        .filter(F.col("execution_status").isin(STATUS_LOADED, *_TERMINAL))
+    )
+    # single-partition window: the log holds O(runs) metadata rows, never
+    # data-scale rows (see module docstring)
+    w = Window.orderBy("insert_datetime")
+    paired = (
+        rows.withColumn("next_status", F.lead("execution_status").over(w))
+        .withColumn("committed_at", F.lead("insert_datetime").over(w))
+        .filter(
+            (F.col("execution_status") == STATUS_LOADED)
+            & (F.col("next_status") == STATUS_SUCCESS)
+        )
+    )
+    return (
+        paired.withColumn(
+            "version",
+            F.row_number().over(Window.orderBy("committed_at")) - F.lit(1),
+        )
+        .withColumn(
+            "num_files", F.size(F.from_json("reason_code", "array<string>"))
+        )
+        .select(
+            "version",
+            "committed_at",
+            "start_value",
+            "end_value",
+            "source_count",
+            "num_files",
+            F.col("reason_code").alias("files"),
+        )
+    )
+
+
+def _snapshot_files(
+    spark: SparkSession,
+    log: ExecutionLog,
+    ingestion_id: int,
+    *,
+    version: int | None = None,
+    as_of: datetime | None = None,
+) -> list[str]:
+    hist = history(log, ingestion_id)
+    if version is not None:
+        top = hist.filter(F.col("version") <= version)
+        if top.count() != version + 1:
+            raise ValueError(
+                f"version {version} does not exist for id {ingestion_id}"
+            )
+    else:
+        top = hist.filter(F.col("committed_at") <= F.lit(as_of))
+    commits = top.select("files").collect()  # metadata-sized
+    if not commits:
+        raise ValueError(
+            f"no committed snapshot for id {ingestion_id} at the requested point"
+        )
+    files: list[str] = []
+    for row in commits:
+        files.extend(json.loads(row["files"]))
+    missing = _missing(spark, files)
+    if missing:
+        raise RuntimeError(
+            "time travel snapshot references files no longer on disk "
+            f"(first: {missing[0]}); a compaction or manual rewrite has "
+            "rewritten history — older snapshots are unavailable (use "
+            "Delta/Iceberg for compaction-surviving time travel)"
+        )
+    return sorted(files)
+
+
+def _missing(spark: SparkSession, files: list[str]) -> list[str]:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if not p.getFileSystem(conf).exists(p):
+            out.append(f)
+    return out
+
+
+def read_version(
+    spark: SparkSession,
+    log: ExecutionLog,
+    ingestion_id: int,
+    version: int,
+    base_path: str,
+) -> DataFrame:
+    """The lake as of commit ``version`` (0-based, per ``history``).
+
+    ``base_path`` is the lake root; it restores Hive partition columns
+    (``ts_part=...`` directory names) on the explicit-file read.
+    """
+    files = _snapshot_files(spark, log, ingestion_id, version=version)
+    return spark.read.option("basePath", base_path).parquet(*files)
+
+
+def read_as_of(
+    spark: SparkSession,
+    log: ExecutionLog,
+    ingestion_id: int,
+    as_of: datetime | str,
+    base_path: str,
+) -> DataFrame:
+    """The lake as of wall-clock instant ``as_of`` (inclusive of any commit
+    whose SUCCESS row landed at or before it)."""
+    if isinstance(as_of, str):
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in as_of else "%Y-%m-%d %H:%M:%S"
+        as_of = datetime.strptime(as_of, fmt)
+    files = _snapshot_files(spark, log, ingestion_id, as_of=as_of)
+    return spark.read.option("basePath", base_path).parquet(*files)

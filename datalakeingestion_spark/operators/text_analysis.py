@@ -8,7 +8,7 @@ exact ANSI-SQL twin in plans/llm.py for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash60
@@ -398,4 +398,75 @@ def repetition_metrics_auto(
             (F.col("dup_3gram_frac") <= d3_hi)
             & (F.col("top_2gram_frac") <= t2_hi)
         ).alias("keep"),
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed query-term set —
+    the keyword-retrieval side of corpus curation (find docs about X,
+    audit contamination hits, seed relevance labels).
+
+    Scale shape: ZERO shuffles before the final top-k. Per-doc term
+    frequencies and document length are pure column arithmetic over the
+    token array (no explode — the query set is a fixed literal list, so
+    each term is one `size(filter(...))` expression; lambda bodies touch
+    only lambda vars, per the HOF no-CSE rule). The corpus statistics
+    (N, Σdl, per-term df) are ONE scalar aggregate broadcast back via a
+    1-row cross join, and the top-k is a TakeOrdered, not a global sort.
+
+    Determinism: idf and each term's contribution are rounded to 6 dp
+    (ln is computed engine-side, the proven unigram-LM pattern); ties
+    break on doc_id. Returns (doc_id, score, rank), rank in [1, k].
+    """
+    from pyspark.sql import Window
+
+    one_minus_b = 1.0 - b
+    base = docs.select("doc_id", tokens(text_col).alias("toks"))
+    def _tf(term: str) -> Column:
+        # NB: the lambda must take exactly ONE parameter — F.filter treats a
+        # two-parameter lambda as (element, index), so the default-arg trick
+        # for capturing `term` would bind it to the index column instead.
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf{i}") for i, term in enumerate(query_terms)]
+    stats = base.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    glob = stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = stats.crossJoin(F.broadcast(glob))
+    avgdl = F.col("sdl") / F.col("n")
+    contribs = []
+    for i in range(len(query_terms)):
+        idf = F.round(
+            F.log(
+                (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        tf = F.col(f"tf{i}")
+        denom = tf + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * F.col("dl") / avgdl)
+        contribs.append(F.round(idf * (tf * F.lit(k1 + 1.0)) / denom, 6))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    scored = joined.select("doc_id", F.round(total, 6).alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank over the k surviving rows only (single tiny partition by then)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         extended,
         llm,
         llm2,
+        llm3,
         relational,
         tpch_joins,
         tpch_joins2,

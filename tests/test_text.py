@@ -173,3 +173,26 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    from datalakeingestion_spark.operators.text_analysis import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join stream spark join"),  # all terms, high tf
+            (2, "spark filler filler filler filler filler filler"),  # one hit, long
+            (3, "join stream other words here"),  # two terms
+            (4, "nothing relevant at all"),  # zero hits
+            (5, "spark"),  # one hit, shortest doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(docs, ("spark", "join", "stream"), k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["doc_id"] == 1  # covers every term, highest tf
+    got = [r["doc_id"] for r in rows]
+    assert 4 not in got  # zero-hit doc scores 0 and a 3-doc top-k excludes it
+    # scores strictly ordered and deterministic
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

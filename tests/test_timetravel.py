@@ -1,0 +1,118 @@
+"""Log-based time travel (ingest/timetravel.py): the execution log's
+LOADED file lists + SUCCESS commit instants form a transaction log, so the
+lake is readable as of any commit. Rolled-back batches never appear in
+history; snapshots older than a compaction raise instead of lying.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.config.partition_spec import PartitionSpec
+from datalakeingestion_spark.ingest.maintenance import compact
+from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
+from datalakeingestion_spark.ingest.timetravel import (
+    history,
+    read_as_of,
+    read_version,
+)
+from datalakeingestion_spark.ingest.watermark import (
+    STATUS_SUCCESS,
+    STATUS_VALIDATION_FAILURE,
+    ExecutionLog,
+)
+from datalakeingestion_spark.sources.fixtures import load_table
+
+from .conftest import SF_SMALL
+
+CAP1 = "2024-01-10 00:00:00"
+CAP2 = "2024-01-20 00:00:00"
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def _job(spark, events, tmp_path, **kw):
+    defaults = dict(
+        spark=spark,
+        ingestion_id=1,
+        source=events,
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / "events"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        partition_spec=PartitionSpec("ts", "time-based", "YYYYMM"),
+    )
+    defaults.update(kw)
+    return IncrementalIngestJob(**defaults)
+
+
+def test_snapshot_reads_across_three_commits(spark, events, tmp_path):
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()
+    r3 = _job(spark, events, tmp_path).run()
+    assert [r.status for r in (r1, r2, r3)] == [STATUS_SUCCESS] * 3
+
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+    hist = history(log, 1).orderBy("version").collect()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["source_count"] for h in hist] == [
+        r1.source_count,
+        r2.source_count,
+        r3.source_count,
+    ]
+    assert all(h["num_files"] >= 1 for h in hist)
+
+    v0 = read_version(spark, log, 1, 0, target)
+    v1 = read_version(spark, log, 1, 1, target)
+    v2 = read_version(spark, log, 1, 2, target)
+    assert v0.count() == r1.source_count
+    assert v1.count() == r1.source_count + r2.source_count
+    assert v2.count() == events.count()
+    # snapshots carry the Hive partition column via basePath
+    assert "ts_part" in v0.columns
+    # version 0 holds exactly the first window's rows
+    assert v0.filter(F.col("ts") > CAP1).count() == 0
+
+    # as-of the first commit instant → only commit 0 is visible
+    asof = read_as_of(spark, log, 1, hist[0]["committed_at"], target)
+    assert asof.count() == r1.source_count
+
+    with pytest.raises(ValueError):
+        read_version(spark, log, 1, 3, target)
+
+
+def test_rolled_back_batch_absent_from_history(spark, events, tmp_path):
+    # commit 0 normally, then force a validation failure on the next range
+    # by pre-seeding extra rows inside it (same trick as the rollback test)
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    target = str(tmp_path / "lake" / "events")
+    seed = events.filter(
+        (F.col("ts") > CAP1) & (F.col("ts") <= CAP2)
+    ).limit(5)
+    spec = PartitionSpec("ts", "time-based", "YYYYMM")
+    spec.derive(seed).write.mode("append").partitionBy("ts_part").parquet(target)
+
+    r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()
+    assert r2.status == STATUS_VALIDATION_FAILURE
+
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    hist = history(log, 1).collect()
+    assert [h["version"] for h in hist] == [0]
+    assert read_version(spark, log, 1, 0, target).count() == r1.source_count
+
+
+def test_compaction_invalidates_old_snapshots_loudly(spark, events, tmp_path):
+    _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    _job(spark, events, tmp_path).run()
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+    n = spark.read.parquet(target).count()
+
+    compact(spark, target, partition_col="ts_part")
+    assert spark.read.parquet(target).count() == n  # data intact
+    with pytest.raises(RuntimeError, match="compaction"):
+        read_version(spark, log, 1, 0, target)
