@@ -9,7 +9,10 @@ comparison or a sum is rounded to 6 dp at the same point in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators import dedup as dd
+from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
@@ -67,3 +70,99 @@ def _bm25_oracle(terms: tuple[str, ...], k: int, k1: float, b: float) -> str:
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ta.bm25_rank(docs, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                (SELECT vec_id, SUM(x * x) AS s FROM
+                   (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM emb)
+                 GROUP BY vec_id)),
+    dots AS (SELECT a_id, b_id, SUM(ax * bx) AS dot FROM
+               (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       unnest(a.embedding)::DOUBLE AS ax,
+                       unnest(b.embedding)::DOUBLE AS bx
+                FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+             GROUP BY a_id, b_id),
+    pairs AS (SELECT a_id, b_id
+              FROM dots JOIN norms na ON na.vec_id = a_id
+                        JOIN norms nb ON nb.vec_id = b_id
+              WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95),
+    edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+              UNION ALL
+              SELECT b_id, a_id FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, g.b FROM reach r JOIN edges g ON g.a = r.b
+    ),
+    labels AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a)
+    SELECT v.vec_id,
+           COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+           (COALESCE(l.cluster_id, v.vec_id) = v.vec_id) AS keep
+    FROM embeddings v LEFT JOIN labels l ON l.vec_id = v.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup END-TO-END over the embedding "
+    "corpus: exact cosine pairs at >= 0.95 (block matmul — one BLAS "
+    "X @ Yᵀ per block pair, the scale path), connected components "
+    "(checkpointed min-label propagation with pointer jumping), then "
+    "keep the min-id representative per semantic cluster; vectors in no "
+    "pair are singletons and kept. Oracle: all-pairs ground truth + "
+    "recursive transitive closure.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_duplicates_blocked(emb, threshold=0.95)
+    labels = dd.connected_components(
+        pairs, id_a="vec_id_a", id_b="vec_id_b"
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    assigned = emb.select("vec_id").join(labels, "vec_id", "left")
+    cluster = F.coalesce("cluster_id", "vec_id")
+    return assigned.select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("keep"),
+    )
+
+
+@register(
+    "w6_rolling_1h_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w
+                      AS DOUBLE), 6) AS roll_sum_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-user rolling 1-hour aggregate via a RANGE (time-interval) "
+    "window frame — the feature-engineering staple Spark evaluates with "
+    "a single per-user sort, no self-join. The frame is anchored on "
+    "epoch MICROseconds on both engines (casting ts to seconds would "
+    "shift frame boundaries for sub-second timestamps); the windowed sum "
+    "runs over 6-dp decimals so frame evaluation order cannot change the "
+    "hash. One shuffle on user_id total.",
+)
+def w6_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec = F.round("value", 6).cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec).over(w).cast("double"), 6).alias("roll_sum_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n_1h"),
+    )

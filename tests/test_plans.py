@@ -213,3 +213,29 @@ def test_quantize_stays_jvm_side(spark):
 
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_bm25_no_fact_shuffle_topk_not_global_sort(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "bm25_rank"))
+    # corpus stats are ONE scalar aggregate: the only plain Exchange is
+    # its SinglePartition merge (metadata-sized); the doc-scale side
+    # never hash-shuffles, the 1-row stats broadcast back, and the top-k
+    # is TakeOrdered, never a global Sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) <= 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_w6_range_frame_single_shuffle(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "w6_rolling_1h_range"))
+    # one hash Exchange on user_id feeding Sort + Window — a rolling
+    # interval aggregate must not plan a self-join
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Window" in plan, plan
