@@ -32,7 +32,10 @@ production deployment Delta/Iceberg time travel replaces this module.
 from __future__ import annotations
 
 import json
+import re
 from datetime import datetime
+
+_SCHEME_SLASHES = re.compile(r"^([a-z0-9]+):/+")
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -158,6 +161,82 @@ def read_version(
     """
     files = _snapshot_files(spark, log, ingestion_id, version=version)
     return spark.read.option("basePath", base_path).parquet(*files)
+
+
+def read_changes(
+    spark: SparkSession,
+    log: ExecutionLog,
+    ingestion_id: int,
+    base_path: str,
+    *,
+    since_version: int | None = None,
+    after: datetime | str | None = None,
+) -> DataFrame:
+    """Rows ADDED by commits after the given point (exclusive) — the
+    change-data-feed analog for the append-only lake. An incremental
+    consumer remembers the last version it processed and calls this with
+    ``since_version=last`` to get exactly the new rows, each tagged with
+    a ``_commit_version`` column.
+
+    With neither ``since_version`` nor ``after``, every commit's rows are
+    returned (a full CDF replay).
+
+    Scale shape: the commit→files map is metadata-sized; the data is ONE
+    explicit-file parquet scan plus a broadcast join of that map on the
+    scan's ``_metadata.file_path`` — no per-commit read, no union. The
+    append-only lake means every change is an INSERT; update/delete
+    feeds only exist under the latest-zone MERGE (Delta CDF territory).
+    """
+    hist = history(log, ingestion_id)
+    if since_version is not None:
+        picked = hist.filter(F.col("version") > since_version)
+    elif after is not None:
+        if isinstance(after, str):
+            fmt = (
+                "%Y-%m-%d %H:%M:%S.%f" if "." in after else "%Y-%m-%d %H:%M:%S"
+            )
+            after = datetime.strptime(after, fmt)
+        picked = hist.filter(F.col("committed_at") > F.lit(after))
+    else:
+        picked = hist
+    commits = picked.select("version", "files").collect()  # metadata-sized
+
+    def _norm(p: str) -> str:
+        # Hadoop Path.toString() says "file:/x"; _metadata.file_path may
+        # render the same file as "file:///x" — collapse both forms
+        return _SCHEME_SLASHES.sub(r"\1:/", p)
+
+    if not commits:
+        live = spark.read.option("basePath", base_path).parquet(base_path)
+        return live.withColumn(
+            "_commit_version", F.lit(None).cast("long")
+        ).limit(0)
+    file_version: dict[str, int] = {}
+    for row in commits:
+        for f in json.loads(row["files"]):
+            file_version[_norm(f)] = row["version"]
+    missing = _missing(spark, list(file_version))
+    if missing:
+        raise RuntimeError(
+            "change feed references files no longer on disk "
+            f"(first: {missing[0]}); a compaction has rewritten history — "
+            "re-baseline the consumer from a current snapshot"
+        )
+    mapping = spark.createDataFrame(
+        [(f, v) for f, v in file_version.items()],
+        "_file string, _commit_version long",
+    )
+    data = spark.read.option("basePath", base_path).parquet(
+        *file_version.keys()
+    )
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^([a-z0-9]+):/+", r"$1:/"
+    )
+    return (
+        data.withColumn("_file", norm)
+        .join(F.broadcast(mapping), "_file")
+        .drop("_file")
+    )
 
 
 def read_as_of(

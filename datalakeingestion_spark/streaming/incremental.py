@@ -218,3 +218,47 @@ def stream_upsert_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_derived_table_available_now(
+    spark: SparkSession,
+    lake_path: str,
+    schema: T.StructType,
+    target_location: str,
+    checkpoint: str,
+    transform=None,
+):
+    """Maintain a DERIVED table off the lake itself: treat the append-only
+    lake directory as a file-source stream, apply ``transform`` to each
+    micro-batch of newly committed files, and append the result to
+    ``target_location``. Re-running drains only files added since the
+    checkpoint — the streaming twin of ``ingest.timetravel.read_changes``
+    (there the consumer tracks a commit version; here the checkpoint
+    tracks file offsets, exactly-once per batch).
+
+    This is the bronze→silver pattern: ingestion lands raw rows, and any
+    number of downstream consumers each keep their own checkpoint and see
+    every committed row exactly once, without coordination with the
+    ingest job or each other.
+
+    ``transform`` is batch-scoped (row-level maps/filters/projections).
+    Cross-batch aggregation belongs to ``windowed_event_counts`` /
+    ``streaming_latest_rows``, which manage watermarked state.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    stream = spark.readStream.schema(schema).parquet(lake_path)
+    if transform is not None:
+        stream = transform(stream)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").option(
+            "compression", "snappy"
+        ).parquet(target_location)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

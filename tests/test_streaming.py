@@ -366,3 +366,60 @@ def test_stream_upsert_maintains_latest_zone(spark, tmp_path):
         for r in spark.read.parquet(latest).collect()
     }
     assert got2 == want
+
+
+def test_derived_table_streams_lake_appends_exactly_once(spark, tmp_path):
+    """bronze→silver: a derived table maintained by streaming the lake dir
+    sees each ingested batch exactly once; re-running with the same
+    checkpoint after a new ingest commit drains ONLY the new rows."""
+    from datalakeingestion_spark.config.partition_spec import PartitionSpec  # noqa: F401
+    from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
+    from datalakeingestion_spark.ingest.watermark import ExecutionLog
+    from datalakeingestion_spark.streaming.incremental import (
+        stream_derived_table_available_now,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    lake = str(tmp_path / "lake")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+
+    def ingest(**kw):
+        return IncrementalIngestJob(
+            spark=spark, ingestion_id=1, source=events, delta_field="ts",
+            target_location=lake, log=log, **kw,
+        ).run()
+
+    r1 = ingest(end_value_cap="2024-01-15 00:00:00")
+    schema = spark.read.parquet(lake).schema
+
+    def transform(df):
+        return df.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+
+    def drain():
+        q = stream_derived_table_available_now(
+            spark, lake, schema, silver, ckpt, transform
+        )
+        q.awaitTermination(120)
+
+    drain()
+    lake_df = spark.read.parquet(lake)
+    expect1 = lake_df.filter(F.col("event_type") == "view").count()
+    assert spark.read.parquet(silver).count() == expect1
+    assert r1.source_count > 0
+
+    # second commit: re-drain picks up ONLY the new files
+    ingest()
+    drain()
+    expect2 = (
+        spark.read.parquet(lake)
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    got = spark.read.parquet(silver)
+    assert got.count() == expect2
+    # exactly-once: no duplicated event_ids across the two drains
+    assert got.select("event_id").distinct().count() == expect2

@@ -116,3 +116,40 @@ def test_compaction_invalidates_old_snapshots_loudly(spark, events, tmp_path):
     assert spark.read.parquet(target).count() == n  # data intact
     with pytest.raises(RuntimeError, match="compaction"):
         read_version(spark, log, 1, 0, target)
+
+
+def test_read_changes_incremental_consumer(spark, events, tmp_path):
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()
+    r3 = _job(spark, events, tmp_path).run()
+    assert [r.status for r in (r1, r2, r3)] == [STATUS_SUCCESS] * 3
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+
+    from datalakeingestion_spark.ingest.timetravel import read_changes
+
+    # consumer processed version 0 → gets exactly commits 1 and 2
+    delta = read_changes(spark, log, 1, target, since_version=0)
+    assert delta.count() == r2.source_count + r3.source_count
+    per_version = {
+        row["_commit_version"]: row["n"]
+        for row in delta.groupBy("_commit_version").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per_version == {1: r2.source_count, 2: r3.source_count}
+    # no rows from the first window leak in
+    assert delta.filter(F.col("ts") <= CAP1).count() == 0
+
+    # full replay covers the whole lake; fully-caught-up consumer gets 0
+    assert read_changes(spark, log, 1, target).count() == events.count()
+    caught_up = read_changes(spark, log, 1, target, since_version=2)
+    assert caught_up.count() == 0
+    assert "_commit_version" in caught_up.columns
+
+    # time-based variant: after the first commit instant
+    hist = history(log, 1).orderBy("version").collect()
+    by_time = read_changes(
+        spark, log, 1, target, after=hist[0]["committed_at"]
+    )
+    assert by_time.count() == r2.source_count + r3.source_count
