@@ -487,3 +487,67 @@ def knn_graph(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag every TRAINING vector whose
+    cosine to ANY benchmark vector reaches ``threshold`` — the semantic
+    sibling of ``dedup.ngram_contamination`` (which catches verbatim
+    leakage; this catches paraphrases living in the benchmark's
+    neighborhood).
+
+    Scale shape: benchmark suites are small by construction, so the
+    benchmark matrix is collected once, L2-normalized, and shipped as a
+    broadcast variable; the training corpus is then ONE partitioned scan
+    through an Arrow ``mapInPandas`` doing a single BLAS ``X @ Bᵀ`` per
+    batch — zero shuffles, no join, cost linear in |train|. (The n-gram
+    variant broadcasts a shingle set through a hash join; here the
+    "index" is a dense matrix, so the matmul replaces the join.)
+
+    Determinism: cosines are rounded to 6 dp before the max; the matched
+    benchmark id breaks ties by SMALLEST bench id (rows are sorted by id
+    so argmax's first-occurrence rule implements that). Returns
+    (vec_id, bench_vec_id, cosine) — one row per contaminated train
+    vector, its best benchmark match, and that cosine.
+    """
+    import numpy as np
+
+    rows = sorted(
+        bench.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    if not rows:
+        raise ValueError("benchmark side is empty")
+    bids = np.array([r[0] for r in rows], dtype=np.int64)
+    B = _unit_rows(np.vstack([np.asarray(r[1]) for r in rows]))
+    bc = train.sparkSession.sparkContext.broadcast((bids, B))
+
+    out_schema = f"{id_col} long, bench_vec_id long, cosine double"
+
+    def flag(batches):
+        bids_, B_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _unit_rows(
+                np.vstack([np.asarray(v) for v in pdf[vec_col]])
+            )
+            C = np.round(X @ B_.T, 6)
+            best = C.argmax(axis=1)  # first occurrence == min bench id
+            mx = C[np.arange(len(C)), best]
+            hit = mx >= threshold
+            if hit.any():
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[hit],
+                        "bench_vec_id": bids_[best[hit]],
+                        "cosine": mx[hit],
+                    }
+                )
+
+    return train.select(id_col, vec_col).mapInPandas(flag, out_schema)

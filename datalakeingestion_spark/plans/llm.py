@@ -260,14 +260,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(dot / (na.nrm * nb.nrm), 6) AS cosine
     FROM dots JOIN norms na ON na.vec_id = a_id
               JOIN norms nb ON nb.vec_id = b_id
-    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.42
     """,
     doc="Embedding-cosine near-dup pairs (exact all-pairs; ground truth for "
-    "the LSH-bucketed scale path).",
+    "the LSH-bucketed scale path). Threshold 0.42 is fixture-calibrated: "
+    "the synthetic embeddings' cosine mass tops out near 0.5, so a "
+    "production-style 0.9+ cutoff selects ZERO rows at every SF and the "
+    "oracle check would pass vacuously; production corpora use 0.9+.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_duplicates(emb, threshold=0.95)
+    return sim.embedding_near_duplicates(emb, threshold=0.42)
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +709,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_duplicates_blocked(emb, threshold=0.95)
+    return sim.embedding_near_duplicates_blocked(emb, threshold=0.42)
 
 
 @register(

@@ -89,7 +89,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT a_id, b_id
               FROM dots JOIN norms na ON na.vec_id = a_id
                         JOIN norms nb ON nb.vec_id = b_id
-              WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95),
+              WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.42),
     edges AS (SELECT a_id AS a, b_id AS b FROM pairs
               UNION ALL
               SELECT b_id, a_id FROM pairs),
@@ -106,7 +106,8 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings v LEFT JOIN labels l ON l.vec_id = v.vec_id
     """,
     doc="SemDeDup-style semantic dedup END-TO-END over the embedding "
-    "corpus: exact cosine pairs at >= 0.95 (block matmul — one BLAS "
+    "corpus: exact cosine pairs at >= 0.42 (fixture-calibrated — see "
+    "dedup_embedding_cosine; block matmul, one BLAS "
     "X @ Yᵀ per block pair, the scale path), connected components "
     "(checkpointed min-label propagation with pointer jumping), then "
     "keep the min-id representative per semantic cluster; vectors in no "
@@ -115,7 +116,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = sim.embedding_near_duplicates_blocked(emb, threshold=0.95)
+    pairs = sim.embedding_near_duplicates_blocked(emb, threshold=0.42)
     labels = dd.connected_components(
         pairs, id_a="vec_id_a", id_b="vec_id_b"
     ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
@@ -166,3 +167,44 @@ def w6_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec).over(w).cast("double"), 6).alias("roll_sum_1h"),
         F.count(F.lit(1)).over(w).cast("long").alias("roll_n_1h"),
     )
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                (SELECT vec_id, SUM(x * x) AS s FROM
+                   (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e)
+                 GROUP BY vec_id)),
+    dots AS (SELECT t.vec_id AS tid, b.vec_id AS bid, SUM(tx * bx) AS dot
+             FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS tx,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM e WHERE vec_id % 10 <> 0) t
+             JOIN (SELECT vec_id, unnest(embedding)::DOUBLE AS bx,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM e WHERE vec_id % 10 = 0) b
+             ON t.i = b.i GROUP BY 1, 2),
+    s AS (SELECT tid, bid, round(dot / (nt.nrm * nb.nrm), 6) AS c
+          FROM dots JOIN norms nt ON nt.vec_id = tid
+                    JOIN norms nb ON nb.vec_id = bid),
+    best AS (SELECT tid, bid, c,
+                    row_number() OVER (PARTITION BY tid
+                                       ORDER BY c DESC, bid) AS rn
+             FROM s)
+    SELECT tid AS vec_id, bid AS bench_vec_id, c AS cosine
+    FROM best WHERE rn = 1 AND c >= 0.42
+    """,
+    doc="Embedding-level decontamination: flag training vectors (vec_id "
+    "% 10 != 0 here) whose cosine to ANY benchmark vector (% 10 == 0) "
+    "reaches 0.42 (fixture-calibrated; production 0.9+) — catches the "
+    "paraphrase leakage n-gram overlap misses. The benchmark matrix is "
+    "a broadcast variable; the corpus side is ONE zero-shuffle Arrow "
+    "scan with a BLAS matmul per batch. Ties on max cosine break to the "
+    "smallest bench id on both engines.",
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    return sim.embedding_decontaminate(train, bench, threshold=0.42)

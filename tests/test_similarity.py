@@ -90,3 +90,38 @@ def test_quantize_int8_roundtrip_preserves_neighbors(spark, emb):
     a, b = topk(X), topk(Q)
     overlap = np.mean([len(set(x) & set(y)) / 10 for x, y in zip(a, b)])
     assert overlap >= 0.9, overlap
+
+
+def test_embedding_decontaminate_flags_planted_neighbor(spark):
+    from datalakeingestion_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    # bench vector 100 = train vector 1 (exact copy, cosine 1.0);
+    # bench 101 is near train 2 (high cosine); train 3 is orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    bench_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+        (102, [1.0, 0.0, 0.0, 0.0]),  # duplicate of 100: tie on train 1
+    ]
+    train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["bench_vec_id"], r["cosine"])
+        for r in embedding_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    assert set(got) == {1, 2}  # 3 is orthogonal to every bench vector
+    assert got[1] == (100, 1.0)  # tie between bench 100/102 -> min id
+    assert got[2][0] == 101 and got[2][1] > 0.99
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_decontaminate(train, bench.limit(0))
