@@ -208,3 +208,38 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     train = emb.filter(F.col("vec_id") % 10 != 0)
     bench = emb.filter(F.col("vec_id") % 10 == 0)
     return sim.embedding_decontaminate(train, bench, threshold=0.42)
+
+
+@register(
+    "salted_join_segment_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           COUNT(DISTINCT o.o_custkey)::BIGINT AS n_customers
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    doc="Skew-safe join demonstration (operators/skew.py::salted_join): "
+    "the big side is scattered across salt_n sub-keys and the small side "
+    "replicated salt_n times, turning one pathological hot-key partition "
+    "into salt_n even ones. The salt is dropped before aggregation, so "
+    "the result — and the oracle — is exactly the plain join's. AQE "
+    "skew-split handles moderate skew; explicit salting is for the "
+    "power-law/null-key case where one key overwhelms a single task.",
+)
+def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "custkey", salt_n=8)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("custkey").alias("n_customers"),
+    )

@@ -298,8 +298,8 @@ def w2_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts, event_type, value
     FROM events
-    WHERE ts > TIMESTAMP '2024-06-01 00:00:00'
-      AND ts <= TIMESTAMP '2024-07-01 00:00:00'
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
     """,
     doc="The incremental delta scan: WHERE delta BETWEEN start AND end "
     "(ingest_mysql_data.py:250-267). Catalyst pushes both bounds into the "
@@ -309,11 +309,11 @@ def f1_watermark_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # superset range prefilter on the raw column reaches the parquet scan
     # (row-group skipping); the exact predicate below is the residual
     events = load_events_pruned(
-        spark, sf_dir, lo="2024-06-01 00:00:00", hi="2024-07-01 00:00:00"
+        spark, sf_dir, lo="2024-01-10 00:00:00", hi="2024-01-20 00:00:00"
     )
     return events.filter(
-        (F.col("ts") > F.lit("2024-06-01").cast("timestamp"))
-        & (F.col("ts") <= F.lit("2024-07-01").cast("timestamp"))
+        (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-20").cast("timestamp"))
     ).select("event_id", "user_id", "ts", "event_type", "value")
 
 
@@ -625,15 +625,21 @@ def u1_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u2_anti_join_new_tables",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= DATE '2000-01-01')
     """,
     doc="F7/U2: NOT-IN set difference (update_config.py:80-83 discovery "
     "anti-join) as left_anti — at scale a broadcast anti-join when the "
-    "right side is small.",
+    "right side is small. The right side is the customers with RECENT "
+    "orders (dormant-customer shape): every fixture customer has SOME "
+    "order, so the unrestricted NOT-IN is empty at every SF and the "
+    "oracle check would pass vacuously.",
 )
 def u2_anti_join_new_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -145,16 +145,20 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
                                     / COUNT(*)
                              FROM customer WHERE c_acctbal > 0.0)
-            AND c_custkey NOT IN (SELECT o_custkey FROM orders))
+            AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                  WHERE o_orderdate >= DATE '2000-01-01'))
     GROUP BY cntrycode
     """,
     doc="TPC-H Q22 shape: scalar subquery threshold (computed with a "
     "decimal-exact mean so both engines agree bit-for-bit) + NOT IN "
-    "anti-join + derived-code grouping.",
+    "anti-join (vs customers with RECENT orders — the unrestricted form "
+    "is empty at every fixture SF) + derived-code grouping.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     row = (
         customer.filter(F.col("c_acctbal") > 0.0)
         .agg(
