@@ -21,9 +21,13 @@ tables, and server-side-cursor chunking (extractors/ingest_mysql_data.py:
   coalesce predicate post-scan (operators.relational.coalesce_range_filter)
   to restore exactness.
 
-No live database is required to test this module — the codegen is pure
-string/option construction (tests/test_jdbc.py); `read()` is exercised
-wherever a JDBC URL is available.
+The codegen is unit-tested as pure string/option construction, and the
+full `read()` path — pushed delta query, parallel range read, OR-rewrite
+over-selection + exact re-filter, and a complete ingest job — runs
+against a LIVE embedded Derby database (ships in Spark's jars) in
+tests/test_jdbc.py. Derby folds unquoted identifiers to upper case, so
+the integration fixtures use uppercase names; MySQL deployments are
+case-preserving and unaffected.
 """
 
 from __future__ import annotations
