@@ -50,3 +50,34 @@ packed = pack_sequences(sized, token_budget=512)
 print("sequences:", packed.select("seq_id").distinct().count())
 order = global_positions(sized, order_cols=["doc_id"])
 print("training order assigned:", order.count(), "docs")
+
+# 5. Lakehouse ops: ingest commits, then time travel + change feed
+import tempfile  # noqa: E402
+
+from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob  # noqa: E402
+from datalakeingestion_spark.ingest.timetravel import (  # noqa: E402
+    history,
+    read_changes,
+    read_version,
+)
+from datalakeingestion_spark.ingest.watermark import ExecutionLog  # noqa: E402
+
+tmp = tempfile.mkdtemp()
+lake, log = f"{tmp}/lake", ExecutionLog(spark, f"{tmp}/log")
+
+
+def ingest(**kw):
+    return IncrementalIngestJob(
+        spark=spark, ingestion_id=1, source=events, delta_field="ts",
+        target_location=lake, log=log, **kw,
+    ).run()
+
+
+ingest(end_value_cap="2024-01-15 00:00:00")  # commit 0
+ingest()                                     # commit 1
+history(log, 1).show()
+print("as of commit 0:", read_version(spark, log, 1, 0, lake).count())
+print(
+    "change feed since commit 0:",
+    read_changes(spark, log, 1, lake, since_version=0).count(),
+)
