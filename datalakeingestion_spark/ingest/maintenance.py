@@ -14,6 +14,7 @@ via a staging-dir swap, preserving the Hive partition layout.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -41,12 +42,24 @@ def compact(
     path: str,
     partition_col: str | None = None,
     files_per_partition: int = 1,
+    log=None,
+    ingestion_id: int | None = None,
 ) -> int:
     """Rewrite the lake dir with ``files_per_partition`` files per Hive
     partition (or total, when unpartitioned). Returns the row count.
 
     At cluster scale pick ``files_per_partition`` so files land at
     ~128-512 MB; on Delta this is OPTIMIZE/auto-compaction.
+
+    When ``log`` (an ExecutionLog) and ``ingestion_id`` are given, the
+    compaction RE-BASELINES time travel: after the swap it appends one
+    atomic LOADED→SUCCESS commit listing the NEW file set (span and
+    source_count carried over from the committed history), so
+    ``timetravel.read_version`` / ``read_changes`` work from the
+    compaction commit forward — only pre-compaction snapshots raise.
+    The commit reuses the latest end_value, so the watermark is
+    unchanged. Without a log, all history goes stale (every snapshot
+    raises) — the pre-existing documented behavior.
     """
     from .merge import _publish_swap, _recover_swap
 
@@ -57,8 +70,6 @@ def compact(
     n_before = df.count()
 
     if partition_col is not None:
-        from pyspark.sql import functions as F
-
         # hash-partition on (partition value, salt): every Hive value's rows
         # land in ≤ files_per_partition tasks, and each task writes one file
         # per value it holds — bounded files per directory, parallel write
@@ -81,4 +92,33 @@ def compact(
     assert spark.read.parquet(staging).count() == n_before
 
     _publish_swap(spark, staging, path)
+
+    if log is not None:
+        if ingestion_id is None:
+            raise ValueError("re-baselining needs ingestion_id with log")
+        import json
+
+        from .pipeline import _list_files
+        from .timetravel import history
+
+        # span by COMMIT ORDER, not string order — a lexicographic max of
+        # end_value regresses integer watermarks at digit-length
+        # boundaries (the ADVICE-r1 watermark bug, same shape)
+        span = (
+            history(log, ingestion_id)
+            .agg(
+                F.min_by("start_value", "version").alias("lo"),
+                F.max_by("end_value", "version").alias("hi"),
+            )
+            .first()
+        )
+        if span["lo"] is not None:  # no committed history → nothing to do
+            files = sorted(_list_files(spark, path))
+            log.append_commit(
+                ingestion_id,
+                start_value=span["lo"],
+                end_value=span["hi"],
+                source_count=n_before,
+                files_json=json.dumps(files),
+            )
     return n_before

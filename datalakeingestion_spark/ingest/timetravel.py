@@ -24,9 +24,11 @@ Scale notes:
   names via ``basePath``.
 
 Limits (documented, by design): compaction (``maintenance.compact``)
-rewrites data files without rewriting history, so snapshots older than the
-last compaction raise a clear error instead of returning wrong rows. On a
-production deployment Delta/Iceberg time travel replaces this module.
+rewrites data files; when given the log it appends an atomic re-baseline
+commit listing the new file set, so snapshots and change feeds work from
+the compaction forward — only PRE-compaction snapshots raise (a clear
+error, never wrong rows). On a production deployment Delta/Iceberg time
+travel replaces this module.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .watermark import (
+    BASELINE_MARKER,
     STATUS_FAILED,
     STATUS_LOADED,
     STATUS_SUCCESS,
@@ -62,7 +65,9 @@ def history(log: ExecutionLog, ingestion_id: int) -> DataFrame:
     (run_windows) carry no files and are not data commits.
 
     Columns: version (0-based), committed_at, start_value, end_value,
-    source_count, num_files, files (json array string).
+    source_count, num_files, files (json array string), baseline (true
+    for a compaction re-baseline commit, whose file list is COMPLETE —
+    it replaces everything before it rather than extending it).
     """
     rows = (
         log.read()
@@ -74,6 +79,7 @@ def history(log: ExecutionLog, ingestion_id: int) -> DataFrame:
     w = Window.orderBy("insert_datetime")
     paired = (
         rows.withColumn("next_status", F.lead("execution_status").over(w))
+        .withColumn("next_reason", F.lead("reason_code").over(w))
         .withColumn("committed_at", F.lead("insert_datetime").over(w))
         .filter(
             (F.col("execution_status") == STATUS_LOADED)
@@ -96,6 +102,7 @@ def history(log: ExecutionLog, ingestion_id: int) -> DataFrame:
             "source_count",
             "num_files",
             F.col("reason_code").alias("files"),
+            (F.col("next_reason") == BASELINE_MARKER).alias("baseline"),
         )
     )
 
@@ -117,13 +124,20 @@ def _snapshot_files(
             )
     else:
         top = hist.filter(F.col("committed_at") <= F.lit(as_of))
-    commits = top.select("files").collect()  # metadata-sized
+    commits = (  # metadata-sized
+        top.orderBy("version").select("files", "baseline").collect()
+    )
     if not commits:
         raise ValueError(
             f"no committed snapshot for id {ingestion_id} at the requested point"
         )
+    # a baseline commit's list is complete: union only from the LATEST
+    # baseline at or before the requested point
+    start = max(
+        (i for i, r in enumerate(commits) if r["baseline"]), default=0
+    )
     files: list[str] = []
-    for row in commits:
+    for row in commits[start:]:
         files.extend(json.loads(row["files"]))
     missing = _missing(spark, files)
     if missing:

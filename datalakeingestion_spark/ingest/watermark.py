@@ -48,6 +48,11 @@ STATUS_VALIDATION_FAILURE = "validation-failure"
 STATUS_EXTRACTION_FAILURE = "extraction-failure"
 STATUS_FAILED = "failed"
 
+# reason_code of the SUCCESS row a compaction re-baseline writes; history
+# treats such a commit's file list as COMPLETE (it replaces, not extends,
+# everything before it — ingest/timetravel.py)
+BASELINE_MARKER = "compaction-baseline"
+
 DATETIME_EPOCH = "2020-01-01 00:00:00"
 INTEGER_EPOCH = "1"
 _TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -110,6 +115,50 @@ class ExecutionLog:
             datetime.now(),
         )
         df = self.spark.createDataFrame([row], LOG_SCHEMA)
+        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(batch_dir)
+
+    def append_commit(
+        self,
+        ingestion_id: int,
+        start_value: str,
+        end_value: str,
+        source_count: int,
+        files_json: str,
+    ) -> None:
+        """Atomically append a LOADED→SUCCESS pair in ONE batch directory.
+
+        Used by compaction to re-baseline history (ingest/timetravel.py):
+        both rows land in a single parquet write, so no crash point can
+        leave a dangling LOADED whose reason_code lists LIVE lake files —
+        which orphan cleanup would otherwise delete. The SUCCESS row is
+        stamped 1 µs after the LOADED row so the history pairing window
+        (ordered by insert_datetime) is deterministic."""
+        t0 = datetime.now()
+        t1 = t0 + timedelta(microseconds=1)
+        rows = [
+            (
+                ingestion_id,
+                STATUS_LOADED,
+                start_value,
+                end_value,
+                source_count,
+                0,
+                files_json,
+                t0,
+            ),
+            (
+                ingestion_id,
+                STATUS_SUCCESS,
+                start_value,
+                end_value,
+                source_count,
+                source_count,
+                BASELINE_MARKER,
+                t1,
+            ),
+        ]
+        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
         batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
         df.coalesce(1).write.mode("overwrite").parquet(batch_dir)
 

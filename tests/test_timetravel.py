@@ -153,3 +153,37 @@ def test_read_changes_incremental_consumer(spark, events, tmp_path):
         spark, log, 1, target, after=hist[0]["committed_at"]
     )
     assert by_time.count() == r2.source_count + r3.source_count
+
+
+def test_compaction_rebaselines_history_when_logged(spark, events, tmp_path):
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    r2 = _job(spark, events, tmp_path).run()
+    assert [r.status for r in (r1, r2)] == [STATUS_SUCCESS] * 2
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+    wm_before = log.last_success_end(1)
+
+    compact(spark, target, partition_col="ts_part", log=log, ingestion_id=1)
+
+    # the compaction commit is version 2; its snapshot is the whole lake
+    hist = history(log, 1).orderBy("version").collect()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["source_count"] == events.count()
+    assert hist[2]["start_value"] == hist[0]["start_value"]
+    assert hist[2]["end_value"] == hist[1]["end_value"]
+    v2 = read_version(spark, log, 1, 2, target)
+    assert v2.count() == events.count()
+    assert "ts_part" in v2.columns
+
+    # pre-compaction snapshots raise loudly; the watermark is unchanged
+    with pytest.raises(RuntimeError, match="compaction"):
+        read_version(spark, log, 1, 0, target)
+    assert log.last_success_end(1) == wm_before
+
+    from datalakeingestion_spark.ingest.timetravel import read_changes
+
+    # a consumer re-baselined on the compaction commit sees nothing new,
+    # then exactly the next ingest's rows (no re-delivery of old data)
+    assert read_changes(spark, log, 1, target, since_version=2).count() == 0
+    with pytest.raises(RuntimeError, match="re-baseline"):
+        read_changes(spark, log, 1, target, since_version=0)
