@@ -125,7 +125,7 @@ def c7_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_count_with_predicate",
     oracle="""
     SELECT COUNT(*) AS t_count FROM events
-    WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     """,
     doc="A4: COUNT under the delta predicate — the validation count the "
     "reference sends to Athena (aws_utils.py:139-163), in-engine.",
@@ -133,9 +133,9 @@ def c7_concat_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a4_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixtures import load_events_pruned
 
-    events = load_events_pruned(spark, sf_dir, lo="2024-03-01 00:00:00")
+    events = load_events_pruned(spark, sf_dir, lo="2024-01-15 00:00:00")
     return events.filter(
-        F.col("ts") >= F.lit("2024-03-01").cast("timestamp")
+        F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
     ).agg(F.count(F.lit(1)).alias("t_count"))
 
 

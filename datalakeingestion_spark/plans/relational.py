@@ -327,8 +327,8 @@ def f1_watermark_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE WHEN event_type IN ('purchase','signup')
                       THEN ts + INTERVAL 1 HOUR END AS modified_ts
           FROM events)
-    WHERE coalesce(modified_ts, ts) >= TIMESTAMP '2024-05-01 00:00:00'
-      AND coalesce(modified_ts, ts) <= TIMESTAMP '2024-06-01 00:00:00'
+    WHERE coalesce(modified_ts, ts) >= TIMESTAMP '2024-01-10 00:00:00'
+      AND coalesce(modified_ts, ts) <= TIMESTAMP '2024-01-20 00:00:00'
     """,
     doc="F2: the coalesce(modified,created) BETWEEN filter. The reference "
     "rewrites it to an OR-disjunction for MySQL index use "
@@ -343,8 +343,8 @@ def f2_coalesce_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts") + F.expr("INTERVAL 1 HOUR"),
         ),
     )
-    lo = F.lit("2024-05-01").cast("timestamp")
-    hi = F.lit("2024-06-01").cast("timestamp")
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-20").cast("timestamp")
     filtered = coalesce_range_filter(events, ["modified_ts", "ts"], lo, hi)
     eff = F.coalesce(F.col("modified_ts"), F.col("ts"))
     return filtered.agg(
@@ -401,7 +401,7 @@ def f8_null_fill_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_watermark_bounds",
     oracle="""
     SELECT MIN(ts) AS min_delta, MAX(ts) AS max_delta, COUNT(*) AS source_count
-    FROM events WHERE ts > TIMESTAMP '2024-06-01 00:00:00'
+    FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
     """,
     doc="A1+A2: per-run watermark bounds + row count, captured in one agg "
     "(the reference tracks per-chunk min/max lists then folds — "
@@ -409,8 +409,8 @@ def f8_null_fill_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that, automatic).",
 )
 def a1_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_events_pruned(spark, sf_dir, lo="2024-06-01 00:00:00")
-    return events.filter(F.col("ts") > F.lit("2024-06-01").cast("timestamp")).agg(
+    events = load_events_pruned(spark, sf_dir, lo="2024-01-10 00:00:00")
+    return events.filter(F.col("ts") > F.lit("2024-01-10").cast("timestamp")).agg(
         F.min("ts").alias("min_delta"),
         F.max("ts").alias("max_delta"),
         F.count(F.lit(1)).alias("source_count"),
@@ -557,8 +557,8 @@ def c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p3_timestamp_clamp",
     oracle="""
-    SELECT date_trunc('month', greatest(least(ts, TIMESTAMP '2024-09-30 00:00:00'),
-                                        TIMESTAMP '2024-04-01 00:00:00')) AS clamp_month,
+    SELECT date_trunc('day', greatest(least(ts, TIMESTAMP '2024-01-22 00:00:00'),
+                                      TIMESTAMP '2024-01-08 00:00:00')) AS clamp_day,
            COUNT(*) AS n_rows
     FROM events GROUP BY 1
     """,
@@ -567,10 +567,13 @@ def c9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p3_timestamp_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    clamped = clamp_timestamp("ts", "2024-04-01 00:00:00", "2024-09-30 00:00:00")
+    # bounds INSIDE the fixture's January span so below-lo, pass-through,
+    # and above-hi rows all exist (out-of-span bounds would collapse every
+    # row into one clamped bucket and leave two branches untested)
+    clamped = clamp_timestamp("ts", "2024-01-08 00:00:00", "2024-01-22 00:00:00")
     return (
-        events.withColumn("clamp_month", F.date_trunc("month", clamped))
-        .groupBy("clamp_month")
+        events.withColumn("clamp_day", F.date_trunc("day", clamped))
+        .groupBy("clamp_day")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 
