@@ -1,4 +1,4 @@
-"""Distinct-count sketching — KMV (k-minimum-values).
+"""Deterministic frequency / distinct-count sketching — KMV and Count-Min.
 
 A sketch whose estimate is a pure function of the input SET (not of
 partitioning, order, or RNG state): hash every distinct value with the
@@ -55,4 +55,98 @@ def kmv_distinct_estimate(
             F.round((k - 1) / (F.col("kth_hash") / F.lit(HASH_SPACE))).cast("long")
         )
         .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — point frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, d: int, width: int, portable: bool = True) -> Column:
+    """Row ``d``'s bucket for ``value``: salted hash mod width.
+
+    ``portable=True`` uses the md5-prefix family — bit-identical to the
+    SQL twin ``('0x'||substr(md5(d||':'||x),1,15))::BIGINT % width`` so
+    the sketch is oracle-checkable. ``portable=False`` is the production
+    fast path: xxhash64 (one JVM intrinsic vs an md5 digest + hex parse,
+    ~4× cheaper per cell) at the cost of cross-engine reproducibility —
+    same CMS guarantees, different cell layout."""
+    if portable:
+        return portable_hash60(F.concat(F.lit(f"{d}:"), value)) % width
+    return F.pmod(F.xxhash64(F.lit(d), value), F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str | Column,
+    depth: int = 3,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-Min sketch of a column: DataFrame (d, bucket, cnt).
+
+    One map-side pass: each value emits ``depth`` (row, bucket) cells via
+    an inline array (plain expressions, no UDF), then a single partial-
+    aggregated groupBy over at most depth×width cells — the shuffle is
+    O(partitions × depth × width) regardless of input size, which is the
+    whole point at 100 TB: a per-term exact count would shuffle the full
+    term universe; the sketch's state is a fixed-size grid.
+
+    Estimates overcount (never undercount) with error ≤ 2N/width at
+    probability 1 - (1/2)^depth. Sketches over disjoint inputs merge by
+    cell-wise addition (groupBy (d, bucket) + sum), so partial sketches
+    from independent ingest batches compose.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cells = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(c, d, width, portable).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        )
+    )
+    return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 3,
+    width: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` from a ``cms_sketch``
+    result: (term, est_count) with est = min over rows of the cell count.
+
+    The sketch is at most depth×width rows, so the probe⋈sketch join
+    broadcasts the sketch — no shuffle of anything large.
+    """
+    pb = probes.select(F.col(col).cast("string").alias("term"))
+    cells = pb.select(
+        "term",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("term"), d, width, portable).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ),
+    )
+    joined = cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
     )

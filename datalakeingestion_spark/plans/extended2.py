@@ -1,0 +1,199 @@
+"""Round-3 additions: bucketed range joins, Count-Min sketch, grouping
+sets, intersect — each with a DuckDB oracle.
+
+The range-join queries demonstrate ``operators/rangejoin.py``: Spark
+plans a pure range predicate as BroadcastNestedLoopJoin (quadratic), so
+the operator rewrites it into an equi join on time buckets — the oracles
+state the naive range-join semantics directly and must match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rangejoin import interval_join
+from ..sources.fixtures import load_table
+from .llm import TOKS_SQL
+from .registry import register
+
+US_5MIN = 5 * 60 * 1_000_000
+US_1H = 3_600 * 1_000_000
+
+
+@register(
+    "range_join_error_context_5min",
+    oracle="""
+    SELECT a.event_id AS anchor_id, COUNT(*) AS n_ctx
+    FROM events a JOIN events e
+      ON epoch_us(e.ts) >= epoch_us(a.ts) - 300000000
+     AND epoch_us(e.ts) <  epoch_us(a.ts)
+    WHERE a.event_type = 'error'
+    GROUP BY 1
+    """,
+    doc="Global (key-less) interval join: every event within the 5 minutes "
+    "before each error, across ALL users — no equi key exists, so a naive "
+    "join is a BroadcastNestedLoopJoin (O(|L|·|R|), plan-checked absent in "
+    "tests/test_plans.py). operators/rangejoin.py buckets time so it runs "
+    "as a shuffled equi join on the bucket: |L| + 2|R| rows moved, load "
+    "spread over time buckets.",
+)
+def range_join_error_context_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", F.unix_micros("ts").alias("pt_us"))
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"), F.unix_micros("ts").alias("a_us")
+    )
+    pairs = interval_join(
+        points,
+        anchors,
+        left_point=F.col("pt_us"),
+        right_start=F.col("a_us") - US_5MIN,
+        right_end=F.col("a_us"),
+        bucket_width_us=US_5MIN,
+    )
+    return pairs.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("n_ctx"))
+
+
+@register(
+    "range_join_signup_followups_1h",
+    oracle="""
+    SELECT s.event_id AS anchor_id, e.event_id AS event_id, e.event_type
+    FROM events s JOIN events e
+      ON s.user_id = e.user_id
+     AND epoch_us(e.ts) >= epoch_us(s.ts)
+     AND epoch_us(e.ts) <  epoch_us(s.ts) + 3600000000
+     AND e.event_id <> s.event_id
+    WHERE s.event_type = 'signup'
+    """,
+    doc="Keyed interval join: each user's events in the hour after their "
+    "signup events. The (user_id, bucket) composite shuffle key keeps a "
+    "hot user from concentrating on one task — time itself spreads the "
+    "skew (operators/rangejoin.py).",
+)
+def range_join_signup_followups_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("pt_us")
+    )
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id").alias("anchor_user"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    pairs = interval_join(
+        points,
+        anchors,
+        left_point=F.col("pt_us"),
+        right_start=F.col("a_us"),
+        right_end=F.col("a_us") + US_1H,
+        bucket_width_us=US_1H,
+        keys=[("user_id", "anchor_user")],
+    )
+    return pairs.filter(F.col("event_id") != F.col("anchor_id")).select(
+        "anchor_id", "event_id", "event_type"
+    )
+
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 1024
+_CMS_PROBES = ("table", "key", "spark", "agg", "window", "fast", "row", "scan")
+
+
+@register(
+    "cms_term_frequency",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS x FROM documents),
+    ds AS (SELECT unnest([0, 1, 2]) AS d),
+    cells AS (
+      SELECT d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || x), 1, 15))::BIGINT
+              % {_CMS_WIDTH}) AS bucket,
+             COUNT(*) AS cnt
+      FROM tok, ds GROUP BY 1, 2),
+    probes AS (SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS term),
+    pb AS (
+      SELECT term, d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+              % {_CMS_WIDTH}) AS bucket
+      FROM probes, ds)
+    SELECT term, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN cells USING (d, bucket)
+    GROUP BY term
+    """,
+    doc="Count-Min sketch term frequencies (operators/sketches.py): the "
+    "sketch state is a fixed depth×width grid, so the shuffle is O(grid) "
+    "regardless of corpus size — the scale path for 'how often does term "
+    "X appear in 100 TB' when the term universe itself is too big to "
+    "group. The salted md5 hash family makes even the approximate "
+    "estimates bit-reproducible in DuckDB.",
+)
+def cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketches import cms_estimate, cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("x"))
+    sketch = cms_sketch(toks, "x", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], ["term"])
+    return cms_estimate(sketch, probes, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+@register(
+    "g6_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 2 ELSE 0 END
+            + CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of g1's rollup / g4's "
+    "cube) with a portable grouping id (bit per aggregated column, "
+    "computed identically on both engines — Spark's grouping_id bit order "
+    "is not assumed). Executes as one Expand + single aggregate exchange.",
+)
+def g6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast(
+        "int"
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_total")
+    )
+
+
+@register(
+    "u3_intersect_click_purchase_days",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="INTERSECT (SURVEY.md §2.8 notes the reference has none): "
+    "user-days with both a click and a purchase. Spark plans intersect as "
+    "a left-semi join over distinct rows — one shuffle per side on the "
+    "full grouping key.",
+)
+def u3_intersect_click_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.intersect(purchases)

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         return
     from . import (  # noqa: F401
         extended,
+        extended2,
         llm,
         llm2,
         llm3,

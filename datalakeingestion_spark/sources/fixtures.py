@@ -31,11 +31,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-# TimestampType. We read them as raw nanosecond longs
-# (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-# exactly what DuckDB's reader does, so oracle comparisons agree.
+# Columns whose parquet storage needs normalization to TimestampType (LTZ)
+# with the naive wall clock read as a UTC instant — exactly what DuckDB's
+# reader does, so oracle comparisons agree:
+#   * TIMESTAMP(NANOS): Spark 4 cannot read as TimestampType — read as raw
+#     nanosecond longs (spark.sql.legacy.parquet.nanosAsLong) + truncate.
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads TIMESTAMP_NTZ;
+#     convert via wall-clock micros since the NTZ epoch (session-tz
+#     independent — a plain cast would re-interpret in the session zone).
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def ntz_wall_clock_as_utc(col: str):
+    """TIMESTAMP_NTZ column → TimestampType instant equal to its wall clock
+    read as UTC, regardless of spark.sql.session.timeZone."""
+    return F.timestamp_micros(
+        F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})")
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,8 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, ntz_wall_clock_as_utc(col))
     return df
 
 
@@ -70,13 +85,24 @@ def load_events_pruned(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         if lo is not None:
             df = df.filter(F.col("ts") >= F.lit(int(pd.Timestamp(lo).value)))
         if hi is not None:
             df = df.filter(F.col("ts") <= F.lit(int(pd.Timestamp(hi).value) + 999))
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    else:  # future-proof: native µs read
+    elif dtype == "timestamp_ntz":
+        # Filter on the NATIVE column with NTZ literals (both wall clocks,
+        # tz-independent) so the range predicate pushes into the scan; a
+        # comparison against an LTZ literal would coerce the column and
+        # block pushdown. Conversion to the UTC instant happens after.
+        if lo is not None:
+            df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            df = df.filter(F.col("ts") <= F.lit(hi).cast("timestamp_ntz"))
+        df = df.withColumn("ts", ntz_wall_clock_as_utc("ts"))
+    else:  # native µs LTZ read
         if lo is not None:
             df = df.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
         if hi is not None:

@@ -239,3 +239,23 @@ def test_w6_range_frame_single_shuffle(spark):
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "Window" in plan, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    # The whole point of operators/rangejoin.py: a key-less point-in-
+    # interval join must NOT plan as BroadcastNestedLoopJoin/cartesian —
+    # the bucket column gives Catalyst an equi key to hash/sort on.
+    for name in ("range_join_error_context_5min", "range_join_signup_followups_1h"):
+        plan = formatted_plan(run(spark, name))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cms_sketch_aggregates_fixed_grid(spark):
+    # The big-side shuffle must be the (d, bucket) cell aggregate with a
+    # map-side partial — never a per-term exact count; the probe join
+    # broadcasts the sketch.
+    plan = formatted_plan(run(spark, "cms_term_frequency"))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

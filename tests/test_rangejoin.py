@@ -1,0 +1,125 @@
+"""Unit + property tests for the bucketed interval join and the Count-Min
+sketch (edge semantics the parity queries don't isolate: bucket-boundary
+points, bucket-aligned interval ends, span guard, CMS overcount-only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from datalakeingestion_spark.operators.rangejoin import interval_join
+from datalakeingestion_spark.operators.sketches import cms_estimate, cms_sketch
+
+
+def _pairs(spark, points, intervals, width, keys=()):
+    l = spark.createDataFrame([(i, p) for i, p in points], ["lid", "pt"])
+    r = spark.createDataFrame(
+        [(j, s, e) for j, s, e in intervals], ["rid", "s", "e"]
+    )
+    out = interval_join(
+        l,
+        r,
+        left_point=F.col("pt"),
+        right_start=F.col("s"),
+        right_end=F.col("e"),
+        bucket_width_us=width,
+        keys=keys,
+    )
+    return sorted((row["lid"], row["rid"]) for row in out.collect())
+
+
+def test_interval_join_boundary_semantics(spark):
+    # half-open [s, e): start inclusive, end exclusive; matches that cross
+    # a bucket boundary are found; bucket-aligned ends don't over-explode.
+    points = [(1, 100), (2, 199), (3, 200), (4, 249), (5, 99), (6, 250)]
+    intervals = [
+        (10, 100, 200),  # bucket-aligned [100, 200) with width 100
+        (11, 150, 250),  # crosses the 200 boundary
+    ]
+    got = _pairs(spark, points, intervals, width=100)
+    # 100 ∈ [100,200) (start inclusive); 200 ∉ [100,200) but ∈ [150,250);
+    # 249 is the last point of [150,250); 250 ∉ [150,250) (end exclusive)
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 11)]
+
+
+def test_interval_join_exact_vs_naive_random(spark):
+    import random
+
+    rng = random.Random(7)
+    points = [(i, rng.randrange(0, 10_000)) for i in range(300)]
+    intervals = []
+    for j in range(120):
+        s = rng.randrange(0, 10_000)
+        intervals.append((j + 1000, s, s + rng.randrange(1, 500)))
+    got = _pairs(spark, points, intervals, width=500)
+    expected = sorted(
+        (i, j)
+        for i, p in points
+        for j, s, e in intervals
+        if s <= p < e
+    )
+    assert got == expected
+
+
+def test_interval_join_span_guard_raises(spark):
+    l = spark.createDataFrame([(1, 5)], ["lid", "pt"])
+    r = spark.createDataFrame([(2, 0, 1000)], ["rid", "s", "e"])
+    out = interval_join(
+        l, r, F.col("pt"), F.col("s"), F.col("e"), bucket_width_us=100
+    )
+    with pytest.raises(Exception, match="exceeds bucket width"):
+        out.collect()
+
+
+def test_interval_join_keyed_restricts_pairs(spark):
+    l = spark.createDataFrame([(1, "a", 50), (2, "b", 50)], ["lid", "k", "pt"])
+    r = spark.createDataFrame([(9, "a", 0, 100)], ["rid", "rk", "s", "e"])
+    out = interval_join(
+        l,
+        r,
+        F.col("pt"),
+        F.col("s"),
+        F.col("e"),
+        bucket_width_us=100,
+        keys=[("k", "rk")],
+    )
+    assert [(row["lid"], row["rid"]) for row in out.collect()] == [(1, 9)]
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    # 5k values over a 257-value universe into a deliberately small grid:
+    # estimates must be >= true counts (CMS guarantee), and with depth 4
+    # most probes should be exact or near-exact.
+    vals = [(f"v{i % 257}",) for i in range(5000)]
+    df = spark.createDataFrame(vals, ["x"])
+    sketch = cms_sketch(df, "x", depth=4, width=512)
+    probes = spark.createDataFrame([(f"v{i}",) for i in range(0, 257, 16)], ["t"])
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms_estimate(sketch, probes, "t", depth=4, width=512).collect()
+    }
+    true = {}
+    for (v,) in vals:
+        true[v] = true.get(v, 0) + 1
+    for term, e in est.items():
+        assert e >= true[term], term
+        assert e <= true[term] + 5000 * 2 // 512, term  # CMS error bound
+
+
+def test_cms_sketch_merges_additively(spark):
+    # sketches over disjoint halves, merged cell-wise == sketch of the whole
+    vals = [(f"v{i % 50}",) for i in range(2000)]
+    whole = spark.createDataFrame(vals, ["x"])
+    h1 = spark.createDataFrame(vals[:1000], ["x"])
+    h2 = spark.createDataFrame(vals[1000:], ["x"])
+    s_whole = cms_sketch(whole, "x")
+    merged = (
+        cms_sketch(h1, "x")
+        .unionByName(cms_sketch(h2, "x"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in s_whole.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b
