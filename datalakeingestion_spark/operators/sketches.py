@@ -19,6 +19,8 @@ Standard error ≈ 1/√(k-2) (~6% at k=256; raise k for tighter bounds).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,7 +39,11 @@ def kmv_distinct_estimate(
     """
     c = F.col(col) if isinstance(col, str) else col
     hashes = (
+        # NULL values are excluded (a NULL hash would sort nulls-FIRST in
+        # Spark but nulls-LAST in most SQL engines, silently skewing the
+        # k-th hash); distinct-count semantics ignore NULL anyway.
         df.select(c.cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
         .distinct()
         .select(portable_hash60(F.col("__v")).alias("h"))
     )
@@ -51,6 +57,52 @@ def kmv_distinct_estimate(
         F.when(
             F.col("n_kept") < k, F.col("n_kept").cast("long")
         )
+        .otherwise(
+            F.round((k - 1) / (F.col("kth_hash") / F.lit(HASH_SPACE))).cast("long")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame, group_cols: Sequence[str], col: str | Column, k: int = 256
+) -> DataFrame:
+    """Grouped KMV: (group_cols…, est_distinct) — approximate distinct
+    count PER GROUP from each group's k smallest hashes.
+
+    NULL values are ignored; a group whose values are ALL NULL is absent
+    from the output (SQL's grouped COUNT(DISTINCT) would emit a 0 row —
+    left-join the group universe if that shape is needed).
+
+    Scale shape: one shuffle on (group, value) for the distinct, then a
+    per-group bottom-k via window rank — Spark's WindowGroupLimit pushes
+    the rank-≤-k filter into the sort, so each partition keeps only k rows
+    per group before any data concentrates (the same mechanism that makes
+    w2-style per-key top-k scale). State per group is O(k) regardless of
+    group cardinality — the grouped twin of approx_count_distinct, but
+    deterministic and oracle-checkable thanks to the portable hash.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = (
+        # NULL values excluded — see kmv_distinct_estimate.
+        df.select(*group_cols, c.cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(*group_cols, portable_hash60(F.col("__v")).alias("h"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
         .otherwise(
             F.round((k - 1) / (F.col("kth_hash") / F.lit(HASH_SPACE))).cast("long")
         )
@@ -99,6 +151,9 @@ def cms_sketch(
     from independent ingest batches compose.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    # NULLs would land in a NULL cell no probe can reach — drop them so
+    # the sketch holds exactly the countable stream.
+    df = df.where(c.isNotNull())
     cells = df.select(
         F.inline(
             F.array(

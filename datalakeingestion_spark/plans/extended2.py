@@ -178,6 +178,37 @@ def g6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_kmv_by_returnflag",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)),
+    r AS (SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM h),
+    k AS (SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+          FROM r WHERE rn <= 256 GROUP BY 1)
+    SELECT l_returnflag,
+           CASE WHEN n_kept < 256 THEN n_kept
+                ELSE CAST(round(255 / (kth_hash / 1152921504606846976.0)) AS BIGINT)
+           END AS est_distinct
+    FROM k
+    """,
+    doc="Grouped KMV distinct sketch (operators/sketches.py): approximate "
+    "distinct l_partkey per returnflag with O(k) state per group — the "
+    "deterministic, oracle-checkable twin of approx_count_distinct's "
+    "grouped form. The rank-≤-k filter runs as WindowGroupLimit inside "
+    "the sort, so no group's full hash set ever concentrates.",
+)
+def sketch_kmv_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct_by_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_by_group(li, ["l_returnflag"], "l_partkey", k=256)
+
+
+@register(
     "u3_intersect_click_purchase_days",
     oracle="""
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS day

@@ -259,3 +259,10 @@ def test_cms_sketch_aggregates_fixed_grid(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouped_kmv_rank_pushed_into_sort(spark):
+    # per-group bottom-k must run as WindowGroupLimit (partial top-k in
+    # the sort) — never a full per-group sort + filter.
+    plan = formatted_plan(run(spark, "sketch_kmv_by_returnflag"))
+    assert "WindowGroupLimit" in plan

@@ -123,3 +123,28 @@ def test_cms_sketch_merges_additively(spark):
     a = {(r["d"], r["bucket"]): r["cnt"] for r in s_whole.collect()}
     b = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+def test_sketches_ignore_nulls(spark):
+    # NULL values must not perturb KMV (nulls-first vs nulls-last engine
+    # divergence) or occupy unreachable CMS cells.
+    from datalakeingestion_spark.operators.sketches import (
+        kmv_distinct_by_group,
+        kmv_distinct_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None)], ["g", "v"]
+    )
+    est = kmv_distinct_estimate(df, "v", k=8).collect()[0]
+    assert est["est_distinct"] == 2
+    by_g = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct_by_group(df, ["g"], "v", k=8).collect()
+    }
+    # groups whose values are ALL NULL disappear (documented divergence
+    # from SQL's COUNT(DISTINCT), which would emit a 0 row)
+    assert by_g == {"a": 2}
+
+    sk = cms_sketch(spark.createDataFrame([("x",), (None,)], ["v"]), "v")
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 3  # depth cells for 'x' only
