@@ -75,8 +75,11 @@ def history(log: ExecutionLog, ingestion_id: int) -> DataFrame:
         .filter(F.col("execution_status").isin(STATUS_LOADED, *_TERMINAL))
     )
     # single-partition window: the log holds O(runs) metadata rows, never
-    # data-scale rows (see module docstring)
-    w = Window.orderBy("insert_datetime")
+    # data-scale rows (see module docstring). Secondary key: if a LOADED
+    # row and its terminal row ever land on the same clock microsecond,
+    # LOADED must still sort first or the lead() pairing flips.
+    status_rank = F.when(F.col("execution_status") == STATUS_LOADED, 0).otherwise(1)
+    w = Window.orderBy("insert_datetime", status_rank)
     paired = (
         rows.withColumn("next_status", F.lead("execution_status").over(w))
         .withColumn("next_reason", F.lead("reason_code").over(w))
@@ -151,14 +154,29 @@ def _snapshot_files(
 
 
 def _missing(spark: SparkSession, files: list[str]) -> list[str]:
+    """Files from the list that no longer exist — one listStatus per
+    DIRECTORY rather than one exists() round-trip per file (a snapshot can
+    reference tens of thousands of files but only O(partitions) dirs)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    out = []
+    by_parent: dict[str, list[str]] = {}
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)
-        if not p.getFileSystem(conf).exists(p):
-            out.append(f)
-    return out
+        by_parent.setdefault(p.getParent().toString(), []).append(f)
+    out = []
+    for parent, fs_files in by_parent.items():
+        pp = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = pp.getFileSystem(conf)
+        try:
+            existing = {
+                s.getPath().getName() for s in fs.listStatus(pp)
+            }
+        except Exception:  # directory itself gone
+            existing = set()
+        for f in fs_files:
+            if jvm.org.apache.hadoop.fs.Path(f).getName() not in existing:
+                out.append(f)
+    return sorted(out)
 
 
 def read_version(
@@ -192,8 +210,12 @@ def read_changes(
     ``since_version=last`` to get exactly the new rows, each tagged with
     a ``_commit_version`` column.
 
-    With neither ``since_version`` nor ``after``, every commit's rows are
-    returned (a full CDF replay).
+    With neither ``since_version`` nor ``after``, every live commit's rows
+    are returned (a full CDF replay — from the latest compaction
+    re-baseline onward, since that commit's list IS the full table). An
+    incremental read whose range crosses a re-baseline raises: the exact
+    delta no longer exists, and silently returning the baseline would
+    re-deliver every old row as "new".
 
     Scale shape: the commit→files map is metadata-sized; the data is ONE
     explicit-file parquet scan plus a broadcast join of that map on the
@@ -202,6 +224,7 @@ def read_changes(
     feeds only exist under the latest-zone MERGE (Delta CDF territory).
     """
     hist = history(log, ingestion_id)
+    incremental = since_version is not None or after is not None
     if since_version is not None:
         picked = hist.filter(F.col("version") > since_version)
     elif after is not None:
@@ -213,7 +236,30 @@ def read_changes(
         picked = hist.filter(F.col("committed_at") > F.lit(after))
     else:
         picked = hist
-    commits = picked.select("version", "files").collect()  # metadata-sized
+    commits = (  # metadata-sized
+        picked.orderBy("version").select("version", "files", "baseline").collect()
+    )
+    if incremental and any(r["baseline"] for r in commits):
+        # A compaction re-baseline commit's file list is the COMPLETE
+        # table, not a delta — returning it would silently re-deliver
+        # every pre-compaction row as "new". (When the compaction also
+        # rewrote the files of other not-yet-consumed commits, the
+        # missing-file guard below catches it; this guard covers the
+        # consumer that was fully caught up BEFORE the compaction, whose
+        # picked commits all still exist on disk.)
+        raise RuntimeError(
+            "change feed crosses a compaction re-baseline commit; the "
+            "exact delta no longer exists — re-baseline the consumer "
+            "from a current snapshot (read_version) and resume from "
+            "that version"
+        )
+    if not incremental:
+        # full replay = current content: union from the LATEST baseline
+        # (complete list) onward, exactly like a snapshot read
+        start = max(
+            (i for i, r in enumerate(commits) if r["baseline"]), default=0
+        )
+        commits = commits[start:]
 
     def _norm(p: str) -> str:
         # Hadoop Path.toString() says "file:/x"; _metadata.file_path may

@@ -187,3 +187,33 @@ def test_compaction_rebaselines_history_when_logged(spark, events, tmp_path):
     assert read_changes(spark, log, 1, target, since_version=2).count() == 0
     with pytest.raises(RuntimeError, match="re-baseline"):
         read_changes(spark, log, 1, target, since_version=0)
+
+
+def test_read_changes_rebaseline_guards(spark, events, tmp_path):
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    r2 = _job(spark, events, tmp_path).run()
+    assert [r.status for r in (r1, r2)] == [STATUS_SUCCESS] * 2
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+
+    compact(spark, target, partition_col="ts_part", log=log, ingestion_id=1)
+
+    from datalakeingestion_spark.ingest.timetravel import read_changes
+
+    # a consumer fully caught up BEFORE the compaction (since_version=1):
+    # every file it would read still exists (the baseline list), so only
+    # the explicit re-baseline guard prevents silently re-delivering the
+    # whole table as "changes"
+    with pytest.raises(RuntimeError, match="re-baseline"):
+        read_changes(spark, log, 1, target, since_version=1)
+
+    # full replay works ACROSS the compaction: latest-baseline-onward,
+    # whole table, tagged with the baseline commit's version
+    replay = read_changes(spark, log, 1, target)
+    assert replay.count() == events.count()
+    versions = {r["_commit_version"] for r in replay.select("_commit_version").distinct().collect()}
+    assert versions == {2}
+
+    # post-compaction ingests resume exact incremental deltas
+    # (no new data here: caught-up-at-baseline consumer sees zero rows)
+    assert read_changes(spark, log, 1, target, since_version=2).count() == 0
