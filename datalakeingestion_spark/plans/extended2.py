@@ -178,6 +178,110 @@ def g6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w7_event_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           round(SUM(gap_us) / 1000000.0 / COUNT(gap_us), 6) AS avg_gap_s
+    FROM g GROUP BY user_id
+    """,
+    doc="lag()-based inter-event gaps per user (W1 generalization — the "
+    "reference has no lag/lead at all): one shuffle on user_id feeds both "
+    "the window and the aggregate. Gap arithmetic in integral epoch-µs; "
+    "the average is derived from the exact integer sum, so no float "
+    "summation order can flip the oracle hash.",
+)
+def w7_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    return (
+        ev.select("user_id", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(
+                F.sum("gap_us") / F.lit(1_000_000.0) / F.count("gap_us"), 6
+            ).alias("avg_gap_s"),
+        )
+    )
+
+
+@register(
+    "d4_price_quantity_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+    FROM s
+    """,
+    doc="Grouped Pearson correlation from EXACT decimal moment sums "
+    "(D-profile generalization): Spark's corr() aggregates doubles in "
+    "partition order and cannot hash-match another engine; accumulating "
+    "the five moments as decimals keeps the one-pass single-shuffle shape "
+    "AND bit-reproducibility, converting to double only at the final "
+    "scalar formula.",
+)
+def d4_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # operand precisions stay TIGHT (quantity ≤ 1e8, price < 1e10) so the
+    # moment products/sums never hit precision 38, where Spark rounds
+    # (allowPrecisionLoss) but DuckDB overflows — the exact sums convert
+    # to double only for the final scalar formula.
+    # ONE operand of each product at width ≥ 19 forces DuckDB's multiply
+    # off int64 storage (a (14,4)×(14,4) product overflows its DECIMAL(18)
+    # physical type for prices > ~3e5) while keeping Spark's product
+    # precision < 38 — no allowPrecisionLoss rounding on either engine.
+    x = F.col("l_quantity").cast("decimal(12,4)")
+    x19 = F.col("l_quantity").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(14,4)")
+    y19 = F.col("l_extendedprice").cast("decimal(19,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x19 * x).cast("double").alias("sxx"),
+        F.sum(y19 * y).cast("double").alias("syy"),
+        F.sum(x19 * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / den, 6).alias("corr_qty_price"),
+    )
+
+
+@register(
     "sketch_kmv_by_returnflag",
     oracle="""
     WITH h AS (
