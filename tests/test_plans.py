@@ -266,3 +266,25 @@ def test_grouped_kmv_rank_pushed_into_sort(spark):
     # the sort) — never a full per-group sort + filter.
     plan = formatted_plan(run(spark, "sketch_kmv_by_returnflag"))
     assert "WindowGroupLimit" in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path):
+    # The lake writes Hive-partitioned parquet (ingest/pipeline.py
+    # partitionBy) — at 100 TB a dim-filtered join must prune fact
+    # PARTITIONS at runtime, not scan-and-discard. Pin that the session
+    # keeps DPP enabled and the scan carries a dynamicpruning expression.
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        "id", (F.col("id") % 10).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.partitionBy("p").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = spark.range(10).select(
+        F.col("id").alias("p"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("grp") == "g0")
+    j = f.join(d, "p").groupBy("grp").agg(F.sum("v").alias("s"))
+    assert "dynamicpruning" in formatted_plan(j).lower()
