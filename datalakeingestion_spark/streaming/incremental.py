@@ -81,6 +81,48 @@ def streaming_dedup_exact(
     return events.dropDuplicates([*id_cols])
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream dedup for re-deliveries whose EVENT TIME drifts between
+    attempts (``dropDuplicatesWithinWatermark``).
+
+    ``streaming_dedup_exact`` keys its state on the exact row, so an
+    at-least-once source that re-stamps the timestamp on retry (a CDC
+    extractor re-reading a row after a crash, the reference's re-pull
+    after rollback — T5) slips duplicates through. This variant keeps a
+    key's state for the watermark DELAY after its first sighting and
+    drops any same-key arrival in that horizon regardless of its event
+    time — the guarantee matching "the same logical row may be emitted
+    again within N minutes, with a fresher timestamp". State is GC'd per
+    key after the delay, so it stays bounded. First-sighting-wins: the
+    emitted row is the earliest arrival, deterministic under availableNow
+    replay because micro-batch order is the file-source log order.
+
+    Batch frames fall back to earliest-``ts_col``-wins per key (max_by on
+    negated order), the closest batch semantics.
+    """
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark([*id_cols])
+    others = [c for c in events.columns if c not in id_cols]
+    return (
+        events.groupBy(*id_cols)
+        .agg(
+            *[
+                F.min_by(c, F.struct(F.col(ts_col), *[F.col(o) for o in others]))
+                .alias(c)
+                for c in others
+            ]
+        )
+        .select(*events.columns)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

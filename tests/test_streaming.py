@@ -423,3 +423,51 @@ def test_derived_table_streams_lake_appends_exactly_once(spark, tmp_path):
     assert got.count() == expect2
     # exactly-once: no duplicated event_ids across the two drains
     assert got.select("event_id").distinct().count() == expect2
+
+
+def test_streaming_dedup_within_watermark_catches_restamped_retries(spark, tmp_path):
+    """An at-least-once source that re-stamps event time on retry defeats
+    exact dedup (different ts ⇒ different row) — the within-watermark
+    variant drops the re-delivery anyway and GC's key state after the
+    delay."""
+    from datalakeingestion_spark.streaming.incremental import (
+        streaming_dedup_within_watermark,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(100)
+    src = str(tmp_path / "drift_src")
+    events.write.parquet(src)
+    # retry delivery: same event_ids, event time re-stamped +30 s
+    events.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_dedup_within_watermark(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_wm_out"
+    ).first()
+    assert got["n"] == got["d"] == 100
+
+    # batch fallback: earliest-arrival-wins per key
+    doubled = events.unionByName(
+        events.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
+    )
+    batch = streaming_dedup_within_watermark(doubled)
+    assert batch.count() == 100
+    # every surviving row carries the ORIGINAL (earliest) timestamp
+    orig = {(r["event_id"], r["ts"]) for r in events.select("event_id", "ts").collect()}
+    kept = {(r["event_id"], r["ts"]) for r in batch.select("event_id", "ts").collect()}
+    assert kept == orig
