@@ -313,6 +313,26 @@ def sketch_kmv_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g7_approx_percentiles",
+    oracle=None,  # approx_percentile's KLL-ish sketch is engine-specific;
+    # accuracy vs the exact g3 quantiles is pinned in
+    # tests/test_rangejoin.py::test_approx_percentiles_close_to_exact
+    doc="Approximate percentiles (approx_percentile, accuracy 10000): the "
+    "scale path next to g3's exact percentile — bounded sketch state per "
+    "group instead of a full sort, the right default once a group no "
+    "longer fits an executor. Like ann_lsh/ann_ivf, the approximation is "
+    "engine-specific, so the driver records a rows-only check and pytest "
+    "pins the error against the exact quantiles.",
+)
+def g7_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+@register(
     "u3_intersect_click_purchase_days",
     oracle="""
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS day

@@ -148,3 +148,24 @@ def test_sketches_ignore_nulls(spark):
 
     sk = cms_sketch(spark.createDataFrame([("x",), (None,)], ["v"]), "v")
     assert sk.agg(F.sum("cnt")).collect()[0][0] == 3  # depth cells for 'x' only
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    # g7 (approx, rows-only for the driver) must track g3 (exact) within
+    # the sketch's rank-error budget at this accuracy.
+    from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in REGISTRY["g3_percentiles"].fn(spark, sf).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in REGISTRY["g7_approx_percentiles"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (k, e, a)
