@@ -217,3 +217,34 @@ def test_read_changes_rebaseline_guards(spark, events, tmp_path):
     # post-compaction ingests resume exact incremental deltas
     # (no new data here: caught-up-at-baseline consumer sees zero rows)
     assert read_changes(spark, log, 1, target, since_version=2).count() == 0
+
+
+def test_ingest_after_compaction_resumes_exact_deltas(spark, events, tmp_path):
+    """The full lifecycle: ingest → compact (re-baseline) → ingest more.
+    The watermark survives the compaction, the next ingest commits as a
+    normal delta on top of the baseline, and a consumer anchored at the
+    baseline version receives exactly the new rows."""
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    assert r1.status == STATUS_SUCCESS
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+
+    compact(spark, target, partition_col="ts_part", log=log, ingestion_id=1)
+
+    r2 = _job(spark, events, tmp_path).run()  # post-compaction delta
+    assert r2.status == STATUS_SUCCESS and r2.source_count > 0
+
+    from datalakeingestion_spark.ingest.timetravel import read_changes
+
+    hist = history(log, 1).orderBy("version").collect()
+    assert [bool(h["baseline"]) for h in hist] == [False, True, False]
+
+    delta = read_changes(spark, log, 1, target, since_version=1)
+    assert delta.count() == r2.source_count
+    assert {r["_commit_version"] for r in delta.select("_commit_version").distinct().collect()} == {2}
+    # no pre-compaction rows leak into the post-baseline delta
+    assert delta.filter(F.col("ts") <= CAP1).count() == 0
+
+    # snapshots: baseline version == lake at compaction; latest == full lake
+    assert read_version(spark, log, 1, 1, target).count() == r1.source_count
+    assert read_version(spark, log, 1, 2, target).count() == events.count()
