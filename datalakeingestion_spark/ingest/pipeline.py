@@ -111,6 +111,27 @@ def _move_files(spark: SparkSession, moves: list[tuple[str, str]]) -> None:
         fs.rename(sp, dp)
 
 
+def read_lake(spark: SparkSession, target_location: str) -> DataFrame:
+    """Consumer read of an append-only lake zone with SCHEMA EVOLUTION.
+
+    Incremental sources grow columns over time (the reference re-derives
+    its projection from information_schema every run —
+    extractors/ingest_mysql_data.py:164-200 — so a new source column
+    starts appearing in new batches automatically). A plain
+    ``spark.read.parquet(dir)`` infers the schema from ONE footer, so
+    depending on which file wins, late-added columns silently vanish for
+    every consumer. ``mergeSchema`` unions all footers: old rows surface
+    the new column as NULL, which is also what the validation count and
+    latest-zone merge expect.
+
+    Footer-merge cost is metadata-scale (one footer per file, computed
+    distributed); production deployments pin the contract schema in a
+    catalog table instead — this is the catalog-less default that is
+    never silently wrong.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(target_location)
+
+
 @dataclass
 class IncrementalIngestJob:
     spark: SparkSession

@@ -394,3 +394,27 @@ def test_windowed_mode_microsecond_until_ingests_tail(spark, events, tmp_path):
     # caught up: re-running terminates with no new data
     again = job.run_windows("2024-01-06 12:00:00.500000", window_hours=24 * 10)
     assert all(r.source_count == 0 for r in again)
+
+
+def test_schema_evolution_read_lake(spark, events, tmp_path):
+    """A source that grows a column mid-history: batch 1 without it,
+    batch 2 with it. read_lake (mergeSchema) surfaces the union schema —
+    old rows NULL — while a single-footer read can silently drop the
+    late column depending on which file wins."""
+    from datalakeingestion_spark.ingest.pipeline import read_lake
+
+    r1 = _job(spark, events, tmp_path, end_value_cap=MID).run()
+    assert r1.status == STATUS_SUCCESS
+
+    evolved = events.withColumn(
+        "quality", F.round(F.col("value") * 2, 3)
+    )
+    r2 = _job(spark, evolved, tmp_path).run()
+    assert r2.status == STATUS_SUCCESS and r2.source_count > 0
+
+    lake = read_lake(spark, str(tmp_path / "lake" / "events"))
+    assert "quality" in lake.columns
+    assert lake.count() == events.count()
+    # batch-1 rows: NULL quality; batch-2 rows: populated
+    assert lake.filter(F.col("quality").isNull()).count() == r1.source_count
+    assert lake.filter(F.col("quality").isNotNull()).count() == r2.source_count
