@@ -81,3 +81,28 @@ print(
     "change feed since commit 0:",
     read_changes(spark, log, 1, lake, since_version=0).count(),
 )
+
+# 6. Time-correlation joins and sketches over the event stream
+from datalakeingestion_spark.operators.rangejoin import interval_join  # noqa: E402
+from datalakeingestion_spark.operators.sketches import (  # noqa: E402
+    cms_estimate,
+    cms_sketch,
+)
+
+pts = events.select("event_id", F.unix_micros("ts").alias("pt"))
+anchors = events.filter(F.col("event_type") == "error").select(
+    F.col("event_id").alias("anchor_id"), F.unix_micros("ts").alias("at")
+)
+ctx = interval_join(
+    pts, anchors,
+    left_point=F.col("pt"),
+    right_start=F.col("at") - 300_000_000,
+    right_end=F.col("at"),
+    bucket_width_us=300_000_000,
+)
+print("events within 5 min before an error:", ctx.count())
+
+toks = docs.select(F.explode(tokens("text")).alias("t"))
+sketch = cms_sketch(toks, "t", depth=3, width=1024)
+probes = spark.createDataFrame([("table",), ("spark",)], ["term"])
+cms_estimate(sketch, probes, "term").show()
