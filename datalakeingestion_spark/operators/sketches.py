@@ -170,6 +170,83 @@ def cms_sketch(
     return cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def countsketch_sketch(
+    df: DataFrame, col: str | Column, depth: int = 5, width: int = 1024
+) -> DataFrame:
+    """Count-Sketch (AMS): like CMS but each occurrence adds a ±1 SIGN, and
+    the estimate is the MEDIAN over rows of sign·cell — unbiased, so the
+    systematic collision overcount that dominates CMS on low-skew streams
+    cancels in expectation. Same fixed depth×width grid shuffle, same
+    additive merge; ``depth`` should be odd so the median is an element.
+
+    Cells: (d, bucket, cnt) where cnt sums the signs. Hash family: the
+    bucket reuses ``_cms_bucket``'s salted md5; the sign is bit 0 of a
+    differently-salted hash — both bit-identical to the SQL twins, so
+    even this approximate estimator is oracle-checkable.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    df = df.where(c.isNotNull())
+    cells = df.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(c, d, width).alias("bucket"),
+                        _cs_sign(c, d).alias("sign"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        )
+    )
+    return cells.groupBy("d", "bucket").agg(F.sum("sign").alias("cnt"))
+
+
+def _cs_sign(value: Column, d: int) -> Column:
+    """±1 from bit 0 of a sign-salted portable hash (SQL twin:
+    ``CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END``)."""
+    h = portable_hash60(F.concat(F.lit(f"s{d}:"), value))
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def countsketch_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """(term, est_count) with est = median over rows of sign(term)·cell.
+
+    The median of an odd number of integers is an element, so the result
+    is exactly reproducible cross-engine (no interpolation)."""
+    pb = probes.select(F.col(col).cast("string").alias("term"))
+    cells = pb.select(
+        "term",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("term"), d, width).alias("bucket"),
+                        _cs_sign(F.col("term"), d).alias("sign"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ),
+    )
+    joined = cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    signed = joined.withColumn(
+        "est", F.col("sign") * F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    # exact element median: depth is odd → percentile at 0.5 of integers
+    return signed.groupBy("term").agg(
+        F.percentile("est", F.lit(0.5)).cast("long").alias("est_count")
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -313,6 +313,52 @@ def sketch_kmv_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "countsketch_term_frequency",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS x FROM documents),
+    ds AS (SELECT unnest([0, 1, 2, 3, 4]) AS d),
+    cells AS (
+      SELECT d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || x), 1, 15))::BIGINT
+              % {_CMS_WIDTH}) AS bucket,
+             SUM(CASE WHEN ('0x' || substr(md5('s' || CAST(d AS VARCHAR) || ':' || x),
+                            1, 15))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END) AS cnt
+      FROM tok, ds GROUP BY 1, 2),
+    probes AS (SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS term),
+    pb AS (
+      SELECT term, d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+              % {_CMS_WIDTH}) AS bucket,
+             CASE WHEN ('0x' || substr(md5('s' || CAST(d AS VARCHAR) || ':' || term),
+                        1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM probes, ds),
+    est AS (
+      SELECT term, sign * COALESCE(cnt, 0) AS est
+      FROM pb LEFT JOIN cells USING (d, bucket))
+    SELECT term, CAST(quantile_cont(est, 0.5) AS BIGINT) AS est_count
+    FROM est GROUP BY term
+    """,
+    doc="Count-Sketch term frequencies (operators/sketches.py): the "
+    "UNBIASED sibling of cms_term_frequency — each occurrence adds a ±1 "
+    "sign and the estimate is the exact-element median over 5 rows, so "
+    "collision mass cancels in expectation instead of stacking as "
+    "overcount. Same fixed-grid shuffle shape; same portable hash family "
+    "so the approximate estimates still hash-match DuckDB.",
+)
+def countsketch_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketches import countsketch_estimate, countsketch_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("x"))
+    sketch = countsketch_sketch(toks, "x", depth=5, width=_CMS_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], ["term"])
+    return countsketch_estimate(sketch, probes, "term", depth=5, width=_CMS_WIDTH)
+
+
+@register(
     "g7_approx_percentiles",
     oracle=None,  # approx_percentile's KLL-ish sketch is engine-specific;
     # accuracy vs the exact g3 quantiles is pinned in

@@ -169,3 +169,33 @@ def test_approx_percentiles_close_to_exact(spark):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (k, e, a)
+
+
+def test_countsketch_unbiased_vs_cms_overcount(spark):
+    # same deliberately-small grid as the CMS test: CMS systematically
+    # overcounts the uniform stream (collision mass stacks), Count-Sketch
+    # stays near the truth (signs cancel) — and never violates its own
+    # error envelope.
+    from datalakeingestion_spark.operators.sketches import (
+        countsketch_estimate,
+        countsketch_sketch,
+    )
+
+    vals = [(f"v{i % 257}",) for i in range(5000)]
+    df = spark.createDataFrame(vals, ["x"])
+    probes = spark.createDataFrame([(f"v{i}",) for i in range(0, 257, 16)], ["t"])
+    true = {}
+    for (v,) in vals:
+        true[v] = true.get(v, 0) + 1
+
+    cs = countsketch_sketch(df, "x", depth=5, width=512)
+    est = {
+        r["term"]: r["est_count"]
+        for r in countsketch_estimate(cs, probes, "t", depth=5, width=512).collect()
+    }
+    errs = [abs(est[t] - true[t]) for t in est]
+    # ~19.5 per value; CMS's expected overcount here is ≈ +19 per cell
+    # collision (see test_cms_overcounts_never_undercounts's bound);
+    # Count-Sketch's median error stays well inside it
+    assert sum(errs) / len(errs) < 10, errs
+    assert max(errs) < 40, errs
