@@ -105,3 +105,95 @@ def interval_join(
         (F.col("__pt") >= F.col("__iv_s")) & (F.col("__pt") < F.col("__iv_e"))
     )
     return joined.drop("__pt", "__iv_s", "__iv_e", "__lbucket", "__rbucket")
+
+
+def interval_join_multires(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: Column,
+    right_start: Column,
+    right_end: Column,
+    base_width_us: int,
+    max_span_us: int,
+    keys: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """``interval_join`` without the span ≤ width restriction: intervals
+    of MIXED sizes each use the tier whose bucket width fits them.
+
+    Tiers double from ``base_width_us`` up to ``max_span_us`` (so
+    #tiers = ⌈log2(max_span/base)⌉ + 1). Each RIGHT interval goes to the
+    smallest tier whose width ≥ its span — still ≤ 2 buckets there. Each
+    LEFT point emits ONE bucket per tier (#tiers rows). The equi join
+    runs on (keys…, tier, bucket); a (left, right) pair meets in exactly
+    the right's single tier, so no dedup is needed.
+
+    Cost model vs single-resolution: left volume × #tiers (logarithmic in
+    the span ratio) instead of right volume × (max_span/width) — the
+    difference between 5 tier copies and a 32-bucket explosion when spans
+    range over 32× the smallest. A span > ``max_span_us`` raises (same
+    loud-not-wrong contract as ``interval_join``).
+    """
+    if base_width_us <= 0 or max_span_us < base_width_us:
+        raise ValueError("need 0 < base_width_us <= max_span_us")
+    widths = [base_width_us]
+    while widths[-1] < max_span_us:
+        widths.append(widths[-1] * 2)
+    n_tiers = len(widths)
+
+    l = left.withColumn("__pt", left_point.cast("long"))
+    r = right.withColumn("__iv_s", right_start.cast("long")).withColumn(
+        "__iv_e", right_end.cast("long")
+    )
+
+    span = F.col("__iv_e") - F.col("__iv_s")
+    # smallest tier whose width >= span; raise on span > max tier
+    tier = F.lit(None).cast("int")
+    for t in range(n_tiers - 1, -1, -1):
+        tier = F.when(span <= widths[t], F.lit(t)).otherwise(tier)
+    tier = F.coalesce(
+        tier,
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join_multires: span exceeds max_span_us: "),
+                span.cast("string"),
+            )
+        ).cast("int"),
+    )
+    r = r.withColumn("__tier", tier)
+    width_of = F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in widths]), F.col("__tier") + 1
+    )
+    r = r.withColumn(
+        "__rbucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__iv_s") / width_of),
+                F.floor((F.col("__iv_e") - 1) / width_of),
+            )
+        ),
+    )
+
+    l = l.withColumn(
+        "__lt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("tier"),
+                        F.floor(F.col("__pt") / widths[t]).alias("bucket"),
+                    )
+                    for t in range(n_tiers)
+                ]
+            )
+        ),
+    )
+
+    cond = (F.col("__lt.tier") == F.col("__tier")) & (
+        F.col("__lt.bucket") == F.col("__rbucket")
+    )
+    for lc, rc in keys:
+        cond = cond & (l[lc] == r[rc])
+    joined = l.join(r, cond, "inner").filter(
+        (F.col("__pt") >= F.col("__iv_s")) & (F.col("__pt") < F.col("__iv_e"))
+    )
+    return joined.drop("__pt", "__iv_s", "__iv_e", "__lt", "__tier", "__rbucket")

@@ -199,3 +199,42 @@ def test_countsketch_unbiased_vs_cms_overcount(spark):
     # Count-Sketch's median error stays well inside it
     assert sum(errs) / len(errs) < 10, errs
     assert max(errs) < 40, errs
+
+
+def test_interval_join_multires_exact_vs_naive_mixed_spans(spark):
+    import random
+
+    from datalakeingestion_spark.operators.rangejoin import interval_join_multires
+
+    rng = random.Random(11)
+    points = [(i, rng.randrange(0, 50_000)) for i in range(400)]
+    intervals = []
+    for j in range(150):
+        s = rng.randrange(0, 50_000)
+        # spans spread over ~100×: 10 .. 8000 against base width 100
+        span = rng.choice([10, 60, 150, 900, 3000, 8000])
+        intervals.append((j + 1000, s, s + span))
+    l = spark.createDataFrame(points, ["lid", "pt"])
+    r = spark.createDataFrame(intervals, ["rid", "s", "e"])
+    out = interval_join_multires(
+        l, r, F.col("pt"), F.col("s"), F.col("e"),
+        base_width_us=100, max_span_us=8000,
+    )
+    got = sorted((row["lid"], row["rid"]) for row in out.collect())
+    expected = sorted(
+        (i, j) for i, p in points for j, s, e in intervals if s <= p < e
+    )
+    assert got == expected and len(expected) > 100
+
+
+def test_interval_join_multires_span_guard(spark):
+    from datalakeingestion_spark.operators.rangejoin import interval_join_multires
+
+    l = spark.createDataFrame([(1, 5)], ["lid", "pt"])
+    r = spark.createDataFrame([(2, 0, 10_000)], ["rid", "s", "e"])
+    out = interval_join_multires(
+        l, r, F.col("pt"), F.col("s"), F.col("e"),
+        base_width_us=100, max_span_us=1000,
+    )
+    with pytest.raises(Exception, match="exceeds max_span_us"):
+        out.collect()
