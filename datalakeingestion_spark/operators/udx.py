@@ -89,3 +89,27 @@ def register_chunk_text_udtf(spark, name: str = "chunk_text"):
 
     spark.udtf.register(name, ChunkText)
     return ChunkText
+
+
+def register_chunk_text_udtf_arrow(spark, name: str = "chunk_text_arrow"):
+    """The same chunking UDTF with ``useArrow=True``: rows move to the
+    python worker in Arrow record batches instead of pickled one at a
+    time — the faster escape hatch when a UDTF is genuinely needed at
+    volume. Identical semantics (pinned against the plain UDTF and the
+    expression chunker in tests)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string", useArrow=True)
+    class ChunkTextArrow:
+        def eval(self, text: str, size: int, overlap: int):
+            if text is None or size is None or size <= 0:
+                return
+            step = size - (overlap or 0)
+            if step <= 0:
+                raise ValueError("overlap must be smaller than size")
+            toks = [t for t in text.split(" ") if t]
+            for idx, i in enumerate(range(0, len(toks), step)):
+                yield idx, " ".join(toks[i : i + size])
+
+    spark.udtf.register(name, ChunkTextArrow)
+    return ChunkTextArrow

@@ -71,3 +71,22 @@ def test_chunk_text_udtf_matches_expression_chunker(spark):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in via_expr.collect()}
     assert a == b and len(a) > 50
+
+
+def test_arrow_udtf_matches_plain_udtf(spark):
+    from datalakeingestion_spark.functions.text import normalized_text
+    from datalakeingestion_spark.operators.udx import register_chunk_text_udtf_arrow
+
+    register_chunk_text_udtf(spark, "ct_plain")
+    register_chunk_text_udtf_arrow(spark, "ct_arrow")
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    docs.select("doc_id", normalized_text("text").alias("norm")).createOrReplaceTempView(
+        "udtf_docs2"
+    )
+    q = """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text
+        FROM udtf_docs2 d, LATERAL {fn}(d.norm, 16, 4) c
+    """
+    a = {tuple(r) for r in spark.sql(q.format(fn="ct_plain")).collect()}
+    b = {tuple(r) for r in spark.sql(q.format(fn="ct_arrow")).collect()}
+    assert a == b and len(a) > 30
