@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..config.partition_spec import PartitionSpec
 from ..operators.relational import coalesce_range_filter
+from .schema_registry import SchemaRegistry
 from .watermark import (
     STATUS_FAILED,
     STATUS_LOADED,
@@ -151,6 +152,10 @@ class IncrementalIngestJob:
     maintain_latest: bool = False
     primary_key: tuple[str, ...] = ()
     latest_tie_breaks: tuple[str, ...] = ()
+    # contract-schema enforcement (ingest/schema_registry.py): when set,
+    # the SOURCE schema is validated before anything is written — additive
+    # columns evolve the pinned contract, drops/type changes abort the run
+    schema_registry: "SchemaRegistry | None" = None
 
     def _delta_col(self) -> Column:
         if self.delta_expr_cols:
@@ -270,6 +275,12 @@ class IncrementalIngestJob:
         )
 
     def run(self) -> IngestResult:
+        if self.schema_registry is not None:
+            # fail BEFORE the watermark/staging machinery touches anything:
+            # schema drift must not burn a STARTED log row per retry
+            self.schema_registry.check_and_evolve(
+                self.ingestion_id, self.source.schema
+            )
         self._cleanup_orphans()
         start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
         staging = self._staging_dir(uuid.uuid4().hex)
