@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from .config.control import filter_control, load_control
 from .config.partition_spec import parse_partition_config
 from .ingest.pipeline import IncrementalIngestJob, IngestResult
+from .ingest.schema_registry import SchemaRegistry
 from .ingest.views import register_latest_view
 from .ingest.watermark import STATUS_FAILED, STATUS_SUCCESS, ExecutionLog
 
@@ -98,9 +99,15 @@ def run_groups(
     source_resolver: SourceResolver = parquet_source_resolver,
     max_parallel_tables: int = 4,
     register_views: bool = True,
+    schema_registry_path: str | None = None,
 ) -> RunReport:
     rows = filter_control(control, groups).collect()
     log = ExecutionLog(spark, state_path)
+    registry = (
+        SchemaRegistry(spark, schema_registry_path)
+        if schema_registry_path
+        else None
+    )
 
     def run_one(row: Row) -> tuple[int, IngestResult]:
         ingestion_id = row["lake_ingestion_id"]
@@ -115,6 +122,7 @@ def run_groups(
                 target_location=row["target_location"],
                 log=log,
                 partition_spec=parse_partition_config(row["partition_config"]),
+                schema_registry=registry,
             )
             return ingestion_id, job.run()
         except Exception as exc:  # extraction failure → logged, not fatal

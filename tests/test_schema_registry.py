@@ -78,3 +78,47 @@ def test_contract_versions_are_immutable_files(spark, tmp_path):
     latest = reg._latest(7)
     assert latest is not None and latest[0] == 0
     assert latest[1] == events.schema
+
+
+def test_runner_enforces_contracts_per_table(spark, tmp_path):
+    """run_groups with schema_registry_path: a drifted table FAILS (logged,
+    non-fatal) while healthy tables keep ingesting."""
+    from datalakeingestion_spark.ingest.watermark import STATUS_FAILED
+    from datalakeingestion_spark.runner import run_groups
+
+    from datalakeingestion_spark.config.control import CONTROL_SCHEMA
+
+    events = load_table(spark, SF_SMALL, "events")
+    src_ok = str(tmp_path / "src_ok")
+    events.write.parquet(src_ok)
+
+    def control_for(src):
+        row = (
+            1, "parquet-table", src, "db1", "t1", "ts", "", 0, 1, "NULL",
+            "c", "g", "s3", str(tmp_path / "lake" / "t1"), "", "vdb",
+            "t1_lv", 0, "()", "dag_a", "2024-01-01",
+        )
+        return spark.createDataFrame([row], CONTROL_SCHEMA)
+
+    reg_path = str(tmp_path / "schemas")
+    rep1 = run_groups(
+        spark, control_for(src_ok), str(tmp_path / "state"),
+        schema_registry_path=reg_path, register_views=False,
+    )
+    assert rep1.results[1].status == STATUS_SUCCESS  # pins v0
+
+    # upstream retypes the column: next run must fail loudly, not append
+    src_drift = str(tmp_path / "src_drift")
+    spark.read.parquet(src_ok).withColumn(
+        "value", F.col("value").cast("string")
+    ).write.parquet(src_drift)
+    rep2 = run_groups(
+        spark, control_for(src_drift), str(tmp_path / "state"),
+        schema_registry_path=reg_path, register_views=False,
+    )
+    assert rep2.results[1].status == STATUS_FAILED
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    last = log.latest_entry(1)
+    assert "changed column type" in last["reason_code"]
+    # nothing appended by the drifted run
+    assert spark.read.parquet(str(tmp_path / "lake" / "t1")).count() == events.count()
