@@ -95,6 +95,56 @@ def mix_corpora(
     return out
 
 
+def sample_by_weight(
+    df: DataFrame, weight: Column, key: str, salt: str = "qw"
+) -> DataFrame:
+    """Per-ROW keep probability: keep iff hash(key) < weight·2^32, where
+    ``weight`` is a column in [0,1] (values outside are clamped).
+
+    The importance-sampling primitive for quality-weighted corpus
+    construction (CCNet-style: high-quality buckets kept at higher
+    rates): deterministic per key, so reruns and engines agree, and the
+    filter is a pure row expression — pushes past joins, no shuffle, no
+    RNG state. Expected kept fraction = mean(weight).
+    """
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        _rate_hash(key, salt) < (w * F.lit(HASH_SPACE_32)).cast("long")
+    )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep each group's prefix (in ``order_cols`` order) whose running
+    token total stays ≤ ``budget`` — the per-source token-budget cap a
+    mixture spec compiles to ("at most N tokens of src_k").
+
+    One hash shuffle on the group key; the running sum is a frame window
+    WITHIN each group (never a global window), so it scales like any
+    keyed window. A row that would cross the budget is dropped along with
+    everything after it (prefix semantics keep the cut reproducible under
+    any partitioning; an exactly-budget prefix is kept whole).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("_running", running)
+        .filter(F.col("_running") <= budget)
+        .drop("_running")
+    )
+
+
 def stratified_sample_exact(
     docs: DataFrame,
     stratum_col: str,

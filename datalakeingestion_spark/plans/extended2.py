@@ -379,6 +379,66 @@ def g7_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_quality_weighted",
+    oracle="""
+    SELECT doc_id, source,
+           round(least(n_chars / 400.0, 1.0), 6) AS keep_weight
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#qw'), 1, 8))::BIGINT
+          < CAST(least(n_chars / 400.0, 1.0) * 4294967296.0 AS BIGINT)
+    """,
+    doc="Importance sampling by per-row quality weight "
+    "(operators/sampling.py::sample_by_weight): longer documents kept at "
+    "higher probability, deterministic per doc_id so reruns/engines "
+    "agree. Pure row filter — no shuffle, no RNG state, pushes into the "
+    "scan.",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_by_weight
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    kept = sample_by_weight(docs, weight, "doc_id", salt="qw")
+    return kept.select(
+        "doc_id", "source", F.round(weight, 6).alias("keep_weight")
+    )
+
+
+@register(
+    "budget_cap_per_source",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len({TOKS_SQL}) AS n_tokens FROM documents),
+    run AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM sized)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM run WHERE running <= 800
+    """,
+    doc="Per-source token-budget cap "
+    "(operators/sampling.py::cap_tokens_per_group): each source "
+    "contributes its doc_id-ordered prefix up to 800 tokens — the shape "
+    "a mixture spec ('at most N tokens of source k') compiles to. One "
+    "keyed shuffle; the running sum is a per-group frame window, never a "
+    "global one.",
+)
+def budget_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sampling import cap_tokens_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return cap_tokens_per_group(
+        sized, "source", "n_tokens", budget=800, order_cols=["doc_id"]
+    )
+
+
+@register(
     "u3_intersect_click_purchase_days",
     oracle="""
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
