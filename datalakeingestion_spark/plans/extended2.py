@@ -390,8 +390,9 @@ def g7_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Importance sampling by per-row quality weight "
     "(operators/sampling.py::sample_by_weight): longer documents kept at "
     "higher probability, deterministic per doc_id so reruns/engines "
-    "agree. Pure row filter — no shuffle, no RNG state, pushes into the "
-    "scan.",
+    "agree. Pure row filter — no shuffle, no RNG state, evaluated inside "
+    "the scan stage's codegen (the hash predicate itself can't "
+    "row-group-skip).",
 )
 def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import sample_by_weight
