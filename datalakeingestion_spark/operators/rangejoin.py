@@ -72,6 +72,10 @@ def interval_join(
     r = right.withColumn("__iv_s", right_start.cast("long")).withColumn(
         "__iv_e", right_end.cast("long")
     )
+    # empty/inverted intervals match nothing by definition — drop them
+    # up front (otherwise sequence(start, start-1) explodes them into a
+    # DESCENDING junk-bucket pair the residual filter then discards)
+    r = r.filter(F.col("__iv_e") > F.col("__iv_s"))
 
     # Guard: intervals wider than one bucket would need to explode into
     # >2 buckets; raise_error keeps the check distributed (no extra
@@ -144,6 +148,8 @@ def interval_join_multires(
     r = right.withColumn("__iv_s", right_start.cast("long")).withColumn(
         "__iv_e", right_end.cast("long")
     )
+    # see interval_join: empty/inverted intervals match nothing
+    r = r.filter(F.col("__iv_e") > F.col("__iv_s"))
 
     span = F.col("__iv_e") - F.col("__iv_s")
     # smallest tier whose width >= span; raise on span > max tier

@@ -220,8 +220,11 @@ def countsketch_estimate(
     """(term, est_count) with est = median over rows of sign(term)·cell.
 
     The median of an odd number of integers is an element, so the result
-    is exactly reproducible cross-engine (no interpolation)."""
-    pb = probes.select(F.col(col).cast("string").alias("term"))
+    is exactly reproducible cross-engine (no interpolation). NULL probes
+    are dropped."""
+    pb = probes.select(F.col(col).cast("string").alias("term")).where(
+        F.col("term").isNotNull()
+    )
     cells = pb.select(
         "term",
         F.inline(
@@ -259,9 +262,12 @@ def cms_estimate(
     result: (term, est_count) with est = min over rows of the cell count.
 
     The sketch is at most depth×width rows, so the probe⋈sketch join
-    broadcasts the sketch — no shuffle of anything large.
+    broadcasts the sketch — no shuffle of anything large. NULL probes are
+    dropped (the sketch holds no NULL cell to answer them from).
     """
-    pb = probes.select(F.col(col).cast("string").alias("term"))
+    pb = probes.select(F.col(col).cast("string").alias("term")).where(
+        F.col("term").isNotNull()
+    )
     cells = pb.select(
         "term",
         F.inline(

@@ -238,3 +238,24 @@ def test_interval_join_multires_span_guard(spark):
     )
     with pytest.raises(Exception, match="exceeds max_span_us"):
         out.collect()
+
+
+def test_interval_join_drops_empty_and_inverted_intervals(spark):
+    points = [(1, 100)]
+    intervals = [(10, 100, 100), (11, 200, 150), (12, 100, 101)]
+    got = _pairs(spark, points, intervals, width=100)
+    assert got == [(1, 12)]  # only the genuine [100,101) matches
+
+
+def test_estimators_drop_null_probes(spark):
+    from datalakeingestion_spark.operators.sketches import (
+        countsketch_estimate,
+        countsketch_sketch,
+    )
+
+    df = spark.createDataFrame([("x",)] * 5, ["v"])
+    probes = spark.createDataFrame([("x",), (None,)], ["t"])
+    cms = cms_estimate(cms_sketch(df, "v"), probes, "t").collect()
+    cs = countsketch_estimate(countsketch_sketch(df, "v"), probes, "t").collect()
+    assert {r["term"] for r in cms} == {"x"} and cms[0]["est_count"] == 5
+    assert {r["term"] for r in cs} == {"x"} and cs[0]["est_count"] == 5
