@@ -245,3 +245,45 @@ def test_connected_components_matches_union_find(spark):
             union(a, b)
         want = {x: find(x) for x in parent}
         assert got == want
+
+
+def test_interval_join_matches_bruteforce_vectorized(spark):
+    """One seeded batch, many (width, span-mix) regimes, both operators —
+    bucketed and multi-resolution interval joins must equal the O(n·m)
+    brute force exactly (hypothesis-per-example Spark jobs are too slow;
+    the regimes vary inside one job, per this file's convention)."""
+    from datalakeingestion_spark.operators.rangejoin import (
+        interval_join,
+        interval_join_multires,
+    )
+
+    rng = random.Random(42)
+    points = [(i, rng.randrange(0, 20_000)) for i in range(250)]
+    for width, max_span, use_multires in [
+        (1, 1, False),            # degenerate width
+        (97, 97, False),          # prime width, bucket-misaligned
+        (500, 500, False),
+        (100, 6_400, True),       # spans over 64x the base width
+        (64, 8_192, True),
+    ]:
+        intervals = []
+        for j in range(120):
+            s = rng.randrange(-500, 20_000)  # negatives: pre-range intervals
+            span = rng.randrange(0, max_span + 1)  # includes empty
+            intervals.append((j, s, s + span))
+        l = spark.createDataFrame(points, ["lid", "pt"])
+        r = spark.createDataFrame(intervals, ["rid", "s", "e"])
+        if use_multires:
+            out = interval_join_multires(
+                l, r, F.col("pt"), F.col("s"), F.col("e"),
+                base_width_us=width, max_span_us=max_span,
+            )
+        else:
+            out = interval_join(
+                l, r, F.col("pt"), F.col("s"), F.col("e"), bucket_width_us=width
+            )
+        got = sorted((row["lid"], row["rid"]) for row in out.collect())
+        expected = sorted(
+            (i, j) for i, p in points for j, s, e in intervals if s <= p < e
+        )
+        assert got == expected, (width, max_span, use_multires)
