@@ -122,3 +122,82 @@ def compact(
                 files_json=json.dumps(files),
             )
     return n_before
+
+
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    log,
+    ingestion_id: int,
+    retention_seconds: float = 7 * 24 * 3600,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Delete data files in the lake dir that NO log record references —
+    Delta ``VACUUM`` parity for the log-based lake.
+
+    Crash-orphans inside a run are healed by the pipeline itself
+    (_cleanup_orphans); what accumulates over months is everything
+    *outside* the protocol: files from writers that bypassed the log,
+    leftovers of aborted manual copies, partial uploads. They silently
+    inflate consumer reads (a bare ``spark.read.parquet(dir)`` scans
+    them) and storage. Referenced = the union of every LOADED record's
+    file list for this id — including uncommitted ones, so an in-flight
+    concurrent commit's files are never touched; dot-prefixed staging
+    dirs and underscore metadata files are skipped outright.
+
+    The ``retention_seconds`` guard (default 7 days, Delta's default)
+    additionally protects YOUNG unreferenced files: a writer that has
+    created files but not yet appended its LOADED record is invisible to
+    the log, and retention is the only shield — same reasoning as
+    Delta's "don't vacuum below the max transaction duration".
+    ``now_ms`` is injectable for tests. Returns the deleted paths.
+    """
+    import json as _json
+    import re as _re
+    import time as _time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    jvm, fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    scheme = _re.compile(r"^([a-z0-9]+):/+")
+    norm = lambda s: scheme.sub(r"\1:/", s)
+
+    referenced: set[str] = set()
+    rows = (
+        log.read()
+        .filter(F.col("lake_ingestion_id") == ingestion_id)
+        .filter(F.col("reason_code").startswith("["))
+        .select("reason_code")
+        .collect()
+    )
+    for row in rows:
+        try:
+            files = _json.loads(row["reason_code"])
+        except ValueError:
+            continue
+        if isinstance(files, list):
+            referenced.update(norm(str(f)) for f in files)
+
+    cutoff = (now_ms if now_ms is not None else _time.time() * 1000) - (
+        retention_seconds * 1000
+    )
+    deleted: list[str] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        fp = st.getPath()
+        name = fp.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        # any dot-prefixed ancestor (staging dirs) is out of scope
+        if "/." in fp.toString()[len("file:"):]:
+            continue
+        if norm(fp.toString()) in referenced:
+            continue
+        if st.getModificationTime() >= cutoff:
+            continue  # young file: maybe an in-flight writer — keep
+        fs.delete(fp, False)
+        deleted.append(fp.toString())
+    return sorted(deleted)

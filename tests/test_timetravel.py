@@ -248,3 +248,48 @@ def test_ingest_after_compaction_resumes_exact_deltas(spark, events, tmp_path):
     # snapshots: baseline version == lake at compaction; latest == full lake
     assert read_version(spark, log, 1, 1, target).count() == r1.source_count
     assert read_version(spark, log, 1, 2, target).count() == events.count()
+
+
+def test_vacuum_removes_only_unreferenced_old_files(spark, events, tmp_path):
+    """VACUUM parity: files no log record references are removed once
+    older than retention; referenced data, staging dirs, metadata files
+    and YOUNG strays all survive."""
+    import os
+    import shutil
+    import time
+
+    from datalakeingestion_spark.ingest.maintenance import vacuum
+
+    r1 = _job(spark, events, tmp_path).run()
+    assert r1.status == STATUS_SUCCESS
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = tmp_path / "lake" / "events"
+    n_before = spark.read.parquet(str(target)).count()
+
+    # plant strays (copies of a real data file, so they read as parquet
+    # and silently inflate bare directory reads — the problem vacuum
+    # exists to fix): an old one, a young one, and a staged one
+    part_dir = next(d for d in target.iterdir() if d.name.startswith("ts_part="))
+    real = next(f for f in part_dir.iterdir() if f.name.endswith(".parquet"))
+    old_stray = part_dir / "stray-manual-copy.parquet"
+    shutil.copyfile(real, old_stray)
+    old_ms = (time.time() - 8 * 24 * 3600) * 1000
+    os.utime(old_stray, (old_ms / 1000, old_ms / 1000))
+    young_stray = part_dir / "stray-young.parquet"
+    shutil.copyfile(real, young_stray)
+    staged = target / ".staging-xyz"
+    staged.mkdir()
+    shutil.copyfile(real, staged / "part-0.parquet")
+    assert spark.read.parquet(str(target)).count() > n_before  # inflated
+
+    deleted = vacuum(spark, str(target), log, 1)
+    assert [d.split("/")[-1] for d in deleted] == ["stray-manual-copy.parquet"]
+    assert young_stray.exists() and (staged / "part-0.parquet").exists()
+    # time travel still resolves every commit after the vacuum
+    assert read_version(spark, log, 1, 0, str(target)).count() == r1.source_count
+
+    # with retention waived, the young stray goes too (explicit opt-in);
+    # the bare directory read is exact again
+    deleted2 = vacuum(spark, str(target), log, 1, retention_seconds=0)
+    assert [d.split("/")[-1] for d in deleted2] == ["stray-young.parquet"]
+    assert spark.read.parquet(str(target)).count() == n_before
