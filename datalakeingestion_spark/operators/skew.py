@@ -24,7 +24,21 @@ def salted_join(
     salt_n: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with the big side salted and the small side replicated."""
+    """Equi-join with the big side salted and the small side replicated.
+
+    Supported ``how``: inner / left(_outer) / left_semi / left_anti —
+    shapes where every output row is anchored to exactly one big-side row
+    (its single salt) or to the existence of a match. right/full outer
+    would emit each UNMATCHED small-side row once per salt replica
+    (salt_n duplicates), so they are rejected rather than silently wrong.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: an unmatched "
+            "small-side row would be duplicated per salt replica"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_n).cast("int")
     )

@@ -259,3 +259,18 @@ def test_estimators_drop_null_probes(spark):
     cs = countsketch_estimate(countsketch_sketch(df, "v"), probes, "t").collect()
     assert {r["term"] for r in cms} == {"x"} and cms[0]["est_count"] == 5
     assert {r["term"] for r in cs} == {"x"} and cs[0]["est_count"] == 5
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    # right/full outer would duplicate unmatched small rows per salt
+    import pytest as _pytest
+
+    from datalakeingestion_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    with _pytest.raises(ValueError, match="duplicated per salt"):
+        salted_join(big, small, "k", how="right_outer")
+    # anchored shapes still work and stay exact
+    assert salted_join(big, small, "k", how="left_semi").count() == 1
+    assert salted_join(big, small, "k", how="left_anti").count() == 0
