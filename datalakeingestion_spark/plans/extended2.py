@@ -440,6 +440,60 @@ def budget_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "assemble_sequences_512",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text,
+                      CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, text, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+          FROM t)
+    SELECT CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS seq_digest
+    FROM c GROUP BY 1
+    """,
+    doc="The packing story completed: seq_id assignment (the distributed "
+    "prefix sum of pack_sequences_512) followed by the per-sequence "
+    "ordered document concatenation with an EOS separator — the actual "
+    "training-sample assembly step. Spark's collect_list has no "
+    "deterministic order, so docs are gathered as (doc_id, text) structs "
+    "and array_sort'ed before joining; the oracle's string_agg ORDER BY "
+    "is the SQL twin. Sequences are compared by md5 digest (the raw "
+    "concatenation is row-explosion-sized).",
+)
+def assemble_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "text", F.size(tokens("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sized.select("doc_id", "n_tokens"), token_budget=512
+    )
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    gathered = joined.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "text"))
+        ).alias("_members"),
+    )
+    seq_text = F.array_join(
+        F.transform(F.col("_members"), lambda m: m["text"]), "<|eos|>"
+    )
+    return gathered.select(
+        "seq_id", "n_docs", "n_tokens", F.md5(seq_text).alias("seq_digest")
+    )
+
+
+@register(
     "u3_intersect_click_purchase_days",
     oracle="""
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
