@@ -288,3 +288,21 @@ def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path):
     d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("grp") == "g0")
     j = f.join(d, "p").groupBy("grp").agg(F.sum("v").alias("s"))
     assert "dynamicpruning" in formatted_plan(j).lower()
+
+
+def test_round3_queries_are_single_shuffle(spark):
+    # window + aggregate on the same key must REUSE one hash exchange
+    # (w7, budget_cap); moment sums are one partial-aggregated exchange
+    # (d4); the weighted sample is a pure row filter — zero exchanges.
+    import re
+
+    expected = {
+        "w7_event_gap_stats": 1,
+        "d4_price_quantity_correlation": 1,
+        "budget_cap_per_source": 1,
+        "sample_quality_weighted": 0,
+    }
+    for name, n_exchanges in expected.items():
+        plan = formatted_plan(run(spark, name))
+        got = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert got == n_exchanges, (name, got, n_exchanges)
