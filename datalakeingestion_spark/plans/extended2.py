@@ -359,6 +359,24 @@ def countsketch_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_approx_distinct_parts",
+    oracle=None,  # HLL++ relative error is engine-specific; pinned vs the
+    # exact distinct count in tests (like g7/ann_lsh/ann_ivf)
+    doc="approx_count_distinct (HyperLogLog++, rsd 2%) per returnflag — "
+    "the constant-state scale path beside the exact distinct (A5 shape) "
+    "and the deterministic KMV sketch: HLL state is ~1.5 KB per group at "
+    "2% rsd and merges map-side, where exact distinct shuffles every "
+    "distinct value. Driver records rows-only; pytest pins the error "
+    "against the exact count.",
+)
+def a8_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@register(
     "g7_approx_percentiles",
     oracle=None,  # approx_percentile's KLL-ish sketch is engine-specific;
     # accuracy vs the exact g3 quantiles is pinned in

@@ -274,3 +274,25 @@ def test_salted_join_rejects_outer_shapes(spark):
     # anchored shapes still work and stay exact
     assert salted_join(big, small, "k", how="left_semi").count() == 1
     assert salted_join(big, small, "k", how="left_anti").count() == 0
+
+
+def test_approx_distinct_tracks_exact(spark):
+    from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in REGISTRY["a8_approx_distinct_parts"].fn(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
