@@ -96,7 +96,7 @@ class SchemaRegistry:
 
     # -- contract ---------------------------------------------------------
     def check_and_evolve(
-        self, ingestion_id: int, schema: T.StructType
+        self, ingestion_id: int, schema: T.StructType, _retries: int = 3
     ) -> SchemaDecision:
         """Validate a source schema against the pinned contract.
 
@@ -133,5 +133,16 @@ class SchemaRegistry:
         added = tuple(sorted(set(src) - set(pin)))
         if not added:
             return SchemaDecision(version, False, ())
-        self._write(ingestion_id, version + 1, schema)
+        try:
+            self._write(ingestion_id, version + 1, schema)
+        except Exception:
+            # two concurrent evolvers raced on the same version file
+            # (create is no-overwrite, so exactly one wins). Re-validate
+            # against whatever won: identical-or-compatible schemas
+            # converge, a genuinely different one raises drift as usual.
+            # Bounded retries so a persistent FS failure (permissions,
+            # quota) surfaces instead of spinning.
+            if _retries <= 0:
+                raise
+            return self.check_and_evolve(ingestion_id, schema, _retries - 1)
         return SchemaDecision(version + 1, True, added)

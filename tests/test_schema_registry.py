@@ -122,3 +122,28 @@ def test_runner_enforces_contracts_per_table(spark, tmp_path):
     assert "changed column type" in last["reason_code"]
     # nothing appended by the drifted run
     assert spark.read.parquet(str(tmp_path / "lake" / "t1")).count() == events.count()
+
+
+def test_concurrent_evolution_converges(spark, tmp_path):
+    """Two writers evolving the same contract concurrently: the version
+    file is create-no-overwrite, so one wins and the other re-validates
+    against the winner — identical additions converge, incompatible ones
+    still raise."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    events = load_table(spark, SF_SMALL, "events")
+    reg = SchemaRegistry(spark, str(tmp_path / "schemas"))
+    reg.check_and_evolve(3, events.schema)  # pin v0
+
+    evolved = events.withColumn("extra", F.lit(1.0)).schema
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        out = list(pool.map(lambda _: reg.check_and_evolve(3, evolved), range(2)))
+    # both callers end on the same version with the column present
+    assert {d.version for d in out} <= {1, 2}
+    latest = reg._latest(3)
+    assert "extra" in [f.name for f in latest[1].fields]
+
+    # the loser path also rejects a conflicting racer's type change
+    retyped = events.withColumn("extra", F.lit("s")).schema
+    with pytest.raises(SchemaDriftError):
+        reg.check_and_evolve(3, retyped)
