@@ -300,6 +300,17 @@ class IncrementalIngestJob:
             self.log.append(self.ingestion_id, STATUS_NO_DATA, start_value=start)
             return IngestResult(STATUS_NO_DATA, start)
 
+        # The bounds pass and the write below are SEPARATE scans of the
+        # source. Against a live source (JDBC), rows committed in between
+        # with delta > mx would be written now yet the watermark only
+        # advances to mx — the next run re-pulls them as duplicates into
+        # the append-only lake. Cap the write at the observed mx so this
+        # batch is exactly the rows the bounds/validation saw; later rows
+        # belong to the next watermark window. (The reference's single
+        # chunked pull computes bounds DURING its one scan — this is the
+        # two-scan design's closing of that same contract.)
+        delta = delta.filter(self._delta_col() <= self._wm_lit(mx))
+
         # staged commit: write the batch beside the lake, record the final
         # destinations, THEN move into place — every crash point is
         # recoverable from the log (see _cleanup_orphans)

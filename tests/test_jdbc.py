@@ -195,3 +195,80 @@ def test_live_derby_feeds_ingest_pipeline(spark, tmp_path):
     ).run()
     assert res.status == STATUS_SUCCESS
     assert spark.read.parquet(str(tmp_path / "lake")).count() == ev.count()
+
+
+def test_live_source_growth_between_bounds_and_write(spark, tmp_path, monkeypatch):
+    """Against a LIVE source every action re-executes the query, so the
+    bounds pass and the write pass can see different rows. Rows committed
+    in between (with later delta values) must stay out of this batch —
+    the watermark only advances to the observed max, so they would be
+    re-pulled next run as lake duplicates."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
+    from datalakeingestion_spark.ingest.watermark import (
+        STATUS_SUCCESS,
+        ExecutionLog,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    mid = "2024-01-15 00:00:00"
+    early = ev.filter(F.col("ts") <= mid)
+    late = ev.filter(F.col("ts") > mid)
+    early.toDF(*[c.upper() for c in early.columns]).write.jdbc(
+        url, "EVENTS", mode="overwrite", properties=props
+    )
+
+    src = JdbcIncrementalSource(
+        url=url,
+        table="EVENTS",
+        delta_field="TS",
+        columns=("EVENT_ID", "USER_ID", "TS"),
+        properties=props,
+    )
+
+    def frame():
+        return src.read(spark, "2020-01-01 00:00:00").toDF(
+            "event_id", "user_id", "ts"
+        )
+
+    grown = {"done": False}
+    orig = IncrementalIngestJob._bounds
+
+    def bounds_then_commit_more(self, delta):
+        out = orig(self, delta)
+        if not grown["done"]:  # a writer commits more rows mid-run
+            late.toDF(*[c.upper() for c in late.columns]).write.jdbc(
+                url, "EVENTS", mode="append", properties=props
+            )
+            grown["done"] = True
+        return out
+
+    monkeypatch.setattr(IncrementalIngestJob, "_bounds", bounds_then_commit_more)
+
+    def job():
+        return IncrementalIngestJob(
+            spark=spark,
+            ingestion_id=7,
+            source=frame(),
+            delta_field="ts",
+            target_location=str(tmp_path / "lake"),
+            log=ExecutionLog(spark, str(tmp_path / "log")),
+        )
+
+    r1 = job().run()
+    assert r1.status == STATUS_SUCCESS and r1.source_count == early.count()
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    assert lake.count() == early.count()  # mid-run commits excluded
+    assert lake.filter(F.col("ts") > mid).count() == 0
+
+    r2 = job().run()  # next watermark window picks them up exactly once
+    assert r2.status == STATUS_SUCCESS and r2.source_count == late.count()
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    assert lake.count() == ev.count()
+    assert lake.groupBy("event_id").count().filter("count > 1").count() == 0

@@ -418,3 +418,59 @@ def test_schema_evolution_read_lake(spark, events, tmp_path):
     # batch-1 rows: NULL quality; batch-2 rows: populated
     assert lake.filter(F.col("quality").isNull()).count() == r1.source_count
     assert lake.filter(F.col("quality").isNotNull()).count() == r2.source_count
+
+
+def test_source_growth_between_bounds_and_write_not_duplicated(
+    spark, events, tmp_path, monkeypatch
+):
+    """The bounds pass and the write are separate scans: rows a live
+    source commits in between (with later delta values) must NOT sneak
+    into this batch — the watermark only advances to the observed max,
+    so they'd be re-pulled next run as duplicates. They belong to, and
+    arrive exactly once in, the NEXT batch.
+
+    NOTE: parquet sources freeze their file listing at DataFrame
+    creation, so this file-based variant mostly documents the intended
+    semantics; the LIVE reproduction (where each action re-executes the
+    source query) is tests/test_jdbc.py::
+    test_live_source_growth_between_bounds_and_write, which fails
+    without the mx cap."""
+    early = events.filter(F.col("ts") <= MID)
+    late = events.filter(F.col("ts") > MID)
+    src = str(tmp_path / "growing_src")
+    early.write.parquet(src)
+
+    source = spark.read.schema(events.schema).option(
+        "basePath", src
+    ).parquet(src)
+    grown = {"done": False}
+    orig = IncrementalIngestJob._bounds
+
+    def bounds_then_grow(self, delta):
+        out = orig(self, delta)
+        if not grown["done"]:  # the "live source" commits more rows now
+            late.write.mode("append").parquet(src)
+            # drop the cached file listing so the WRITE pass re-lists —
+            # which is what every action against a real JDBC source does
+            spark.catalog.refreshByPath(src)
+            grown["done"] = True
+        return out
+
+    monkeypatch.setattr(IncrementalIngestJob, "_bounds", bounds_then_grow)
+
+    r1 = _job(spark, source, tmp_path).run()
+    assert r1.status == STATUS_SUCCESS and r1.source_count == early.count()
+    target = str(tmp_path / "lake" / "events")
+    lake = spark.read.parquet(target)
+    # nothing past the observed max leaked into the first batch
+    assert lake.count() == early.count()
+    assert lake.filter(F.col("ts") > MID).count() == 0
+
+    # next run (fresh source frame, as a new job would build) ingests the
+    # late rows exactly once — no duplicates ever
+    source2 = spark.read.schema(events.schema).option("basePath", src).parquet(src)
+    r2 = _job(spark, source2, tmp_path).run()
+    assert r2.status == STATUS_SUCCESS and r2.source_count == late.count()
+    lake = spark.read.parquet(target)
+    assert lake.count() == events.count()
+    assert lake.groupBy("event_id").count().filter("count > 1").count() == 0
