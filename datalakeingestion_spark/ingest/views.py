@@ -25,8 +25,13 @@ def register_latest_view(
     tie_breaks: Sequence[str] = (),
 ) -> DataFrame:
     """Register `view_name` as the latest-row-per-key projection of the
-    lake table; returns the view's DataFrame."""
-    df = spark.read.parquet(lake_path)
+    lake table; returns the view's DataFrame. Reads with schema merge
+    (pipeline.read_lake) so a contract-evolved lake's late-added columns
+    appear in the view instead of silently vanishing behind whichever
+    footer wins."""
+    from .pipeline import read_lake
+
+    df = read_lake(spark, lake_path)
     latest = latest_rows(df, list(primary_key), delta_field, tie_breaks)
     latest.createOrReplaceTempView(view_name)
     return latest

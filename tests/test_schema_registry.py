@@ -147,3 +147,22 @@ def test_concurrent_evolution_converges(spark, tmp_path):
     retyped = events.withColumn("extra", F.lit("s")).schema
     with pytest.raises(SchemaDriftError):
         reg.check_and_evolve(3, retyped)
+
+
+def test_latest_view_sees_evolved_columns(spark, tmp_path):
+    """The latest-row view over an evolved lake must carry the late-added
+    column (it reads via read_lake's schema merge)."""
+    from datalakeingestion_spark.ingest.views import register_latest_view
+
+    events = load_table(spark, SF_SMALL, "events")
+    _job(spark, events, tmp_path, None, end_value_cap=MID).run()
+    evolved = events.withColumn("quality", F.round(F.col("value") * 2, 3))
+    _job(spark, evolved, tmp_path, None).run()
+
+    view = register_latest_view(
+        spark, "ev_latest_sr", str(tmp_path / "lake" / "events"),
+        ["user_id"], "ts", ["event_id"],
+    )
+    assert "quality" in view.columns
+    # latest rows all come from the post-evolution window → non-null
+    assert view.filter(F.col("quality").isNull()).count() < view.count()
