@@ -191,8 +191,11 @@ def vacuum(
         name = fp.getName()
         if name.startswith("_") or name.startswith("."):
             continue
-        # any dot-prefixed ancestor (staging dirs) is out of scope
-        if "/." in fp.toString()[len("file:"):]:
+        # any dot-prefixed ancestor (staging dirs) is out of scope — strip
+        # the scheme+authority via the URI path so the "/." scan inspects
+        # only path components regardless of scheme length (file:, s3a://,
+        # abfss://…)
+        if "/." in fp.toUri().getPath():
             continue
         if norm(fp.toString()) in referenced:
             continue

@@ -310,6 +310,20 @@ class IncrementalIngestJob:
         # chunked pull computes bounds DURING its one scan — this is the
         # two-scan design's closing of that same contract.)
         delta = delta.filter(self._delta_col() <= self._wm_lit(mx))
+        if self.delta_expr_cols:
+            # mx is least(per-column maxes), so rows whose coalesce delta
+            # lies in (mx, cap] were counted by _bounds but are excluded
+            # from this write — recount on the capped frame so the LOADED
+            # row's source_count matches the files the commit lists (the
+            # excluded rows belong to the next window, not this batch).
+            # Validation is skipped in coalesce mode, so nothing downstream
+            # would otherwise catch the overstatement.
+            n = delta.count()
+            if n == 0:
+                self.log.append(
+                    self.ingestion_id, STATUS_NO_DATA, start_value=start
+                )
+                return IngestResult(STATUS_NO_DATA, start)
 
         # staged commit: write the batch beside the lake, record the final
         # destinations, THEN move into place — every crash point is

@@ -106,7 +106,18 @@ class SchemaRegistry:
         """
         latest = self._latest(ingestion_id)
         if latest is None:
-            self._write(ingestion_id, 0, schema)
+            try:
+                self._write(ingestion_id, 0, schema)
+            except Exception:
+                # two concurrent FIRST-TIME writers raced on the version-0
+                # pin (create is no-overwrite, exactly one wins). Re-enter:
+                # _latest now sees the winner's pin, so the loser validates
+                # against it like any later writer — identical schemas
+                # converge, drift raises. Same bounded-retry contract as the
+                # evolution race below.
+                if _retries <= 0:
+                    raise
+                return self.check_and_evolve(ingestion_id, schema, _retries - 1)
             return SchemaDecision(0, True, tuple(f.name for f in schema.fields))
         version, pinned = latest
         pin = {f.name: f.dataType for f in pinned.fields}

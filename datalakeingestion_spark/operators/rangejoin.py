@@ -36,6 +36,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _reject_reserved(df: DataFrame, names: Sequence[str], side: str) -> None:
+    """withColumn silently REPLACES an existing column, so a caller column
+    named like one of our scratch columns would be overwritten and dropped
+    from the output — fail loudly instead (rename/alias first)."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"interval join: {side} input already has reserved scratch "
+            f"column(s) {clash}; rename them before joining"
+        )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -64,6 +76,8 @@ def interval_join(
     if bucket_width_us <= 0:
         raise ValueError("bucket_width_us must be positive")
     w = int(bucket_width_us)
+    _reject_reserved(left, ("__pt", "__lbucket"), "left")
+    _reject_reserved(right, ("__iv_s", "__iv_e", "__rbucket", "__bucket"), "right")
 
     # Materialize the point/interval expressions as side-tagged columns
     # BEFORE the join so the residual predicate resolves unambiguously
@@ -139,6 +153,8 @@ def interval_join_multires(
     """
     if base_width_us <= 0 or max_span_us < base_width_us:
         raise ValueError("need 0 < base_width_us <= max_span_us")
+    _reject_reserved(left, ("__pt", "__lt"), "left")
+    _reject_reserved(right, ("__iv_s", "__iv_e", "__tier", "__rbucket"), "right")
     widths = [base_width_us]
     while widths[-1] < max_span_us:
         widths.append(widths[-1] * 2)

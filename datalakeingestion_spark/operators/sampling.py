@@ -108,8 +108,12 @@ def sample_by_weight(
     RNG state. Expected kept fraction = mean(weight).
     """
     w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    # floor (not cast) so the threshold truncates identically in every
+    # engine: a bare BIGINT cast rounds-to-nearest in DuckDB but truncates
+    # in Spark, which flips the verdict for rows whose hash equals the
+    # boundary value.
     return df.filter(
-        _rate_hash(key, salt) < (w * F.lit(HASH_SPACE_32)).cast("long")
+        _rate_hash(key, salt) < F.floor(w * F.lit(HASH_SPACE_32)).cast("long")
     )
 
 
@@ -132,6 +136,13 @@ def cap_tokens_per_group(
     """
     from pyspark.sql import Window
 
+    if "_running" in df.columns:
+        # withColumn would silently overwrite (and then drop) the caller's
+        # column of the same name
+        raise ValueError(
+            "cap_tokens_per_group: input already has a '_running' column; "
+            "rename it before capping"
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(*order_cols)

@@ -360,39 +360,73 @@ def countsketch_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a8_approx_distinct_parts",
-    oracle=None,  # HLL++ relative error is engine-specific; pinned vs the
-    # exact distinct count in tests (like g7/ann_lsh/ann_ivf)
+    # HLL++'s estimate is engine-specific, but its ERROR against the exact
+    # distinct count is deterministic for fixed data — so the checkable
+    # contract is (exact count, error-within-bound): the oracle computes
+    # the exact count itself and asserts the bound. Measured error at
+    # sf0.01: 0.95% per group; bound 5% (rsd 2% ⇒ ~2.5σ headroom).
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++, rsd 2%) per returnflag — "
     "the constant-state scale path beside the exact distinct (A5 shape) "
     "and the deterministic KMV sketch: HLL state is ~1.5 KB per group at "
     "2% rsd and merges map-side, where exact distinct shuffles every "
-    "distinct value. Driver records rows-only; pytest pins the error "
-    "against the exact count.",
+    "distinct value. Emits the exact count + error-bound verdict so the "
+    "driver checks both; error also pinned in pytest.",
 )
 def a8_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct(F.col("l_partkey"))
+            )
+            / F.count_distinct(F.col("l_partkey"))
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
 @register(
     "g7_approx_percentiles",
-    oracle=None,  # approx_percentile's KLL-ish sketch is engine-specific;
-    # accuracy vs the exact g3 quantiles is pinned in
-    # tests/test_rangejoin.py::test_approx_percentiles_close_to_exact
+    # approx_percentile's sketch is engine-specific, but its error vs the
+    # exact quantile is deterministic for fixed data — emit the exact
+    # quantiles (oracle-computable: quantile_cont ≡ Spark percentile) plus
+    # an error-bound verdict. Measured relative error at sf0.01: ≤0.07%;
+    # bound 1%.
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+           TRUE AS within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc="Approximate percentiles (approx_percentile, accuracy 10000): the "
     "scale path next to g3's exact percentile — bounded sketch state per "
     "group instead of a full sort, the right default once a group no "
-    "longer fits an executor. Like ann_lsh/ann_ivf, the approximation is "
-    "engine-specific, so the driver records a rows-only check and pytest "
-    "pins the error against the exact quantiles.",
+    "longer fits an executor. Emits the exact quantiles + error-bound "
+    "verdict so the driver checks both; error also pinned in "
+    "tests/test_rangejoin.py::test_approx_percentiles_close_to_exact.",
 )
 def g7_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    p50e = F.percentile("o_totalprice", F.lit(0.5))
+    p90e = F.percentile("o_totalprice", F.lit(0.9))
+    a50 = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+    a90 = F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000))
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.round(p50e, 6).alias("p50_exact"),
+        F.round(p90e, 6).alias("p90_exact"),
+        (
+            (F.abs(a50 - p50e) / p50e <= F.lit(0.01))
+            & (F.abs(a90 - p90e) / p90e <= F.lit(0.01))
+        ).alias("within_1pct"),
     )
 
 
@@ -403,7 +437,7 @@ def g7_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(least(n_chars / 400.0, 1.0), 6) AS keep_weight
     FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#qw'), 1, 8))::BIGINT
-          < CAST(least(n_chars / 400.0, 1.0) * 4294967296.0 AS BIGINT)
+          < CAST(floor(least(n_chars / 400.0, 1.0) * 4294967296.0) AS BIGINT)
     """,
     doc="Importance sampling by per-row quality weight "
     "(operators/sampling.py::sample_by_weight): longer documents kept at "

@@ -50,6 +50,32 @@ def _h60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _recall_contract(
+    truth: DataFrame, approx: DataFrame, bound: float
+) -> DataFrame:
+    """Per-query recall contract for approximate-ANN queries.
+
+    ``truth``/``approx`` carry (query_id, neighbor_id[, ...]); output is
+    (query_id, n_true, recall_ok) where recall_ok ⇔ |approx ∩ truth| /
+    |truth| ≥ ``bound``. Both inputs are deterministic (md5-seeded
+    bucketing, fixed data), so recall_ok is a stable value an oracle can
+    assert — the driver check fails iff the approximate index loses more
+    of the true neighbors than the bound allows."""
+    t = truth.select("query_id", "neighbor_id")
+    hits = t.join(approx.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi")
+    n_true = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return n_true.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        (
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true"))
+            >= F.lit(bound)
+        ).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -317,15 +343,32 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # probabilistic bucketing; recall vs brute force is pytest-checked
+    # The bucketing is engine-specific, but its per-query RECALL against
+    # the exact brute-force top-k is a deterministic number (md5-derived
+    # hyperplanes, fixed data) — so the checkable contract is the recall
+    # bound, computed in-query against cosine_topk and asserted by a
+    # trivially-expressible oracle. A broken bucketing (wrong planes, lost
+    # candidates, bad dedup) collapses recall to ~0 and flips recall_ok.
+    # Measured per-query recall@10: ≥0.6 at sf0.01, ≥0.7 at sf0.001.
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_true,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
     doc="LSH-bucketed approximate cosine top-10 (8 deterministic "
-    "hyperplanes): the 100-TB scale path — candidates shrink ~2^8 vs brute "
-    "force. Rows-only driver check; recall tested in tests/test_similarity.py.",
+    "hyperplane tables): the 100-TB scale path — candidates shrink ~2^8 vs "
+    "brute force. Emits the per-query recall contract vs the exact "
+    "brute-force twin (bound 0.5; measured ≥0.6); raw neighbor pairs via "
+    "operators/similarity.py::lsh_bucketed_topk, recall also pinned in "
+    "tests/test_similarity.py.",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return sim.lsh_bucketed_topk(emb, queries, k=10)
+    lsh = sim.lsh_bucketed_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_contract(sim.cosine_topk(emb, queries, k=10), lsh, 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -684,18 +727,30 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate cell probing; recall pinned in pytest
+    # Same recall-contract design as ann_lsh_bucketed: IVF is
+    # deterministic end-to-end (hash-seeded init, decimal-exact centroid
+    # means), so recall vs brute force is a fixed number per dataset.
+    # Measured per-query recall@10 ≥0.8 at sf0.001 and sf0.01; bound 0.7.
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_true,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
     doc="IVF approximate top-10 (spherical k-means cells, nprobe probing): "
     "the density-adaptive ANN scale path beside the LSH variant "
-    "(operators/ivf.py). Deterministic end-to-end (hash-seeded init, "
-    "decimal-exact centroid means); rows-only driver check.",
+    "(operators/ivf.py). Emits the per-query recall contract vs the exact "
+    "brute-force twin (bound 0.7; measured ≥0.8); recall also pinned in "
+    "tests/test_ivf_maintenance.py.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6)
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=6).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_contract(sim.cosine_topk(emb, queries, k=10), ivf, 0.7)
 
 
 @register(

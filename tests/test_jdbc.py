@@ -197,6 +197,88 @@ def test_live_derby_feeds_ingest_pipeline(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "lake")).count() == ev.count()
 
 
+def test_jdbc_dml_writers_round_trip(spark, tmp_path):
+    """K5 JDBC DML writers (reference utils/MySQLWrapper.py:78-106):
+    append/overwrite via the distributed writer, REPLACE-semantics upsert
+    via the staging protocol, and dict-shaped insert/update — each written
+    then re-read from a LIVE embedded Derby and exact-matched."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.sources.jdbc_write import (
+        execute_dml,
+        insert_rows,
+        update_rows,
+        upsert_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["ID", "STATUS", "AMOUNT"],
+    )
+
+    # append creates the table; a second append stacks rows
+    write_jdbc(base, url, "ORDERS", mode="append", properties=props)
+    write_jdbc(base.filter("ID = 1"), url, "ORDERS", mode="append",
+               properties=props)
+    read = lambda t: spark.read.jdbc(url, t, properties=props)
+    assert read("ORDERS").count() == 4
+
+    # overwrite truncates (table survives) and lands exactly the new batch
+    write_jdbc(base, url, "ORDERS", mode="overwrite", properties=props)
+    got = sorted(tuple(r) for r in read("ORDERS").collect())
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+
+    # upsert: key 2 replaced, key 4 inserted, keys 1/3 untouched
+    batch = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], ["ID", "STATUS", "AMOUNT"]
+    )
+    upsert_jdbc(spark, batch, url, "ORDERS", key_cols=["ID"], properties=props)
+    got = sorted(tuple(r) for r in read("ORDERS").collect())
+    assert got == [
+        (1, "a", 10.0), (2, "B2", 99.0), (3, "c", 30.0), (4, "d", 40.0),
+    ]
+    # no duplicate keys after repeated upserts (idempotent replace)
+    upsert_jdbc(spark, batch, url, "ORDERS", key_cols=["ID"], properties=props)
+    assert read("ORDERS").groupBy("ID").count().filter("count > 1").count() == 0
+    # staging table dropped afterwards: only ORDERS remains visible
+    assert read("ORDERS").count() == 4
+
+    # ambiguous batch (duplicate keys) is rejected loudly
+    dup = spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], ["ID", "STATUS", "AMOUNT"]
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_jdbc(spark, dup, url, "ORDERS", key_cols=["ID"], properties=props)
+
+    # dict-shaped control-plane DML (insert-from-dict / update-from-dict)
+    n = insert_rows(
+        spark, url, "ORDERS",
+        [
+            {"ID": 5, "STATUS": "e", "AMOUNT": 50.0},
+            {"ID": 6, "STATUS": "f", "AMOUNT": 60.0},
+        ],
+        properties=props,
+    )
+    assert n == 2
+    n = update_rows(
+        spark, url, "ORDERS",
+        set_values={"STATUS": "E2", "AMOUNT": 55.0},
+        where={"ID": 5},
+        properties=props,
+    )
+    assert n == 1
+    row = read("ORDERS").filter(F.col("ID") == 5).collect()[0]
+    assert (row["STATUS"], row["AMOUNT"]) == ("E2", 55.0)
+
+    # raw DML escape hatch
+    assert execute_dml(spark, url, "DELETE FROM ORDERS WHERE ID = 6", props) == 1
+    assert read("ORDERS").count() == 5
+
+
 def test_live_source_growth_between_bounds_and_write(spark, tmp_path, monkeypatch):
     """Against a LIVE source every action re-executes the query, so the
     bounds pass and the write pass can see different rows. Rows committed

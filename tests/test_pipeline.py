@@ -179,11 +179,18 @@ def test_coalesce_watermark_quirks(spark, tmp_path):
     )
     r = job.run()
     assert r.status == STATUS_SUCCESS
-    assert r.source_count == 3
     # max(modified)=01-05, max(created)=01-03 → least = 01-03; timestamp
     # end_values always carry the µs fraction (ADVICE r1: exact-second
     # maxima must not fall back to the +1s bump)
     assert r.end_value == "2024-01-03 00:00:00.000000"
+    # row 2's coalesce delta (modified=01-05) exceeds the conservative
+    # end_value, so it is excluded from this batch AND from source_count
+    # (ADVICE r2: the LOADED row must count exactly the rows the commit
+    # lists, not the pre-cap frame)
+    assert r.source_count == 2
+    lake = spark.read.parquet(str(tmp_path / "lake" / "co"))
+    assert lake.count() == 2
+    assert sorted(x["id"] for x in lake.select("id").collect()) == [1, 3]
     # validation skipped for expr watermarks (reference parity)
     assert job.log.latest_entry(5, STATUS_SUCCESS)["reason_code"] == (
         "validation-skipped"

@@ -72,6 +72,27 @@ def test_interval_join_span_guard_raises(spark):
         out.collect()
 
 
+def test_interval_join_rejects_reserved_columns(spark):
+    # scratch columns would silently shadow caller columns of the same
+    # name (withColumn replaces) — the guard fails loudly instead
+    l = spark.createDataFrame([(1, 5, 9)], ["lid", "pt", "__pt"])
+    r = spark.createDataFrame([(2, 0, 100)], ["rid", "s", "e"])
+    with pytest.raises(ValueError, match="reserved scratch"):
+        interval_join(l, r, F.col("pt"), F.col("s"), F.col("e"), 100)
+    l2 = spark.createDataFrame([(1, 5)], ["lid", "pt"])
+    r2 = spark.createDataFrame([(2, 0, 100, 7)], ["rid", "s", "e", "__iv_s"])
+    with pytest.raises(ValueError, match="reserved scratch"):
+        interval_join(l2, r2, F.col("pt"), F.col("s"), F.col("e"), 100)
+
+
+def test_cap_tokens_rejects_running_column(spark):
+    from datalakeingestion_spark.operators.sampling import cap_tokens_per_group
+
+    df = spark.createDataFrame([("a", 1, 5)], ["g", "_running", "toks"])
+    with pytest.raises(ValueError, match="_running"):
+        cap_tokens_per_group(df, "g", "toks", 10, ["g"])
+
+
 def test_interval_join_keyed_restricts_pairs(spark):
     l = spark.createDataFrame([(1, "a", 50), (2, "b", 50)], ["lid", "k", "pt"])
     r = spark.createDataFrame([(9, "a", 0, 100)], ["rid", "rk", "s", "e"])

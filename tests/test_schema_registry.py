@@ -149,6 +149,29 @@ def test_concurrent_evolution_converges(spark, tmp_path):
         reg.check_and_evolve(3, retyped)
 
 
+def test_concurrent_first_pin_converges(spark, tmp_path):
+    """Two FIRST-TIME writers racing on the version-0 pin: create is
+    no-overwrite so exactly one wins; the loser must re-validate against
+    the winner's pin (not surface a raw FS error)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    events = load_table(spark, SF_SMALL, "events")
+    reg = SchemaRegistry(spark, str(tmp_path / "schemas"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        out = list(
+            pool.map(lambda _: reg.check_and_evolve(9, events.schema), range(2))
+        )
+    assert all(d.version == 0 for d in out)
+    latest = reg._latest(9)
+    assert latest is not None and latest[0] == 0 and latest[1] == events.schema
+
+    # loser path with an INCOMPATIBLE schema still raises drift: simulate
+    # by pre-pinning then racing a retyped first-timer
+    retyped = events.withColumn("value", F.col("value").cast("string")).schema
+    with pytest.raises(SchemaDriftError):
+        reg.check_and_evolve(9, retyped)
+
+
 def test_latest_view_sees_evolved_columns(spark, tmp_path):
     """The latest-row view over an evolved lake must carry the late-added
     column (it reads via read_lake's schema merge)."""
