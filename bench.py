@@ -11,9 +11,11 @@ to a sink.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -28,28 +30,46 @@ def main() -> None:
 
     _ensure_loaded()
     spark = get_spark(app_name="dli-bench")
+    # repeated fn() builds re-persist structurally identical plans; the
+    # resulting "already cached" WARNs are expected here and only noise in
+    # the recorded bench log
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/session (codegen, filesystem metadata) outside timings.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name, qd in sorted(REGISTRY.items()):
-        if not qd.bench:
-            continue
-        # drop persisted intermediates of the previous query so timings are
-        # independent (operators like minhash persist hot tables)
+    def run_block(qd) -> float:
+        # Clear cache at BLOCK start only (timing independent of other
+        # queries, but a query's own persisted intermediates stay warm
+        # across its timed runs — same cache semantics as the rounds that
+        # established the baseline numbers, so ratios stay comparable).
+        # One untimed warmup (codegen compile, broadcast build, FS cache,
+        # persist fill), then five timed runs; the block reports the
+        # MEDIAN — round-2 showed min-of-2 can't tell a plan regression
+        # from a neighbor's GC/compaction stall on this shared box.
         spark.catalog.clearCache()
-        # one untimed warmup (codegen compile, broadcast build, FS cache),
-        # then two timed runs; report the min — single-run numbers on a
-        # shared 32-core box occasionally catch a GC/compaction stall
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(5):
+            gc.collect()
             df = qd.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
+    # Contention bursts on this box last seconds and hit CONSECUTIVE
+    # samples, so even a median-of-5 block can be swallowed whole by one
+    # burst. Run every query's block twice — the second pass starts only
+    # after all first-pass blocks finish, so a query's two blocks are far
+    # apart in time — and report the lower median. A genuine plan
+    # regression slows BOTH blocks; a burst almost never spans both.
+    bench_set = {n: qd for n, qd in sorted(REGISTRY.items()) if qd.bench}
+    medians: dict[str, list[float]] = {n: [] for n in bench_set}
+    for _pass in range(2):
+        for name, qd in bench_set.items():
+            medians[name].append(run_block(qd))
+    timings = {n: round(min(ms), 4) for n, ms in medians.items()}
 
     total = round(sum(timings.values()), 4)
     print(

@@ -230,47 +230,72 @@ class IncrementalIngestJob:
         LOADED row BEFORE files move into place. Whatever the trailing log
         record is, the crash point is therefore recoverable:
 
-        - trailing STARTED → crash before/while writing staging: delete the
-          staging dir (never visible to readers — it is dot-prefixed);
-        - trailing LOADED → crash during/after the move but before the
-          SUCCESS/VALIDATION row: delete the listed final files (the moved
-          ones) AND the staging dir (the unmoved ones). Without this, the
-          re-pulled range would out-count the source and validation would
-          fail on every retry.
+        - batch died before the move (STARTED, maybe mid-staging-write):
+          delete the staging dir (never visible to readers — it is
+          dot-prefixed);
+        - batch died during/after the move but before the SUCCESS/
+          VALIDATION row (a LOADED row exists): delete the listed final
+          files (the moved ones) AND the staging dir (the unmoved ones).
+          Without this, the re-pulled range would out-count the source and
+          validation would fail on every retry.
+
+        The decision is BATCH-aware, not trailing-row-aware: the runner
+        appends a FAILED row when a job raises mid-commit, so the crash
+        state (STARTED/LOADED) is usually NOT the trailing record. A batch
+        counts as closed only by SUCCESS / VALIDATION_FAILURE / NO_DATA /
+        a prior cleanup marker logged at-or-after its STARTED row; an
+        exception-text FAILED row does not close it (that was the
+        duplicate-on-retry window this method exists to shut).
         """
-        last = self.log.latest_entry(self.ingestion_id)
-        if last is None:
+        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
+        if started is None:
             return
-        status = last["execution_status"]
-        if status == STATUS_STARTED:
-            staging = last["reason_code"] or ""
+        # one batch's rows — a handful, driver-side by design
+        batch = (
+            self.log.read()
+            .filter(F.col("lake_ingestion_id") == self.ingestion_id)
+            .filter(F.col("insert_datetime") >= started["insert_datetime"])
+            .collect()
+        )
+        closed = {STATUS_SUCCESS, STATUS_VALIDATION_FAILURE, STATUS_NO_DATA}
+        markers = {"orphaned-staging-cleaned", "orphaned-batch-cleaned"}
+        for r in batch:
+            if r["execution_status"] in closed:
+                return
+            if (
+                r["execution_status"] == STATUS_FAILED
+                and (r["reason_code"] or "") in markers
+            ):
+                return
+        loaded = max(
+            (r for r in batch if r["execution_status"] == STATUS_LOADED),
+            key=lambda r: r["insert_datetime"],
+            default=None,
+        )
+        staging = started["reason_code"] or ""
+        if loaded is None:
             if staging.startswith(self._staging_dir("")):
                 _delete_dir(self.spark, staging)
                 self.log.append(
                     self.ingestion_id,
                     STATUS_FAILED,
-                    start_value=last["start_value"] or "",
+                    start_value=started["start_value"] or "",
                     reason_code="orphaned-staging-cleaned",
                 )
             return
-        if status != STATUS_LOADED:
-            return
         try:
-            files = set(json.loads(last["reason_code"] or "[]"))
+            files = set(json.loads(loaded["reason_code"] or "[]"))
         except ValueError:
             files = set()
         if files:
             _delete_files(self.spark, files)
-        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
-        if started is not None:
-            staging = started["reason_code"] or ""
-            if staging.startswith(self._staging_dir("")):
-                _delete_dir(self.spark, staging)
+        if staging.startswith(self._staging_dir("")):
+            _delete_dir(self.spark, staging)
         self.log.append(
             self.ingestion_id,
             STATUS_FAILED,
-            start_value=last["start_value"] or "",
-            end_value=last["end_value"] or "",
+            start_value=loaded["start_value"] or "",
+            end_value=loaded["end_value"] or "",
             reason_code="orphaned-batch-cleaned",
         )
 

@@ -404,6 +404,34 @@ def quantize_embeddings(
     )
 
 
+def _knn_block_pairs(
+    embeddings: DataFrame,
+    block_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (block_a × block_b) pair frame behind ``knn_graph`` — exactly
+    ⌈id-range/B⌉² rows, one BLAS task each. Split out so the documented
+    O((n/B)²) cost model is testable as a row count rather than trusted
+    prose."""
+    blocks = embeddings.select(
+        (F.col(id_col) / block_size).cast("long").alias("block"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    packed = blocks.groupBy("block").agg(
+        F.collect_list("vid").alias("ids"),
+        F.collect_list("vec").alias("vecs"),
+    )
+    a = packed.select(
+        F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = packed.select(
+        F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    return a.crossJoin(b)
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 5,
@@ -425,26 +453,20 @@ def knn_graph(
     factor B/k below all-pairs. Ranking is deterministic: cosine rounded
     to 6 dp, ties broken by neighbor id, both locally and globally.
 
+    PRACTICAL CEILING — this is the labeled EXACT option and inherently
+    quadratic in block pairs: (n/B)² tasks, each one a B×B matmul. At
+    B=512 that is ~4M tasks and ~10¹² multiply-adds per 10⁶ vectors·dim —
+    fine to n ≈ 10⁶ on a real cluster, ruinous beyond. Past that, use the
+    approximate siblings (``lsh_bucketed_topk`` / ``operators.ivf``) or
+    ``semantic_dedup_clusters``'s centroid blocking, which replace the
+    quadratic pair space with bucketed candidates. The task-count model is
+    pinned in tests/test_similarity.py::test_knn_graph_block_pair_count.
+
     Returns (query_id, neighbor_id, cosine), k rows per vector.
     """
     import numpy as np
 
-    blocks = embeddings.select(
-        (F.col(id_col) / block_size).cast("long").alias("block"),
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-    )
-    packed = blocks.groupBy("block").agg(
-        F.collect_list("vid").alias("ids"),
-        F.collect_list("vec").alias("vecs"),
-    )
-    a = packed.select(
-        F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
-    )
-    b = packed.select(
-        F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
-    )
-    pairs = a.crossJoin(b)
+    pairs = _knn_block_pairs(embeddings, block_size, id_col, vec_col)
 
     out_schema = "query_id long, neighbor_id long, cosine double"
 

@@ -214,6 +214,66 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def boilerplate_span_stats(
+    docs: DataFrame,
+    n: int = 3,
+    df_threshold: int = 3,
+    frac_threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/RefinedWeb idea of
+    removing spans repeated across MANY documents — navigation chrome,
+    license footers, templated headers — adapted to span shingles).
+
+    A word ``n``-gram is boilerplate when it occurs in MORE THAN
+    ``df_threshold`` distinct documents. Per document:
+    - n_spans — distinct n-gram count,
+    - boilerplate_frac — fraction of those that are boilerplate,
+    - keep — boilerplate_frac ≤ ``frac_threshold``.
+
+    Scale shape: ONE shuffle builds the span document-frequency table
+    (map-side combinable groupBy), which is then FILTERED to just the
+    boilerplate spans before joining back — the boilerplate set is tiny
+    relative to the corpus (only spans crossing the df threshold), so at
+    100 TB the join's build side stays broadcastable and the probe is a
+    per-partition semi-probe of each doc's shingle list, never an
+    all-spans × all-docs shuffle.
+    """
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), n))
+        ).alias("span"),
+    )
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter(F.col("span_df") > df_threshold)
+        .select("span")
+    )
+    hits = (
+        spans.join(F.broadcast(boiler), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(word_shingles(tokens(text_col), n))).alias(
+            "n_spans"
+        ),
+    )
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.round(F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_spans"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        frac.alias("boilerplate_frac"),
+        (frac <= F.lit(frac_threshold)).alias("keep"),
+    )
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails, URLs, and long digit runs (phone/account numbers)
     before training — replacing each with a typed placeholder token.

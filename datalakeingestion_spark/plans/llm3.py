@@ -15,7 +15,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..sources.fixtures import load_table
-from .llm import TOKS_SQL
+from .llm import TOKS_SQL, _shingles_sql
 from .registry import register
 
 BM25_TERMS = ("spark", "join", "stream")
@@ -243,3 +243,40 @@ def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("custkey").alias("n_customers"),
     )
+
+
+@register(
+    "boilerplate_span_flag",
+    oracle=f"""
+    WITH spans AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS span
+                   FROM documents),
+    boiler AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) > 3),
+    per_doc AS (SELECT doc_id,
+                       CAST(len({_shingles_sql(3)}) AS BIGINT) AS n_spans
+                FROM documents),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_boiler
+             FROM spans s JOIN boiler b ON s.span = b.span
+             GROUP BY s.doc_id)
+    SELECT p.doc_id, p.n_spans,
+           CASE WHEN p.n_spans > 0
+                THEN round(COALESCE(h.n_boiler, 0) / p.n_spans, 6)
+                ELSE 0.0 END AS boilerplate_frac,
+           (CASE WHEN p.n_spans > 0
+                 THEN round(COALESCE(h.n_boiler, 0) / p.n_spans, 6)
+                 ELSE 0.0 END) <= 0.2 AS keep
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """,
+    doc="Cross-document boilerplate flagging (C4/RefinedWeb-style "
+    "repeated-span removal, operators/text_analysis.py::"
+    "boilerplate_span_stats): a 3-gram span occurring in >3 documents is "
+    "boilerplate; documents whose distinct spans are >20% boilerplate are "
+    "dropped. One map-side-combinable shuffle builds the span document "
+    "frequencies; the df table is FILTERED to just the boilerplate spans "
+    "before the semi-join back, so the build side stays broadcastable at "
+    "any corpus size.",
+)
+def boilerplate_span_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ta.boilerplate_span_stats(docs, n=3, df_threshold=3,
+                                    frac_threshold=0.2)
+    return out.withColumn("n_spans", F.col("n_spans").cast("long"))

@@ -222,8 +222,36 @@ def test_run_groups_coalesce_expr_row(spark, tmp_path):
     control = spark.createDataFrame([row], CONTROL_SCHEMA)
     report = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_c"])
     assert report.results[1].status == STATUS_SUCCESS
-    assert report.results[1].source_count == 2
+    # conservative min-of-maxes watermark (C11): end_value = max(created)
+    # = 01-02, so row 2 (modified 01-05 > end_value) is HELD BACK — written
+    # now it would be re-pulled as a lake duplicate by the next window
+    assert report.results[1].source_count == 1
+    assert report.results[1].end_value == "2024-01-02 00:00:00.000000"
     from datalakeingestion_spark.ingest.watermark import ExecutionLog
 
     log = ExecutionLog(spark, str(tmp_path / "state"))
     assert log.latest_entry(1, STATUS_SUCCESS)["reason_code"] == "validation-skipped"
+
+    # once created-activity passes the straggler's modified value, the
+    # watermark window reaches it and it lands exactly once
+    extra = (
+        spark.createDataFrame(
+            [(3, "2024-01-06 00:00:00", None)], "id long, c_s string, m_s string"
+        )
+        .withColumn("created_datetime", F.to_timestamp("c_s"))
+        .withColumn("modified_datetime", F.to_timestamp("m_s"))
+        .drop("c_s", "m_s")
+    )
+    extra.write.mode("append").parquet(src_path)
+    # run 2: window reaches least(max modified=01-05, max created=01-06)
+    # = 01-05 → straggler row 2 lands; row 3 (coalesce 01-06) now waits
+    report2 = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_c"])
+    assert report2.results[1].status == STATUS_SUCCESS
+    assert report2.results[1].source_count == 1
+    assert report2.results[1].end_value == "2024-01-05 00:00:00.000000"
+    # run 3: watermark passes 01-05 → row 3 lands; lake has each row ONCE
+    report3 = run_groups(spark, control, str(tmp_path / "state"), groups=["dag_c"])
+    assert report3.results[1].status == STATUS_SUCCESS
+    assert report3.results[1].source_count == 1
+    lake = spark.read.parquet(str(tmp_path / "lake" / "co"))
+    assert sorted(r["id"] for r in lake.select("id").collect()) == [1, 2, 3]

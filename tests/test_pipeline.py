@@ -18,6 +18,7 @@ from datalakeingestion_spark.ingest.watermark import (
     STATUS_FAILED,
     STATUS_LOADED,
     STATUS_NO_DATA,
+    STATUS_STARTED,
     STATUS_SUCCESS,
     STATUS_VALIDATION_FAILURE,
     ExecutionLog,
@@ -197,6 +198,81 @@ def test_coalesce_watermark_quirks(spark, tmp_path):
     )
 
 
+def test_run_groups_sibling_survives_mid_commit_crash(
+    spark, events, tmp_path, monkeypatch
+):
+    """Multi-table isolation under run_groups (reference
+    start_ingestion.py:456-465 + T5): one table's job dies MID-COMMIT
+    (after the LOADED log row, before the staged files move); sibling
+    tables must commit normally, and the dead table must resume
+    exactly-once on the next run — orphaned staging cleaned, no
+    duplicate rows, no lost rows."""
+    import datalakeingestion_spark.ingest.pipeline as pl
+    from datalakeingestion_spark.config.control import CONTROL_SCHEMA
+    from datalakeingestion_spark.runner import run_groups
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    events.write.parquet(src1)
+    events.write.parquet(src2)
+
+    def control_row(rid, src, tname):
+        return (
+            rid, "parquet-table", src, "db1", tname, "ts", "", 0, 1, "NULL",
+            "c", "g", "s3", str(tmp_path / "lake" / tname), "", "vdb",
+            f"{tname}_lv", 0, "()", "dag_a", "2024-01-01",
+        )
+
+    control = spark.createDataFrame(
+        [control_row(1, src1, "t1"), control_row(2, src2, "t2")],
+        CONTROL_SCHEMA,
+    )
+
+    crashed = {"done": False}
+    orig_move = pl._move_files
+
+    def crashy_move(s, moves):
+        # die HALFWAY through t2's move — the worst crash point: some
+        # final files live, the rest still staged, LOADED already logged
+        if not crashed["done"] and any("/t2/" in dst for _, dst in moves):
+            crashed["done"] = True
+            orig_move(s, moves[: max(1, len(moves) // 2)])
+            raise RuntimeError("simulated crash mid-move (t2)")
+        return orig_move(s, moves)
+
+    monkeypatch.setattr(pl, "_move_files", crashy_move)
+
+    rep1 = run_groups(
+        spark, control, str(tmp_path / "state"), register_views=False,
+    )
+    assert rep1.results[1].status == STATUS_SUCCESS
+    assert rep1.results[2].status == STATUS_FAILED
+    # sibling committed in full despite t2's crash
+    lake1 = spark.read.parquet(str(tmp_path / "lake" / "t1"))
+    assert lake1.count() == events.count()
+
+    # next run: t2 cleans its orphaned batch and lands exactly one copy;
+    # t1 sees no new rows past its advanced watermark
+    rep2 = run_groups(
+        spark, control, str(tmp_path / "state"), register_views=False,
+    )
+    assert rep2.results[2].status == STATUS_SUCCESS
+    assert rep2.results[1].status == STATUS_NO_DATA
+    lake2 = spark.read.parquet(str(tmp_path / "lake" / "t2"))
+    assert lake2.count() == events.count()
+    assert lake2.groupBy("event_id").count().filter("count > 1").count() == 0
+    assert lake1.count() == events.count()  # t1 untouched by run 2
+    # the crash window is recorded: t2's log shows the cleaned orphan
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    reasons = [
+        r["reason_code"]
+        for r in log.read()
+        .filter(F.col("lake_ingestion_id") == 2)
+        .collect()
+    ]
+    assert any("orphaned-batch-cleaned" in (c or "") for c in reasons)
+
+
 def test_latest_view_sql_shape():
     sql = latest_view_sql("t_lv", "lake.t", ["id"], "modified_datetime")
     assert "row_number() OVER (PARTITION BY id" in sql
@@ -245,12 +321,20 @@ def test_orphaned_loaded_batch_cleaned(spark, events, tmp_path):
     job = _job(spark, events, tmp_path, end_value_cap=MID)
     assert job.run().status == STATUS_SUCCESS
 
-    # simulate the crash: orphan file on disk, trailing LOADED record
+    # simulate the crash exactly as the protocol would leave it: a fresh
+    # STARTED row (staging path), a LOADED row listing the moved file,
+    # the moved file on disk — and no closing SUCCESS
     orphan_dir = os.path.join(job.target_location, "ts_part=209901")
     os.makedirs(orphan_dir)
     orphan = os.path.join(orphan_dir, "part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"orphaned bytes")
+    job.log.append(
+        1,
+        STATUS_STARTED,
+        start_value="2024-01-15 00:00:01.000000",
+        reason_code=job._staging_dir("deadbeef"),
+    )
     job.log.append(
         1,
         STATUS_LOADED,

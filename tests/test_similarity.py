@@ -14,6 +14,22 @@ def emb(spark):
     return load_table(spark, SF_SMALL, "embeddings").cache()
 
 
+def test_knn_graph_block_pair_count(spark, emb):
+    """The documented O((n/B)²) cost model, pinned as an observable: the
+    block-pair frame behind knn_graph has exactly nb² rows (nb = number of
+    occupied id-range blocks), each one BLAS task — the quadratic that
+    sets the operator's practical corpus ceiling (docstring:
+    operators/similarity.py::knn_graph)."""
+    for B in (64, 256):
+        nb = (
+            emb.select((F.col("vec_id") / B).cast("long").alias("b"))
+            .distinct()
+            .count()
+        )
+        pairs = sim._knn_block_pairs(emb, B)
+        assert pairs.count() == nb * nb
+
+
 def test_cosine_topk_contract(spark, emb):
     q = emb.filter(F.col("vec_id") < 5)
     out = sim.cosine_topk(emb, q, k=10).collect()
