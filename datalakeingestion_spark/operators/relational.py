@@ -40,6 +40,34 @@ def latest_rows(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    tie_breaks: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an append-only change
+    log — the HISTORICAL sibling of ``latest_rows`` (the reference only
+    materializes the latest-row view, start_ingestion.py:361-374; SCD2 is
+    what a warehouse user builds next from the same log).
+
+    Each key's rows, ordered by (``version_col``, ``tie_breaks``), become
+    validity intervals: valid_from = the row's version value, valid_to =
+    the NEXT row's (half-open, NULL while current), is_current on the
+    last row. One shuffle on ``keys`` + a per-partition sort — the same
+    cost as the latest view, so it scales identically (no self-join, no
+    global window).
+    """
+    order_exprs = [F.asc(version_col)] + [F.asc(c) for c in tie_breaks]
+    w = Window.partitionBy(*keys).orderBy(*order_exprs)
+    valid_to = F.lead(version_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", valid_to)
+        .withColumn("is_current", valid_to.isNull())
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -155,6 +155,7 @@ def _ensure_loaded() -> None:
         llm2,
         llm3,
         relational,
+        round3,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

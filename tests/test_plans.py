@@ -306,3 +306,34 @@ def test_round3_queries_are_single_shuffle(spark):
         plan = formatted_plan(run(spark, name))
         got = len(re.findall(r"\(\d+\) Exchange", plan))
         assert got == n_exchanges, (name, got, n_exchanges)
+
+
+def test_scd2_single_window_shuffle(spark):
+    # SCD2 history = one hash exchange on the key + per-partition sort,
+    # exactly the latest-view cost (no self-join, no extra exchange)
+    import re
+
+    plan = formatted_plan(run(spark, "scd2_user_history"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_boilerplate_df_table_broadcasts(spark):
+    # the boilerplate-span table is filtered to >df_threshold BEFORE the
+    # join back, so the probe is a broadcast semi-join — the per-doc side
+    # never shuffles on span
+    plan = formatted_plan(run(spark, "boilerplate_span_flag"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_t9_dedup_is_partial_aggregate(spark):
+    # keyed first-event dedup must be a two-phase hash aggregate
+    # (map-side partial min), one exchange, no window
+    import re
+
+    plan = formatted_plan(run(spark, "t9_stream_dedup"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
