@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import exact_duplicates, minhash_near_duplicates
-from .text_analysis import language_id, quality_metrics
+from .text_analysis import LANGS, _lang_hit_map, _lang_pred_cascade, quality_expr_map
 
 
 def curate(
@@ -50,16 +50,35 @@ def curate(
         stage1, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
     )
     drop = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    # persist the survivor frontier: the near-dup verification above it is
+    # the pipeline's expensive stage, and downstream consumers (repeated
+    # materializations, derived exports) re-read survivors, not candidates
     stage2 = stage1.join(drop, id_col, "left_anti").persist()
 
-    # 3+4. quality + language filters (pure codegen expressions)
-    quality = quality_metrics(stage2, text_col).select(
-        id_col, "n_tokens", "ttr", "quality_score"
+    # 3+4. quality + language filters evaluated INLINE — chained per-row
+    # projections, so this tail adds ZERO shuffles/joins (the previous
+    # form projected twins and joined them back by id: two avoidable
+    # shuffled joins on the survivor set). The language hit counts are
+    # materialized as intermediate COLUMNS before the argmax cascade:
+    # the cascade references each count ~2·|LANGS| times, and inlining
+    # the full tokenize-and-filter tree at every reference blows up the
+    # expression tree Catalyst must analyze on every (re)plan.
+    q = quality_expr_map(text_col)
+    hits = _lang_hit_map(text_col)
+    hit_cols = [f"__hits_{lang}" for lang in LANGS]
+    stage3 = stage2.select(
+        "*",
+        q["n_tokens"].alias("n_tokens"),
+        q["ttr"].alias("ttr"),
+        q["quality_score"].alias("quality_score"),
+        *[hits[lang].alias(c) for lang, c in zip(LANGS, hit_cols)],
     )
-    lang = language_id(stage2, text_col).select(id_col, "predicted_lang")
+    pred = _lang_pred_cascade(
+        {lang: F.col(c) for lang, c in zip(LANGS, hit_cols)}
+    )
     return (
-        stage2.join(quality, id_col)
-        .join(lang, id_col)
+        stage3.withColumn("predicted_lang", pred)
+        .drop(*hit_cols)
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("ttr") >= min_ttr)

