@@ -460,6 +460,63 @@ def tfidf_top_terms(
     )
 
 
+def source_js_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus-wide distribution — the mixture-QA signal behind
+    "did re-weighting source k actually change the token mix" and
+    domain-shift detection between corpus snapshots.
+
+    JSD(Pₛ‖P) = ½·KL(Pₛ‖M) + ½·KL(P‖M), M = (Pₛ+P)/2 — symmetric,
+    bounded by ln 2, zero iff the source matches the corpus exactly.
+
+    Scale shape: one token shuffle builds the (source, token) counts;
+    per-token corpus counts aggregate from those (map-side combinable).
+    The KL(P‖M) side needs every corpus token for every source, so the
+    grid is |V|·S rows — S (number of sources) is small by definition,
+    and the grid join is driven from the aggregated vocabulary, never
+    from the raw token stream. The divergence rounds to 6 dp AFTER the
+    sum (the proven ln-sum pattern from token_entropy; per-term values
+    are ~1e-6 and must not round individually).
+
+    Returns (``group_col``, n_tokens, js_divergence).
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    sc = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    vocab = sc.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    totals = sc.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
+    n_total = F.lit(
+        float(vocab.agg(F.sum("c_t").alias("n")).first()["n"])
+    )
+    # the full (source × vocabulary) grid, with the source's own count
+    # left-joined in (missing → 0)
+    grid = (
+        totals.crossJoin(vocab)
+        .join(sc, ["grp", "tok"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+    )
+    p_s = F.col("c_st") / F.col("n_s")
+    p = F.col("c_t") / n_total
+    m = (p_s + p) / 2
+    term = (
+        F.when(F.col("c_st") > 0, 0.5 * p_s * F.log(p_s / m)).otherwise(0.0)
+        + 0.5 * p * F.log(p / m)
+    )
+    return (
+        grid.groupBy("grp")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("js_divergence"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "js_divergence")
+    )
+
+
 def repetition_metrics_auto(
     docs: DataFrame, q: float = 0.9, text_col: str = "text"
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
+from .llm import TOKS_SQL
 from .registry import register
 
 
@@ -66,3 +67,45 @@ def t9_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.min("ts").alias("first_ts"),
     )
+
+
+@register(
+    "source_js_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT source AS grp, unnest({TOKS_SQL}) AS tok
+                 FROM documents),
+    sc AS (SELECT grp, tok, COUNT(*) AS c_st FROM tok GROUP BY grp, tok),
+    vocab AS (SELECT tok, SUM(c_st) AS c_t FROM sc GROUP BY tok),
+    totals AS (SELECT grp, SUM(c_st) AS n_s FROM sc GROUP BY grp),
+    n AS (SELECT SUM(c_t)::DOUBLE AS n_total FROM vocab),
+    grid AS (SELECT t.grp, v.tok, t.n_s, v.c_t,
+                    COALESCE(s.c_st, 0) AS c_st
+             FROM totals t CROSS JOIN vocab v
+             LEFT JOIN sc s ON s.grp = t.grp AND s.tok = v.tok)
+    SELECT grp AS source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           round(SUM(
+             CASE WHEN c_st > 0
+                  THEN 0.5 * (c_st / n_s)
+                       * ln((c_st / n_s)
+                            / ((c_st / n_s + c_t / n_total) / 2))
+                  ELSE 0.0 END
+             + 0.5 * (c_t / n_total)
+               * ln((c_t / n_total)
+                    / ((c_st / n_s + c_t / n_total) / 2))
+           ), 6) AS js_divergence
+    FROM grid CROSS JOIN n
+    GROUP BY grp
+    """,
+    doc="Per-source Jensen-Shannon divergence from the corpus unigram "
+    "distribution (operators/text_analysis.py::source_js_divergence) — "
+    "the mixture-QA / domain-shift signal for data-mixing pipelines. One "
+    "token shuffle builds (source, token) counts; the |V|·S grid join is "
+    "driven from the aggregated vocabulary, never the raw stream; the "
+    "ln-sum rounds to 6 dp after aggregation.",
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import source_js_divergence as jsd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jsd(docs, group_col="source")

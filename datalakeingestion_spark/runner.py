@@ -75,7 +75,7 @@ def default_source_resolver(spark: SparkSession, row: Row) -> DataFrame:
         )
     if itype == "parquet-table":
         return spark.read.parquet(row["servername"])
-    if itype in ("csv-file", "json-file"):
+    if itype in ("csv-file", "json-file", "orc-file", "avro-file"):
         from .sources.files import read_landing
 
         return read_landing(spark, row["servername"], itype.split("-")[0])

@@ -5,7 +5,9 @@ and uploads them for ingestion (extractors/ingest_files.py — acquisition
 is out-of-engine here). Once files land in a directory, this reader turns
 them into typed DataFrames:
 
-- csv / parquet / json natively;
+- csv / parquet / json / orc natively (orc ships in Spark's jars);
+- avro behind a format-availability check (spark-avro is an external
+  package — present on most clusters, absent here);
 - xlsx behind an import-try (openpyxl is not in the base image — the
   reference's Excel dependency is exactly the kind of thing the engine
   gates rather than requires);
@@ -40,11 +42,39 @@ def read_landing(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.options(**options).json(path)
+    if fmt == "orc":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).orc(path)
+    if fmt == "avro":
+        return _read_avro(spark, path, schema, **options)
     if fmt == "binary":
         return spark.read.format("binaryFile").options(**options).load(path)
     if fmt in ("xlsx", "excel"):
         return _read_excel(spark, path)
     raise ValueError(f"unsupported landing format {fmt!r}")
+
+
+def _read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None,
+    **options,
+) -> DataFrame:
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.options(**options).load(path)
+    except Exception as exc:  # spark-avro is an external package
+        if "AVRO" in str(exc).upper() or "avro" in str(exc):
+            raise NotImplementedError(
+                "avro ingestion needs the spark-avro package "
+                "(org.apache.spark:spark-avro — standard on clusters, not "
+                "bundled in this environment)"
+            ) from exc
+        raise
 
 
 def _read_excel(spark: SparkSession, path: str) -> DataFrame:

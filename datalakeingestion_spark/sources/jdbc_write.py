@@ -224,24 +224,33 @@ def upsert_jdbc(
     )
     write_jdbc(df, url, staging, mode="overwrite", properties=properties,
                batchsize=batchsize)
-    conn = _connect(spark, url, properties)
     try:
-        conn.setAutoCommit(False)
-        st = conn.createStatement()
+        conn = _connect(spark, url, properties)
         try:
-            st.executeUpdate(
-                f"DELETE FROM {table} WHERE EXISTS "
-                f"(SELECT 1 FROM {staging} WHERE {match})"
-            )
-            st.executeUpdate(
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
-            )
-            conn.commit()
-        except Exception:
-            conn.rollback()
-            raise
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f"DELETE FROM {table} WHERE EXISTS "
+                    f"(SELECT 1 FROM {staging} WHERE {match})"
+                )
+                st.executeUpdate(
+                    f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+                )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
         finally:
-            st.close()
+            conn.close()
     finally:
-        conn.close()
-    execute_dml(spark, url, f"DROP TABLE {staging}", properties)
+        # the staging table must not outlive the upsert, success or not —
+        # the target is untouched on failure (single rolled-back txn), so
+        # a leaked staging table would be the only residue. Best-effort:
+        # a drop failure must not shadow the original error.
+        try:
+            execute_dml(spark, url, f"DROP TABLE {staging}", properties)
+        except Exception:  # pragma: no cover - drop races are benign
+            pass

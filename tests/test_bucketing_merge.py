@@ -117,6 +117,16 @@ def test_read_landing_formats(spark, tmp_path):
     binary = read_landing(spark, str(tmp_path / "p"), "binary", pathGlobFilter="*.parquet")
     assert binary.count() >= 1 and "content" in binary.columns
 
+    # orc ships in Spark's jars: full write→read round trip
+    events.select("event_id", "user_id", "value").write.orc(str(tmp_path / "o"))
+    orc_df = read_landing(spark, str(tmp_path / "o"), "orc")
+    assert orc_df.count() == 50 and "user_id" in orc_df.columns
+
+    # avro needs the external spark-avro package: gated, loud
+    events.select("event_id").write.json(str(tmp_path / "a"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_landing(spark, str(tmp_path / "a"), "avro")
+
     with pytest.raises(ValueError, match="unsupported"):
         read_landing(spark, str(tmp_path / "p"), "avroish")
 

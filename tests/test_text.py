@@ -196,3 +196,54 @@ def test_bm25_rank_orders_by_relevance(spark):
     # scores strictly ordered and deterministic
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_source_js_divergence_bounds(spark):
+    import math
+
+    # identical sources → divergence ~0; disjoint vocabularies → ln 2
+    same = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c d", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r["js_divergence"]
+           for r in ta.source_js_divergence(same).collect()}
+    assert all(abs(v) < 1e-9 for v in out.values()), out
+
+    disjoint = spark.createDataFrame(
+        [(1, "a a b b", "s1"), (2, "x x y y", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r["js_divergence"]
+           for r in ta.source_js_divergence(disjoint).collect()}
+    # each source holds half the corpus mass. Direct computation:
+    # own tokens: p_s=1/2, p=1/4, m=3/8 → ½·KL(Pₛ‖M)=½·ln(4/3);
+    #            ½·KL(P‖M) share = ½·(½·ln(2/3))
+    # other's tokens: p_s=0, p=1/4, m=1/8 → ½·(½·ln 2)
+    expected = (
+        0.5 * math.log(4 / 3)
+        + 0.25 * math.log(2 / 3)
+        + 0.25 * math.log(2.0)
+    )
+    for v in out.values():
+        assert abs(v - round(expected, 6)) < 1e-6, (v, expected)
+
+
+def test_boilerplate_span_stats_flags_injected_chrome(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(20)]
+    # inject the same 6-token chrome into docs 0-9
+    chrome = "all rights reserved site map terms"
+    docs = spark.createDataFrame(rows, ["doc_id", "body"]).select(
+        "doc_id",
+        F.when(F.col("doc_id") < 10,
+               F.concat(F.lit(chrome + " "), F.col("body")))
+        .otherwise(F.col("body")).alias("text"),
+    )
+    out = ta.boilerplate_span_stats(docs, n=3, df_threshold=5,
+                                    frac_threshold=0.3)
+    flagged = {r["doc_id"] for r in out.filter(~F.col("keep")).collect()}
+    assert flagged == set(range(10))
+    kept = out.filter(F.col("keep")).count()
+    assert kept == 10
