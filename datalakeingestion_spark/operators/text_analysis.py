@@ -493,10 +493,12 @@ def source_js_divergence(
     n_total = F.lit(
         float(vocab.agg(F.sum("c_t").alias("n")).first()["n"])
     )
-    # the full (source × vocabulary) grid, with the source's own count
-    # left-joined in (missing → 0)
+    # the full (vocabulary × source) grid, with the source's own count
+    # left-joined in (missing → 0). Vocab stays on the LEFT: a cross join
+    # builds/broadcasts its right side, and the S-row totals frame is the
+    # only side that is small BY CONSTRUCTION at any corpus size.
     grid = (
-        totals.crossJoin(vocab)
+        vocab.crossJoin(F.broadcast(totals))
         .join(sc, ["grp", "tok"], "left")
         .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
     )
