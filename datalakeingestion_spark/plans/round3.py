@@ -109,3 +109,40 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jsd(docs, group_col="source")
+
+
+@register(
+    "fuzzy_match_customer_names",
+    oracle="""
+    WITH keys AS (SELECT c_custkey, substr(c_name, len(c_name) - 5, 6) AS k
+                  FROM customer),
+    pairs AS (SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+                     a.k AS ka, b.k AS kb
+              FROM keys a JOIN keys b
+                ON a.c_custkey < b.c_custkey AND len(a.k) = len(b.k)),
+    scored AS (SELECT left_id, right_id,
+                      CAST(list_sum(list_transform(range(1, len(ka) + 1),
+                           i -> (substr(ka, i, 1) <> substr(kb, i, 1))::INT))
+                           AS BIGINT) AS hamming
+               FROM pairs)
+    SELECT left_id, right_id, COALESCE(hamming, 0) AS hamming
+    FROM scored WHERE COALESCE(hamming, 0) <= 1
+    """,
+    doc="Segment-blocked fuzzy self-join (operators/fuzzyjoin.py::"
+    "fuzzy_join_hamming): customers whose name SUFFIXES (the variable "
+    "digit region — the caller passes the discriminative expression, the "
+    "shared-prefix trap documented in the operator) differ in at most one "
+    "position. Pigeonhole blocking on k+1 aligned segments gives "
+    "guaranteed recall with a plain equi join on (length, segment id, "
+    "segment text) — never all-pairs; the oracle IS the all-pairs ground "
+    "truth.",
+)
+def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzyjoin import fuzzy_join_hamming
+
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_name").substr(-6, 6)
+    out = fuzzy_join_hamming(
+        cust, cust, "c_custkey", "c_custkey", key, key, k=1
+    )
+    return out.filter(F.col("left_id") < F.col("right_id"))

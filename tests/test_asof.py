@@ -49,3 +49,96 @@ def test_asof_edges(spark):
     assert got[4] == (None, None)
     assert got[5] == (13, 4.0)  # same-ts winner = max tie_break
     assert len(got) == 5  # every left row survives exactly once
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    """SCD2 invariants per key: intervals chain (next.valid_from ==
+    prev.valid_to), exactly one open (is_current) row per key, and
+    valid_from < valid_to on every closed row."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.relational import scd2_history
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    h = scd2_history(ev, ["user_id"], "ts", ["event_id"])
+
+    # exactly one current row per key
+    cur = h.filter("is_current").groupBy("user_id").count()
+    assert cur.filter("count != 1").count() == 0
+    assert cur.count() == ev.select("user_id").distinct().count()
+
+    # closed rows: valid_from <= valid_to (ties possible on equal ts;
+    # the tie-break column orders them deterministically)
+    assert h.filter(
+        (~F.col("is_current")) & (F.col("valid_from") > F.col("valid_to"))
+    ).count() == 0
+
+    # chain: sorted by (ts, event_id), each row's valid_to equals the
+    # next row's valid_from
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chained = h.withColumn("nxt_from", F.lead("valid_from").over(w))
+    assert chained.filter(
+        F.col("nxt_from").isNotNull() & (F.col("valid_to") != F.col("nxt_from"))
+    ).count() == 0
+
+
+def test_fuzzy_join_hamming_matches_brute_force(spark):
+    """Exactness of segment blocking: results equal the all-pairs ground
+    truth on random equal-length strings, for several k and segment
+    counts (any s >= k+1 must preserve recall)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.fuzzyjoin import fuzzy_join_hamming
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(8))) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+
+    def brute(k):
+        out = set()
+        for (i, a), (j, b) in itertools.combinations(rows, 2):
+            d = sum(x != y for x, y in zip(a, b))
+            if d <= k:
+                out.add((i, j, d))
+        return out
+
+    for k, s in [(1, None), (1, 4), (2, None), (2, 5)]:
+        got = {
+            (r["left_id"], r["right_id"], r["hamming"])
+            for r in fuzzy_join_hamming(
+                df, df, "rid", "rid", F.col("key"), F.col("key"), k,
+                n_segments=s,
+            )
+            .filter(F.col("left_id") < F.col("right_id"))
+            .collect()
+        }
+        assert got == brute(k), (k, s, len(got), len(brute(k)))
+
+
+def test_fuzzy_join_hamming_length_mismatch_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.fuzzyjoin import fuzzy_join_hamming
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abce"), (3, "abc")], ["rid", "key"]
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in fuzzy_join_hamming(
+            df, df, "rid", "rid", F.col("key"), F.col("key"), k=1
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .collect()
+    }
+    assert got == {(1, 2)}  # the 3-char key never pairs with 4-char keys

@@ -337,3 +337,12 @@ def test_t9_dedup_is_partial_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_fuzzy_join_candidates_are_equi_join(spark):
+    # segment blocking must plan as a shuffled/broadcast EQUI join on
+    # (segment, length) — a nested-loop or cartesian plan would mean the
+    # pigeonhole blocking degenerated into all-pairs
+    plan = formatted_plan(run(spark, "fuzzy_match_customer_names"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
