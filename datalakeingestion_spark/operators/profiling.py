@@ -45,3 +45,64 @@ def column_profile(
         "n_rows - n_non_null AS n_nulls",
         "n_distinct",
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column — the distribution half
+    of profiling (skew checks, drift monitoring between snapshots).
+
+    Bounds default to the column's observed [min, max] (one cheap
+    aggregate); the binning pass is then a single map-side-combinable
+    groupBy on the bin id — two scans total, one shuffle of at most
+    ``n_bins`` rows. ``width_bucket`` semantics: values below ``lo``
+    land in bin 0, at-or-above ``hi`` in bin ``n_bins + 1`` (the
+    standard under/overflow gutters), NULLs are dropped. Empty bins are
+    emitted with count 0 so consumers see the full grid.
+
+    Returns (bin, bin_lo, bin_hi, n) ordered by bin.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        ).first()
+        if row["mn"] is None:
+            lo_v, hi_v = 0.0, 1.0  # all-null column: empty grid
+        else:
+            lo_v = float(row["mn"]) if lo is None else lo
+            hi_v = float(row["mx"]) if hi is None else hi
+    else:
+        lo_v, hi_v = float(lo), float(hi)
+    if hi_v <= lo_v:
+        hi_v = lo_v + 1.0  # degenerate (constant column): one bin holds all
+
+    spark = df.sparkSession
+    width = (hi_v - lo_v) / n_bins
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.width_bucket(
+                F.col(col).cast("double"),
+                F.lit(lo_v), F.lit(hi_v), F.lit(n_bins),
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.range(0, n_bins + 2).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.lit(lo_v) + (F.col("bin") - 1) * width, 6).alias("bin_lo"),
+            F.round(F.lit(lo_v) + F.col("bin") * width, 6).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )

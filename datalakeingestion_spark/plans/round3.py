@@ -146,3 +146,36 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, cust, "c_custkey", "c_custkey", key, key, k=1
     )
     return out.filter(F.col("left_id") < F.col("right_id"))
+
+
+@register(
+    "profile_price_histogram",
+    oracle="""
+    WITH counts AS (
+      SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 600000.0 THEN 11
+                  ELSE CAST(floor((o_totalprice - 0.0) / (600000.0 - 0.0)
+                                  * 10) AS INT) + 1
+             END AS bin,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 12)) AS bin)
+    SELECT CAST(g.bin AS BIGINT) AS bin,
+           round(0.0 + (g.bin - 1) * 60000.0, 6) AS bin_lo,
+           round(0.0 + g.bin * 60000.0, 6) AS bin_hi,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN counts c ON c.bin = g.bin
+    """,
+    doc="Equal-width histogram of order totals "
+    "(operators/profiling.py::numeric_histogram): width_bucket binning "
+    "with Postgres under/overflow gutters, empty bins emitted. One "
+    "map-side-combinable groupBy shuffling at most n_bins rows — the "
+    "distribution half of profiling (skew checks, drift between "
+    "snapshots). Fixed literal bounds keep the grid deterministic.",
+)
+def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import numeric_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return numeric_histogram(orders, "o_totalprice", n_bins=10,
+                             lo=0.0, hi=600000.0)

@@ -142,3 +142,26 @@ def test_fuzzy_join_hamming_length_mismatch_excluded(spark):
         .collect()
     }
     assert got == {(1, 2)}  # the 3-char key never pairs with 4-char keys
+
+
+def test_numeric_histogram_gutters_and_empty_bins(spark):
+    from datalakeingestion_spark.operators.profiling import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)],
+        "v double",
+    )
+    out = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in numeric_histogram(df, "v", n_bins=2, lo=0.0, hi=10.0).collect()}
+    # full grid emitted: under(0), bins 1..2, over(3)
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0][2] == 1          # -5 → underflow gutter
+    assert out[1][2] == 1          # 0.0 (lo edge is inclusive in bin 1)
+    assert out[2][2] == 2          # 5.0 (edge lands upward) and 9.9
+    assert out[3][2] == 2          # 10.0 (== hi) and 25.0 → overflow
+    assert sum(n for _, _, n in out.values()) == 6  # NULL dropped
+
+    # auto bounds on a constant column: everything in one bin, no crash
+    const = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    got = numeric_histogram(const, "v", n_bins=4)
+    assert got.agg({"n": "sum"}).first()[0] == 2
