@@ -106,3 +106,24 @@ toks = docs.select(F.explode(tokens("text")).alias("t"))
 sketch = cms_sketch(toks, "t", depth=3, width=1024)
 probes = spark.createDataFrame([("table",), ("spark",)], ["term"])
 cms_estimate(sketch, probes, "term").show()
+
+# 7. Round-3 additions: SCD2 history, fuzzy linkage, mixture QA, histogram
+from datalakeingestion_spark.operators.fuzzyjoin import fuzzy_join_hamming  # noqa: E402
+from datalakeingestion_spark.operators.profiling import numeric_histogram  # noqa: E402
+from datalakeingestion_spark.operators.relational import scd2_history  # noqa: E402
+from datalakeingestion_spark.operators.text_analysis import (  # noqa: E402
+    source_js_divergence,
+)
+
+history = scd2_history(events, ["user_id"], "ts", ["event_id"])
+print("SCD2 current rows:", history.filter("is_current").count())
+
+cust = spark.table("customer")
+suffix = F.col("c_name").substr(-6, 6)
+links = fuzzy_join_hamming(
+    cust, cust, "c_custkey", "c_custkey", suffix, suffix, k=1
+).filter(F.col("left_id") < F.col("right_id"))
+print("near-identical customer name suffixes:", links.count())
+
+source_js_divergence(docs).show()
+numeric_histogram(spark.table("orders"), "o_totalprice", n_bins=10).show()
