@@ -186,3 +186,46 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def rank_normalize(
+    df: DataFrame, value_col: str, out_col: str = "rank_norm"
+) -> DataFrame:
+    """Rank-normalize a score column to [0, 1] (percent_rank semantics:
+    (rank-1)/(n-1), ties share the min rank) — the standard pre-step
+    before mixing heterogeneous quality signals (classifier logits,
+    heuristic scores, perplexities live on incomparable scales; their
+    RANKS are comparable).
+
+    Scale shape — deliberately NOT ``percent_rank().over(Window.orderBy)``,
+    which funnels the whole corpus through ONE partition (the global-
+    window trap shuffle_rank_deterministic also avoids): ranks derive
+    from the DISTINCT-VALUE table instead. One groupBy builds per-value
+    row counts (map-side combinable); the running-prefix window then
+    orders only the distinct values — bounded by score resolution, not
+    corpus size — and the per-row assignment is a join on the value
+    (broadcastable whenever scores are rounded/bucketed). NULL scores
+    pass through with a NULL rank.
+    """
+    from pyspark.sql import Window
+
+    n_total = df.filter(F.col(value_col).isNotNull()).count()
+    if n_total <= 1:
+        return df.withColumn(
+            out_col,
+            F.when(F.col(value_col).isNotNull(), F.lit(0.0)),
+        )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # rows strictly below each value: running prefix over DISTINCT values
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = counts.withColumn(
+        "__below", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    ).select(
+        value_col,
+        F.round(F.col("__below") / F.lit(float(n_total - 1)), 6).alias(out_col),
+    )
+    return df.join(F.broadcast(ranks), value_col, "left")

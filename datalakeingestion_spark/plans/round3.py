@@ -179,3 +179,27 @@ def profile_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return numeric_histogram(orders, "o_totalprice", n_bins=10,
                              lo=0.0, hi=600000.0)
+
+
+@register(
+    "quality_rank_normalize",
+    oracle="""
+    WITH q AS (SELECT doc_id, n_chars FROM documents)
+    SELECT doc_id, n_chars,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) AS rank_norm
+    FROM q
+    """,
+    doc="Rank-normalization of a quality signal to [0,1] "
+    "(operators/sampling.py::rank_normalize): percent_rank semantics "
+    "computed WITHOUT the single-partition global window — ranks derive "
+    "from the distinct-value table (bounded by score resolution), the "
+    "prefix window orders only distinct values, and rows join their rank "
+    "by value. The pre-step before mixing incomparable quality signals.",
+)
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import rank_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return rank_normalize(docs, "n_chars").select(
+        "doc_id", "n_chars", "rank_norm"
+    )

@@ -165,3 +165,32 @@ def test_numeric_histogram_gutters_and_empty_bins(spark):
     const = spark.createDataFrame([(3.0,), (3.0,)], "v double")
     got = numeric_histogram(const, "v", n_bins=4)
     assert got.agg({"n": "sum"}).first()[0] == 2
+
+
+def test_rank_normalize_equals_percent_rank(spark):
+    """The distinct-value formulation must equal Spark's own
+    percent_rank (which would funnel the corpus through one partition)
+    including tie handling and the n=1/NULL edges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.sampling import rank_normalize
+
+    rows = [(i, v) for i, v in enumerate([5.0, 1.0, 3.0, 3.0, 1.0, 9.0, None])]
+    df = spark.createDataFrame(rows, ["rid", "score"])
+    got = {
+        r["rid"]: r["rank_norm"]
+        for r in rank_normalize(df, "score").collect()
+    }
+    ref = {
+        r["rid"]: round(r["pr"], 6)
+        for r in df.filter("score IS NOT NULL")
+        .withColumn("pr", F.percent_rank().over(Window.orderBy("score")))
+        .collect()
+    }
+    for rid, pr in ref.items():
+        assert got[rid] == pr, (rid, got[rid], pr)
+    assert got[6] is None  # NULL score → NULL rank
+
+    one = spark.createDataFrame([(1, 2.0)], ["rid", "score"])
+    assert rank_normalize(one, "score").first()["rank_norm"] == 0.0

@@ -52,3 +52,24 @@ def test_entry_smoke(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_driver_priority_invariants():
+    """The external driver checks the FIRST 50 exposed queries; the
+    priority list must stay exactly 50 known names, all oracle-backed,
+    and the exposed ordering must put them first."""
+    from datalakeingestion_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        REGISTRY,
+        all_queries,
+        oracle_map,
+    )
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert missing == []
+    om = oracle_map()
+    no_oracle = [n for n in DRIVER_PRIORITY if n not in om]
+    assert no_oracle == []
+    assert list(all_queries())[:50] == list(DRIVER_PRIORITY)
