@@ -440,6 +440,196 @@ def connected_components(
     )
 
 
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07) — the lossless scale path between the brute
+    shingle join (`ngram_jaccard_pairs`, exact but O(bucket²) on common
+    shingles) and MinHash-LSH (sub-quadratic but probabilistic).
+
+    Losslessness: order every doc's distinct tokens by ascending global
+    document frequency (rarest first, ties by token). If J(x,y) >= t then
+    |x∩y| >= t·|x| (and t·|y|), and the FIRST common token w in that
+    order must sit within the first |x| - ceil(t·|x|) + 1 tokens of x
+    (everything before w in x is non-shared, so if w were later, x would
+    carry >= ceil(t|x|) non-shared tokens — contradiction); same for y.
+    So joining only PREFIX tokens finds every qualifying pair, and the
+    exact verify stage keeps the result identical to all-pairs.
+
+    Scale: the candidate join touches only rare-token buckets — the
+    frequency ordering pushes high-df stopwords out of prefixes, which is
+    what kills the O(bucket²) blowup of the naive join. A length filter
+    (t·|x| <= |y| <= |x|/t) prunes further inside the join condition.
+    Cost: one token shuffle for df, one per-doc window (partitioned by
+    doc — no global window), the prefix self-join, and the verify join.
+    The prefix length uses DECIMAL arithmetic so ceil() is exact — a
+    float ceil(0.6*5)=ceil(3.0000000000000004)=4 would shrink the prefix
+    and silently drop pairs.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_table(docs, text_col, id_col, n).persist()
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    t_dec = F.lit(f"{threshold:.6f}").cast("decimal(12,6)")
+    ranked = (
+        sh.join(df_counts, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+        .withColumn("plen", F.col("sz") - F.ceil(t_dec * F.col("sz")) + 1)
+    )
+    prefix = ranked.filter(F.col("r") <= F.col("plen")).select("doc_id", "s", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: |y| >= t|x| given |x| <= |y| w.l.o.g. — both
+            # orderings of sizes appear across the pair, so bound both ways
+            & (F.col("b.sz") * t_dec <= F.col("a.sz"))
+            & (F.col("a.sz") * t_dec <= F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh, threshold)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    escalation path documented on :func:`connected_components` for graphs
+    whose DEPTH makes even pointer-jumped label propagation slow. Output
+    contract is identical: (doc_id, cluster_id) with cluster_id = min id
+    in the component, one row per node appearing in at least one pair.
+
+    Per round, two edge-rewriting steps, each ONE shuffle (a groupBy on
+    the star center) + one self-join:
+
+    - **large-star(u)**: m = min(neighborhood(u) + u); every neighbor
+      v > u re-hangs onto m. Shrinks long tails toward small labels
+      without ever growing a node's degree above its component size.
+    - **small-star(u)**: m = min over u's *smaller-or-equal* neighbors
+      and u itself; u and those neighbors all re-hang onto m. Flattens
+      the partial trees large-star leaves behind.
+
+    The edge set provably converges (monotone potential, see the paper,
+    O(log^2 n) rounds worst case, ~log n observed) to a star forest:
+    every edge is (node, component-min). Compared with label
+    propagation, the frontier here is the EDGE list, which the steps
+    actively shrink — on a path graph of length n the edge list halves
+    in rounds, while propagation must touch every node each round for
+    O(log n) rounds at full width.
+
+    Like :func:`connected_components`, every round is checkpointed
+    (reliable if ``setCheckpointDir`` was called, else local) so lineage
+    stays flat and the returned frame is materialized.
+    """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        # neighborhoods over BOTH directions; min includes the center
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        return (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        # orient every edge large→small so the center is the larger end
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # u and all its smaller neighbors hang onto m (m→m self-loop drops)
+        return (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), "m")
+            .unionByName(mins.select(F.col("u"), F.col("m")))
+            .filter(F.col("u") != F.col("m"))
+            .select("u", F.col("m").alias("v"))
+            .distinct()
+        )
+
+    edges = _checkpoint(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).unionByName(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    nodes = _checkpoint(nodes)
+
+    converged = edges.isEmpty()
+    for _ in range(max_iterations):
+        if converged:
+            break
+        stepped = _checkpoint(_small_star(_large_star(edges)))
+        # fixpoint: the canonical (large→small) edge sets are identical.
+        # Both sides are distinct, so symmetric-difference emptiness +
+        # equal counts reduces to one anti-join each way.
+        old_c = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        new_c = stepped.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        converged = (
+            new_c.join(old_c, ["u", "v"], "left_anti").isEmpty()
+            and old_c.join(new_c, ["u", "v"], "left_anti").isEmpty()
+        )
+        edges = stepped
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — raise max_iterations"
+        )
+    # converged edge set is a star forest: (child, component-min). The min
+    # node of each component appears only as v; label it with itself.
+    child_labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.join(child_labels, nodes.node == child_labels.u, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     benchmark: DataFrame,

@@ -416,6 +416,80 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(
+    docs: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Per-doc mean log-probability under the corpus's own BIGRAM language
+    model with add-k smoothing — the next perplexity-proxy step up from
+    :func:`unigram_logprob`: unigram LMs can't see scrambled word order,
+    bigram LMs can, so this separates fluent text from bag-of-words spam
+    the unigram score rates identically.
+
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V) where c(w1·) counts w1 as
+    a bigram head and V is the corpus unigram vocabulary size.
+
+    Shuffle economy: the bigram stream (built by the zip-shift shingle
+    expression — no per-element re-tokenization) shuffles once into the
+    model counts; head counts derive FROM the bigram counts (groupBy on
+    the head — a frame of distinct-bigram size, not corpus size) and are
+    broadcast back; scoring joins the corpus's bigram stream to the
+    model. At this SF the model side broadcasts (AQE decides); at 100 TB
+    it becomes an ordinary hash join on the bigram key — never all-pairs.
+    Determinism: per-bigram log-probs rounded to 6 dp and summed as
+    decimal(27,6), so the mean is partitioning-independent.
+
+    Returns (doc_id, n_bigrams, mean_logprob); docs with < 2 tokens have
+    no bigrams and yield no row.
+    """
+    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    bi = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg")
+    )
+    vsz = (
+        toks.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .first()[0]
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    heads = (
+        c2.groupBy(F.element_at(F.split("bg", " "), 1).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    model = (
+        c2.join(
+            F.broadcast(heads),
+            F.element_at(F.split("bg", " "), 1) == F.col("w1"),
+        )
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(k))
+                    / (F.col("c1") + F.lit(k) * F.lit(float(vsz)))
+                ),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        bi.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
+from .registry import REGISTRY as _REGISTRY
 from .registry import register
 
 
@@ -203,3 +204,87 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs, "n_chars").select(
         "doc_id", "n_chars", "rank_norm"
     )
+
+
+@register(
+    "dedup_cluster_assign_star",
+    # identical output contract -> identical transitive-closure oracle
+    # (importing .llm above already registered dedup_cluster_assign)
+    oracle=_REGISTRY["dedup_cluster_assign"].oracle,
+    doc="Same contract as dedup_cluster_assign (minhash pair graph -> "
+    "component-min labels, identical oracle) computed by the OTHER "
+    "algorithm: large-star/small-star edge contraction (Kiveris et al. "
+    "SoCC'14, operators/dedup.py::connected_components_star). Registered "
+    "as a first-class twin because at 100 TB the two have different "
+    "frontiers -- label propagation shuffles every NODE each round, star "
+    "contraction shuffles the EDGE list, which it actively shrinks; on "
+    "deep-chain graphs (web-domain dedup) the contraction wins.",
+)
+def dedup_cluster_assign_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    return dd.connected_components_star(pairs)
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    # exact-twin contract: identical output to dedup_ngram_jaccard
+    # (same shingles, same threshold), so the oracle is shared verbatim —
+    # which doubles as a losslessness proof for the prefix filter.
+    oracle=_REGISTRY["dedup_ngram_jaccard"].oracle,
+    doc="Exact 3-gram Jaccard pairs via PREFIX FILTERING (AllPairs, "
+    "Bayardo et al. WWW'07; operators/dedup.py::jaccard_prefix_join): "
+    "shingles ordered by ascending global df, only each doc's "
+    "(sz - ceil(t*sz) + 1)-prefix enters the candidate self-join, with a "
+    "length filter in the join condition; exact verify after. Lossless "
+    "(first-common-token pigeonhole), so the oracle is the brute-force "
+    "all-pairs SQL shared with dedup_ngram_jaccard. The scale story: the "
+    "naive shingle join is O(bucket^2) on COMMON shingles — exactly the "
+    "buckets the df-ordering excludes from prefixes — while LSH trades "
+    "recall; this keeps exactness at sub-quadratic candidate cost.",
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_prefix_join(docs, threshold=0.5, n=3)
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    v AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS vsz
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                      AS bg
+           FROM t),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    heads AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+              FROM c2 GROUP BY 1),
+    model AS (SELECT bg,
+                     CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * vsz)), 6)
+                          AS DECIMAL(27,6)) AS lp
+              FROM c2 JOIN heads ON string_split(c2.bg, ' ')[1] = heads.w1
+              CROSS JOIN v)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+    doc="Per-doc mean log-prob under the corpus's own add-0.5-smoothed "
+    "BIGRAM LM (operators/text_analysis.py::bigram_logprob) — catches "
+    "scrambled-word-order spam the unigram score can't. Bigram stream "
+    "shuffles once into the model; head counts derive from the "
+    "distinct-bigram frame and broadcast; log-probs rounded to 6 dp and "
+    "summed as exact decimals (partitioning-independent mean).",
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.bigram_logprob(docs)

@@ -112,3 +112,77 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame(chain, ["doc_id_a", "doc_id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iterations=2)
+
+
+def test_star_contraction_matches_propagation(spark, docs):
+    """connected_components_star is an algorithmic twin of
+    connected_components — identical labels on the real minhash pair
+    graph."""
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    a = sorted(
+        (r.doc_id, r.cluster_id) for r in dd.connected_components(pairs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dd.connected_components_star(pairs).collect()
+    )
+    assert a and a == b
+
+
+def test_star_contraction_deep_chain(spark):
+    """A 512-node path graph (diameter 511): label propagation without
+    pointer jumping would need ~511 rounds; star contraction converges in
+    O(log n) — 12 iterations is ample headroom, and every node must label
+    to the chain head."""
+    import pyspark.sql.functions as F
+
+    pairs = spark.range(511).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    out = dd.connected_components_star(pairs, max_iterations=12)
+    assert out.count() == 512
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_star_contraction_multi_component_and_empty(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(1, 2), (2, 3), (10, 11), (20, 20)]  # self-loop ignored
+    pairs = spark.createDataFrame(rows, ["doc_id_a", "doc_id_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_star(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    empty = pairs.filter(F.lit(False))
+    assert dd.connected_components_star(empty).count() == 0
+
+
+def test_jaccard_prefix_join_lossless_vs_bruteforce(spark, docs):
+    """Prefix filtering must be LOSSLESS: identical pair set + values to
+    the all-pairs shingle join at the same threshold."""
+    brute = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    pref = sorted(
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dd.jaccard_prefix_join(docs, threshold=0.5, n=3).collect()
+    )
+    assert brute and pref == brute
+
+
+def test_jaccard_prefix_join_exact_ceiling_boundary(spark):
+    """Docs engineered so t*sz lands exactly on an integer (the float-ceil
+    trap: ceil(0.6*5 in fp) = 4 shrinks the prefix and drops pairs).
+    Identical 5-token docs must pair at threshold 0.6."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_id_a, r.doc_id_b) for r in
+           dd.jaccard_prefix_join(df, threshold=0.6, n=1).collect()}
+    assert (1, 2) in out
+    assert all(3 not in p for p in out)

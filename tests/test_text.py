@@ -247,3 +247,17 @@ def test_boilerplate_span_stats_flags_injected_chrome(spark):
     assert flagged == set(range(10))
     kept = out.filter(F.col("keep")).count()
     assert kept == 10
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """Self-trained bigram LM: a doc built from the corpus's common
+    bigrams scores higher than the same words in scrambled order; docs
+    with < 2 tokens yield no row."""
+    rows = [(i, "a b c") for i in range(1, 6)] + [(6, "c b a"), (7, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ta.bigram_logprob(df).collect()}
+    assert 7 not in out
+    assert out[1].n_bigrams == 2 and out[6].n_bigrams == 2
+    assert out[1].mean_logprob > out[6].mean_logprob
+    # all five identical docs share the exact same decimal-summed score
+    assert len({out[i].mean_logprob for i in range(1, 6)}) == 1
