@@ -191,3 +191,81 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def kmeans_profile(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    min_coherence_lift: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster the embedding corpus with deterministic spherical k-means
+    (`train_centroids`) and emit a single-row QUALITY CONTRACT — the
+    checkable face of an unsupervised operator (same design as the ANN
+    recall contracts): an exact column an external oracle can recompute,
+    plus bound booleans the engine must satisfy.
+
+    Columns:
+      - n_vectors: total vectors clustered (oracle-exact);
+      - n_clusters_used: non-empty cells (must be in [2, k]);
+      - clusters_ok: the above bound;
+      - coherence_ok: mean cosine-to-own-centroid exceeds the
+        single-cluster baseline (mean cosine to the GLOBAL centroid) by
+        >= min_coherence_lift — k-means must beat k=1, or the clustering
+        is vacuous. Measured lift on the fixtures: 0.22 at sf0.001 AND
+        sf0.01 (re-measure if fixtures regenerate); bound 0.1.
+
+    (The fixture's `label` column is NOT part of the contract: measured
+    majority-label purity is ~0.16 ≈ random — the labels do not encode
+    embedding geometry, so a purity bound would pin noise.)
+
+    Everything driver-facing is deterministic: hash-seeded init,
+    decimal-exact centroid means, stable tie-breaks.
+
+    Scale: training cost is iters × (one pandas-UDF scan + a (k×dim)
+    grouped decimal sum); the profile pass is one scan + two tiny
+    aggregates. Centroids ride in the UDF closure (k×dim broadcast).
+    """
+    import numpy as np
+
+    centroids = train_centroids(embeddings, k, iters, id_col, vec_col)
+    mat = _unit(centroids.astype(np.float64))
+    gc = _unit(mat.mean(axis=0, keepdims=True))
+
+    @F.pandas_udf("struct<cell:int,cos_own:double,cos_global:double>")
+    def profile(col: pd.Series) -> pd.DataFrame:
+        X = _unit(np.vstack(col.to_numpy()).astype(np.float64))
+        sims = X @ mat.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        cell = order[:, 0].astype("int32")
+        cos_own = sims[np.arange(len(X)), cell]
+        cos_global = (X @ gc.T)[:, 0]
+        return pd.DataFrame(
+            {"cell": cell, "cos_own": cos_own, "cos_global": cos_global}
+        )
+
+    assigned = embeddings.select(profile(F.col(vec_col)).alias("p")).select(
+        "p.cell", "p.cos_own", "p.cos_global"
+    )
+    # decimal sums -> order-independent means (6 dp already ample; the
+    # booleans compare with a wide margin anyway)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("cell").alias("n_clusters_used"),
+        F.sum(F.round("cos_own", 6).cast("decimal(27,6)")).alias("s_own"),
+        F.sum(F.round("cos_global", 6).cast("decimal(27,6)")).alias("s_glob"),
+    )
+    return stats.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("n_clusters_used").cast("long").alias("n_clusters_used"),
+        (
+            (F.col("n_clusters_used") >= 2) & (F.col("n_clusters_used") <= k)
+        ).alias("clusters_ok"),
+        (
+            (F.col("s_own") - F.col("s_glob")).cast("double")
+            / F.col("n_vectors")
+            >= min_coherence_lift
+        ).alias("coherence_ok"),
+    )

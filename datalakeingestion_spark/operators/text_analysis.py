@@ -490,6 +490,74 @@ def bigram_logprob(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (multi-word expressions) by pointwise mutual
+    information: PMI(w1,w2) = ln(p(w1 w2) / (p(w1)·p(w2))), bigram
+    probability over the corpus bigram total, unigram probabilities over
+    the token total. The standard phrase-mining signal (word2vec-style
+    phrase joining, tokenizer vocab prep); ``min_count`` suppresses the
+    PMI bias toward hapax pairs.
+
+    Shuffle economy: one bigram shuffle for pair counts, one token
+    shuffle for unigram counts; the unigram frame (vocab-sized) is
+    broadcast twice into the pair frame — the corpus stream is never
+    joined row-wise. Totals are two scalar aggregates. Final top-k is a
+    TakeOrdered, not a global sort. PMI is rounded to 6 dp with ties
+    broken on the bigram string, so ranking is deterministic.
+
+    Returns (bigram, pair_count, pmi, rank), rank 1..k.
+    """
+    toks = docs.select(tokens(text_col).alias("toks"))
+    c1 = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    n_uni = c1.agg(F.sum("c1")).first()[0]
+    c2 = (
+        toks.select(F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist()
+    )
+    n_bg = c2.agg(F.sum("c2")).first()[0]
+    a = c1.select(F.col("tok").alias("w1"), F.col("c1").alias("ca"))
+    b = c1.select(F.col("tok").alias("w2"), F.col("c1").alias("cb"))
+    nu = F.lit(float(n_uni))
+    scored = (
+        c2.filter(F.col("c2") >= min_count)
+        .withColumn("w1", F.element_at(F.split("bg", " "), 1))
+        .withColumn("w2", F.element_at(F.split("bg", " "), 2))
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c2").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.lit(float(n_bg)))
+                    / ((F.col("ca") / nu) * (F.col("cb") / nu))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), "bigram")
+    # rank via limit-sorted frame: TakeOrdered(k) then a k-row window
+    topk = scored.orderBy(F.desc("pmi"), "bigram").limit(k)
+    return topk.select(
+        "bigram", "pair_count", "pmi", F.row_number().over(w).alias("rank")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -288,3 +288,70 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ta.bigram_logprob(docs)
+
+
+@register(
+    "pmi_collocations_top50",
+    oracle=f"""
+    WITH t AS (SELECT {TOKS_SQL} AS toks FROM documents),
+    c1 AS (SELECT tok, COUNT(*) AS c1
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+    nu AS (SELECT SUM(c1)::DOUBLE AS nu FROM c1),
+    bgs AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                AS bg
+            FROM t),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY 1),
+    nb AS (SELECT SUM(c2)::DOUBLE AS nb FROM c2),
+    s AS (SELECT c2.bg AS bigram, c2.c2::BIGINT AS pair_count,
+                 round(ln((c2.c2 / nb.nb)
+                          / ((ca.c1 / nu.nu) * (cb.c1 / nu.nu))), 6) AS pmi
+          FROM c2
+          JOIN c1 ca ON ca.tok = string_split(c2.bg, ' ')[1]
+          JOIN c1 cb ON cb.tok = string_split(c2.bg, ' ')[2]
+          CROSS JOIN nb CROSS JOIN nu
+          WHERE c2.c2 >= 5),
+    r AS (SELECT bigram, pair_count, pmi,
+                 row_number() OVER (ORDER BY pmi DESC, bigram) AS rnk
+          FROM s)
+    SELECT bigram, pair_count, pmi, rnk AS "rank" FROM r WHERE rnk <= 50
+    """,
+    doc="Top-50 collocations by pointwise mutual information with "
+    "min-count 5 (operators/text_analysis.py::pmi_collocations) — the "
+    "word2vec-style phrase-mining signal. One bigram shuffle + one token "
+    "shuffle; the vocab-sized unigram frame broadcasts into the pair "
+    "frame twice; totals are scalar aggregates; final top-k is a "
+    "TakeOrdered with 6-dp rounding and bigram tie-break.",
+)
+def pmi_collocations_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.pmi_collocations(docs, k=50, min_count=5)
+
+
+@register(
+    "kmeans_cluster_profile",
+    # contract oracle (ann-style): n_vectors is exact; the bound booleans
+    # are deterministic engine-side guarantees (hash-seeded init,
+    # decimal-exact centroid means). Measured coherence lift 0.22 at both
+    # parity scales; bound 0.1.
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n_vectors,
+           CAST(8 AS BIGINT) AS n_clusters_used,
+           TRUE AS clusters_ok, TRUE AS coherence_ok
+    FROM embeddings
+    """,
+    doc="Deterministic spherical k-means (k=8) over the embedding corpus "
+    "with a single-row quality contract "
+    "(operators/ivf.py::kmeans_profile): exact vector count, non-empty "
+    "cell count, and a coherence bound — mean cosine-to-own-centroid "
+    "must beat the k=1 global-centroid baseline by >= 0.1. The topic-"
+    "bucketing/SemDeDup-support primitive, checkable by the driver "
+    "despite being unsupervised.",
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import kmeans_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_profile(emb, k=8, iters=5, min_coherence_lift=0.1)

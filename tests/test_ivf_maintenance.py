@@ -121,3 +121,20 @@ def test_zorder_write_roundtrip_and_locality(spark, tmp_path):
     ).first()[0]
     # each z-range file covers a fraction of the orderkey domain
     assert sum(spans_a) / len(spans_a) < global_span
+
+
+def test_kmeans_profile_contract(spark):
+    """All contract booleans hold on the fixture corpus, and the lift
+    bound is doing real work: an absurd bound must fail coherence."""
+    from datalakeingestion_spark.operators.ivf import kmeans_profile
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    row = kmeans_profile(emb, k=8, iters=5, min_coherence_lift=0.1).first()
+    assert row.n_vectors == 500
+    assert 2 <= row.n_clusters_used <= 8
+    assert row.clusters_ok and row.coherence_ok
+    strict = kmeans_profile(emb, k=8, iters=5, min_coherence_lift=0.99).first()
+    assert not strict.coherence_ok
