@@ -630,6 +630,108 @@ def connected_components_star(
     )
 
 
+def source_ngram_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise n-gram overlap between SOURCES — the corpus-governance
+    view of duplication: which feeds are re-publishing each other's
+    content (mirrors, scrapes of scrapes), so dedup/mixing decisions can
+    be made per source pair instead of per document.
+
+    For every unordered source pair: the count of shared distinct
+    shingles and the overlap coefficient |A∩B| / min(|A|,|B|).
+
+    Scale: the unit of work is the DISTINCT (source, shingle) table —
+    one hash shuffle — and the self-join on shingle has bucket size
+    <= n_sources per shingle, so join output is bounded by S² per
+    shingle regardless of corpus size (unlike doc-level pair joins).
+    Output is S·(S-1)/2 rows.
+    """
+    sh = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(distinct_shingles(text_col, n)).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least("sz_a", "sz_b"), 6
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    indexed_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL near-dedup: find documents in an incoming batch that
+    near-duplicate documents already in the lake — the production shape
+    of dedup inside an ingestion pipeline (dedup-at-the-door), where
+    re-pairing the whole corpus per batch would be quadratic over time.
+
+    Same MinHash+LSH machinery as `minhash_near_duplicates`, but the
+    band join is ASYMMETRIC: new-batch band signatures probe the indexed
+    side's bands, so cost is O(batch) probes against a hash index, never
+    O(lake²) and never O(batch × lake). In production the indexed side's
+    (band_id, band_sig, doc_id) table is persisted once in the lake and
+    appended per batch (same pattern as `ivf` index maintenance); here
+    it is computed inline so the operator stays self-contained.
+
+    Output: (doc_id_a = new doc, doc_id_b = indexed doc, jaccard >= t),
+    exact-verified. A new doc may match several indexed docs.
+    """
+    sh_new = _shingle_table(new_docs, text_col, id_col, n).persist()
+    sh_old = _shingle_table(indexed_docs, text_col, id_col, n).persist()
+    bands_new = _lsh_bands(_signatures_from_shingles(sh_new))
+    bands_old = _lsh_bands(_signatures_from_shingles(sh_old))
+    cand = (
+        bands_new.alias("a")
+        .join(
+            bands_old.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    # verify over the union shingle table (ids are disjoint across sides
+    # in the ingest flow; if not, the exact verify still scores correctly)
+    return _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+
+
 def ngram_contamination(
     train: DataFrame,
     benchmark: DataFrame,

@@ -355,3 +355,114 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_profile(emb, k=8, iters=5, min_coherence_lift=0.1)
+
+
+def _src_overlap_oracle(n: int) -> str:
+    from .llm import _shingles_sql
+
+    return f"""
+    WITH sh AS (SELECT DISTINCT src, s FROM
+                  (SELECT source AS src, unnest({_shingles_sql(n)}) AS s
+                   FROM documents)),
+    sizes AS (SELECT src, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.src AS source_a, b.src AS source_b,
+                     COUNT(*) AS n_shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared::BIGINT AS n_shared,
+           round(n_shared / least(sa.sz, sb.sz), 6) AS overlap_coeff
+    FROM inter
+    JOIN sizes sa ON sa.src = inter.source_a
+    JOIN sizes sb ON sb.src = inter.source_b
+    """
+
+
+@register(
+    "source_ngram_overlap_matrix",
+    oracle=_src_overlap_oracle(3),
+    doc="Pairwise 3-gram overlap between SOURCES (corpus governance: "
+    "which feeds republish each other; "
+    "operators/dedup.py::source_ngram_overlap): shared distinct-shingle "
+    "count + overlap coefficient per unordered source pair. The shingle "
+    "self-join has bucket size <= n_sources per shingle, so output is "
+    "S(S-1)/2 rows and join work is bounded by S^2 per shingle "
+    "regardless of corpus size.",
+)
+def source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.source_ngram_overlap(docs, n=3)
+
+
+def _asym_minhash_oracle(threshold: float, split_id: int) -> str:
+    from ..operators import dedup as dd
+    from .llm import _h32_sql, _shingles_sql
+
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+
+    def bands(sig: str) -> str:
+        rows = []
+        for j in range(dd.LSH_BANDS):
+            cols = [f"mh{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+            sig_expr = " || ',' || ".join(cols)
+            rows.append(
+                f"SELECT doc_id, {j} AS band_id, {sig_expr} AS band_sig "
+                f"FROM {sig}"
+            )
+        return "\n         UNION ALL ".join(rows)
+
+    return f"""
+    WITH shn AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+                 FROM documents WHERE doc_id >= {split_id}),
+    sho AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+            FROM documents WHERE doc_id < {split_id}),
+    thn AS (SELECT doc_id, {_h32_sql('s')} AS h FROM shn),
+    tho AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sho),
+    sgn AS (SELECT doc_id, {mins} FROM thn GROUP BY doc_id),
+    sgo AS (SELECT doc_id, {mins} FROM tho GROUP BY doc_id),
+    bn AS ({bands('sgn')}),
+    bo AS ({bands('sgo')}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             FROM bn a JOIN bo b
+               ON a.band_id = b.band_id AND a.band_sig = b.band_sig),
+    allsh AS (SELECT * FROM shn UNION ALL SELECT * FROM sho),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM allsh GROUP BY doc_id),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN allsh t1 ON t1.doc_id = c.doc_id_a
+              JOIN allsh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY 1, 2)
+    SELECT inter.doc_id_a, inter.doc_id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_incremental_vs_lake",
+    oracle=_asym_minhash_oracle(0.5, 400),
+    doc="Dedup-at-the-door: near-dup pairs between an incoming batch "
+    "(doc_id >= 400) and the already-ingested lake (doc_id < 400) via an "
+    "ASYMMETRIC MinHash-LSH band join "
+    "(operators/dedup.py::dedup_against_index) — new-batch bands probe "
+    "the lake's persisted band index, so per-batch cost is O(batch) "
+    "probes, never O(lake^2) re-pairing and never all-pairs. The "
+    "production shape of dedup inside an ingestion pipeline; exact "
+    "Jaccard verify over the union shingle table.",
+)
+def dedup_incremental_vs_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_against_index(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        threshold=0.5,
+    )

@@ -186,3 +186,25 @@ def test_jaccard_prefix_join_exact_ceiling_boundary(spark):
            dd.jaccard_prefix_join(df, threshold=0.6, n=1).collect()}
     assert (1, 2) in out
     assert all(3 not in p for p in out)
+
+
+def test_dedup_against_index_matches_symmetric_restriction(spark, docs):
+    """Asymmetric batch-vs-lake pairs must equal the full symmetric pair
+    set restricted to cross-side pairs (one endpoint per side)."""
+    import pyspark.sql.functions as F
+
+    new = docs.filter(F.col("doc_id") >= 400)
+    old = docs.filter(F.col("doc_id") < 400)
+    asym = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dd.dedup_against_index(new, old, threshold=0.5).collect()
+    }
+    full = dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    cross = {
+        # canonical full-pair order is a<b; re-orient to (new, old)
+        (max(r.doc_id_a, r.doc_id_b), min(r.doc_id_a, r.doc_id_b), r.jaccard)
+        for r in full
+        if (r.doc_id_a >= 400) != (r.doc_id_b >= 400)
+    }
+    assert asym == cross
+    assert asym, "fixture should contain cross-side near-duplicates"
