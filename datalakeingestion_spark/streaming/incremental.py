@@ -304,3 +304,139 @@ def stream_derived_table_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_lsh_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    lake_path: str,
+    index_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming dedup-at-the-door: drain new document files, reject any
+    doc that near-duplicates (MinHash-LSH + exact Jaccard verify) a doc
+    already ACCEPTED into the lake, append survivors to ``lake_path`` and
+    their band signatures to the persisted band index at ``index_path``
+    — then stop. The streaming form of
+    ``operators/dedup.py::dedup_against_index`` (its batch twin is the
+    oracle-checked `dedup_incremental_vs_lake` query).
+
+    Per micro-batch cost is O(batch): the batch's band signatures probe
+    the PERSISTED index (hash equi-join, no lake re-signature), and the
+    exact-verify stage reads only the lake docs that banded with the
+    batch (a semi-join pushes the id filter into the lake scan). The
+    lake corpus is never re-paired — this is what makes continuous
+    dedup sustainable when the lake is 1000× every batch.
+
+    Within a batch, earlier ids win (exact text-hash keep-min plus
+    near-dup pair rejection of the larger id). Writes are IDEMPOTENT
+    under batch replay: each epoch overwrites its own
+    ``epoch=<id>`` subdirectory of the lake and index (the standard
+    foreachBatch idempotent-sink pattern; on Delta both writes become
+    MERGE INTO txn).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from ..operators.dedup import (
+        _jaccard_verify,
+        _lsh_bands,
+        _shingle_table,
+        _signatures_from_shingles,
+        exact_duplicates,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # 1. within-batch exact dedup (keep the min id per text hash)
+        keep = exact_duplicates(batch_df, text_col, id_col).select(
+            F.col("keep_doc_id").alias(id_col)
+        )
+        batch = batch_df.join(keep, id_col, "left_semi").persist()
+
+        sh_new = _shingle_table(batch, text_col, id_col, 3).persist()
+        bands_new = _lsh_bands(_signatures_from_shingles(sh_new)).persist()
+
+        # 2. within-batch near-dup rejection: larger id of a verified pair
+        a, b = bands_new.alias("a"), bands_new.alias("b")
+        cand_in = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        reject_in = (
+            _jaccard_verify(cand_in, sh_new, threshold)
+            .select(F.col("doc_id_b").alias(id_col))
+            .distinct()
+        )
+
+        # 3. probe the persisted lake index (absent on the first epoch)
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            cand_lake = (
+                bands_new.alias("n")
+                .join(
+                    index.alias("i"),
+                    (F.col("n.band_id") == F.col("i.band_id"))
+                    & (F.col("n.band_sig") == F.col("i.band_sig")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("doc_id_a"),
+                    F.col("i.doc_id").alias("doc_id_b"),
+                )
+                .distinct()
+            )
+            lake_hits = spark.read.parquet(lake_path).join(
+                cand_lake.select(F.col("doc_id_b").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            sh_lake = _shingle_table(lake_hits, text_col, id_col, 3)
+            reject_lake = (
+                _jaccard_verify(
+                    cand_lake, sh_new.unionByName(sh_lake), threshold
+                )
+                .select(F.col("doc_id_a").alias(id_col))
+                .distinct()
+            )
+            rejects = reject_in.unionByName(reject_lake).distinct()
+        else:
+            rejects = reject_in
+        accepted = batch.join(rejects, id_col, "left_anti").persist()
+
+        # 4. idempotent epoch-scoped appends
+        accepted.write.mode("overwrite").parquet(
+            f"{lake_path}/epoch={epoch_id}"
+        )
+        bands_new.join(
+            accepted.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+        batch.unpersist()
+        sh_new.unpersist()
+        bands_new.unpersist()
+        accepted.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -346,3 +346,32 @@ def test_fuzzy_join_candidates_are_equi_join(spark):
     plan = formatted_plan(run(spark, "fuzzy_match_customer_names"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_join_is_equi_not_nested_loop(spark):
+    """The prefix-filter candidate join must be a hash/sort-merge equi
+    join on the shingle — a BroadcastNestedLoopJoin or CartesianProduct
+    would mean the length-filter conjuncts demoted the equi key."""
+    plan = formatted_plan(run(spark, "dedup_jaccard_prefix_join"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pmi_unigram_frames_broadcast(spark):
+    """Both unigram joins into the pair frame must broadcast (vocab-sized
+    build sides); the bigram stream must never be the build side."""
+    plan = formatted_plan(run(spark, "pmi_collocations_top50"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dedup_band_probe_is_equi_join(spark):
+    plan = formatted_plan(run(spark, "dedup_incremental_vs_lake"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_is_equi_join(spark):
+    plan = formatted_plan(run(spark, "source_ngram_overlap_matrix"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -471,3 +471,59 @@ def test_streaming_dedup_within_watermark_catches_restamped_retries(spark, tmp_p
     orig = {(r["event_id"], r["ts"]) for r in events.select("event_id", "ts").collect()}
     kept = {(r["event_id"], r["ts"]) for r in batch.select("event_id", "ts").collect()}
     assert kept == orig
+
+
+def test_stream_dedup_lsh_rejects_lake_and_batch_dups(spark, tmp_path):
+    """Streaming dedup-at-the-door: batch 2 docs that near/exact-duplicate
+    already-accepted lake docs (or each other) are rejected; only novel
+    docs land, and the persisted band index grows with them."""
+    from datalakeingestion_spark.streaming.incremental import (
+        stream_dedup_lsh_available_now,
+    )
+
+    def text(seed: str) -> str:
+        return " ".join(f"{seed}tok{j}" for j in range(40))
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id LONG, text STRING"
+
+    b1 = spark.createDataFrame(
+        [(i, text(f"d{i}")) for i in range(1, 11)], schema
+    )
+    b1.write.parquet(src)
+
+    def drain():
+        q = stream_dedup_lsh_available_now(
+            spark, src, b1.schema, lake, idx, ckpt, threshold=0.5
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(lake).collect()} == set(
+        range(1, 11)
+    )
+
+    near1 = text("d1").rsplit(" ", 2)[0] + " changed tokens"  # ~0.9 jaccard
+    near13 = text("d13").rsplit(" ", 2)[0] + " other tail"
+    b2 = spark.createDataFrame(
+        [
+            (11, near1),          # near-dup of lake doc 1 -> reject
+            (12, text("d2")),     # exact dup of lake doc 2 -> reject
+            (13, text("d13")),    # novel -> accept
+            (14, text("d13")),    # exact dup within batch -> reject
+            (15, near13),         # near-dup of batch doc 13 -> reject
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {r.doc_id for r in spark.read.parquet(lake).collect()}
+    assert got == set(range(1, 11)) | {13}
+    # index covers exactly the accepted docs (4 bands each)
+    idx_rows = spark.read.parquet(idx).collect()
+    assert {r.doc_id for r in idx_rows} == got
+    assert len(idx_rows) == len(got) * 4
