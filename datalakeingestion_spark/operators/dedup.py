@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32, portable_hash60
-from ..functions.text import distinct_shingles
+from ..functions.text import distinct_shingles, tokens
 
 # MinHash parameters — shared with the SQL oracle generator (plans/llm.py).
 MINHASH_PERMS = 16
@@ -626,6 +626,76 @@ def connected_components_star(
         .select(
             F.col("node").alias("doc_id"),
             F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
+def cdc_shared_chunks(
+    docs: DataFrame,
+    avg_chunk: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup signal: split every document
+    into variable-size chunks at CONTENT-DERIVED boundaries (tokens whose
+    hash ≡ 0 mod ``avg_chunk`` start a new chunk → expected chunk length
+    avg_chunk), hash each chunk, and report per doc how much of it is
+    shared verbatim with OTHER documents.
+
+    Why content-defined instead of fixed windows: an insertion near the
+    start of a copied document shifts every fixed-window boundary, so
+    fixed chunks of the copy hash differently; CDC boundaries re-sync at
+    the next boundary token, so everything after the edit still matches
+    — the rsync/LBFS trick applied to text dedup. Catches partial
+    copies (quoted sections, syndicated paragraphs) that whole-doc
+    hashing misses and that shingle-Jaccard only scores, not localizes.
+
+    Chunking is ZERO-SHUFFLE column algebra: boundary tokens get a '#'
+    sentinel prefix (tokens are [a-z0-9]+ so '#' cannot collide), the
+    marked token string splits on the sentinel, and each fragment trims
+    to a chunk — no posexplode+window cumulative sum, no per-doc sort.
+    The only shuffles are the chunk-hash frequency aggregate and the
+    join back (both on the 16-byte hash, map-side combinable).
+
+    Returns (doc_id, n_chunks, n_shared_chunks, shared_frac): chunks
+    whose hash occurs in ≥ 2 distinct docs count as shared.
+    """
+    toks = tokens(text_col)
+    marked = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.pmod(portable_hash32(t), F.lit(avg_chunk)) == 0,
+                F.concat(F.lit("#"), t),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    chunks_arr = F.filter(
+        F.transform(F.split(marked, "#"), lambda c: F.trim(c)),
+        lambda c: c != F.lit(""),
+    )
+    ch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks_arr).alias("chunk_id", "chunk_text"),
+    ).select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_hash"))
+    freq = ch.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        ch.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks") / F.col("n_chunks"), 6
+            ).alias("shared_frac"),
         )
     )
 

@@ -466,3 +466,50 @@ def dedup_incremental_vs_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 400),
         threshold=0.5,
     )
+
+
+def _cdc_oracle(avg_chunk: int) -> str:
+    from .llm import _h32_sql
+
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 array_to_string(list_transform(toks,
+                     t -> CASE WHEN ({_h32_sql('t')}) % {avg_chunk} = 0
+                          THEN '#' || t ELSE t END), ' ') AS marked
+          FROM t),
+    ch AS (SELECT doc_id,
+                  md5(unnest(list_filter(
+                      list_transform(string_split(marked, '#'),
+                                     x -> trim(x)),
+                      x -> x <> ''))) AS chunk_hash
+           FROM m),
+    freq AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+             FROM ch GROUP BY 1),
+    g AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                 SUM((n_docs >= 2)::BIGINT) AS n_shared_chunks
+          FROM ch JOIN freq USING (chunk_hash) GROUP BY doc_id)
+    SELECT doc_id, n_chunks::BIGINT AS n_chunks,
+           n_shared_chunks::BIGINT AS n_shared_chunks,
+           round(n_shared_chunks / n_chunks, 6) AS shared_frac
+    FROM g
+    """
+
+
+@register(
+    "cdc_shared_chunk_fraction",
+    oracle=_cdc_oracle(8),
+    doc="Content-defined chunking dedup signal "
+    "(operators/dedup.py::cdc_shared_chunks): variable-size chunks cut "
+    "at hash-selected boundary tokens (rsync/LBFS-style — boundaries "
+    "re-sync after insertions, so partial copies still match where "
+    "fixed windows would shift), md5 per chunk, per-doc fraction of "
+    "chunks shared verbatim with other docs. Chunking is zero-shuffle "
+    "sentinel-split column algebra; only the hash-frequency aggregate "
+    "and its join shuffle, both on the 16-byte hash.",
+)
+def cdc_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.cdc_shared_chunks(docs, avg_chunk=8)

@@ -208,3 +208,21 @@ def test_dedup_against_index_matches_symmetric_restriction(spark, docs):
     }
     assert asym == cross
     assert asym, "fixture should contain cross-side near-duplicates"
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC claim: inserting tokens at the FRONT of a copied doc must
+    not destroy chunk matches — boundaries re-sync at the next boundary
+    token (fixed windows would shift every chunk)."""
+    base = " ".join(f"tok{j}x" for j in range(64))
+    rows = [
+        (1, base),
+        (2, "inserted preamble words here " + base),
+        (3, " ".join(f"unrelated{j}" for j in range(64))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dd.cdc_shared_chunks(df, avg_chunk=8).collect()}
+    assert out[3].n_shared_chunks == 0
+    # the copy shares everything from the first re-synced boundary on
+    assert out[2].shared_frac >= 0.5, out[2]
+    assert out[1].n_shared_chunks >= 1
