@@ -1,0 +1,130 @@
+"""Distributed PCA over an embedding column.
+
+Greenfield scale operator (no reference pendant): dimensionality
+reduction / whitening is a standard step between embedding generation and
+ANN indexing or semantic dedup — 64→8-dim cuts index memory 8× and
+speeds every downstream matmul, usually at small recall cost.
+
+Algorithm (classic one-pass distributed PCA):
+
+1. every partition emits a BOUNDED partial — (count, sum vector, d×d
+   Gram matrix) — via `mapInPandas` (one BLAS ``X.T @ X`` per Arrow
+   batch, no per-row Python);
+2. the driver reduces the ~numPartitions partials (driver state is
+   O(d²), independent of corpus size), forms the covariance
+   ``E[xxᵀ] − μμᵀ``, and eigendecomposes it (d×d, numpy);
+3. projection ships the k×d component matrix back in a pandas-UDF
+   closure — one more scan, zero shuffles end-to-end.
+
+Determinism note: partial Gram sums are float64 and their reduce order
+follows partition order, so eigenvalues can wiggle at the last ulp.
+Everything DRIVER-FACING therefore goes through the quality contract
+(bound booleans with wide margins + oracle-exact counts) or 6-dp
+rounding; sign indeterminacy of eigenvectors is fixed by forcing each
+component's largest-|coordinate| entry positive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_partials(
+    embeddings: DataFrame, vec_col: str
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, sum vector, Gram matrix) reduced from per-batch partials."""
+    schema = "n long, s array<double>, g array<double>"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0)],
+                    "g": [(X.T @ X).ravel()],
+                }
+            )
+
+    rows = embeddings.select(vec_col).mapInPandas(part, schema).collect()
+    if not rows:
+        raise ValueError("empty embedding frame")
+    d = len(rows[0]["s"])
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    return n, s, g
+
+
+def fit_pca(
+    embeddings: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Fit PCA; returns (mean vector, k×d components, variance ratio).
+
+    Components are orthonormal rows, sorted by descending eigenvalue,
+    sign-fixed (largest-|coordinate| entry positive).
+    """
+    n, s, g = _moment_partials(embeddings, vec_col)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.clip(vals, 0.0, None).sum())
+    explained = float(np.clip(vals[order], 0.0, None).sum())
+    ratio = explained / total if total > 0 else 0.0
+    return mu, comps, ratio
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append a k-dim PCA projection column (array<double>, 6-dp rounded
+    so downstream hashing is stable against partial-sum ulps)."""
+    mu, comps, _ = fit_pca(embeddings, k, vec_col)
+
+    @F.pandas_udf("array<double>")
+    def proj(col: pd.Series) -> pd.Series:
+        X = np.vstack(col.to_numpy()).astype(np.float64)
+        P = np.round((X - mu) @ comps.T, 6)
+        return pd.Series(list(P))
+
+    return embeddings.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def pca_contract(
+    embeddings: DataFrame,
+    k: int = 8,
+    min_var_ratio: float = 0.2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-row quality contract (same design as the ANN/k-means
+    contracts): oracle-exact (n_vectors, dim, k) plus bound booleans —
+    the k components must be orthonormal (within 1e-6) and capture at
+    least ``min_var_ratio`` of total variance.
+    """
+    mu, comps, ratio = fit_pca(embeddings, k, vec_col)
+    gram = comps @ comps.T
+    ortho = bool(np.allclose(gram, np.eye(comps.shape[0]), atol=1e-6))
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    return spark.createDataFrame(
+        [(n, int(comps.shape[1]), int(comps.shape[0]),
+          bool(ratio >= min_var_ratio), ortho)],
+        "n_vectors long, dim long, k long, var_ratio_ok boolean, "
+        "orthonormal_ok boolean",
+    )

@@ -513,3 +513,30 @@ def cdc_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dd.cdc_shared_chunks(docs, avg_chunk=8)
+
+
+@register(
+    "pca_embedding_contract",
+    # contract oracle (ann-style): n_vectors/dim/k exact; bounds are
+    # engine-side guarantees. Measured var ratio 0.203 at BOTH parity
+    # scales (nearly-isotropic fixture; the k/d=8/64 isotropic floor is
+    # 0.125); bound 0.15 keeps margin both ways. Re-measure on fixture
+    # regeneration.
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n_vectors,
+           CAST(64 AS BIGINT) AS dim, CAST(8 AS BIGINT) AS k,
+           TRUE AS var_ratio_ok, TRUE AS orthonormal_ok
+    FROM embeddings
+    """,
+    doc="Distributed one-pass PCA (operators/pca.py): per-partition "
+    "(count, sum, Gram) partials via mapInPandas — driver state is "
+    "O(d^2) regardless of corpus size — eigendecomposition on the "
+    "driver, k=8 of 64 dims. Contract row: exact counts + orthonormality "
+    "+ variance-captured >= 0.15. pca_project appends the 6-dp-rounded "
+    "projection column for index-size reduction ahead of ANN/SemDeDup.",
+)
+def pca_embedding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_contract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_contract(emb, k=8, min_var_ratio=0.15)
