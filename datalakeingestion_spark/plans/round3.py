@@ -540,3 +540,33 @@ def pca_embedding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_contract(emb, k=8, min_var_ratio=0.15)
+
+
+@register(
+    "ann_pca_rerank_topk",
+    # recall-contract oracle (same design as ann_lsh/ann_ivf): measured
+    # per-query recall@10 >= 0.8 at both parity scales with kdim=32,
+    # C=50 on the near-isotropic fixtures (PCA's worst case); bound 0.7.
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_true,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Two-stage ANN: PCA-32 candidate generation (index 1/2 the "
+    "full width) + exact full-space rerank of 50 candidates/query "
+    "(operators/pca.py::pca_rerank_topk) — the compressed-index "
+    "pattern; recall equals candidate recall because the rerank is "
+    "exact. Emits the per-query recall contract vs the brute-force "
+    "twin (bound 0.7, measured >= 0.8).",
+)
+def ann_pca_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_rerank_topk
+    from ..operators import similarity as sim
+    from .llm import _recall_contract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = pca_rerank_topk(emb, queries, k=10, kdim=32, candidates=50)
+    return _recall_contract(
+        sim.cosine_topk(emb, queries, k=10), approx, 0.7
+    )

@@ -52,3 +52,27 @@ def test_pca_contract_bounds_do_work(spark, emb):
     assert row.var_ratio_ok and row.orthonormal_ok
     strict = pca_contract(emb, k=8, min_var_ratio=0.99).first()
     assert not strict.var_ratio_ok
+
+
+def test_pca_rerank_recall_pinned(spark, emb):
+    """Two-stage PCA+rerank recall@10 vs brute force — measured >= 0.8
+    per query; the registered bound is 0.7."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestion_spark.operators.pca import pca_rerank_topk
+    from datalakeingestion_spark.operators.similarity import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pca_rerank_topk(emb, queries, k=10, kdim=32, candidates=50).collect()
+    }
+    per_q = {}
+    for q, n in truth:
+        hit, tot = per_q.get(q, (0, 0))
+        per_q[q] = (hit + ((q, n) in approx), tot + 1)
+    assert min(h / t for h, t in per_q.values()) >= 0.7
