@@ -764,3 +764,57 @@ def bm25_rank(
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def zipf_fit(docs: DataFrame, top_terms: int = 500, text_col: str = "text") -> DataFrame:
+    """Fit the Zipf exponent of the corpus frequency distribution:
+    least-squares slope of ln(freq) on ln(rank) over the ``top_terms``
+    most frequent tokens — natural-language corpora sit near alpha ~ 1;
+    machine-generated or templated text bends the curve, so the exponent
+    is a cheap corpus-health signal alongside entropy/JS-divergence.
+
+    Scale shape: the term-frequency aggregate is the usual one token
+    shuffle; the fit then runs on a TakeOrdered top-K frame (K rows,
+    driver-bounded) — the global rank window only ever sees K rows, the
+    vocab-sized frame is never globally sorted. Determinism: ln values
+    rounded to 6 dp, summed as exact decimals, slope computed in double
+    from those exact sums on both engines.
+
+    Returns one row: (n_terms, zipf_alpha) with alpha > 0 for a falling
+    curve (alpha = -slope).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(top_terms)
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    pts = tf.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(
+            -(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("zipf_alpha"),
+    )

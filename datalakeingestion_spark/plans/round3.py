@@ -570,3 +570,40 @@ def ann_pca_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(
         sim.cosine_topk(emb, queries, k=10), approx, 0.7
     )
+
+
+@register(
+    "zipf_alpha_fit",
+    oracle=f"""
+    WITH t AS (SELECT unnest({TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY 1
+           ORDER BY freq DESC, tok LIMIT 500),
+    pts AS (SELECT
+              round(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                            AS DOUBLE)), 6) AS x,
+              round(ln(CAST(freq AS DOUBLE)), 6) AS y
+            FROM tf),
+    s AS (SELECT COUNT(*)::DOUBLE AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(27,6)))
+                      AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(27,6)))
+                      AS DOUBLE) AS sxx
+          FROM pts)
+    SELECT n::BIGINT AS n_terms,
+           round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+               AS zipf_alpha
+    FROM s
+    """,
+    doc="Zipf exponent of the corpus token distribution "
+    "(operators/text_analysis.py::zipf_fit): least-squares ln-ln slope "
+    "over the top-500 terms. One token shuffle + a TakeOrdered top-K; "
+    "the rank window sees only K rows. ln values 6-dp rounded and "
+    "decimal-summed so the slope is partitioning-independent.",
+)
+def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.zipf_fit(docs, top_terms=500)
