@@ -573,3 +573,63 @@ def embedding_decontaminate(
                 )
 
     return train.select(id_col, vec_col).mapInPandas(flag, out_schema)
+
+
+def embedding_centroid_outliers(
+    embeddings: DataFrame,
+    k_outliers: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flag the ``k_outliers`` vectors least aligned with the corpus
+    centroid — the cheap embedding-space health check (mis-embedded rows,
+    wrong-modality content, encoder failures drift away from the bulk).
+
+    Everything is EXACT and partitioning-independent, so unlike the
+    k-means/PCA contracts this has a full value-level oracle: the
+    centroid is per-dim decimal sums over 6-dp-rounded coordinates, and
+    every dot/norm term is rounded to 6 dp before its decimal sum, so no
+    float summation order exists anywhere. The per-dim frame is a
+    d-bounded aggregate (map-side partials); the scoring join broadcasts
+    the 64-row centroid; the bottom-k window is rank over cos order —
+    TakeOrdered shape at scale.
+
+    Returns (vec_id, cos_centroid, is_outlier).
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("dim", "xf"),
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    mu = e.groupBy("dim").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    terms = e.join(F.broadcast(mu), "dim").groupBy("vec_id").agg(
+        F.sum(
+            F.round(F.col("x") * F.col("mu"), 6).cast("decimal(27,6)")
+        ).cast("double").alias("dot"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 6).cast("decimal(27,6)")
+        ).cast("double").alias("nv2"),
+    )
+    mu_norm2 = mu.agg(
+        F.sum(
+            F.round(F.col("mu") * F.col("mu"), 6).cast("decimal(27,6)")
+        ).cast("double").alias("nm2")
+    )
+    scored = terms.crossJoin(F.broadcast(mu_norm2)).select(
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt("nv2") * F.sqrt("nm2")), 6
+        ).alias("cos_centroid"),
+    )
+    w = Window.orderBy("cos_centroid", "vec_id")
+    return scored.select(
+        "vec_id",
+        "cos_centroid",
+        (F.row_number().over(w) <= k_outliers).alias("is_outlier"),
+    )

@@ -607,3 +607,43 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ta.zipf_fit(docs, top_terms=500)
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings),
+    mu AS (SELECT dim,
+                  CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                      / COUNT(*) AS mu
+           FROM e GROUP BY dim),
+    terms AS (SELECT vec_id,
+                     CAST(SUM(CAST(round(x * mu, 6) AS DECIMAL(27,6)))
+                          AS DOUBLE) AS dot,
+                     CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(27,6)))
+                          AS DOUBLE) AS nv2
+              FROM e JOIN mu USING (dim) GROUP BY vec_id),
+    nm AS (SELECT CAST(SUM(CAST(round(mu * mu, 6) AS DECIMAL(27,6)))
+                       AS DOUBLE) AS nm2 FROM mu),
+    s AS (SELECT vec_id, round(dot / (sqrt(nv2) * sqrt(nm2)), 6)
+                     AS cos_centroid
+          FROM terms CROSS JOIN nm)
+    SELECT vec_id, cos_centroid,
+           row_number() OVER (ORDER BY cos_centroid, vec_id) <= 25
+               AS is_outlier
+    FROM s
+    """,
+    doc="Bottom-25 vectors by cosine to the EXACT corpus centroid "
+    "(operators/similarity.py::embedding_centroid_outliers) — the cheap "
+    "embedding-space health check. Fully exact oracle: per-dim decimal "
+    "sums for the centroid, every dot/norm term 6-dp rounded before its "
+    "decimal sum — no float summation order anywhere; d-bounded "
+    "aggregate + 64-row broadcast + TakeOrdered-shape bottom-k.",
+)
+def embedding_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_outliers(emb, k_outliers=25)
