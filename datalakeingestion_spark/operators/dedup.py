@@ -509,6 +509,88 @@ def jaccard_prefix_join(
     return _jaccard_verify(cand, sh, threshold)
 
 
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT containment self-join: pairs where the SMALLER doc's shingle
+    set is ≥ ``threshold`` contained in the larger's (|A∩B| / |A|) —
+    the quote/excerpt/subset detector. Jaccard misses exactly this case:
+    a tweet quoted inside an article has containment ~1.0 but Jaccard
+    ~|A|/|B| ~ 0, so symmetric dedup never pairs them.
+
+    Candidate generation is the one-sided prefix filter: only the
+    smaller side needs a prefix (first common token in df-order must sit
+    within its (sz - ceil(t·sz) + 1)-prefix — the same pigeonhole as
+    `jaccard_prefix_join`, one-sided), while the larger side is indexed
+    in full. High-df shingles therefore appear only on the INDEX side of
+    the join, and the probe side's prefixes are rare shingles — bucket
+    products stay small. Exact verify after; no length filter applies
+    (containment is size-asymmetric by design).
+
+    Returns (doc_id_small, doc_id_large, containment).
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_table(docs, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    t_dec = F.lit(f"{threshold:.6f}").cast("decimal(12,6)")
+    ranked = (
+        sh.join(df_counts, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "s"))
+            .alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+        .withColumn("plen", F.col("sz") - F.ceil(t_dec * F.col("sz")) + 1)
+    )
+    prefix = ranked.filter(F.col("r") <= F.col("plen")).select(
+        "doc_id", "s", "sz"
+    )
+    full = sh.join(sizes, "doc_id").select("doc_id", "s", "sz")
+    a, b = prefix.alias("a"), full.alias("b")
+    smaller = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & smaller)
+        .select(
+            F.col("a.doc_id").alias("doc_id_small"),
+            F.col("b.doc_id").alias("doc_id_large"),
+        )
+        .distinct()
+    )
+    t1, t2 = sh.alias("t1"), sh.alias("t2")
+    inter = (
+        cand.join(t1, F.col("t1.doc_id") == F.col("doc_id_small"))
+        .join(
+            t2,
+            (F.col("t2.doc_id") == F.col("doc_id_large"))
+            & (F.col("t2.s") == F.col("t1.s")),
+        )
+        .groupBy("doc_id_small", "doc_id_large")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_small"), F.col("sz"))
+    return (
+        inter.join(sa, "doc_id_small")
+        .select(
+            "doc_id_small",
+            "doc_id_large",
+            F.round(F.col("i") / F.col("sz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "doc_id_a",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .llm import TOKS_SQL
+from .llm import TOKS_SQL, _shingles_sql
 from .registry import REGISTRY as _REGISTRY
 from .registry import register
 
@@ -647,3 +647,34 @@ def embedding_centroid_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_centroid_outliers(emb, k_outliers=25)
+
+
+@register(
+    "containment_quote_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+              FROM s a JOIN s b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT ida AS doc_id_small, idb AS doc_id_large,
+           round(i / sa.sz, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ida
+    JOIN sizes sb ON sb.doc_id = idb
+    WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ida < idb))
+      AND round(i / sa.sz, 6) >= 0.8
+    """,
+    doc="Exact quote/excerpt detection: smaller doc's shingle set >= 80% "
+    "contained in the larger's (operators/dedup.py::containment_join) — "
+    "the case symmetric Jaccard structurally misses (a quoted tweet in "
+    "an article has containment ~1, Jaccard ~0). One-sided prefix "
+    "filter: only the probe side prefixes (rare shingles), the index "
+    "side is full — high-df shingles never appear on both sides of the "
+    "candidate join. Brute-force oracle proves losslessness.",
+)
+def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_join(docs, threshold=0.8, n=3)

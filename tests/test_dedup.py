@@ -226,3 +226,24 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     # the copy shares everything from the first re-synced boundary on
     assert out[2].shared_frac >= 0.5, out[2]
     assert out[1].n_shared_chunks >= 1
+
+
+def test_containment_join_finds_planted_quote(spark):
+    """An excerpt fully contained in a longer doc must pair with
+    containment ~1.0 even though Jaccard is far below any dedup
+    threshold; unrelated docs must not pair."""
+    quote = " ".join(f"q{j}" for j in range(12))
+    article = quote + " " + " ".join(f"body{j}" for j in range(80))
+    rows = [
+        (1, quote),
+        (2, article),
+        (3, " ".join(f"z{j}" for j in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id_small, r.doc_id_large): r.containment
+           for r in dd.containment_join(df, threshold=0.8, n=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(3 not in k for k in got)
+    # the symmetric pair set at the same threshold misses it
+    jac = dd.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert not any({r.doc_id_a, r.doc_id_b} == {1, 2} for r in jac)
