@@ -101,17 +101,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_signup_followups_1h",
     "funnel_conversion_1h",
     "salted_join_segment_counts",
-    "w6_rolling_1h_range",
-    "w7_event_gap_stats",
     "g6_grouping_sets",
     "d4_price_quantity_correlation",
     "sketch_kmv_by_returnflag",
+    # round-3 continuation operators (never driver-checked; the six
+    # displaced window/set/scalar queries rotate to r04 — they remain
+    # exact-parity-covered in tests/test_parity.py)
+    "dedup_incremental_vs_lake",
+    "cdc_shared_chunk_fraction",
+    "pca_embedding_contract",
+    "ann_pca_rerank_topk",
+    "containment_quote_pairs",
+    "kmeans_cluster_profile",
     "cms_term_frequency",
     "countsketch_term_frequency",
-    "u3_intersect_click_purchase_days",
-    "u2_anti_join_new_tables",
-    "v1_count_reconciliation",
-    "c4_next_watermark",
 )
 
 
