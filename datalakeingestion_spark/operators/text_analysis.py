@@ -818,3 +818,66 @@ def zipf_fit(docs: DataFrame, top_terms: int = 500, text_col: str = "text") -> D
             6,
         ).alias("zipf_alpha"),
     )
+
+
+# Fixed, documented logistic weights — a deterministic stand-in for a
+# trained quality classifier (fastText/DCLM-style model-based filtering).
+# The PLUMBING is the deliverable: swap these for learned weights and the
+# plan shape (zero-shuffle column algebra) is unchanged.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -1.0,
+    "ttr": 2.0,              # lexical diversity up → quality up
+    "stopword_ratio": 1.5,   # natural language has stopwords
+    "len_sat": 1.0,          # length, saturating at 200 tokens
+    "avg_len_dev": -0.5,     # very long/short tokens → down
+}
+
+
+def quality_logistic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality score: logistic over interpretable features
+    with FIXED weights (`QUALITY_LOGIT_WEIGHTS`) — the operator shape of
+    classifier-based filtering (DCLM/fastText-style) with a
+    deterministic, oracle-checkable stand-in model.
+
+    Features (each 6-dp rounded before the linear form, so the logit is
+    bit-stable): type-token ratio, EN stopword ratio, saturating length
+    min(n,200)/200, and |avg_token_len - 5|/5. Zero shuffles — pure
+    per-doc column algebra, the same cost class as the rule-based
+    quality_metrics it upgrades.
+
+    Returns (doc_id, quality_logit, quality_prob, keep).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    w = QUALITY_LOGIT_WEIGHTS
+    en = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    ttr = F.round(F.size(F.array_distinct(toks)) / n, 6)
+    stop = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / n, 6
+    )
+    len_sat = F.round(F.least(n.cast("double"), F.lit(200.0)) / 200.0, 6)
+    avg_len = F.round(
+        F.length(F.regexp_replace(normalized_text(text_col), " ", "")) / n, 6
+    )
+    avg_dev = F.round(F.abs(avg_len - 5.0) / 5.0, 6)
+    # EXACT decimal linear form: 6-dp features x 1-dp weights stay
+    # exact at scale 7, so no half-way double rounding can diverge from
+    # the oracle (observed: 1.5*stop lands on a .5 boundary whenever the
+    # feature's 6th digit is odd).
+    def dterm(feat, weight):
+        return feat.cast("decimal(12,6)") * F.lit(weight).cast("decimal(3,1)")
+
+    logit = (
+        F.lit(f'{w["bias"]:.1f}').cast("decimal(3,1)")
+        + dterm(ttr, f'{w["ttr"]:.1f}')
+        + dterm(stop, f'{w["stopword_ratio"]:.1f}')
+        + dterm(len_sat, f'{w["len_sat"]:.1f}')
+        + dterm(avg_dev, f'{w["avg_len_dev"]:.1f}')
+    ).cast("double")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return docs.filter(n > 0).select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -678,3 +678,49 @@ def containment_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dd.containment_join(docs, threshold=0.8, n=3)
+
+
+@register(
+    "quality_logistic_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks,
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')) AS norm
+               FROM documents),
+    f AS (SELECT doc_id,
+                 len(toks) AS n,
+                 round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                 round(len(list_filter(toks, x -> x IN
+                     ('the','of','and','a','to','in','is','it','that',
+                      'for'))) / len(toks), 6) AS stop,
+                 round(least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0, 6)
+                     AS len_sat,
+                 round(abs(round(length(replace(norm, ' ', ''))
+                                 / len(toks), 6) - 5.0) / 5.0, 6)
+                     AS avg_dev
+          FROM t WHERE len(toks) > 0),
+    s AS (SELECT doc_id,
+                 CAST(CAST(-1.0 AS DECIMAL(3,1))
+                      + CAST(ttr AS DECIMAL(12,6)) * CAST(2.0 AS DECIMAL(3,1))
+                      + CAST(stop AS DECIMAL(12,6)) * CAST(1.5 AS DECIMAL(3,1))
+                      + CAST(len_sat AS DECIMAL(12,6)) * CAST(1.0 AS DECIMAL(3,1))
+                      + CAST(avg_dev AS DECIMAL(12,6)) * CAST(-0.5 AS DECIMAL(3,1))
+                      AS DOUBLE) AS quality_logit
+          FROM f)
+    SELECT doc_id, quality_logit,
+           round(1.0 / (1.0 + exp(-quality_logit)), 6) AS quality_prob,
+           round(1.0 / (1.0 + exp(-quality_logit)), 6) >= 0.5 AS keep
+    FROM s
+    """,
+    doc="Model-based quality filter plumbing "
+    "(operators/text_analysis.py::quality_logistic): logistic over "
+    "interpretable 6-dp-rounded features with fixed documented weights — "
+    "swap in learned weights and the zero-shuffle plan is unchanged. "
+    "The classifier-based stage (DCLM/fastText-style) of a curation "
+    "pipeline, deterministic and fully oracle-checked.",
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.quality_logistic(docs)
