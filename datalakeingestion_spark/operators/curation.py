@@ -85,3 +85,61 @@ def curate(
             & F.col("predicted_lang").isin(*keep_langs)
         )
     )
+
+
+def curate_v2(
+    docs: DataFrame,
+    containment_threshold: float = 0.8,
+    cdc_max_shared: float = 0.5,
+    lm_percentile: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-generation curation flow — the structural-duplication and
+    fluency sequence that complements :func:`curate`'s dedup/quality
+    stages:
+
+        1. containment rejection — drop the SMALLER doc of every
+           verified containment pair (excerpts lose to their source);
+        2. CDC boilerplate rejection — drop docs whose content-defined
+           chunks are > ``cdc_max_shared`` shared verbatim with other
+           survivors;
+        3. bigram-LM fluency gate — keep docs scoring at or above the
+           survivor corpus's own ``lm_percentile`` mean log-prob
+           (docs with < 2 tokens have no score and drop);
+        4. model-based quality gate — logistic classifier keep.
+
+    Stage costs: the containment prefix-filter join, the CDC hash
+    aggregate + join, one bigram model pass, then a zero-shuffle scored
+    projection. Survivor frontiers persist between stages (each feeds
+    the next stage's model AND its semi-join).
+    """
+    from .dedup import cdc_shared_chunks, containment_join
+    from .text_analysis import bigram_logprob, quality_logistic
+
+    pairs = containment_join(
+        docs, threshold=containment_threshold, text_col=text_col, id_col=id_col
+    )
+    drop1 = pairs.select(F.col("doc_id_small").alias(id_col)).distinct()
+    s1 = docs.join(drop1, id_col, "left_anti").persist()
+
+    cdc = cdc_shared_chunks(s1, avg_chunk=8, text_col=text_col, id_col=id_col)
+    drop2 = cdc.filter(F.col("shared_frac") > cdc_max_shared).select(id_col)
+    s2 = s1.join(drop2, id_col, "left_anti").persist()
+
+    lm = bigram_logprob(s2, text_col=text_col).persist()
+    p_lo = float(
+        lm.agg(
+            F.percentile("mean_logprob", F.lit(lm_percentile)).alias("p")
+        ).first()["p"]
+    )
+    s3 = s2.join(
+        lm.filter(F.col("mean_logprob") >= p_lo).select(
+            id_col, "mean_logprob"
+        ),
+        id_col,
+    )
+    ql = quality_logistic(s3, text_col=text_col).filter(F.col("keep")).select(
+        id_col, "quality_prob"
+    )
+    return s3.join(ql, id_col)

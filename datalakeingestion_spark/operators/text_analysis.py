@@ -483,9 +483,14 @@ def bigram_logprob(
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(
-                F.col("_s").cast("double") / F.col("n_bigrams"), 6
-            ).alias("mean_logprob"),
+            # NO final rounding: the decimal sum makes sum/n the same
+            # double in every engine, while round() at an exact .5
+            # half-boundary diverges between Spark (binary-expansion
+            # HALF_UP) and DuckDB (decimal-string half-away) — observed
+            # on a real doc whose mean landed on -3.3637705.
+            (F.col("_s").cast("double") / F.col("n_bigrams")).alias(
+                "mean_logprob"
+            ),
         )
     )
 

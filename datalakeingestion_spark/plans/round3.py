@@ -272,7 +272,7 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM c2 JOIN heads ON string_split(c2.bg, ' ')[1] = heads.w1
               CROSS JOIN v)
     SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
     FROM bg JOIN model USING (bg)
     GROUP BY doc_id
     """,
@@ -724,3 +724,123 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ta.quality_logistic(docs)
+
+
+def _curation_v2_oracle() -> str:
+    """Composed oracle for curate_v2, stage for stage: containment
+    rejection → CDC boilerplate rejection → bigram-LM p10 fluency gate →
+    logistic quality gate. Each fragment is the already-proven oracle of
+    the standalone query, re-rooted at the previous stage's survivors."""
+    from .llm import _h32_sql
+
+    sh = _shingles_sql(3)
+    return f"""
+    WITH sh0 AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY 1),
+    inter0 AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+               FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2),
+    cont_drop AS (SELECT DISTINCT ida AS doc_id
+                  FROM inter0
+                  JOIN sizes0 sa ON sa.doc_id = ida
+                  JOIN sizes0 sb ON sb.doc_id = idb
+                  WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND ida < idb))
+                    AND round(i / sa.sz, 6) >= 0.8),
+    s1 AS (SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont_drop)),
+    t1 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM s1),
+    m1 AS (SELECT doc_id,
+                  array_to_string(list_transform(toks,
+                      t -> CASE WHEN ({_h32_sql('t')}) % 8 = 0
+                           THEN '#' || t ELSE t END), ' ') AS marked
+           FROM t1),
+    ch1 AS (SELECT doc_id,
+                   md5(unnest(list_filter(
+                       list_transform(string_split(marked, '#'),
+                                      x -> trim(x)),
+                       x -> x <> ''))) AS chunk_hash
+            FROM m1),
+    freq1 AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+              FROM ch1 GROUP BY 1),
+    g1 AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                  SUM((n_docs >= 2)::BIGINT) AS n_shared
+           FROM ch1 JOIN freq1 USING (chunk_hash) GROUP BY doc_id),
+    cdc_drop AS (SELECT doc_id FROM g1
+                 WHERE round(n_shared / n_chunks, 6) > 0.5),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM cdc_drop)),
+    t2 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM s2),
+    v2 AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS vsz
+           FROM (SELECT unnest(toks) AS tok FROM t2)),
+    bg2 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bg
+            FROM t2),
+    c22 AS (SELECT bg, COUNT(*) AS c2 FROM bg2 GROUP BY 1),
+    heads2 AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+               FROM c22 GROUP BY 1),
+    model2 AS (SELECT bg,
+                      CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * vsz)), 6)
+                           AS DECIMAL(27,6)) AS lp
+               FROM c22 JOIN heads2 ON string_split(c22.bg, ' ')[1] = heads2.w1
+               CROSS JOIN v2),
+    lm AS (SELECT doc_id,
+                  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
+           FROM bg2 JOIN model2 USING (bg) GROUP BY doc_id),
+    p10 AS (SELECT quantile_cont(mean_logprob, 0.1) AS p FROM lm),
+    s3 AS (SELECT s2.*, lm.mean_logprob
+           FROM s2 JOIN lm USING (doc_id) CROSS JOIN p10
+           WHERE lm.mean_logprob >= p10.p),
+    t3 AS (SELECT doc_id, {TOKS_SQL} AS toks,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                      'g')) AS norm
+           FROM s3),
+    f3 AS (SELECT doc_id,
+                  round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                  round(len(list_filter(toks, x -> x IN
+                      ('the','of','and','a','to','in','is','it','that',
+                       'for'))) / len(toks), 6) AS stop,
+                  round(least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0, 6)
+                      AS len_sat,
+                  round(abs(round(length(replace(norm, ' ', ''))
+                                  / len(toks), 6) - 5.0) / 5.0, 6)
+                      AS avg_dev
+           FROM t3 WHERE len(toks) > 0),
+    sc3 AS (SELECT doc_id,
+                   CAST(CAST(-1.0 AS DECIMAL(3,1))
+                        + CAST(ttr AS DECIMAL(12,6))
+                          * CAST(2.0 AS DECIMAL(3,1))
+                        + CAST(stop AS DECIMAL(12,6))
+                          * CAST(1.5 AS DECIMAL(3,1))
+                        + CAST(len_sat AS DECIMAL(12,6))
+                          * CAST(1.0 AS DECIMAL(3,1))
+                        + CAST(avg_dev AS DECIMAL(12,6))
+                          * CAST(-0.5 AS DECIMAL(3,1))
+                        AS DOUBLE) AS logit
+            FROM f3),
+    ql AS (SELECT doc_id,
+                  round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob
+           FROM sc3
+           WHERE round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5)
+    SELECT s3.doc_id, s3.text, s3.lang, s3.source, s3.n_chars,
+           s3.mean_logprob, ql.quality_prob
+    FROM s3 JOIN ql USING (doc_id)
+    """
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=_curation_v2_oracle(),
+    doc="Capstone #2: the structural-duplication + fluency curation flow "
+    "(operators/curation.py::curate_v2) — containment rejection (drop "
+    "excerpts in favor of their source), CDC boilerplate rejection, "
+    "bigram-LM p10 fluency gate, logistic quality gate — composed as one "
+    "DataFrame pipeline and oracle-checked stage for stage; complements "
+    "curation_pipeline's dedup/heuristic stages.",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_v2
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_v2(docs)

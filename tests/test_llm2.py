@@ -111,3 +111,30 @@ def test_knn_graph_k_rows_per_query(spark):
     assert (counts["count"] == 5).all()
     # no self-edges
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_curate_v2_funnel_drops_planted_structural_dups(spark):
+    """curate_v2 staged semantics: an excerpt contained in a longer doc
+    drops at stage 1; a doc assembled from other docs' chunks drops at
+    stage 2; fluent unique docs survive to the scored output."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestion_spark.operators.curation import curate_v2
+
+    base = [
+        (i, " ".join(f"d{i}w{j}" for j in range(60)) +
+            " the cat sat on the mat and it is a fine day for work")
+        for i in range(1, 9)
+    ]
+    excerpt = (21, base[0][1].split(" the cat")[0])          # subset of doc 1
+    franken = (22, base[1][1] + " " + base[2][1])            # chunks of 2+3
+    rows = base + [excerpt, franken]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text"))
+    out = curate_v2(docs)
+    got = {r.doc_id for r in out.collect()}
+    assert 21 not in got          # containment rejection
+    assert 22 not in got          # CDC shared-chunk rejection
+    assert got, "fluent unique docs must survive"
+    assert got <= set(range(1, 9))
