@@ -101,7 +101,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_signup_followups_1h",
     "funnel_conversion_1h",
     "salted_join_segment_counts",
-    "g6_grouping_sets",
     "d4_price_quantity_correlation",
     "sketch_kmv_by_returnflag",
     # round-3 continuation operators (never driver-checked; the six
@@ -113,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_pca_rerank_topk",
     "containment_quote_pairs",
     "kmeans_cluster_profile",
+    "curation_pipeline_v2",
     "cms_term_frequency",
     "countsketch_term_frequency",
 )
