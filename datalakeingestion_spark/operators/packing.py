@@ -155,3 +155,55 @@ def global_positions(
         include_position=True,
     )
     return packed.select(id_col, F.col("position").alias("global_pos"))
+
+
+def tokenize_to_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenizer-prep encoding: build the corpus vocabulary (ids dense-
+    ranked by descending frequency, ties by token — the standard
+    frequency-sorted id assignment) and encode every document as its
+    token-id sequence. The step between raw text and
+    `assemble_sequences` / `pack_sequences`, which consume token counts
+    today and id arrays in a real training pipeline.
+
+    Scale shape: one token shuffle builds the vocabulary; the ranking
+    window runs over the VOCAB frame (Zipf: orders of magnitude smaller
+    than the corpus — and cappable to top-K with an OOV id, same
+    argument as unigram_logprob's vocabulary broadcast). Encoding is
+    explode → broadcast-join vocab → one regroup per doc with an
+    order-struct sort (no positional UDF).
+
+    Returns (doc_id, n_tokens, token_ids array<int>); empty docs yield
+    no row.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    vocab = (
+        pos.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "tok",
+            F.dense_rank()
+            .over(Window.orderBy(F.desc("freq"), "tok"))
+            .cast("int")
+            .alias("token_id"),
+        )
+    )
+    return (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.token_id,
+            ).alias("token_ids"),
+        )
+    )

@@ -844,3 +844,33 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate_v2(docs)
+
+
+@register(
+    "tokenize_to_ids",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM t),
+    vocab AS (SELECT tok,
+                     CAST(dense_rank() OVER (ORDER BY COUNT(*) DESC, tok)
+                          AS INT) AS token_id
+              FROM pos GROUP BY tok)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           list(token_id ORDER BY pos) AS token_ids
+    FROM pos JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="Tokenizer-prep encoding (operators/packing.py::tokenize_to_ids): "
+    "frequency-sorted dense-rank vocabulary + per-doc token-id sequence "
+    "— the step between raw text and sequence assembly/packing. One "
+    "token shuffle for the vocab (window over the vocab frame, not the "
+    "corpus; cappable to top-K + OOV at scale), broadcast-join encode, "
+    "one per-doc regroup with struct-sort ordering.",
+)
+def tokenize_to_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import tokenize_to_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize_to_ids(docs)

@@ -46,3 +46,18 @@ def test_pack_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         pack_sequences(df, token_budget=0)
+
+
+def test_tokenize_to_ids_roundtrip_and_rank_order(spark):
+    """Frequency-sorted ids: the most frequent token gets id 1; encoding
+    preserves position order; empty docs yield no row."""
+    from datalakeingestion_spark.operators.packing import tokenize_to_ids
+
+    rows = [(1, "b a a"), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tokenize_to_ids(df).collect()}
+    assert 3 not in out
+    # freqs: a=3, b=2, c=1 -> ids a=1, b=2, c=3
+    assert list(out[1].token_ids) == [2, 1, 1]
+    assert list(out[2].token_ids) == [1, 2, 3]
+    assert out[1].n_tokens == 3
