@@ -858,7 +858,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AS INT) AS token_id
               FROM pos GROUP BY tok)
     SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
-           list(token_id ORDER BY pos) AS token_ids
+           array_to_string(list(token_id ORDER BY pos), ',') AS ids_csv
     FROM pos JOIN vocab USING (tok)
     GROUP BY doc_id
     """,
@@ -873,4 +873,11 @@ def tokenize_to_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import tokenize_to_ids
 
     docs = load_table(spark, sf_dir, "documents")
-    return tokenize_to_ids(docs)
+    # the id sequence ships as a CSV STRING, not array<int>: an array
+    # column's pandas rendering depends on the Arrow conf (numpy array
+    # under arrow.pyspark.enabled, Python list bare) — the bare
+    # driver-style session would hash differently from the oracle's
+    # numpy formatting. Strings hash identically everywhere.
+    return tokenize_to_ids(docs).select(
+        "doc_id", "n_tokens", F.array_join("token_ids", ",").alias("ids_csv")
+    )
