@@ -73,3 +73,19 @@ def test_driver_priority_invariants():
     no_oracle = [n for n in DRIVER_PRIORITY if n not in om]
     assert no_oracle == []
     assert list(all_queries())[:50] == list(DRIVER_PRIORITY)
+
+
+def test_no_registered_query_returns_array_or_map(spark):
+    """Driver-hash safety: an array/map result column renders as a numpy
+    array under the Arrow-enabled session but as a Python list in the
+    driver's bare session — the value hash then depends on formatting,
+    not values. Registered queries must ship scalars only (join arrays
+    into strings; see tokenize_to_ids)."""
+    offenders = []
+    for name, qd in REGISTRY.items():
+        df = qd.fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if "array" in t or "map" in t:
+                offenders.append((name, f.name, t))
+    assert not offenders, offenders
