@@ -879,8 +879,9 @@ def dedup_against_index(
         )
         .distinct()
     )
-    # verify over the union shingle table (ids are disjoint across sides
-    # in the ingest flow; if not, the exact verify still scores correctly)
+    # verify over the union shingle table. Ids MUST be disjoint across
+    # sides (guaranteed in the ingest flow): an id present on both sides
+    # would double its size in the union and understate jaccard.
     return _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
 
 

@@ -337,7 +337,12 @@ def stream_dedup_lsh_available_now(
     under batch replay: each epoch overwrites its own
     ``epoch=<id>`` subdirectory of the lake and index (the standard
     foreachBatch idempotent-sink pattern; on Delta both writes become
-    MERGE INTO txn).
+    MERGE INTO txn), and the index/lake PROBE excludes the current
+    epoch's own partition — a replay after a partial write must not
+    compare the batch against its previous attempt's output (a batch
+    doc would self-match, or BOTH sides of a within-batch near-dup
+    pair could reject: the smaller against the partial index, the
+    larger within the batch — silent data loss).
 
     Returns the StreamingQuery (caller awaits termination).
     """
@@ -384,10 +389,15 @@ def stream_dedup_lsh_available_now(
             .distinct()
         )
 
-        # 3. probe the persisted lake index (absent on the first epoch)
+        # 3. probe the persisted lake index (absent on the first epoch).
+        # Exclude THIS epoch's partition: on replay it holds the failed
+        # attempt's partial output, and probing it loses data (see
+        # docstring).
         try:
-            index = spark.read.parquet(index_path)
-            have_index = True
+            index = spark.read.parquet(index_path).filter(
+                F.col("epoch") != epoch_id
+            )
+            have_index = not index.isEmpty()
         except Exception:
             have_index = False
         if have_index:
@@ -404,7 +414,9 @@ def stream_dedup_lsh_available_now(
                 )
                 .distinct()
             )
-            lake_hits = spark.read.parquet(lake_path).join(
+            lake_hits = spark.read.parquet(lake_path).filter(
+                F.col("epoch") != epoch_id
+            ).join(
                 cand_lake.select(F.col("doc_id_b").alias(id_col)).distinct(),
                 id_col,
                 "left_semi",

@@ -527,3 +527,44 @@ def test_stream_dedup_lsh_rejects_lake_and_batch_dups(spark, tmp_path):
     idx_rows = spark.read.parquet(idx).collect()
     assert {r.doc_id for r in idx_rows} == got
     assert len(idx_rows) == len(got) * 4
+
+
+def test_stream_dedup_lsh_epoch_replay_is_lossless(spark, tmp_path):
+    """Checkpoint loss forces the first epoch to be reprocessed while the
+    lake/index already contain that epoch's output — the replay must NOT
+    probe its own previous attempt (a batch doc would self-match and the
+    epoch would rewrite empty). Final lake must equal the first drain."""
+    import shutil
+
+    from datalakeingestion_spark.streaming.incremental import (
+        stream_dedup_lsh_available_now,
+    )
+
+    def text(seed: str) -> str:
+        return " ".join(f"{seed}tok{j}" for j in range(40))
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [(i, text(f"d{i}")) for i in range(1, 6)]
+        + [(6, text("d1"))],  # within-batch exact dup of doc 1
+        "doc_id LONG, text STRING",
+    )
+    b1.write.parquet(src)
+
+    def drain():
+        q = stream_dedup_lsh_available_now(
+            spark, src, b1.schema, lake, idx, ckpt, threshold=0.5
+        )
+        q.awaitTermination(180)
+
+    drain()
+    first = {r.doc_id for r in spark.read.parquet(lake).collect()}
+    assert first == {1, 2, 3, 4, 5}
+
+    shutil.rmtree(ckpt)  # lose the checkpoint -> epoch 0 replays
+    drain()
+    again = {r.doc_id for r in spark.read.parquet(lake).collect()}
+    assert again == first
