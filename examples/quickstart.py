@@ -127,3 +127,39 @@ print("near-identical customer name suffixes:", links.count())
 
 source_js_divergence(docs).show()
 numeric_histogram(spark.table("orders"), "o_totalprice", n_bins=10).show()
+
+# 8. Continuation operators: structural dedup, embeddings, tokenizer prep
+from datalakeingestion_spark.operators.curation import curate_v2  # noqa: E402
+from datalakeingestion_spark.operators.dedup import (  # noqa: E402
+    cdc_shared_chunks,
+    containment_join,
+    dedup_against_index,
+    jaccard_prefix_join,
+)
+from datalakeingestion_spark.operators.packing import tokenize_to_ids  # noqa: E402
+from datalakeingestion_spark.operators.pca import pca_project  # noqa: E402
+from datalakeingestion_spark.operators.text_analysis import (  # noqa: E402
+    bigram_logprob,
+    pmi_collocations,
+    quality_logistic,
+    zipf_fit,
+)
+
+print("exact jaccard pairs (prefix filter):",
+      jaccard_prefix_join(docs, threshold=0.5, n=3).count())
+print("quote/excerpt containment pairs:",
+      containment_join(docs, threshold=0.8).count())
+cdc_shared_chunks(docs).orderBy(F.desc("shared_frac")).show(3)
+new_batch = docs.filter("doc_id >= 400")
+lake = docs.filter("doc_id < 400")
+print("incoming batch docs already in the lake:",
+      dedup_against_index(new_batch, lake, threshold=0.5).count())
+
+emb = spark.table("embeddings")
+pca_project(emb, k=8).select("vec_id", "pca").show(3, truncate=60)
+pmi_collocations(docs, k=5, min_count=5).show()
+zipf_fit(docs).show()
+bigram_logprob(docs).orderBy("mean_logprob").show(3)
+quality_logistic(docs).filter("NOT keep").show(3)
+tokenize_to_ids(docs).select("doc_id", "n_tokens").show(3)
+print("curate_v2 survivors:", curate_v2(docs).count())
