@@ -633,3 +633,59 @@ def embedding_centroid_outliers(
         "cos_centroid",
         (F.row_number().over(w) <= k_outliers).alias("is_outlier"),
     )
+
+
+def sample_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k_neg: int = 20,
+    exclude_topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    query, ``k_neg`` corpus items that are NOT the query itself and NOT
+    among its ``exclude_topk`` true nearest neighbors — the standard
+    in-batch-negatives replacement when training retrievers/encoders on
+    a fixed corpus, made reproducible (hash order, no rand()).
+
+    Selection: candidates ranked by the portable 32-bit hash of
+    "query_id:candidate_id" — a per-pair pseudo-random order any engine
+    can replicate — take the lowest ``k_neg`` after excluding self and
+    true neighbors. Because exclusion uses the EXACT top-k (cosine), the
+    negatives are guaranteed hard-negative-free at the chosen depth;
+    widen ``exclude_topk`` to trade cleanliness against coverage.
+
+    Scale: queries broadcast against the corpus (the same cost envelope
+    as the exact ANN twin — per-query hash rank is a TakeOrdered, no
+    global sort); the exclusion join is a broadcast anti-join on
+    (query, neighbor).
+
+    Returns (query_id, neg_id, rank), rank 1..k_neg by hash order.
+    """
+    from ..functions.hashing import portable_hash32
+
+    truth = cosine_topk(embeddings, queries, k=exclude_topk, id_col=id_col)
+    pairs = (
+        embeddings.select(F.col(id_col).alias("neg_id"))
+        .crossJoin(F.broadcast(queries.select(F.col(id_col).alias("query_id"))))
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .join(
+            F.broadcast(
+                truth.select("query_id", F.col("neighbor_id").alias("neg_id"))
+            ),
+            ["query_id", "neg_id"],
+            "left_anti",
+        )
+        .withColumn(
+            "h",
+            portable_hash32(
+                F.concat_ws(":", F.col("query_id"), F.col("neg_id"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neg)
+        .select("query_id", "neg_id", "rank")
+    )

@@ -881,3 +881,126 @@ def tokenize_to_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs).select(
         "doc_id", "n_tokens", F.array_join("token_ids", ",").alias("ids_csv")
     )
+
+
+@register(
+    "quality_by_source_rollup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks,
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g')) AS norm
+               FROM documents),
+    f AS (SELECT doc_id, source,
+                 len(toks) AS n,
+                 round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+                 round(len(list_filter(toks, x -> x IN
+                     ('the','of','and','a','to','in','is','it','that',
+                      'for'))) / len(toks), 6) AS stop,
+                 round(least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0, 6)
+                     AS len_sat,
+                 round(abs(round(length(replace(norm, ' ', ''))
+                                 / len(toks), 6) - 5.0) / 5.0, 6)
+                     AS avg_dev
+          FROM t WHERE len(toks) > 0),
+    s AS (SELECT doc_id, source,
+                 CAST(CAST(-1.0 AS DECIMAL(3,1))
+                      + CAST(ttr AS DECIMAL(12,6)) * CAST(2.0 AS DECIMAL(3,1))
+                      + CAST(stop AS DECIMAL(12,6)) * CAST(1.5 AS DECIMAL(3,1))
+                      + CAST(len_sat AS DECIMAL(12,6))
+                        * CAST(1.0 AS DECIMAL(3,1))
+                      + CAST(avg_dev AS DECIMAL(12,6))
+                        * CAST(-0.5 AS DECIMAL(3,1))
+                      AS DOUBLE) AS logit
+          FROM f),
+    q AS (SELECT source,
+                 CAST(round(1.0 / (1.0 + exp(-logit)), 6)
+                      AS DECIMAL(27,6)) AS prob
+          FROM s)
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM((prob >= 0.5)::BIGINT) AS DOUBLE) / COUNT(*)
+               AS keep_rate,
+           CAST(SUM(prob) AS DOUBLE) / COUNT(*) AS avg_prob
+    FROM q GROUP BY ROLLUP (source)
+    """,
+    doc="Per-source quality report with grand total (GROUP BY ROLLUP): "
+    "doc counts, classifier keep-rate, mean quality probability — the "
+    "monitoring view a curation pipeline publishes per ingest batch. "
+    "Composes quality_logistic inline; probs are 6-dp decimals so the "
+    "means are partitioning-independent raw doubles (no final round — "
+    "see the half-boundary note in NOTES_r4).",
+)
+def quality_by_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ta.quality_logistic(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    prob_dec = F.col("quality_prob").cast("decimal(27,6)")
+    return (
+        scored.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum(F.col("keep").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_rate"),
+            (F.sum(prob_dec).cast("double") / F.count(F.lit(1))).alias(
+                "avg_prob"
+            ),
+        )
+    )
+
+
+@register(
+    "sample_negatives_contrastive",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                (SELECT vec_id, SUM(x * x) AS s FROM
+                   (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e)
+                 GROUP BY vec_id)),
+    dots AS (SELECT q_id, c_id, SUM(qx * cx) AS dot FROM
+               (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       unnest(q.embedding)::DOUBLE AS qx,
+                       unnest(c.embedding)::DOUBLE AS cx
+                FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 5)
+             GROUP BY q_id, c_id),
+    truth AS (SELECT query_id, neighbor_id FROM
+                (SELECT q_id AS query_id, c_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                                     c_id) AS rn
+                 FROM dots JOIN norms nq ON nq.vec_id = q_id
+                           JOIN norms nc ON nc.vec_id = c_id)
+              WHERE rn <= 10),
+    cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+                    ('0x' || substr(md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+                                        CAST(c.vec_id AS VARCHAR)), 1, 8))
+                        ::BIGINT AS h
+             FROM e q CROSS JOIN e c
+             WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+               AND NOT EXISTS (SELECT 1 FROM truth t
+                               WHERE t.query_id = q.vec_id
+                                 AND t.neighbor_id = c.vec_id))
+    SELECT query_id, neg_id, CAST(rnk AS INT) AS "rank" FROM
+      (SELECT query_id, neg_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY h, neg_id) AS rnk
+       FROM cand)
+    WHERE rnk <= 20
+    """,
+    doc="Deterministic negative sampling for contrastive training "
+    "(operators/similarity.py::sample_negatives): per query, 20 corpus "
+    "items that are neither the query nor its exact top-10 neighbors, "
+    "selected by portable-hash order (reproducible, rand()-free, "
+    "hard-negative-free at the exclusion depth). Queries broadcast; "
+    "per-query hash rank is a TakeOrdered.",
+)
+def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.sample_negatives(emb, queries, k_neg=20, exclude_topk=10)

@@ -141,3 +141,30 @@ def test_embedding_decontaminate_flags_planted_neighbor(spark):
 
     with _pytest.raises(ValueError):
         embedding_decontaminate(train, bench.limit(0))
+
+
+def test_sample_negatives_excludes_self_and_true_neighbors(spark):
+    from datalakeingestion_spark.operators.similarity import (
+        cosine_topk,
+        sample_negatives,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    import pyspark.sql.functions as F
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    negs = sample_negatives(emb, queries, k_neg=15, exclude_topk=10).collect()
+    assert len(negs) == 3 * 15
+    for r in negs:
+        assert r.neg_id != r.query_id
+        assert (r.query_id, r.neg_id) not in truth
+    # deterministic: a second run yields the identical sample
+    again = sample_negatives(emb, queries, k_neg=15, exclude_topk=10).collect()
+    assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
