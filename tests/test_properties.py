@@ -287,3 +287,82 @@ def test_interval_join_matches_bruteforce_vectorized(spark):
             (i, j) for i, p in points for j, s, e in intervals if s <= p < e
         )
         assert got == expected, (width, max_span, use_multires)
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Large-star/small-star contraction must equal a reference
+    union-find on seeded random graphs (same harness as the propagation
+    property, different trials)."""
+    from datalakeingestion_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        pairs = set()
+        for _ in range(60):
+            a, b = rng.randrange(50), rng.randrange(50)
+            if a != b:
+                pairs.add((a, b))
+        chain_base = 200 + trial * 30
+        pairs.update((chain_base + i, chain_base + i + 1) for i in range(9))
+        df = spark.createDataFrame(sorted(pairs), ["doc_id_a", "doc_id_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(df, max_iterations=30).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in pairs:
+            union(a, b)
+        want = {x: find(x) for x in parent}
+        assert got == want
+
+
+def test_prefix_filter_lossless_on_random_corpora(spark):
+    """AllPairs prefix filtering must equal the brute shingle join on
+    seeded random corpora across thresholds — including skewed vocab
+    (stopword-heavy docs), tiny docs, and identical docs."""
+    from datalakeingestion_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        if i % 10 == 0 and i:
+            rows.append((i, rows[i - 1][1]))  # exact copy of predecessor
+            continue
+        n = rng.choice([3, 5, 12, 30])
+        toks = [
+            f"s{rng.randrange(4)}" if rng.random() < 0.4 else
+            f"r{rng.randrange(500)}"
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.8):
+        brute = sorted(
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, threshold=t, n=1).collect()
+        )
+        pref = sorted(
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in jaccard_prefix_join(df, threshold=t, n=1).collect()
+        )
+        assert pref == brute, f"threshold {t}"
+    assert brute, "corpus should contain qualifying pairs"
