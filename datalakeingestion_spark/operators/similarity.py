@@ -689,3 +689,75 @@ def sample_negatives(
         .filter(F.col("rank") <= k_neg)
         .select("query_id", "neg_id", "rank")
     )
+
+
+def label_centroid_similarity(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label (per-domain) centroid
+    vectors — the domain-similarity map that guides mixture planning
+    (which corpora overlap in embedding space, which labels are safe to
+    merge, where a dedup pass across domains will bite).
+
+    Fully EXACT and partitioning-independent, like
+    :func:`embedding_centroid_outliers`: centroids are per-(label, dim)
+    decimal sums of 6-dp-rounded coordinates, and every dot/norm term is
+    6-dp rounded before its decimal sum — no float summation order
+    anywhere, so the oracle matches value-for-value.
+
+    Scale: the centroid frame is |labels|·d rows (a map-side-combinable
+    aggregate); the pairwise stage is a self-join on dim over that tiny
+    frame — corpus size only affects the first aggregate.
+
+    Returns (label_a, label_b, cosine) for label_a < label_b.
+    """
+    e = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("dim", "xf"),
+    ).select("lbl", "dim", F.col("xf").cast("double").alias("x"))
+    mu = e.groupBy("lbl", "dim").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    ).persist()
+    norms = mu.groupBy("lbl").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("mu") * F.col("mu"), 6).cast("decimal(27,6)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    a, b = mu.alias("a"), mu.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.lbl") < F.col("b.lbl")),
+        )
+        .groupBy(
+            F.col("a.lbl").alias("label_a"), F.col("b.lbl").alias("label_b")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("a.mu") * F.col("b.mu"), 6).cast(
+                    "decimal(27,6)"
+                )
+            ).cast("double").alias("dot")
+        )
+    )
+    na = norms.select(F.col("lbl").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("lbl").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

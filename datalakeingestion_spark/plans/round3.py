@@ -1004,3 +1004,41 @@ def sample_negatives_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.sample_negatives(emb, queries, k_neg=20, exclude_topk=10)
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+    WITH e AS (SELECT label AS lbl, generate_subscripts(embedding, 1) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings),
+    mu AS (SELECT lbl, dim,
+                  CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                      / COUNT(*) AS mu
+           FROM e GROUP BY lbl, dim),
+    norms AS (SELECT lbl,
+                     sqrt(CAST(SUM(CAST(round(mu * mu, 6) AS DECIMAL(27,6)))
+                               AS DOUBLE)) AS nrm
+              FROM mu GROUP BY lbl),
+    dots AS (SELECT a.lbl AS label_a, b.lbl AS label_b,
+                    CAST(SUM(CAST(round(a.mu * b.mu, 6) AS DECIMAL(27,6)))
+                         AS DOUBLE) AS dot
+             FROM mu a JOIN mu b ON a.dim = b.dim AND a.lbl < b.lbl
+             GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.lbl = dots.label_a
+    JOIN norms nb ON nb.lbl = dots.label_b
+    """,
+    doc="Pairwise cosine between per-label centroid vectors "
+    "(operators/similarity.py::label_centroid_similarity) — the domain-"
+    "similarity map for mixture planning. Fully exact: decimal-summed "
+    "centroids, 6-dp-rounded dot/norm terms; corpus size only touches "
+    "the first |labels|*d aggregate.",
+)
+def label_centroid_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroid_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb)
