@@ -1042,3 +1042,48 @@ def label_centroid_similarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_similarity(emb)
+
+
+def _winnow_oracle(k: int, w: int, min_shared: int) -> str:
+    from .llm import _h32_sql
+
+    sh = (
+        f"list_transform(range(1, len({TOKS_SQL}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({TOKS_SQL}, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+    WITH h AS (SELECT doc_id,
+                      list_transform({sh}, s -> {_h32_sql('s')}) AS hs
+               FROM documents),
+    fp AS (SELECT DISTINCT doc_id, fp FROM
+             (SELECT doc_id,
+                     unnest(list_transform(range(1, len(hs) - {w - 2}),
+                         i -> list_min(list_slice(hs, i, i + {w - 1}))))
+                         AS fp
+              FROM h)),
+    pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     COUNT(*)::BIGINT AS n_shared_fp
+              FROM fp a JOIN fp b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b, n_shared_fp
+    FROM pairs WHERE n_shared_fp >= {min_shared}
+    """
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=_winnow_oracle(4, 4, 2),
+    doc="MOSS-style winnowing (operators/dedup.py::"
+    "winnowing_fingerprint_pairs): per-window minimum k-gram hashes "
+    "subsample the shingle table ~1/w (measured ~3x here) with the hard "
+    "guarantee that any verbatim match of >= w+k-1 tokens is found — "
+    "the overlapping-window sibling of CDC chunking. Fingerprinting is "
+    "zero-shuffle zip-shift algebra; only the hash equi-join and pair "
+    "count shuffle.",
+)
+def winnowing_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnowing_fingerprint_pairs(docs, k=4, w=4, min_shared=2)

@@ -247,3 +247,24 @@ def test_containment_join_finds_planted_quote(spark):
     # the symmetric pair set at the same threshold misses it
     jac = dd.ngram_jaccard_pairs(df, threshold=0.8).collect()
     assert not any({r.doc_id_a, r.doc_id_b} == {1, 2} for r in jac)
+
+
+def test_winnowing_guarantee_on_planted_match(spark):
+    """The winnowing guarantee: a verbatim run of >= w+k-1 tokens shared
+    between two otherwise-different docs must produce a shared
+    fingerprint (here k=4, w=4 -> any 7-token verbatim overlap)."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight nine ten " + shared + " eleven"),
+        (3, " ".join(f"z{j}" for j in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.n_shared_fp
+        for r in dd.winnowing_fingerprint_pairs(
+            df, k=4, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in p for p in got)
