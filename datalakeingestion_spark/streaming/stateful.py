@@ -69,3 +69,53 @@ def streaming_latest_rows(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    threshold: int = 100,
+) -> DataFrame:
+    """Exact streaming heavy hitters: per-token running counts in
+    GroupState; a token emits (token, running_count) in every micro-batch
+    where its cumulative count is at or above ``threshold`` AND changed —
+    downstream sees the current exact count of every hot token as soon as
+    it becomes hot (trend surfacing, hot-key detection feeding
+    `salted_join`, vocab-cap monitoring).
+
+    Versus the batch Count-Min sketch (`operators/sketches.py`): this is
+    EXACT and incremental but carries O(distinct tracked tokens) state —
+    the right trade when the stream's key space is vocabulary-sized;
+    for unbounded key spaces, bound state with a CMS-in-state variant or
+    key TTLs (GroupStateTimeout).
+
+    Output schema: (token string, running_count long), update mode.
+    """
+    import pyspark.sql.functions as F
+
+    src = tokens.select(F.col(token_col).cast("string").alias("token"))
+    out_schema = "token string, running_count long"
+    state_schema = "cnt long"
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cnt = state.get[0] if state.exists else 0
+        new = sum(len(pdf) for pdf in batches)
+        if new:
+            cnt += new
+            state.update((cnt,))
+            if cnt >= threshold:
+                yield pd.DataFrame(
+                    {"token": [key[0]], "running_count": [cnt]}
+                )
+
+    return src.groupBy("token").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

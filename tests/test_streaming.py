@@ -568,3 +568,48 @@ def test_stream_dedup_lsh_epoch_replay_is_lossless(spark, tmp_path):
     drain()
     again = {r.doc_id for r in spark.read.parquet(lake).collect()}
     assert again == first
+
+
+def test_streaming_heavy_hitters_exact_counts(spark, tmp_path):
+    """Two drained file batches: tokens whose CUMULATIVE count crosses
+    the threshold emit with the exact running count; the final emission
+    per token equals the batch groupBy count; cold tokens never emit."""
+    from datalakeingestion_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    rows2 = [("hot",)] * 4 + [("warm",)] * 2
+    spark.createDataFrame(rows1, ["tok"]).write.parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema("tok string").parquet(src)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_heavy_hitters(stream, threshold=5)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {}
+        for r in spark.read.parquet(out).collect():
+            got[r.token] = max(got.get(r.token, 0), r.running_count)
+        return got
+
+    got = drain()
+    assert got == {"hot": 6}
+    spark.createDataFrame(rows2, ["tok"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = drain()
+    assert got == {"hot": 10, "warm": 5}
