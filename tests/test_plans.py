@@ -375,3 +375,35 @@ def test_source_overlap_is_equi_join(spark):
     plan = formatted_plan(run(spark, "source_ngram_overlap_matrix"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_join_is_equi(spark):
+    plan = formatted_plan(run(spark, "winnowing_fingerprint_pairs"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_negatives_truth_and_queries_broadcast(spark):
+    """The corpus×queries cross join must broadcast the QUERY side (the
+    corpus never broadcasts), and the exclusion join must broadcast the
+    truth set."""
+    plan = formatted_plan(run(spark, "sample_negatives_contrastive"))
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_quality_rollup_is_partial_aggregate(spark):
+    """The ROLLUP aggregate must partial-aggregate map-side (Expand feeds
+    partial_count/sum before the exchange) — the monitoring view costs
+    one grouping-sets shuffle, never a second scan."""
+    plan = formatted_plan(run(spark, "quality_by_source_rollup"))
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_label_centroid_pairwise_stays_tiny(spark):
+    """The pairwise stage must join the labels×dims centroid frame, not
+    the corpus — no nested loop, norms broadcast."""
+    plan = formatted_plan(run(spark, "label_centroid_similarity"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
