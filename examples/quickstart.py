@@ -163,3 +163,19 @@ bigram_logprob(docs).orderBy("mean_logprob").show(3)
 quality_logistic(docs).filter("NOT keep").show(3)
 tokenize_to_ids(docs).select("doc_id", "n_tokens").show(3)
 print("curate_v2 survivors:", curate_v2(docs).count())
+
+# 9. Fingerprints, negatives, reporting
+from datalakeingestion_spark.operators.dedup import (  # noqa: E402
+    winnowing_fingerprint_pairs,
+)
+from datalakeingestion_spark.operators.similarity import (  # noqa: E402
+    embedding_centroid_outliers,
+    label_centroid_similarity,
+    sample_negatives,
+)
+
+print("winnowing fingerprint pairs:",
+      winnowing_fingerprint_pairs(docs, min_shared=2).count())
+embedding_centroid_outliers(emb, k_outliers=5).filter("is_outlier").show()
+label_centroid_similarity(emb).orderBy(F.desc("cosine")).show(3)
+sample_negatives(emb, emb.filter("vec_id < 2"), k_neg=5).show()
