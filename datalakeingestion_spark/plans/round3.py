@@ -1087,3 +1087,52 @@ def winnowing_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return dd.winnowing_fingerprint_pairs(docs, k=4, w=4, min_shared=2)
+
+
+@register(
+    "bpe_pair_stats_top50",
+    oracle=f"""
+    WITH w AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> substr(w, i, 2))) AS pair
+          FROM w),
+    c AS (SELECT pair, COUNT(*)::BIGINT AS pair_count FROM p GROUP BY 1),
+    r AS (SELECT pair, pair_count,
+                 row_number() OVER (ORDER BY pair_count DESC, pair) AS rnk
+          FROM c)
+    SELECT pair, pair_count, CAST(rnk AS INT) AS "rank"
+    FROM r WHERE rnk <= 50
+    """,
+    doc="BPE merge-step-0 statistics: the top-50 adjacent CHARACTER "
+    "pairs inside corpus tokens — exactly the frequency table byte-pair "
+    "encoding consults for its first merge, and the other half of "
+    "tokenizer prep beside vocab_topk/tokenize_to_ids. One char-pair "
+    "shuffle with map-side partials; TakeOrdered top-k.",
+)
+def bpe_pair_stats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # filter 1-char words BEFORE sequence(): Spark's sequence(1, 0)
+    # DESCENDS ([1, 0]) instead of returning empty like DuckDB range(1,1)
+    w = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+    top = c.orderBy(F.desc("pair_count"), "pair").limit(50)
+    win = Window.orderBy(F.desc("pair_count"), "pair")
+    return top.select(
+        "pair", "pair_count", F.row_number().over(win).cast("int").alias("rank")
+    )
