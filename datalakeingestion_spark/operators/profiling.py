@@ -106,3 +106,71 @@ def numeric_histogram(
         )
         .orderBy("bin")
     )
+
+
+def psi_between(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift score risk/data teams alarm on
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+    Emits one row per bin (shared fixed-width grid with under/overflow
+    gutters, like `numeric_histogram`): both counts, both smoothed
+    shares, and the bin's PSI contribution (p - q)·ln(p/q); the total is
+    the sum of `psi_contrib`.
+
+    Determinism: counts are exact longs; shares use add-0.5 Laplace
+    smoothing (no ln(0)); each contribution is computed in double from
+    those exact inputs and rounded to 6 dp — bin cardinality is fixed,
+    so no cross-partition float summation exists anywhere.
+
+    Scale: one map-side-combinable groupBy per snapshot shuffling at
+    most n_bins+2 rows each; the join is on the bin id.
+    """
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        b = (
+            F.when(F.col(col) < lo, F.lit(0))
+            .when(F.col(col) >= hi, F.lit(n_bins + 1))
+            .otherwise(
+                F.floor((F.col(col) - lo) / (hi - lo) * n_bins).cast("int")
+                + 1
+            )
+        )
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(b.cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    grid = old.sparkSession.range(0, n_bins + 2).select(
+        F.col("id").alias("bin")
+    )
+    counts = (
+        grid.join(binned(old, "n_old"), "bin", "left")
+        .join(binned(new, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    k = F.lit(0.5)
+    nb = F.lit(float(n_bins + 2))
+    p = (F.col("n_old") + k) / (F.col("t_old") + k * nb)
+    q = (F.col("n_new") + k) / (F.col("t_new") + k * nb)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

@@ -1136,3 +1136,53 @@ def bpe_pair_stats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "pair", "pair_count", F.row_number().over(win).cast("int").alias("rank")
     )
+
+
+@register(
+    "psi_price_drift",
+    oracle="""
+    WITH old AS (SELECT o_totalprice AS v FROM orders
+                 WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+    newer AS (SELECT o_totalprice AS v FROM orders
+              WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+    grid AS (SELECT unnest(range(0, 12)) AS bin),
+    co AS (SELECT CASE WHEN v < 0.0 THEN 0
+                       WHEN v >= 600000.0 THEN 11
+                       ELSE CAST(floor((v - 0.0) / 600000.0 * 10) AS INT) + 1
+                  END AS bin, COUNT(*) AS n_old
+           FROM old GROUP BY 1),
+    cn AS (SELECT CASE WHEN v < 0.0 THEN 0
+                       WHEN v >= 600000.0 THEN 11
+                       ELSE CAST(floor((v - 0.0) / 600000.0 * 10) AS INT) + 1
+                  END AS bin, COUNT(*) AS n_new
+           FROM newer GROUP BY 1),
+    counts AS (SELECT g.bin,
+                      COALESCE(co.n_old, 0)::BIGINT AS n_old,
+                      COALESCE(cn.n_new, 0)::BIGINT AS n_new
+               FROM grid g
+               LEFT JOIN co ON co.bin = g.bin
+               LEFT JOIN cn ON cn.bin = g.bin),
+    tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM counts)
+    SELECT bin, n_old, n_new,
+           round(((n_old + 0.5) / (t_old + 0.5 * 12.0)
+                  - (n_new + 0.5) / (t_new + 0.5 * 12.0))
+                 * ln(((n_old + 0.5) / (t_old + 0.5 * 12.0))
+                      / ((n_new + 0.5) / (t_new + 0.5 * 12.0))), 6)
+               AS psi_contrib
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Population Stability Index between order snapshots (even vs odd "
+    "orderkeys) over the fixed price grid "
+    "(operators/profiling.py::psi_between) — the drift alarm risk/data "
+    "teams publish per ingest batch (<0.1 stable, >0.25 shifted). Two "
+    "map-side-combinable bin aggregates shuffling <= n_bins+2 rows each; "
+    "add-0.5 smoothing keeps ln defined; per-bin contributions are "
+    "exact-count arithmetic, so no float summation order exists.",
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import psi_between
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_totalprice")
+    return psi_between(old, new, "o_totalprice", lo=0.0, hi=600000.0)

@@ -261,3 +261,27 @@ def test_bigram_logprob_orders_fluency(spark):
     assert out[1].mean_logprob > out[6].mean_logprob
     # all five identical docs share the exact same decimal-summed score
     assert len({out[i].mean_logprob for i in range(1, 6)}) == 1
+
+
+def test_psi_detects_planted_shift(spark):
+    """PSI must read ~0 for identical distributions and large for a
+    shifted one."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestion_spark.operators.profiling import psi_between
+
+    base = spark.range(10_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")).alias("v")
+    )
+    same = spark.range(10_000, 20_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double")).alias("v")
+    )
+    shifted = same.select((F.col("v") + 500.0).alias("v"))
+    stable = psi_between(base, same, "v", 0.0, 1000.0).agg(
+        F.sum("psi_contrib")
+    ).first()[0]
+    drifted = psi_between(base, shifted, "v", 0.0, 1000.0).agg(
+        F.sum("psi_contrib")
+    ).first()[0]
+    assert stable < 0.01
+    assert drifted > 0.25
