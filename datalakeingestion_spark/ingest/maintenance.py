@@ -204,3 +204,55 @@ def vacuum(
         fs.delete(fp, False)
         deleted.append(fp.toString())
     return sorted(deleted)
+
+
+def layout_report(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Physical-layout health report for a lake directory: one row per
+    leaf partition directory with file count, total bytes, min/max file
+    size, and the count of files under ``small_file_bytes`` — the signal
+    that drives `compact` scheduling (at 100 TB the scan-task fan-out is
+    footer reads × file count, so small-file accumulation is the top
+    operational regression an ingest pipeline creates).
+
+    Metadata-plane only: one recursive Hadoop FS listing on the driver,
+    O(files) names/sizes — never reads data, works on any scheme the
+    Hadoop conf knows (file://, s3a://, hdfs://). The returned frame is
+    built from that listing, so downstream joins (e.g. against the
+    execution log's partition activity) are ordinary DataFrame ops.
+    """
+    import os
+
+    jvm, fs, p = _fs(spark, path)
+    rows: dict[str, list[int]] = {}
+    if fs.exists(p):
+        base = p.toUri().getPath()
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            parent = f.getPath().getParent().toUri().getPath()
+            rel = os.path.relpath(parent, base)
+            sizes = rows.setdefault("." if rel == "." else rel, [])
+            sizes.append(int(f.getLen()))
+    data = [
+        (
+            part,
+            len(sizes),
+            int(sum(sizes)),
+            int(min(sizes)),
+            int(max(sizes)),
+            sum(1 for s in sizes if s < small_file_bytes),
+        )
+        for part, sizes in sorted(rows.items())
+    ]
+    return spark.createDataFrame(
+        data,
+        "partition string, n_files long, total_bytes long, "
+        "min_bytes long, max_bytes long, n_small_files long",
+    )

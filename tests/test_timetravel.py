@@ -293,3 +293,20 @@ def test_vacuum_removes_only_unreferenced_old_files(spark, events, tmp_path):
     deleted2 = vacuum(spark, str(target), log, 1, retention_seconds=0)
     assert [d.split("/")[-1] for d in deleted2] == ["stray-young.parquet"]
     assert spark.read.parquet(str(target)).count() == n_before
+
+
+def test_layout_report_flags_small_files(spark, tmp_path):
+    from datalakeingestion_spark.ingest.maintenance import layout_report
+
+    import pyspark.sql.functions as F
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(1000).withColumn("p", F.col("id") % 2)
+    # many tiny files in partition p=0/p=1
+    df.repartition(8).write.partitionBy("p").parquet(lake)
+    rep = {r.partition: r for r in layout_report(spark, lake).collect()}
+    assert set(rep) == {"p=0", "p=1"}
+    for r in rep.values():
+        assert r.n_files >= 2
+        assert r.n_small_files == r.n_files  # all tiny here
+        assert r.min_bytes > 0 and r.total_bytes >= r.max_bytes
