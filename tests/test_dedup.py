@@ -268,3 +268,38 @@ def test_winnowing_guarantee_on_planted_match(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 1
     assert all(3 not in p for p in got)
+
+
+def test_cdc_chunks_partition_the_token_stream(spark, docs):
+    """Structural invariant: every doc's CDC chunks, joined in order,
+    reconstruct its normalized text exactly — chunking moves boundaries,
+    never drops or duplicates tokens."""
+    import pyspark.sql.functions as F
+
+    from datalakeingestion_spark.functions.hashing import portable_hash32
+    from datalakeingestion_spark.functions.text import normalized_text, tokens
+
+    toks = tokens("text")
+    marked = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.pmod(portable_hash32(t), F.lit(8)) == 0,
+                F.concat(F.lit("#"), t),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    chunks = F.filter(
+        F.transform(F.split(marked, "#"), lambda c: F.trim(c)),
+        lambda c: c != F.lit(""),
+    )
+    bad = (
+        docs.select(
+            normalized_text("text").alias("norm"),
+            F.array_join(chunks, " ").alias("rejoined"),
+        )
+        .filter(F.col("norm") != F.col("rejoined"))
+        .count()
+    )
+    assert bad == 0
