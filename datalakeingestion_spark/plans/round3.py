@@ -1186,3 +1186,70 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
     new = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_totalprice")
     return psi_between(old, new, "o_totalprice", lo=0.0, hi=600000.0)
+
+
+def _dedup_ratio_oracle() -> str:
+    from .llm import _minhash_pairs_ctes
+
+    return f"""
+    WITH {_minhash_pairs_ctes(0.5)},
+    keep AS (SELECT MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)),
+    exact_dup AS (SELECT doc_id FROM documents
+                  WHERE doc_id NOT IN (SELECT keeper FROM keep)),
+    near_dup AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs)
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM((d.doc_id IN (SELECT doc_id FROM exact_dup))::BIGINT)
+                AS BIGINT) AS n_exact_dups,
+           CAST(SUM((d.doc_id IN (SELECT doc_id FROM near_dup))::BIGINT)
+                AS BIGINT) AS n_near_dups,
+           CAST(SUM((d.doc_id IN (SELECT doc_id FROM near_dup))::BIGINT)
+                AS DOUBLE) / COUNT(*) AS near_dup_rate
+    FROM documents d GROUP BY d.source
+    """
+
+
+@register(
+    "dedup_ratio_by_source",
+    oracle=_dedup_ratio_oracle(),
+    doc="Per-source duplication report: doc counts, exact-duplicate "
+    "count (non-keepers per text hash) and near-duplicate count "
+    "(minhash pair b-sides) with the near-dup rate — the governance "
+    "rollup that tells you WHICH feed is polluting the corpus, built "
+    "from the same verified pair machinery as the dedup operators. "
+    "Rates are exact-long divisions (no float summation), so the value "
+    "is partitioning-independent unrounded.",
+)
+def dedup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dd.exact_duplicates(docs).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("__k")
+    )
+    near = (
+        dd.minhash_near_duplicates(docs, threshold=0.5)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__n", F.lit(1))
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left")
+        .join(near, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum(F.when(F.col("__n").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dups"),
+        (
+            F.sum(F.when(F.col("__n").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("near_dup_rate"),
+    )
