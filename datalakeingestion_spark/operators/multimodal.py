@@ -123,3 +123,53 @@ def frame_sample(
             )
 
     return media.select("media_id", "content").mapInPandas(op, schema)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Per-clip stats for RAW PCM16 little-endian audio — n_samples, RMS
+    amplitude, absolute peak. Unlike the image/video kernels this needs
+    NO external codec: raw PCM is just int16 byte pairs, so the decode
+    (`numpy.frombuffer('<i2')`) is real, not stubbed — the loudness/
+    clipping screen an audio curation pipeline runs before any model.
+
+    Arrow-batched mapInPandas, one BLAS pass per batch, no shuffle; an
+    odd trailing byte is ignored (frombuffer semantics). RMS sums squares
+    of int16 values in float64 (exact below 2^53), rounds to 6 dp.
+
+    Output: (media_id, n_samples long, rms double, peak long).
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.LongType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rmss, peaks = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                v = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+                ids.append(mid)
+                ns.append(len(v))
+                if len(v):
+                    x = v.astype(np.float64)
+                    rmss.append(round(float(np.sqrt((x * x).sum() / len(v))), 6))
+                    # widen BEFORE abs: np.abs(int16(-32768)) overflows
+                    # back to -32768 and would under-report the peak
+                    peaks.append(int(np.abs(v.astype(np.int64)).max()))
+                else:
+                    rmss.append(None)
+                    peaks.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "rms": rmss, "peak": peaks}
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, schema)

@@ -1253,3 +1253,43 @@ def dedup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("near_dup_rate"),
     )
+
+
+@register(
+    "audio_pcm_clip_stats",
+    # text is pure ASCII in the fixtures, so ord(char) == byte value and
+    # the int16-LE decode is replicable in SQL: sample_i =
+    # ord(c[2i+1]) + 256*ord(c[2i+2]), signed.
+    oracle="""
+    WITH s AS (SELECT doc_id AS media_id,
+                      unnest(range(0, len(text) // 2)) AS i, text
+               FROM documents),
+    v AS (SELECT media_id,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+          FROM (SELECT media_id,
+                       ord(substr(text, CAST(i * 2 + 1 AS INT), 1))
+                       + 256 * ord(substr(text, CAST(i * 2 + 2 AS INT), 1))
+                           AS u
+                FROM s))
+    SELECT media_id, COUNT(*)::BIGINT AS n_samples,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM v GROUP BY media_id
+    """,
+    doc="Raw-PCM16 audio clip statistics (operators/multimodal.py::"
+    "audio_pcm_stats) — the loudness/clipping screen of an audio "
+    "pipeline, and the one media decode that needs NO codec (int16 byte "
+    "pairs), so unlike the stubbed image path this kernel is REAL and "
+    "still exactly oracle-checked (ASCII text bytes as PCM; int16 "
+    "squares sum exactly in float64/BIGINT). Arrow-batched mapInPandas, "
+    "no shuffle.",
+)
+def audio_pcm_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_pcm_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return audio_pcm_stats(media)

@@ -62,3 +62,33 @@ def test_frame_sample_chunking(spark, media):
         (r["media_id"], r["frame_no"]): len(r["frame"]) for r in frames.collect()
     }
     assert sizes[(1, 0)] == 1024 and sizes[(1, 4)] == 904  # tail chunk
+
+
+def test_audio_pcm_stats_matches_numpy(spark):
+    """The PCM16 decode is REAL: stats must equal a local numpy
+    reference, including odd-trailing-byte truncation and empty blobs."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import audio_pcm_stats
+
+    blobs = {
+        1: bytes(range(16)),          # even length
+        2: bytes(range(15)),          # odd -> last byte ignored
+        3: b"",                        # empty -> null stats
+        4: (32767).to_bytes(2, "little") + (32768).to_bytes(2, "little"),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in audio_pcm_stats(df).collect()}
+    for k, b in blobs.items():
+        v = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+        assert got[k].n_samples == len(v)
+        if len(v):
+            x = v.astype(np.float64)
+            assert got[k].rms == round(float(np.sqrt((x * x).sum() / len(v))), 6)
+            assert got[k].peak == int(np.abs(v.astype(np.int64)).max())
+        else:
+            assert got[k].rms is None and got[k].peak is None
+    assert got[4].peak == 32768  # -32768 interpreted signed, |.| kept
