@@ -173,3 +173,40 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(op, schema)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize plumbing: (media_id, content, meta) -> same shape with
+    ``content`` replaced by the resized image bytes and ``meta`` updated
+    to the target dimensions. With ``decoder="fake"`` the output bytes
+    are a deterministic md5-keyed stream of exactly width*height bytes
+    (so schema, meta bookkeeping, batch shape, and downstream joins are
+    fully real and testable); ``decoder="real"`` raises at the seam
+    where PIL/opencv plugs in. Arrow-batched mapInPandas, no shuffle;
+    executor memory bounded by arrow.maxRecordsPerBatch.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "plug a real image codec here (PIL/opencv not in env)"
+                )
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    out.append((mid, None, None))
+                    continue
+                seed = hashlib.md5(bytes(blob)).digest()
+                n = width * height
+                body = (seed * (n // len(seed) + 1))[:n]
+                out.append(
+                    (mid, body, ("fake-raw", width, height, len(body)))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "meta"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, MEDIA_SCHEMA)

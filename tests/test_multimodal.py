@@ -92,3 +92,24 @@ def test_audio_pcm_stats_matches_numpy(spark):
         else:
             assert got[k].rms is None and got[k].peak is None
     assert got[4].peak == 32768  # -32768 interpreted signed, |.| kept
+
+
+def test_resize_images_contract(spark):
+    """Fake resize: deterministic bytes of exactly width*height, meta
+    updated, nulls passed through, real decoder raises at the seam."""
+    import pytest
+
+    from datalakeingestion_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"img-bytes")), (2, None)],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: r for r in resize_images(df, 8, 4).collect()}
+    assert len(out[1].content) == 32
+    assert out[1].meta.width == 8 and out[1].meta.height == 4
+    assert out[2].content is None
+    again = {r.media_id: r for r in resize_images(df, 8, 4).collect()}
+    assert bytes(again[1].content) == bytes(out[1].content)
+    with pytest.raises(Exception, match="codec"):
+        resize_images(df, 8, 4, decoder="real").collect()
