@@ -313,3 +313,33 @@ def read_as_of(
         as_of = datetime.strptime(as_of, fmt)
     files = _snapshot_files(spark, log, ingestion_id, as_of=as_of)
     return spark.read.option("basePath", base_path).parquet(*files)
+
+
+def version_diff(
+    spark: SparkSession,
+    log: ExecutionLog,
+    ingestion_id: int,
+    from_version: int,
+    to_version: int,
+    base_path: str,
+) -> DataFrame:
+    """Row-level diff between two commit snapshots: every row present in
+    exactly one of the versions, tagged ``_change`` = 'added' (only in
+    ``to_version``) or 'removed' (only in ``from_version``) — the audit
+    view behind "what did commit N actually change", including rewrites
+    from compaction re-baselines that `read_changes`' append-only feed
+    does not re-emit.
+
+    Cost model: for APPEND-ONLY histories prefer `read_changes` — it
+    reads only the new files. This diff is the general form (survives
+    rewrites/rollbacks) and costs two snapshot scans + two hash
+    anti-joins on all columns (`exceptAll` keeps duplicate multiplicity,
+    so a row appearing twice then once diffs correctly).
+    """
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, log, ingestion_id, from_version, base_path)
+    new = read_version(spark, log, ingestion_id, to_version, base_path)
+    added = new.exceptAll(old).withColumn("_change", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("_change", F.lit("removed"))
+    return added.unionByName(removed)

@@ -310,3 +310,30 @@ def test_layout_report_flags_small_files(spark, tmp_path):
         assert r.n_files >= 2
         assert r.n_small_files == r.n_files  # all tiny here
         assert r.min_bytes > 0 and r.total_bytes >= r.max_bytes
+
+
+def test_version_diff_tags_added_and_removed(spark, events, tmp_path):
+    """Diff between commits 0 and 1 is exactly commit 1's batch, all
+    'added'; the reverse diff tags the same rows 'removed'; diffing a
+    version against itself is empty."""
+    from datalakeingestion_spark.ingest.timetravel import version_diff
+
+    r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
+    r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()
+    assert [r.status for r in (r1, r2)] == [STATUS_SUCCESS] * 2
+    log = ExecutionLog(spark, str(tmp_path / "log"))
+    target = str(tmp_path / "lake" / "events")
+
+    d = version_diff(spark, log, 1, 0, 1, target)
+    assert d.filter(F.col("_change") == "removed").count() == 0
+    added = d.filter(F.col("_change") == "added")
+    assert added.count() == r2.source_count
+    assert added.filter(
+        (F.col("ts") <= CAP1) | (F.col("ts") > CAP2)
+    ).count() == 0
+
+    rev = version_diff(spark, log, 1, 1, 0, target)
+    assert rev.filter(F.col("_change") == "added").count() == 0
+    assert rev.filter(F.col("_change") == "removed").count() == r2.source_count
+
+    assert version_diff(spark, log, 1, 1, 1, target).count() == 0
