@@ -509,6 +509,68 @@ def jaccard_prefix_join(
     return _jaccard_verify(cand, sh, threshold)
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    threshold: float = 0.5,
+    key_chars: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández/Stolfo): sort the corpus by a
+    compact key (here the first ``key_chars`` of the normalized text),
+    compare each doc only against the next ``window - 1`` docs in that
+    order, verify exact Jaccard. Candidate volume is EXACTLY
+    (window-1)·n — linear and perfectly predictable, the property
+    blocking/LSH schemes can't promise when a bucket goes hot.
+
+    Recall depends entirely on the key: near-dups that diverge inside
+    the key prefix land far apart and are missed (the standard fix is
+    multiple passes with different keys — run this operator per key and
+    union). On the fixtures the prefix key finds the planted dup set.
+
+    Scale shape: the global sort rank comes from `packing.py::
+    global_positions` (range shuffle + per-partition offsets — NO
+    single-partition window); neighbors materialize as an equi-join on
+    rank (each row probes its next window-1 ranks), then the usual
+    exact verify.
+
+    Returns (doc_id_a, doc_id_b, jaccard) with a preceding b in sort
+    order — i.e. doc_id_a earlier in the key order.
+    """
+    from ..functions.text import normalized_text
+    from .packing import global_positions
+
+    if "__snm_key" in docs.columns:
+        raise ValueError("input already has reserved column __snm_key")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(normalized_text(text_col), 1, key_chars).alias(
+            "__snm_key"
+        ),
+    )
+    ranked = global_positions(keyed, ["__snm_key", "doc_id"], id_col="doc_id")
+    probe = ranked.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.explode(
+            F.sequence(
+                F.col("global_pos") + 1,
+                F.col("global_pos") + (window - 1),
+            )
+        ).alias("pos_b"),
+    )
+    cand = probe.join(
+        ranked.select(
+            F.col("global_pos").alias("pos_b"),
+            F.col("doc_id").alias("doc_id_b"),
+        ),
+        "pos_b",
+    ).select("doc_id_a", "doc_id_b")
+    sh = _shingle_table(docs, text_col, id_col, n)
+    return _jaccard_verify(cand, sh, threshold)
+
+
 def winnowing_fingerprint_pairs(
     docs: DataFrame,
     k: int = 4,

@@ -1293,3 +1293,46 @@ def audio_pcm_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     return audio_pcm_stats(media)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH nrm AS (SELECT doc_id,
+                        substr(trim(regexp_replace(lower(text),
+                                                   '[^a-z0-9]+', ' ', 'g')),
+                               1, 16) AS k
+                 FROM documents),
+    r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+          FROM nrm),
+    cand AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+             FROM r a JOIN r b ON b.pos - a.pos BETWEEN 1 AND 2),
+    sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh t1 ON t1.doc_id = c.doc_id_a
+              JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY 1, 2)
+    SELECT inter.doc_id_a, inter.doc_id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.5
+    """,
+    doc="Sorted-neighborhood dedup (Hernández/Stolfo; "
+    "operators/dedup.py::sorted_neighborhood_pairs): sort by a compact "
+    "normalized-text prefix key, compare each doc with its next 2 "
+    "neighbors, exact-verify — candidate volume is exactly "
+    "(window-1)·n, the predictability blocking/LSH can't promise on hot "
+    "buckets; recall is key-dependent (multi-pass with different keys "
+    "is the standard fix). The global rank is the distributed prefix "
+    "sum, never a single-partition window.",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.sorted_neighborhood_pairs(docs, window=3, threshold=0.5)
