@@ -366,3 +366,59 @@ def test_prefix_filter_lossless_on_random_corpora(spark):
         )
         assert pref == brute, f"threshold {t}"
     assert brute, "corpus should contain qualifying pairs"
+
+
+def test_containment_prefix_lossless_on_random_corpora(spark):
+    """The one-sided prefix filter must equal brute-force containment on
+    seeded random corpora across thresholds (skewed vocab, tiny docs,
+    planted excerpts)."""
+    from datalakeingestion_spark.operators.dedup import (
+        _shingle_table,
+        containment_join,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(60):
+        n = rng.choice([4, 8, 20, 40])
+        toks = [
+            f"s{rng.randrange(5)}" if rng.random() < 0.3 else
+            f"r{rng.randrange(300)}"
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(toks)))
+    # planted excerpts: doc 100+j = prefix of doc j
+    for j in range(5):
+        rows.append((100 + j, " ".join(rows[j][1].split()[:6])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = _shingle_table(df, "text", "doc_id", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    brute_all = (
+        inter.join(sa, "ida").join(sb, "idb")
+        .filter((F.col("sza") < F.col("szb"))
+                | ((F.col("sza") == F.col("szb"))
+                   & (F.col("ida") < F.col("idb"))))
+        .select("ida", "idb",
+                F.round(F.col("i") / F.col("sza"), 6).alias("c"))
+        .collect()
+    )
+    for t in (0.6, 0.8, 1.0):
+        brute = sorted((r.ida, r.idb, r.c) for r in brute_all if r.c >= t)
+        got = sorted(
+            (r.doc_id_small, r.doc_id_large, r.containment)
+            for r in containment_join(df, threshold=t, n=3).collect()
+        )
+        assert got == brute, f"threshold {t}"
+    assert brute, "planted excerpts must qualify at containment 1.0"
