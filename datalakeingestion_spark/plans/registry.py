@@ -159,6 +159,7 @@ def _ensure_loaded() -> None:
         llm3,
         relational,
         round3,
+        round3b,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,
