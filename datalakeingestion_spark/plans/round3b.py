@@ -103,3 +103,75 @@ def mv_retraction_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys,
     )
     return finalize_state(state, keys, avg_of={"avg_qty": "sum_qty"})
+
+
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+
+
+@register(
+    "pagerank_trade_graph_3iter",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    p AS (SELECT COUNT(*)::BIGINT AS n,
+                 ({_PR_SCALE} * {100 - _PR_DAMP}) // (100 * COUNT(*)::BIGINT)
+                     AS base
+          FROM nodes),
+    r0 AS (SELECT node, {_PR_SCALE} // n AS rank FROM nodes CROSS JOIN p),
+    it1 AS (SELECT nd.node, CAST(p.base + ({_PR_DAMP} * COALESCE(rv.recv, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes nd CROSS JOIN p
+            LEFT JOIN (SELECT e.dst, SUM(r.rank // d.outdeg) AS recv
+                       FROM e JOIN deg d ON e.src = d.src
+                       JOIN r0 r ON r.node = e.src
+                       GROUP BY e.dst) rv ON rv.dst = nd.node),
+    it2 AS (SELECT nd.node, CAST(p.base + ({_PR_DAMP} * COALESCE(rv.recv, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes nd CROSS JOIN p
+            LEFT JOIN (SELECT e.dst, SUM(r.rank // d.outdeg) AS recv
+                       FROM e JOIN deg d ON e.src = d.src
+                       JOIN it1 r ON r.node = e.src
+                       GROUP BY e.dst) rv ON rv.dst = nd.node),
+    it3 AS (SELECT nd.node, CAST(p.base + ({_PR_DAMP} * COALESCE(rv.recv, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes nd CROSS JOIN p
+            LEFT JOIN (SELECT e.dst, SUM(r.rank // d.outdeg) AS recv
+                       FROM e JOIN deg d ON e.src = d.src
+                       JOIN it2 r ON r.node = e.src
+                       GROUP BY e.dst) rv ON rv.dst = nd.node),
+    ranked AS (SELECT node, rank,
+                      row_number() OVER (ORDER BY rank DESC, node) AS rnk
+               FROM it3)
+    SELECT node, rank, rnk FROM ranked WHERE rnk <= 20
+    """,
+    doc="Exact fixed-point PageRank, 3 synchronous sweeps over the "
+    "symmetric customer-supplier trade graph "
+    "(operators/graph.py::pagerank_fixed_point) — the iterative-"
+    "algorithm pattern (crawl-authority / link-spam scoring in a "
+    "training-data pipeline). Ranks are bigint fixed-point (10^12 = "
+    "1.0), every step bigint multiply/floor-div/sum, so the unrolled-CTE "
+    "oracle reproduces it bit-for-bit — impossible with float PageRank "
+    "(summation-order drift). Per sweep: one hash join on src + one "
+    "map-side-combinable SUM on dst; the rank frame is node-sized.",
+)
+def pagerank_trade_graph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import customer_supplier_edges, pagerank_fixed_point
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = customer_supplier_edges(orders, li)
+    rank = pagerank_fixed_point(
+        edges, iters=3, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        rank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("node", "rank", "rnk")
+    )

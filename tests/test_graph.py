@@ -1,0 +1,87 @@
+"""Fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datalakeingestion_spark.operators.graph import (
+    customer_supplier_edges,
+    pagerank_fixed_point,
+)
+
+
+def _py_pagerank(edges, iters, scale=10**12, damp=85):
+    """Pure-Python twin of the exact fixed-point recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (scale * (100 - damp)) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        for s, d in edges:
+            recv[d] += rank[s] // outdeg[s]
+        rank = {v: base + (damp * recv[v]) // 100 for v in nodes}
+    return rank
+
+
+EDGES = [
+    ("a", "b"),
+    ("b", "a"),
+    ("a", "c"),
+    ("c", "a"),
+    ("b", "c"),
+    ("c", "b"),
+    ("d", "a"),
+    ("a", "d"),
+    ("d", "b"),
+    ("b", "d"),
+]
+
+
+@pytest.mark.parametrize("iters", [1, 3, 5])
+def test_matches_python_reference(spark, iters):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iters=iters).collect()
+    }
+    assert got == _py_pagerank(EDGES, iters)
+
+
+def test_duplicate_edges_collapse(spark):
+    df = spark.createDataFrame(EDGES + EDGES[:4], "src string, dst string")
+    got = {
+        r["node"]: r["rank"] for r in pagerank_fixed_point(df, iters=2).collect()
+    }
+    assert got == _py_pagerank(EDGES, 2)
+
+
+def test_mass_approximately_conserved(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = [r["rank"] for r in pagerank_fixed_point(df, iters=3).collect()]
+    total = sum(ranks)
+    # floor divisions only ever LOSE mass, a few units per node per sweep
+    assert total <= 10**12
+    assert total > 10**12 - 100 * len(ranks)
+
+
+def test_bad_damping_rejected(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping_pct=0)
+
+
+def test_trade_graph_is_symmetric_bipartite(spark):
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 11)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 7), (1, 8), (2, 7)], "l_orderkey long, l_suppkey long"
+    )
+    e = {(r["src"], r["dst"]) for r in customer_supplier_edges(orders, li).collect()}
+    fwd = {("c10", "s7"), ("c10", "s8"), ("c11", "s7")}
+    assert e == fwd | {(b, a) for a, b in fwd}
