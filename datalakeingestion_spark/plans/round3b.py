@@ -175,3 +175,124 @@ def pagerank_trade_graph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("node", "rank", "rnk")
     )
+
+
+_ZO_BITS = 6
+_ZO_ROWS_PER_FILE = 500
+# box predicate: a price band crossed with a date band inside the
+# data mass (x spans 0-63 median 52, y spans 27-63 median 58 at sf0.01)
+# and selective on both dims, so layout quality shows.
+_ZO_BOX = {"x": (40, 45), "y": (40, 45)}
+
+
+from ..operators.layout import morton_code_sql as _morton_sql  # noqa: E402
+
+_ZO_PREP_SQL = f"""
+    WITH r AS (
+      SELECT l_orderkey * 100 + l_linenumber AS uid,
+             GREATEST(0, LEAST(63,
+                 CAST(floor(l_extendedprice / 1000.0) AS BIGINT))) AS x,
+             GREATEST(0, LEAST(63,
+                 datediff('day', DATE '1992-01-01', l_shipdate) // 40)) AS y
+      FROM lineitem),
+    u AS (SELECT uid, MIN(x) AS x, MIN(y) AS y FROM r GROUP BY uid),
+    zc AS (SELECT uid, x, y, {_morton_sql('x', 'y', _ZO_BITS)} AS z FROM u),
+    lin AS (SELECT x, y,
+                   (row_number() OVER (ORDER BY y, uid) - 1)
+                       // {_ZO_ROWS_PER_FILE} AS file_id
+            FROM zc),
+    zf AS (SELECT x, y,
+                  (row_number() OVER (ORDER BY z, uid) - 1)
+                      // {_ZO_ROWS_PER_FILE} AS file_id
+           FROM zc),
+    linstats AS (SELECT file_id, COUNT(*) AS n_rows,
+                        MIN(x) AS min_x, MAX(x) AS max_x,
+                        MIN(y) AS min_y, MAX(y) AS max_y
+                 FROM lin GROUP BY file_id),
+    zstats AS (SELECT file_id, COUNT(*) AS n_rows,
+                      MIN(x) AS min_x, MAX(x) AS max_x,
+                      MIN(y) AS min_y, MAX(y) AS max_y
+               FROM zf GROUP BY file_id)
+"""
+
+_ZO_BOX_SQL = (
+    "min_x <= {xhi} AND max_x >= {xlo} AND min_y <= {yhi} AND max_y >= {ylo}"
+).format(
+    xlo=_ZO_BOX["x"][0], xhi=_ZO_BOX["x"][1],
+    ylo=_ZO_BOX["y"][0], yhi=_ZO_BOX["y"][1],
+)
+
+
+@register(
+    "zorder_skipping_report",
+    oracle=_ZO_PREP_SQL + f"""
+    SELECT 'linear' AS layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN {_ZO_BOX_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN {_ZO_BOX_SQL} THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_in_scanned
+    FROM linstats
+    UNION ALL
+    SELECT 'zorder' AS layout,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN {_ZO_BOX_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN {_ZO_BOX_SQL} THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_in_scanned
+    FROM zstats
+    """,
+    doc="Data-skipping effectiveness of a Z-order layout vs the natural "
+    "date-ordered layout (operators/layout.py): rows are assigned to "
+    "fixed-size files by rank in each order (rank via the distributed "
+    "prefix sum, never a global window on the Spark side), per-file "
+    "min/max stats computed, and a 2-D box predicate counts the files a "
+    "min-max pruner must scan. The Morton key is exact bigint bit "
+    "interleaving, so the oracle reproduces the whole report. This is "
+    "the decision artifact for a Delta OPTIMIZE ZORDER BY rewrite — at "
+    "100 TB the scan you skip is the fastest scan.",
+)
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import (
+        file_minmax_stats,
+        morton_code,
+        pruning_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(63),
+                F.floor(F.col("l_extendedprice") / F.lit(1000.0)),
+            ),
+        ).alias("x"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(63),
+                F.expr(
+                    "datediff(l_shipdate, DATE '1992-01-01') div 40"
+                ),
+            ),
+        ).alias("y"),
+    )
+    # the synthetic fixtures are NOT unique on (orderkey, linenumber) —
+    # collapse duplicates deterministically so uid keys the rank join
+    rows = rows.groupBy("uid").agg(
+        F.min("x").alias("x"), F.min("y").alias("y")
+    )
+    rows = rows.withColumn(
+        "z", morton_code(F.col("x"), F.col("y"), _ZO_BITS)
+    ).persist()
+    lin = file_minmax_stats(
+        rows, "uid", ["y", "uid"], ["x", "y"], _ZO_ROWS_PER_FILE
+    )
+    zf = file_minmax_stats(
+        rows, "uid", ["z", "uid"], ["x", "y"], _ZO_ROWS_PER_FILE
+    )
+    return pruning_stats(lin, _ZO_BOX, "linear").unionByName(
+        pruning_stats(zf, _ZO_BOX, "zorder")
+    )
