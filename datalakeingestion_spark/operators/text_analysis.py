@@ -886,3 +886,134 @@ def quality_logistic(docs: DataFrame, text_col: str = "text") -> DataFrame:
         prob.alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def trigram_backoff_logprob(
+    docs_model: DataFrame,
+    docs_score: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean log-score under a TRIGRAM LM with stupid backoff
+    (Brants et al. 2007, "Large Language Models in Machine Translation")
+    trained on ``docs_model`` and scored on ``docs_score`` — the
+    train/holdout split is what makes backoff real: scoring a corpus
+    under its own trigram counts never backs off (every observed trigram
+    has count ≥ 1).
+
+    S(w3|w1 w2) = c(w1w2w3)/c(w1w2·)          if the trigram was seen
+                = α·c(w2w3)/c(w2·)            elif the bigram was seen
+                = α²·(c(w3)+k)/(N+k·V)        otherwise (add-k floor so
+                                               unseen words stay finite)
+
+    Shuffle economy mirrors :func:`bigram_logprob`: each model count
+    table is one hash shuffle over its shingle stream; context counts
+    (c12, c2) derive FROM the aggregated count frames, never the raw
+    stream; scoring is a chain of hash equi-joins on shingle keys —
+    never all-pairs.  Determinism: per-trigram scores round to 6 dp and
+    sum as decimal(27,6); the mean ships as the raw double (see the
+    half-boundary note on :func:`bigram_logprob`).
+
+    Returns (doc_id, n_trigrams, n_backoff_bigram, n_backoff_unigram,
+    mean_logprob); scored docs with < 3 tokens yield no row.
+    """
+    toks_m = docs_model.select("doc_id", tokens(text_col).alias("toks"))
+    toks_s = docs_score.select("doc_id", tokens(text_col).alias("toks"))
+
+    uni = toks_m.select(F.explode("toks").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    nv = uni.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("tok").alias("v")
+    ).first()
+    n_total, vsz = float(nv["n"]), float(nv["v"])
+
+    bi_m = toks_m.select(
+        F.explode(word_shingles(F.col("toks"), 2)).alias("bg")
+    )
+    c23 = bi_m.groupBy("bg").agg(F.count(F.lit(1)).alias("c23"))
+    c2 = c23.groupBy(
+        F.element_at(F.split("bg", " "), 1).alias("w2h")
+    ).agg(F.sum("c23").alias("c2"))
+
+    tri_m = toks_m.select(
+        F.explode(word_shingles(F.col("toks"), 3)).alias("tg")
+    )
+    c3 = tri_m.groupBy("tg").agg(F.count(F.lit(1)).alias("c3"))
+    c12 = c3.groupBy(
+        F.concat_ws(
+            " ",
+            F.element_at(F.split("tg", " "), 1),
+            F.element_at(F.split("tg", " "), 2),
+        ).alias("k12")
+    ).agg(F.sum("c3").alias("c12"))
+
+    tri_s = toks_s.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("tg")
+    )
+    sp = tri_s.select(
+        "doc_id",
+        "tg",
+        F.concat_ws(
+            " ",
+            F.element_at(F.split("tg", " "), 1),
+            F.element_at(F.split("tg", " "), 2),
+        ).alias("k12"),
+        F.concat_ws(
+            " ",
+            F.element_at(F.split("tg", " "), 2),
+            F.element_at(F.split("tg", " "), 3),
+        ).alias("k23"),
+        F.element_at(F.split("tg", " "), 2).alias("w2"),
+        F.element_at(F.split("tg", " "), 3).alias("w3"),
+    )
+    j = (
+        sp.join(c3, "tg", "left")
+        .join(c12, "k12", "left")
+        .join(c23.withColumnRenamed("bg", "k23"), "k23", "left")
+        .join(c2.withColumnRenamed("w2h", "w2"), "w2", "left")
+        .join(c1.withColumnRenamed("tok", "w3"), "w3", "left")
+    )
+    a2 = alpha * alpha
+    lp = (
+        F.when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("c12")))
+        .when(
+            F.col("c23").isNotNull(),
+            F.log(F.lit(alpha) * F.col("c23") / F.col("c2")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(a2)
+                * (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k))
+                / F.lit(n_total + k * vsz)
+            )
+        )
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.round(lp, 6).cast("decimal(27,6)").alias("lp"),
+            F.col("c3").isNull().cast("long").alias("_bo"),
+            (F.col("c3").isNull() & F.col("c23").isNull())
+            .cast("long")
+            .alias("_bo2"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            (F.sum("_bo") - F.sum("_bo2")).cast("long").alias(
+                "n_backoff_bigram"
+            ),
+            F.sum("_bo2").cast("long").alias("n_backoff_unigram"),
+            F.sum("lp").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_backoff_bigram",
+            "n_backoff_unigram",
+            (F.col("_s").cast("double") / F.col("n_trigrams")).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -296,3 +296,90 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruning_stats(lin, _ZO_BOX, "linear").unionByName(
         pruning_stats(zf, _ZO_BOX, "zorder")
     )
+
+
+from .llm import TOKS_SQL as _TOKS  # noqa: E402
+
+_TRI_SQL = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+_BI_SQL = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+@register(
+    "trigram_backoff_score",
+    oracle=f"""
+    WITH tm AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 2 = 0),
+    ts AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 2 = 1),
+    u AS (SELECT unnest(toks) AS tok FROM tm),
+    c1 AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY tok),
+    p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+          FROM u),
+    bm AS (SELECT unnest({_BI_SQL}) AS bg FROM tm),
+    c23 AS (SELECT bg, COUNT(*) AS c23 FROM bm GROUP BY bg),
+    c2 AS (SELECT string_split(bg, ' ')[1] AS w2,
+                  CAST(SUM(c23) AS BIGINT) AS c2
+           FROM c23 GROUP BY 1),
+    trm AS (SELECT unnest({_TRI_SQL}) AS tg FROM tm),
+    c3 AS (SELECT tg, COUNT(*) AS c3 FROM trm GROUP BY tg),
+    c12 AS (SELECT string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2]
+                       AS k12,
+                   CAST(SUM(c3) AS BIGINT) AS c12
+            FROM c3 GROUP BY 1),
+    st AS (SELECT doc_id, unnest({_TRI_SQL}) AS tg FROM ts),
+    sp AS (SELECT doc_id, tg,
+                  string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2]
+                      AS k12,
+                  string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3]
+                      AS k23,
+                  string_split(tg, ' ')[2] AS w2,
+                  string_split(tg, ' ')[3] AS w3
+           FROM st),
+    j AS (SELECT sp.doc_id,
+                 CAST(round(
+                   CASE WHEN c3.c3 IS NOT NULL THEN ln(c3.c3 / c12.c12)
+                        WHEN c23.c23 IS NOT NULL
+                            THEN ln(CAST(0.4 AS DOUBLE) * c23.c23 / c2.c2)
+                        ELSE ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+                                * (COALESCE(c1.c1, 0) + 0.5)
+                                / (p.n + 0.5 * p.v))
+                   END, 6) AS DECIMAL(27,6)) AS lp,
+                 CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo,
+                 CASE WHEN c3.c3 IS NULL AND c23.c23 IS NULL THEN 1 ELSE 0
+                     END AS bo2
+          FROM sp CROSS JOIN p
+          LEFT JOIN c3 ON c3.tg = sp.tg
+          LEFT JOIN c12 ON c12.k12 = sp.k12
+          LEFT JOIN c23 ON c23.bg = sp.k23
+          LEFT JOIN c2 ON c2.w2 = sp.w2
+          LEFT JOIN c1 ON c1.tok = sp.w3)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_trigrams,
+           CAST(SUM(bo) - SUM(bo2) AS BIGINT) AS n_backoff_bigram,
+           CAST(SUM(bo2) AS BIGINT) AS n_backoff_unigram,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
+    FROM j GROUP BY doc_id
+    """,
+    doc="Per-doc mean log-score under a TRIGRAM stupid-backoff LM "
+    "(operators/text_analysis.py::trigram_backoff_logprob) trained on "
+    "the even-doc_id half of the corpus and scored on the odd half — "
+    "the holdout split is what makes the backoff branches live (a "
+    "corpus scored under its own trigram counts never backs off). "
+    "Backoff-path counts ship as columns so the oracle pins that the "
+    "cascade actually fires. Scoring is a chain of hash equi-joins on "
+    "shingle keys; context counts derive from the aggregated count "
+    "frames, never the raw token stream.",
+)
+def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import trigram_backoff_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return trigram_backoff_logprob(model, score)
