@@ -229,3 +229,51 @@ def rank_normalize(
         F.round(F.col("__below") / F.lit(float(n_total - 1)), 6).alias(out_col),
     )
     return df.join(F.broadcast(ranks), value_col, "left")
+
+
+def mix_corpora_temperature(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced corpus mix at α = 0.5 (the multilingual
+    rebalancing of mBERT/XLM-R: sampled counts ∝ n_s^α·n_min^(1-α), so
+    large sources are damped toward the smallest instead of dominating):
+    each source keeps a deterministic hash-sample at rate
+    q_s = sqrt(n_min / n_s) — 1.0 for the smallest source, shrinking as
+    a source grows.
+
+    Every arithmetic step is a single correctly-rounded IEEE op
+    (bigint→double cast, divide, sqrt, multiply, floor), so the keep
+    thresholds are bit-identical in any engine — the SQL oracle can
+    replicate the whole mix exactly, unlike rand()-based sampling.
+
+    Scale shape: source counts are one map-side-combinable aggregate
+    over a frame of |S| rows; the rate joins back via broadcast; the
+    keep decision is a pushable per-row filter (hash(key#salt:source) <
+    floor(q·2³²)).  Adds ``mix_rate_threshold`` (the bigint threshold)
+    for audit.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.floor(
+            F.sqrt(
+                F.col("_n_min").cast("double") / F.col("_n_s").cast("double")
+            )
+            * F.lit(HASH_SPACE_32)
+        )
+        .cast("long")
+        .alias("mix_rate_threshold"),
+    )
+    h = _rate_hash(
+        F.concat(
+            F.col(key).cast("string"), F.lit(f"#{salt}:"), F.col(source_col)
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h < F.col("mix_rate_threshold"))
+    )

@@ -383,3 +383,40 @@ def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 == 1)
     return trigram_backoff_logprob(model, score)
+
+
+@register(
+    "mix_corpora_temperature_half",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_s) AS n_min FROM c),
+    r AS (SELECT source,
+                 CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE))
+                            * CAST(4294967296 AS DOUBLE)) AS BIGINT)
+                     AS mix_rate_threshold
+          FROM c CROSS JOIN m),
+    k AS (SELECT d.source, r.mix_rate_threshold
+          FROM documents d JOIN r USING (source)
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                    || '#temp:' || d.source), 1, 8))::BIGINT
+                < r.mix_rate_threshold)
+    SELECT source, COUNT(*)::BIGINT AS n_kept, mix_rate_threshold
+    FROM k GROUP BY source, mix_rate_threshold
+    """,
+    doc="Temperature-balanced corpus mix at alpha=0.5 "
+    "(operators/sampling.py::mix_corpora_temperature) — the XLM-R-style "
+    "rebalancing: each source keeps a deterministic hash-sample at rate "
+    "sqrt(n_min/n_s), damping big sources toward the smallest. Every "
+    "step is one correctly-rounded IEEE op, so the bigint thresholds "
+    "(shipped for audit) are bit-identical across engines; the keep "
+    "decision is a pushable per-row hash filter — no rand(), no "
+    "shuffle beyond the |S|-row source-count aggregate.",
+)
+def mix_corpora_temperature_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_corpora_temperature
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mix_corpora_temperature(docs, "source", "doc_id")
+    return mixed.groupBy("source", "mix_rate_threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )

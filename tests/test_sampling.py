@@ -1,0 +1,51 @@
+"""Temperature-based corpus mixing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.operators.sampling import mix_corpora_temperature
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    rows = [
+        (i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_corpora_temperature(df, "source", "doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest source keeps everything (threshold = 2^32)
+    assert counts.get("small", 0) == 10
+    # expected keep rates: sqrt(n_min/n_s), within sampling noise
+    for src, n_s in (("big", 900), ("mid", 90)):
+        q = math.sqrt(10 / n_s)
+        assert abs(counts.get(src, 0) / n_s - q) < 0.15
+    # deterministic: rerun yields identical kept keys
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mix_corpora_temperature(df, "source", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_threshold_column_is_exact_ieee_math(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 64 else "b") for i in range(80)],
+        "doc_id long, source string",
+    )
+    thr = {
+        r["source"]: r["mix_rate_threshold"]
+        for r in mix_corpora_temperature(df, "source", "doc_id")
+        .select("source", "mix_rate_threshold")
+        .distinct()
+        .collect()
+    }
+    assert thr["b"] == 1 << 32  # smallest source: q = 1.0
+    assert thr["a"] == math.floor(math.sqrt(16 / 64) * float(1 << 32))
