@@ -288,3 +288,73 @@ def cms_estimate(
     return joined.groupBy("term").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count")
     )
+
+
+def kmv_set_relation(
+    df: DataFrame,
+    value: str | Column,
+    in_a: Column,
+    in_b: Column,
+    k: int = 128,
+) -> DataFrame:
+    """Theta-sketch-style set algebra from ONE pass: estimated distinct
+    cardinality of A ∪ B and A ∩ B, where membership is given by the
+    boolean columns ``in_a`` / ``in_b`` evaluated per row.
+
+    Mechanism: collapse rows to distinct values carrying OR-ed membership
+    flags, hash with the portable 60-bit hash, keep the k smallest
+    hashes of the union.  θ = k-th hash; est_union = (k-1)/(θ/2^60);
+    est_intersection = (both-members among the k) · (k-1)/k / (θ/2^60)
+    — the standard theta intersection over the union sample.  Under k
+    union values the sketch is the whole set and both estimates are
+    exact.
+
+    Deterministic: the hash family is portable and the top-k is a pure
+    function of the value SET, so even the *estimates* have an exact SQL
+    oracle (the property rand()/HLL sketches can't offer).  Exact twins
+    ship beside the estimates for error audit.
+
+    Scale shape: one (value)-keyed shuffle for the flag-OR distinct,
+    then a global top-k (per-partition partial top-k + tiny merge).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    flagged = (
+        df.select(
+            v.cast("string").alias("__v"),
+            in_a.cast("boolean").alias("__a"),
+            in_b.cast("boolean").alias("__b"),
+        )
+        .where(F.col("__v").isNotNull() & (F.col("__a") | F.col("__b")))
+        .groupBy("__v")
+        .agg(F.max("__a").alias("a"), F.max("__b").alias("b"))
+        .select(
+            portable_hash60(F.col("__v")).alias("h"), "a", "b"
+        )
+        .persist()
+    )
+    kth = flagged.orderBy("h").limit(k)
+    agg = kth.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias("c_both"),
+    )
+    exact = flagged.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).alias(
+            "exact_intersection"
+        ),
+    )
+    theta = F.col("kth_hash") / F.lit(HASH_SPACE)
+    return agg.crossJoin(exact).select(
+        F.lit(k).alias("k"),
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("long"))
+        .otherwise(F.round((k - 1) / theta).cast("long"))
+        .alias("est_union"),
+        F.when(F.col("n_kept") < k, F.col("c_both"))
+        .otherwise(
+            F.round(F.col("c_both") * (k - 1) / k / theta).cast("long")
+        )
+        .alias("est_intersection"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+    )

@@ -420,3 +420,61 @@ def mix_corpora_temperature_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("source", "mix_rate_threshold").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept")
     )
+
+
+_KMV_K = 128
+_KMV_SPACE = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60
+_KMV_SPLIT = "1997-01-01"
+
+
+@register(
+    "sketch_kmv_union_intersect",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS v,
+             MAX(l_shipdate < DATE '{_KMV_SPLIT}') AS a,
+             MAX(l_shipdate >= DATE '{_KMV_SPLIT}') AS b
+      FROM lineitem GROUP BY v),
+    h AS (SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h, a, b FROM f),
+    topk AS (SELECT * FROM h ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth,
+                   CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_both
+            FROM topk),
+    ex AS (SELECT COUNT(*)::BIGINT AS exact_union,
+                  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                      AS exact_intersection
+           FROM h)
+    SELECT {_KMV_K} AS k,
+           CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                ELSE CAST(round({_KMV_K - 1} / (kth / {_KMV_SPACE}))
+                          AS BIGINT) END AS est_union,
+           CASE WHEN n_kept < {_KMV_K} THEN c_both
+                ELSE CAST(round(((c_both * {_KMV_K - 1}) / {_KMV_K})
+                                / (kth / {_KMV_SPACE})) AS BIGINT)
+                END AS est_intersection,
+           exact_union, exact_intersection
+    FROM agg CROSS JOIN ex
+    """,
+    doc="Theta-sketch-style set algebra over KMV sketches "
+    "(operators/sketches.py::kmv_set_relation): estimated |A ∪ B| and "
+    "|A ∩ B| for the part sets shipped before/after the split date, "
+    "from ONE pass (flag-OR distinct → portable hash → global top-k). "
+    "The hash family is deterministic and cross-engine, so even the "
+    "ESTIMATES have an exact SQL oracle; exact twins ship beside them "
+    "for error audit. At 100 TB the sketch state is O(k) and the "
+    "top-k is per-partition partial + tiny merge — the pattern for "
+    "audience-overlap / cross-corpus-contamination questions that "
+    "would otherwise need a full distinct join.",
+)
+def sketch_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_set_relation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_set_relation(
+        li,
+        "l_partkey",
+        in_a=F.col("l_shipdate") < F.lit(_KMV_SPLIT),
+        in_b=F.col("l_shipdate") >= F.lit(_KMV_SPLIT),
+        k=_KMV_K,
+    )
