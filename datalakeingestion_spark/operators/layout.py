@@ -120,3 +120,39 @@ def pruning_stats(
             "rows_in_scanned"
         ),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    order_cols: Sequence[str],
+    bytes_col: str,
+    target_bytes: int,
+    id_col: str,
+) -> DataFrame:
+    """Small-file compaction planning: assign files (in ``order_cols``
+    order, so merged files stay range-clustered) to merge groups of
+    ≈ ``target_bytes`` via the distributed exclusive-prefix-sum bucketing
+    of ``packing.pack_sequences`` — group = floor(prefix_bytes/target).
+    A file whose tail crosses the target stays whole in its group
+    (pack-with-overflow), so every group except possibly the last is
+    ≥ target once it closes.
+
+    Returns (id_col, ``bytes_col``, merge_group).  The input is a
+    file-level stats frame (one row per file), so this plans a 100 TB
+    lake's compaction from metadata only — the data itself is never
+    read until the rewrite executes.
+    """
+    from .packing import pack_sequences
+
+    planned = pack_sequences(
+        files.select(id_col, bytes_col, *[
+            c for c in order_cols if c not in (id_col, bytes_col)
+        ]),
+        token_budget=int(target_bytes),
+        id_col=id_col,
+        tokens_col=bytes_col,
+        order_cols=list(order_cols),
+    )
+    return planned.select(
+        id_col, bytes_col, F.col("seq_id").alias("merge_group")
+    )

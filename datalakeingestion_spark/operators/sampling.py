@@ -277,3 +277,37 @@ def mix_corpora_temperature(
         df.join(F.broadcast(rates), source_col)
         .filter(h < F.col("mix_rate_threshold"))
     )
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    weight: Column,
+    key: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, via the Efraimidis-
+    Spirakis A-ES scheme made deterministic: each row gets the sort key
+    ln(u)/w with u = (hash(key#salt)+1)/2^32 ∈ (0,1], and the k LARGEST
+    keys win — equivalent to ordering by u^(1/w), so inclusion
+    probability scales with weight, but reproducible on any engine or
+    partitioning because u comes from the portable hash, not rand().
+
+    Adds ``aes_key`` (the sort key).  Rows with weight ≤ 0 are excluded
+    (they could never win a draw).
+
+    Scale shape: a per-row expression plus a global top-k (per-partition
+    partial top-k + tiny merge) — no shuffle of the full data.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (_rate_hash(key, salt) + F.lit(1)).cast("double") / F.lit(
+        HASH_SPACE_32
+    )
+    aes = F.log(u) / weight.cast("double")
+    return (
+        df.filter(weight > 0)
+        .withColumn("aes_key", aes)
+        .orderBy(F.col("aes_key").desc())
+        .limit(k)
+    )

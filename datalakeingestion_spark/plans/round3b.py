@@ -478,3 +478,99 @@ def sketch_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_b=F.col("l_shipdate") >= F.lit(_KMV_SPLIT),
         k=_KMV_K,
     )
+
+
+@register(
+    "sample_weighted_aes_top50",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#aes'),
+                   1, 8))::BIGINT + 1) / CAST(4294967296 AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE) AS aes_key
+      FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, n_chars, aes_key,
+                 row_number() OVER (ORDER BY aes_key DESC, doc_id) AS rnk
+          FROM s)
+    SELECT doc_id, n_chars, round(aes_key, 6) AS aes_key, rnk
+    FROM r WHERE rnk <= 50
+    """,
+    doc="Weighted sampling WITHOUT replacement, 50 docs weighted by "
+    "length (operators/sampling.py::weighted_sample_aes) — the "
+    "Efraimidis-Spirakis A-ES scheme with the randomness replaced by "
+    "the portable hash: sort key ln(u)/w, u = (hash+1)/2^32, largest k "
+    "win. Inclusion probability scales with weight, yet the draw is "
+    "reproducible on any engine/partitioning — so the SQL oracle "
+    "replicates the exact sample. Per-row expression + global top-k "
+    "(partial top-k per partition, tiny merge); no shuffle of the data.",
+)
+def sample_weighted_aes_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import weighted_sample_aes
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample_aes(docs, F.col("n_chars"), "doc_id", 50)
+    w = Window.orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+    return picked.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id",
+        "n_chars",
+        F.round("aes_key", 6).alias("aes_key"),
+        "rnk",
+    )
+
+
+_COMPACT_TARGET = 100_000
+_ROW_BYTES = 120  # est. encoded bytes per lineitem row (planning proxy)
+
+
+@register(
+    "compaction_plan_daily",
+    oracle=f"""
+    WITH f AS (SELECT l_shipdate AS d, COUNT(*) * {_ROW_BYTES} AS est_bytes
+               FROM lineitem GROUP BY l_shipdate),
+    c AS (SELECT d, est_bytes,
+                 COALESCE(SUM(est_bytes) OVER (
+                     ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb
+          FROM f),
+    g AS (SELECT d, est_bytes,
+                 CAST(cb // {_COMPACT_TARGET} AS BIGINT) AS merge_group
+          FROM c)
+    SELECT merge_group,
+           COUNT(*)::BIGINT AS n_files,
+           CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(d) AS VARCHAR) AS d_min,
+           CAST(MAX(d) AS VARCHAR) AS d_max
+    FROM g GROUP BY merge_group
+    """,
+    doc="Small-file compaction planning (operators/layout.py::"
+    "compaction_plan): one simulated file per ship-date (the classic "
+    "daily-ingest small-file problem), packed into ~100 KB merge groups "
+    "in date order via the distributed exclusive-prefix-sum — merged "
+    "files stay range-clustered so date pruning survives compaction. "
+    "Planning runs on the file-stats frame only (metadata-sized, not "
+    "data-sized): the 100 TB lake is never read to decide what to "
+    "rewrite. Mirrors Delta OPTIMIZE / bin-packing maintenance.",
+)
+def compaction_plan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import compaction_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy("l_shipdate").agg(
+        (F.count(F.lit(1)) * _ROW_BYTES).cast("long").alias("est_bytes")
+    )
+    plan = compaction_plan(
+        files,
+        order_cols=["l_shipdate"],
+        bytes_col="est_bytes",
+        target_bytes=_COMPACT_TARGET,
+        id_col="l_shipdate",
+    )
+    return plan.groupBy("merge_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("est_bytes").cast("long").alias("total_bytes"),
+        F.min("l_shipdate").cast("string").alias("d_min"),
+        F.max("l_shipdate").cast("string").alias("d_max"),
+    )

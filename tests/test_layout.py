@@ -91,3 +91,29 @@ def test_bad_args_rejected(spark):
         file_minmax_stats(df, "uid", ["uid"], ["v"], 0)
     with pytest.raises(ValueError):
         morton_code(F.col("v"), F.col("v"), 0)
+
+
+def test_compaction_plan_groups_and_clustering(spark):
+    from datalakeingestion_spark.operators.layout import compaction_plan
+
+    files = [(f"f{i:03d}", 40) for i in range(25)]  # 1000 bytes total
+    df = spark.createDataFrame(files, "path string, bytes long")
+    plan = compaction_plan(
+        df, order_cols=["path"], bytes_col="bytes",
+        target_bytes=200, id_col="path",
+    ).collect()
+    groups = {}
+    for r in plan:
+        groups.setdefault(r["merge_group"], []).append(r["path"])
+    # 25 * 40 / 200 -> exactly 5 full groups of 5 files
+    assert len(groups) == 5
+    assert all(len(v) == 5 for v in groups.values())
+    # range clustering: group membership follows the sort order
+    for g, paths in groups.items():
+        assert paths == sorted(paths)
+        assert all(
+            p < q
+            for p in paths
+            for h, qs in groups.items() if h > g
+            for q in qs
+        )

@@ -49,3 +49,35 @@ def test_threshold_column_is_exact_ieee_math(spark):
     }
     assert thr["b"] == 1 << 32  # smallest source: q = 1.0
     assert thr["a"] == math.floor(math.sqrt(16 / 64) * float(1 << 32))
+
+
+def test_aes_weighting_biases_toward_heavy_rows(spark):
+    from datalakeingestion_spark.operators.sampling import weighted_sample_aes
+
+    # 100 heavy rows (w=50) vs 900 light rows (w=1): heavy rows carry
+    # ~85% of total weight and should dominate a 100-draw sample
+    rows = [(i, 50.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_aes(df, F.col("w"), "doc_id", 100).collect()
+    heavy = sum(1 for r in got if r["w"] == 50.0)
+    assert len(got) == 100
+    assert heavy > 60
+    # deterministic across reruns
+    again = weighted_sample_aes(df, F.col("w"), "doc_id", 100).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_aes_excludes_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    from datalakeingestion_spark.operators.sampling import weighted_sample_aes
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double"
+    )
+    got = weighted_sample_aes(df, F.col("w"), "doc_id", 10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    with _pytest.raises(ValueError):
+        weighted_sample_aes(df, F.col("w"), "doc_id", 0)
