@@ -174,3 +174,51 @@ def psi_between(
         "n_new",
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    in_scale: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression y = a·x + b plus R², from the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    map-side-combinable form, so the whole fit is ONE aggregation pass
+    whatever the group count or data size (the same shape sklearn's
+    partial_fit or any MR regression uses).
+
+    Determinism: inputs are fixed-point decimals (``in_scale`` dp), so
+    every sufficient statistic is an exact decimal sum — identical under
+    any partitioning — and the final slope/intercept/R² are a fixed
+    dag of double ops over identical inputs, hence bit-identical across
+    engines.  Groups with zero x-variance get NULL slope/intercept/R².
+    """
+    dx = F.col(x).cast(f"decimal(18,{in_scale})")
+    dy = F.col(y).cast(f"decimal(18,{in_scale})")
+    prod = f"decimal(30,{2 * in_scale})"
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(dx).cast("double").alias("_sx"),
+        F.sum(dy).cast("double").alias("_sy"),
+        F.sum((dx * dy).cast(prod)).cast("double").alias("_sxy"),
+        F.sum((dx * dx).cast(prod)).cast("double").alias("_sxx"),
+        F.sum((dy * dy).cast(prod)).cast("double").alias("_syy"),
+    )
+    cov_n = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x != 0, cov_n / var_x)
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        slope.alias("slope"),
+        F.when(
+            var_x != 0,
+            (F.col("_sy") - cov_n / var_x * F.col("_sx")) / F.col("_n"),
+        ).alias("intercept"),
+        F.when(
+            (var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)
+        ).alias("r2"),
+    )

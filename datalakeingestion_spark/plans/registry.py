@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
         relational,
         round3,
         round3b,
+        round3c,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -1,0 +1,38 @@
+"""Groupwise OLS from sufficient statistics (operators/profiling.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datalakeingestion_spark.operators.profiling import groupwise_ols
+
+
+def test_ols_matches_numpy_per_group(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, (a, b) in {"g1": (2.5, 10.0), "g2": (-1.25, 3.0)}.items():
+        x = rng.uniform(0, 100, 400).round(2)
+        y = (a * x + b + rng.normal(0, 5, 400)).round(2)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in groupwise_ols(df, ["g"], "x", "y").collect()}
+    for g in ("g1", "g2"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = got[g]
+        assert r["n"] == 400
+        assert abs(r["slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-5
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["r2"] - corr**2) < 1e-9
+
+
+def test_ols_degenerate_group_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0), ("g", 5.0, 3.0)],
+        "g string, x double, y double",
+    )
+    r = groupwise_ols(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+    assert r["n"] == 3
