@@ -31,6 +31,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.zorder import z_value, z_value_sql
 from .packing import global_positions
 
 
@@ -38,29 +39,21 @@ def morton_code(x: Column, y: Column, bits: int = 6) -> Column:
     """Interleave the low ``bits`` bits of non-negative ints ``x`` and
     ``y`` into a 2·bits-bit Z-order key (x takes the odd bit positions).
     Callers clamp inputs to [0, 2^bits) — out-of-range bits are ignored
-    by the masks, which silently folds distant values together."""
+    by the masks, which silently folds distant values together.
+
+    Thin wrapper over ``functions.zorder.z_value`` (the write-path
+    clustering key) with the (x, y) argument convention of this module.
+    """
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
-    terms: list[Column] = []
-    for i in range(bits):
-        xb = F.shiftright(x.bitwiseAND(F.lit(1 << i)), i)
-        yb = F.shiftright(y.bitwiseAND(F.lit(1 << i)), i)
-        terms.append(F.shiftleft(xb, 2 * i + 1) + F.shiftleft(yb, 2 * i))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
+    return z_value(y, x, bits)  # z_value puts its FIRST arg at even bits
 
 
 def morton_code_sql(x: str, y: str, bits: int = 6) -> str:
-    """ANSI-SQL twin of :func:`morton_code` (DuckDB bit operators)."""
-    terms = []
-    # each term is fully parenthesized: SQL shift operators bind LOOSER
-    # than +, so a bare `a << 1 + b << 2` would parse as a << (1+b) << 2
-    for i in range(bits):
-        terms.append(f"(((({x}) & {1 << i}) >> {i}) << {2 * i + 1})")
-        terms.append(f"(((({y}) & {1 << i}) >> {i}) << {2 * i})")
-    return "(" + " + ".join(terms) + ")"
+    """ANSI-SQL twin of :func:`morton_code` (DuckDB bit operators).
+    Every term is fully parenthesized — SQL shift operators bind LOOSER
+    than ``+``, so a bare ``a << 1 + b << 2`` would misparse."""
+    return z_value_sql(y, x, bits)
 
 
 def file_minmax_stats(
