@@ -407,3 +407,68 @@ def test_label_centroid_pairwise_stays_tiny(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_mv_states_partial_aggregated(spark):
+    # each state is a partial-aggregated (map-side-combined) hash
+    # aggregate; the merge re-aggregates the union — no join anywhere
+    plan = formatted_plan(run(spark, "mv_incremental_revenue"))
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pagerank_no_cartesian_and_rank_frame_joins_hashed(spark):
+    plan = formatted_plan(run(spark, "pagerank_trade_graph_3iter"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_transition_matrix_single_shuffle(spark):
+    # one hash exchange on user_id feeds the window; the final aggregate
+    # adds its own exchange on the (from, to) pair — exactly two
+    import re
+
+    plan = formatted_plan(run(spark, "event_transition_matrix"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_rates_broadcast_back(spark):
+    # the |S|-row rate frame joins back via broadcast; the corpus side
+    # never shuffles for the join
+    plan = formatted_plan(run(spark, "mix_corpora_temperature_half"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decay_score_reference_is_broadcast_not_shuffle(spark):
+    plan = formatted_plan(run(spark, "decayed_event_score"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ols_single_combinable_pass(spark):
+    # five sufficient statistics in ONE partial-aggregated exchange
+    import re
+
+    plan = formatted_plan(run(spark, "ols_price_quantity_by_flag"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_zorder_report_has_no_global_window(spark):
+    # ranks come from the distributed prefix sum (the mapInPandas runs
+    # behind an eager localCheckpoint, so the final plan reads its RDD),
+    # never a single-partition Window
+    plan = formatted_plan(run(spark, "zorder_skipping_report"))
+    assert "Window" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_aes_sample_is_takeordered_not_global_sort(spark):
+    # global top-k compiles to TakeOrderedAndProject (per-partition
+    # partial top-k + tiny merge), not a full Sort + Exchange
+    plan = formatted_plan(run(spark, "sample_weighted_aes_top50"))
+    assert "TakeOrderedAndProject" in plan, plan
