@@ -222,3 +222,63 @@ def groupwise_ols(
             (var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)
         ).alias("r2"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: str = "decimal(15,2)",
+    z: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier stats via the Median Absolute Deviation —
+    the data-quality screen that survives the very outliers it hunts
+    (mean/stddev get dragged by them; median/MAD don't).
+
+    Exactness: values are cast to their fixed-point ``scale`` (TPC-H
+    money is DECIMAL(15,2) semantically), the median is the LOWER median
+    (the value at 1-based rank (n+1) div 2 — a data value, no
+    interpolation), deviations and the z·MAD fence are decimal
+    arithmetic — the whole result is integer/decimal-exact, no floats
+    anywhere.
+
+    Scale shape: one hash exchange on the group key feeds both ranking
+    windows (Spark reuses the exchange); the per-group median/MAD frames
+    are group-count-sized and broadcast back.  Returns (keys…, n,
+    median, mad, n_outliers) where outliers satisfy |v − median| >
+    z·MAD.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    v = F.col(value_col).cast(scale)
+    base = df.select(*keys, v.alias("_v"))
+    w = Window.partitionBy(*keys).orderBy("_v")
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    med = (
+        ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(*keys, F.col("_v").alias("median"), F.col("_n").alias("n"))
+    )
+    dev = base.join(F.broadcast(med), keys).withColumn(
+        "_d", F.abs(F.col("_v") - F.col("median"))
+    )
+    wd = Window.partitionBy(*keys).orderBy("_d")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
+        .select(*keys, F.col("_d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("_d") > F.lit(z) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

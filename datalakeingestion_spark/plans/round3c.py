@@ -226,3 +226,132 @@ def ols_price_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+@register(
+    "mad_outliers_by_flag",
+    oracle="""
+    WITH b AS (SELECT l_returnflag AS g,
+                      CAST(l_extendedprice AS DECIMAL(15,2)) AS v
+               FROM lineitem),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM b),
+    med AS (SELECT g, v AS median, n FROM r WHERE rn = (n + 1) // 2),
+    dev AS (SELECT b.g, abs(b.v - m.median) AS d, m.median, m.n
+            FROM b JOIN med m ON b.g = m.g),
+    rd AS (SELECT g, d, n,
+                  row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+           FROM dev),
+    mad AS (SELECT g, d AS mad FROM rd WHERE rn = (n + 1) // 2)
+    SELECT dev.g AS l_returnflag,
+           CAST(MAX(dev.n) AS BIGINT) AS n,
+           CAST(MAX(dev.median) AS DOUBLE) AS median,
+           CAST(MAX(mad.mad) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.g = mad.g
+    GROUP BY dev.g
+    """,
+    doc="Robust per-group outlier screen via Median Absolute Deviation "
+    "(operators/profiling.py::mad_outliers) — the data-quality fence "
+    "that the outliers themselves can't drag, unlike mean/stddev. "
+    "Entirely decimal/integer exact: lower median (a data value, no "
+    "interpolation), decimal deviations, decimal 3·MAD fence — no "
+    "floats anywhere. One hash exchange on the key feeds both ranking "
+    "windows; the median/MAD frames are group-count-sized broadcasts.",
+)
+def mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = mad_outliers(li, ["l_returnflag"], "l_extendedprice")
+    # presentation cast: 2-dp decimals convert losslessly to double
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("median").cast("double").alias("median"),
+        F.col("mad").cast("double").alias("mad"),
+        "n_outliers",
+    )
+
+
+_CK_BLOCKS = 64
+_CK_SIG = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), "
+    "CAST(l_suppkey AS VARCHAR), "
+    "CAST(CAST(l_quantity AS DECIMAL(15,2)) AS VARCHAR), "
+    "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR), "
+    "l_returnflag, CAST(l_shipdate AS VARCHAR))"
+)
+_CK_H = f"('0x' || substr(md5({_CK_SIG}), 1, 15))::BIGINT"
+_CK_DROP = "l_orderkey % 1000 = 7"
+
+
+@register(
+    "table_checksum_diff_blocks",
+    oracle=f"""
+    WITH l AS (SELECT {_CK_H} % {_CK_BLOCKS} AS block_id,
+                      CAST({_CK_H} AS DECIMAL(38,0)) AS h
+               FROM lineitem),
+    r AS (SELECT {_CK_H} % {_CK_BLOCKS} AS block_id,
+                 CAST({_CK_H} AS DECIMAL(38,0)) AS h
+          FROM lineitem WHERE NOT ({_CK_DROP})),
+    lc AS (SELECT block_id, COUNT(*)::BIGINT AS n_left,
+                  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_left
+           FROM l GROUP BY block_id),
+    rc AS (SELECT block_id, COUNT(*)::BIGINT AS n_right,
+                  CAST(SUM(h) AS DECIMAL(38,0)) AS sum_right
+           FROM r GROUP BY block_id),
+    j AS (SELECT COALESCE(lc.block_id, rc.block_id) AS block_id,
+                 COALESCE(n_left, 0) AS n_left,
+                 COALESCE(n_right, 0) AS n_right,
+                 COALESCE(sum_left, CAST(0 AS DECIMAL(38,0))) AS sum_left,
+                 COALESCE(sum_right, CAST(0 AS DECIMAL(38,0))) AS sum_right
+          FROM lc FULL OUTER JOIN rc ON lc.block_id = rc.block_id)
+    SELECT block_id, n_left, n_right,
+           CAST(sum_left % 1152921504606846976 AS BIGINT) AS ck_left,
+           CAST(sum_right % 1152921504606846976 AS BIGINT) AS ck_right
+    FROM j WHERE n_left <> n_right OR sum_left <> sum_right
+    """,
+    doc="Merkle-style anti-entropy between two table versions "
+    "(operators/reconcile.py::checksum_diff): hash every row over a "
+    "canonical fixed-scale string encoding, aggregate exact-decimal "
+    "checksums per hash-range block, and full-outer-join the two B-row "
+    "frames — blocks that agree are proven identical-in-multiset, so "
+    "only differing blocks (here: the ones holding the dropped "
+    "l_orderkey%1000=7 rows) need row-level work. The 100 TB diff plan "
+    "costs two scans plus 2·B rows; the sibling of timetravel's "
+    "version_diff for when both sides are full tables, not commits.",
+)
+def table_checksum_diff_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import checksum_diff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("decimal(15,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("p"),
+        "l_returnflag",
+        "l_shipdate",
+    )
+    cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "q", "p", "l_returnflag", "l_shipdate",
+    ]
+    right = canon.filter(~F.expr(_CK_DROP))
+    diff = checksum_diff(canon, right, cols, n_blocks=_CK_BLOCKS)
+    # ship mod-2^60 residues: the exact decimal sums exceed int64 and
+    # would downgrade to lossy floats in the comparison layer
+    mod = F.lit(1 << 60).cast("decimal(38,0)")
+    return diff.select(
+        "block_id",
+        "n_left",
+        "n_right",
+        (F.col("sum_left") % mod).cast("long").alias("ck_left"),
+        (F.col("sum_right") % mod).cast("long").alias("ck_right"),
+    )

@@ -36,3 +36,32 @@ def test_ols_degenerate_group_yields_nulls(spark):
     r = groupwise_ols(df, ["g"], "x", "y").collect()[0]
     assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
     assert r["n"] == 3
+
+
+def test_mad_matches_python_reference(spark):
+    from datalakeingestion_spark.operators.profiling import mad_outliers
+
+    vals = {
+        "g1": [10.0, 12.0, 11.0, 13.0, 100.0, 11.5, 12.5],
+        "g2": [5.0, 5.0, 5.0, 5.0],
+    }
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in mad_outliers(df, ["g"], "v").collect()}
+
+    for g, vs in vals.items():
+        s = sorted(vs)
+        n = len(s)
+        med = s[(n + 1) // 2 - 1]  # lower median, 1-based (n+1) div 2
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(n + 1) // 2 - 1]
+        outliers = sum(1 for v in vs if abs(v - med) > 3 * mad)
+        r = got[g]
+        assert r["n"] == n
+        assert float(r["median"]) == med
+        assert float(r["mad"]) == mad
+        assert r["n_outliers"] == outliers
+    # g1's planted 100.0 must be flagged
+    assert got["g1"]["n_outliers"] == 1
+    # constant group: mad 0, nothing beyond the fence
+    assert float(got["g2"]["mad"]) == 0.0 and got["g2"]["n_outliers"] == 0
