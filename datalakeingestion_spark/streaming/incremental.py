@@ -452,3 +452,58 @@ def stream_dedup_lsh_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_mv_available_now(
+    spark: SparkSession,
+    lake_path: str,
+    schema: T.StructType,
+    keys: list,
+    measures_fn,
+    state_dir: str,
+    checkpoint: str,
+):
+    """Maintain a MATERIALIZED AGGREGATE view off the append-only lake:
+    each micro-batch of newly committed files folds into the view as a
+    partial-aggregate STATE (``operators.mv.aggregate_state``) written
+    to ``state_dir/epoch=<id>`` — the streaming half of the incremental
+    view maintenance the batch side oracle-checks as
+    ``mv_incremental_revenue``.
+
+    Exactly-once under epoch replay WITHOUT transactions: a replayed
+    epoch overwrites its own epoch directory with the identical state
+    (idempotent), never double-folds.  The view itself is assembled by
+    :func:`read_mv`, which merges all epoch states — each
+    distinct-key-sized, so the fold-on-read stays metadata-scale; call
+    sites can compact epochs through the same merge when E grows.
+
+    ``measures_fn`` is a zero-arg callable returning the measures dict
+    (columns can't be built before a session exists).  Returns the
+    StreamingQuery (caller awaits termination).
+    """
+    from ..operators.mv import aggregate_state
+
+    stream = spark.readStream.schema(schema).parquet(lake_path)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state = aggregate_state(batch_df, keys, measures_fn())
+        state.write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mv(spark: SparkSession, state_dir: str, keys: list) -> DataFrame:
+    """Assemble the current view from the persisted epoch states: one
+    merge (union + per-key re-sum) over frames that are each
+    distinct-key-sized."""
+    from ..operators.mv import merge_states
+
+    df = spark.read.parquet(state_dir)
+    return merge_states([df.drop("epoch")], keys)

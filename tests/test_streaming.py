@@ -613,3 +613,72 @@ def test_streaming_heavy_hitters_exact_counts(spark, tmp_path):
     ).parquet(src)
     got = drain()
     assert got == {"hot": 10, "warm": 5}
+
+
+def test_stream_mv_folds_batches_and_replay_is_idempotent(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from datalakeingestion_spark.operators.mv import aggregate_state
+    from datalakeingestion_spark.streaming.incremental import (
+        read_mv,
+        stream_mv_available_now,
+    )
+
+    lake = str(tmp_path / "lake")
+    state = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def measures():
+        return {"sum_v": F.col("v")}
+
+    def run():
+        q = stream_mv_available_now(
+            spark, lake, schema, ["k"], measures, state, ckpt
+        )
+        q.awaitTermination(120)
+
+    b1 = [("a", 1.0), ("a", 2.5), ("b", 10.0)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(lake)
+    run()
+    got = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in read_mv(spark, state, ["k"]).collect()
+    }
+    assert got == {"a": (3.5, 2), "b": (10.0, 1)}
+
+    # second batch folds in WITHOUT rescanning the first
+    b2 = [("a", 4.0), ("c", 7.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(lake)
+    run()
+    got = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in read_mv(spark, state, ["k"]).collect()
+    }
+    assert got == {"a": (7.5, 3), "b": (10.0, 1), "c": (7.0, 1)}
+
+    # replayed epoch: rewriting the same epoch dir with the same state
+    # must leave the view unchanged (idempotent overwrite, no double fold)
+    df1 = spark.createDataFrame(b1, schema)
+    aggregate_state(df1, ["k"], measures()).write.mode("overwrite").parquet(
+        f"{state}/epoch=0"
+    )
+    again = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in read_mv(spark, state, ["k"]).collect()
+    }
+    assert again == got
+
+    # no new files -> draining again adds nothing
+    run()
+    final = {
+        r["k"]: (float(r["sum_v"]), r["n_rows"])
+        for r in read_mv(spark, state, ["k"]).collect()
+    }
+    assert final == got
