@@ -355,3 +355,98 @@ def table_checksum_diff_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_left") % mod).cast("long").alias("ck_left"),
         (F.col("sum_right") % mod).cast("long").alias("ck_right"),
     )
+
+
+from .llm import TOKS_SQL as _TOKS2  # noqa: E402
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH vocab AS (SELECT DISTINCT unnest({_TOKS2}) AS tok
+                   FROM documents WHERE doc_id % 2 = 0),
+    s AS (SELECT source, unnest({_TOKS2}) AS tok
+          FROM documents WHERE doc_id % 2 = 1),
+    f AS (SELECT s.source, s.tok,
+                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM s LEFT JOIN vocab v ON s.tok = v.tok)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM f GROUP BY source
+    """,
+    doc="Tokenizer-vocabulary coverage per source: the vocab is built "
+    "from the even-doc_id half and the odd half measures its "
+    "out-of-vocabulary token rate by source — the go/no-go check before "
+    "freezing a tokenizer on a new data mix (a source with high OOV "
+    "wastes its token budget on fallback bytes). One token shuffle into "
+    "a hash left-join against the distinct-vocab frame (broadcast at "
+    "this SF; plain equi-join at 100 TB), then a per-source aggregate.",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    s = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    f = s.join(vocab, "tok", "left").select(
+        "source", F.isnull("_known").cast("long").alias("oov")
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+_BLOCKLIST = {
+    "latency": ("slow", "lag", "wait"),
+    "failure": ("error", "crash", "fail"),
+    "storage": ("disk", "spill", "merge"),
+}
+
+
+@register(
+    "blocklist_filter_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS2} AS toks FROM documents)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           {", ".join(
+               "CAST(SUM(CASE WHEN "
+               + " OR ".join(f"list_contains(toks, '{w}')" for w in ws)
+               + " THEN 1 ELSE 0 END) AS BIGINT) AS flagged_" + cat
+               for cat, ws in sorted(_BLOCKLIST.items())
+           )}
+    FROM t GROUP BY source
+    """,
+    doc="Category blocklist screening — the wordlist-filter stage every "
+    "curation pipeline runs (C4's badwords list is the canonical "
+    "example; categories here are synthetic to fit the fixture "
+    "vocabulary). Per-source doc counts flagged by each category as "
+    "pure array-membership column expressions: zero shuffles before "
+    "the per-source aggregate, and the plan is one scan regardless of "
+    "category count.",
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", tokens("text").alias("toks"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for cat, ws in sorted(_BLOCKLIST.items()):
+        hit = F.arrays_overlap(
+            F.col("toks"), F.array(*[F.lit(w) for w in ws])
+        )
+        aggs.append(F.sum(hit.cast("long")).alias(f"flagged_{cat}"))
+    return t.groupBy("source").agg(*aggs)
