@@ -179,3 +179,61 @@ print("winnowing fingerprint pairs:",
 embedding_centroid_outliers(emb, k_outliers=5).filter("is_outlier").show()
 label_centroid_similarity(emb).orderBy(F.desc("cosine")).show(3)
 sample_negatives(emb, emb.filter("vec_id < 2"), k_neg=5).show()
+
+# 10. Continuation operators: views, graphs, layout, reconciliation
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalakeingestion_spark.operators.graph import (  # noqa: E402
+    customer_supplier_edges,
+    pagerank_fixed_point,
+)
+from datalakeingestion_spark.operators.layout import (  # noqa: E402
+    compaction_plan,
+)
+from datalakeingestion_spark.operators.mv import (  # noqa: E402
+    aggregate_state,
+    finalize_state,
+    merge_states,
+)
+from datalakeingestion_spark.operators.profiling import (  # noqa: E402
+    groupwise_ols,
+    mad_outliers,
+)
+from datalakeingestion_spark.operators.reconcile import (  # noqa: E402
+    checksum_diff,
+)
+from datalakeingestion_spark.operators.sampling import (  # noqa: E402
+    mix_corpora_temperature,
+    weighted_sample_aes,
+)
+
+li = spark.table("lineitem")
+orders = spark.table("orders")
+
+# incremental view: fold a new batch into the old state, never rescan
+keys, meas = ["l_returnflag"], {"rev": F.col("l_extendedprice").cast("decimal(18,4)")}
+old = aggregate_state(li.filter("l_shipdate < '1997-01-01'"), keys, meas)
+new = aggregate_state(li.filter("l_shipdate >= '1997-01-01'"), keys, meas)
+finalize_state(merge_states([old, new], keys), keys).show()
+
+pagerank_fixed_point(customer_supplier_edges(orders, li), iters=3) \
+    .orderBy(F.desc("rank")).show(5)
+
+files = li.groupBy("l_shipdate").agg(
+    (F.count(F.lit(1)) * 120).cast("long").alias("bytes"))
+compaction_plan(files, ["l_shipdate"], "bytes", 100_000, "l_shipdate") \
+    .groupBy("merge_group").count().orderBy("merge_group").show(5)
+
+mad_outliers(li, ["l_returnflag"], "l_extendedprice").show()
+groupwise_ols(li, ["l_returnflag"], "l_quantity", "l_extendedprice").show()
+
+canon = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_extendedprice").cast("decimal(15,2)").alias("p"))
+print("diff blocks after dropping one order family:",
+      checksum_diff(canon, canon.filter("l_orderkey % 1000 != 7"),
+                    ["l_orderkey", "l_linenumber", "p"]).count())
+
+mix_corpora_temperature(docs, "source", "doc_id") \
+    .groupBy("source").count().show(5)
+weighted_sample_aes(docs, F.col("n_chars"), "doc_id", 5) \
+    .select("doc_id", "n_chars").show()
