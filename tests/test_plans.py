@@ -472,3 +472,31 @@ def test_aes_sample_is_takeordered_not_global_sort(spark):
     # partial top-k + tiny merge), not a full Sort + Exchange
     plan = formatted_plan(run(spark, "sample_weighted_aes_top50"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mad_windows_share_one_key_exchange(spark):
+    # both ranking windows partition on the same key; the group-sized
+    # median/MAD frames come back as broadcasts — no SortMergeJoin
+    plan = formatted_plan(run(spark, "mad_outliers_by_flag"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_checksum_diff_joins_block_frames_only(spark):
+    # the full-outer join is between two B-row checksum frames, never
+    # the row-level tables
+    import re
+
+    plan = formatted_plan(run(spark, "table_checksum_diff_blocks"))
+    assert "FullOuter" in plan, plan
+    # two scans -> two partial-aggregated block frames -> join
+    assert len(re.findall(r"partial_(sum|count)", plan)) >= 2, plan
+
+
+def test_blocklist_zero_preaggregate_shuffle(spark):
+    # array-membership flags are row expressions; the only exchange is
+    # the per-source aggregate's own
+    import re
+
+    plan = formatted_plan(run(spark, "blocklist_filter_stats"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
