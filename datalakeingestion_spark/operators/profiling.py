@@ -242,43 +242,73 @@ def mad_outliers(
     arithmetic — the whole result is integer/decimal-exact, no floats
     anywhere.
 
-    Scale shape: one hash exchange on the group key feeds both ranking
-    windows (Spark reuses the exchange); the per-group median/MAD frames
-    are group-count-sized and broadcast back.  Returns (keys…, n,
-    median, mad, n_outliers) where outliers satisfy |v − median| >
-    z·MAD.
+    Scale shape — median WITHOUT sorting the data: fixed-precision
+    values have a bounded domain, so the median comes from the per-group
+    VALUE HISTOGRAM (count per distinct value) and a cumulative sum over
+    it — the ranking windows run over histogram frames (≤ |domain| rows
+    per group), never the raw rows.  A naive per-group sort degenerates
+    when groups are few and huge (measured 50 s on 20M rows × 5 groups;
+    the histogram form takes the data-sized work down to two
+    map-side-combinable aggregates).  Returns (keys…, n, median, mad,
+    n_outliers) where outliers satisfy |v − median| > z·MAD.
     """
     from pyspark.sql import Window
 
     keys = list(keys)
     v = F.col(value_col).cast(scale)
     base = df.select(*keys, v.alias("_v"))
-    w = Window.partitionBy(*keys).orderBy("_v")
-    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+
+    def _lower_median(frame: DataFrame, col: str, cnt: str) -> DataFrame:
+        """(keys…, median of `col` weighted by `cnt`, n) via histogram
+        cumsum: smallest value whose cumulative count reaches
+        (n+1) div 2."""
+        w_cum = (
+            Window.partitionBy(*keys)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy(*keys)
+        cum = frame.withColumn("_cum", F.sum(cnt).over(w_cum)).withColumn(
+            "_n", F.sum(cnt).over(w_all)
+        )
+        return cum.groupBy(*keys).agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_n + 1) div 2"), F.col(col)
+                )
+            ).alias("_med"),
+            F.max("_n").cast("long").alias("_n_rows"),
+        )
+
+    hist = base.groupBy(*keys, "_v").agg(F.count(F.lit(1)).alias("_c"))
+    med = _lower_median(hist, "_v", "_c").select(
+        *keys, F.col("_med").alias("median"), F.col("_n_rows").alias("n")
     )
-    med = (
-        ranked.filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
-        .select(*keys, F.col("_v").alias("median"), F.col("_n").alias("n"))
+    dev_hist = (
+        hist.join(F.broadcast(med), keys)
+        .select(
+            *keys,
+            F.abs(F.col("_v") - F.col("median")).alias("_d"),
+            "_c",
+        )
+        .groupBy(*keys, "_d")
+        .agg(F.sum("_c").alias("_c"))
     )
-    dev = base.join(F.broadcast(med), keys).withColumn(
-        "_d", F.abs(F.col("_v") - F.col("median"))
-    )
-    wd = Window.partitionBy(*keys).orderBy("_d")
-    mad = (
-        dev.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
-        .select(*keys, F.col("_d").alias("mad"))
+    mad = _lower_median(dev_hist, "_d", "_c").select(
+        *keys, F.col("_med").alias("mad")
     )
     return (
-        dev.join(F.broadcast(mad), keys)
+        dev_hist.join(F.broadcast(med), keys)
+        .join(F.broadcast(mad), keys)
         .groupBy(*keys)
         .agg(
             F.max("n").cast("long").alias("n"),
             F.max("median").alias("median"),
             F.max("mad").alias("mad"),
             F.sum(
-                (F.col("_d") > F.lit(z) * F.col("mad")).cast("long")
-            ).alias("n_outliers"),
+                F.when(
+                    F.col("_d") > F.lit(z) * F.col("mad"), F.col("_c")
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
         )
     )
