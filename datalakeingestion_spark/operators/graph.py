@@ -115,3 +115,66 @@ def customer_supplier_edges(
     return pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def knn_label_propagation(
+    emb: DataFrame,
+    unlabeled: "F.Column",
+    k: int = 5,
+    block_size: int = 128,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One round of semi-supervised label propagation over the EXACT
+    cosine k-NN graph: each node matching ``unlabeled`` takes the
+    majority label among its k nearest LABELED neighbors (ties break to
+    the smallest label — deterministic), the classic transductive
+    baseline (Zhu & Ghahramani 2002) for pseudo-labeling a partially
+    annotated corpus.
+
+    Unlabeled nodes whose entire neighborhood is also unlabeled abstain
+    (absent from the output) — at realistic label rates with k ≥ 5 this
+    is rare, and a second round over the augmented label set picks them
+    up.
+
+    Cost = the k-NN graph itself (block matmul, see
+    ``similarity.knn_graph``) + one vote aggregate on the k·|unlabeled|
+    edge subset; the vote frames are label-cardinality-sized per node.
+    Returns (id_col, true_label, predicted_label, n_labeled_neighbors,
+    correct).
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import knn_graph
+
+    g = knn_graph(emb, k=k, block_size=block_size)
+    unl = emb.filter(unlabeled).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    lab = emb.filter(~unlabeled).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nb_label"),
+    )
+    votes = g.join(unl, "query_id").join(lab, "neighbor_id")
+    counts = votes.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nb_label")
+    )
+    tot = Window.partitionBy("query_id")
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_labeled_neighbors", F.sum("c").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            "true_label",
+            F.col("nb_label").alias("predicted_label"),
+            F.col("n_labeled_neighbors").cast("long").alias(
+                "n_labeled_neighbors"
+            ),
+            (F.col("nb_label") == F.col("true_label")).alias("correct"),
+        )
+    )

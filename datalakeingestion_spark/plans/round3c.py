@@ -450,3 +450,53 @@ def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(F.sum(hit.cast("long")).alias(f"flagged_{cat}"))
     return t.groupBy("source").agg(*aggs)
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+# the exact-kNN oracle is registered by plans/llm2.py (imported before
+# this module by the registry loader); compose it rather than duplicate
+_KNN_ORACLE = _REG["knn_graph_topk"].oracle
+
+
+@register(
+    "label_prop_knn_majority",
+    oracle=f"""
+    WITH g AS ({_KNN_ORACLE}),
+    unl AS (SELECT vec_id, label AS true_label FROM embeddings
+            WHERE vec_id % 3 = 0),
+    lab AS (SELECT vec_id, label AS nb_label FROM embeddings
+            WHERE vec_id % 3 <> 0),
+    votes AS (SELECT g.query_id, u.true_label, l.nb_label
+              FROM g JOIN unl u ON u.vec_id = g.query_id
+              JOIN lab l ON l.vec_id = g.neighbor_id),
+    counts AS (SELECT query_id, true_label, nb_label, COUNT(*) AS c
+               FROM votes GROUP BY query_id, true_label, nb_label),
+    tot AS (SELECT query_id, CAST(SUM(c) AS BIGINT) AS n_labeled_neighbors
+            FROM counts GROUP BY query_id),
+    r AS (SELECT query_id, true_label, nb_label,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, nb_label) AS rn
+          FROM counts)
+    SELECT r.query_id AS vec_id, r.true_label,
+           r.nb_label AS predicted_label,
+           tot.n_labeled_neighbors,
+           (r.nb_label = r.true_label) AS correct
+    FROM r JOIN tot USING (query_id) WHERE rn = 1
+    """,
+    doc="One round of semi-supervised label propagation "
+    "(operators/graph.py::knn_label_propagation): every third vector is "
+    "masked unlabeled and takes the majority label among its 5 nearest "
+    "LABELED neighbors on the exact cosine kNN graph (min-label "
+    "tie-break) — the classic transductive pseudo-labeling baseline. "
+    "The oracle composes the registered knn_graph_topk oracle verbatim, "
+    "so graph and vote are both value-checked. Cost = the kNN graph + "
+    "one vote aggregate over the k·|unlabeled| edge subset.",
+)
+def label_prop_knn_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import knn_label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_propagation(
+        emb, unlabeled=F.col("vec_id") % 3 == 0, k=5, block_size=128
+    )

@@ -85,3 +85,31 @@ def test_trade_graph_is_symmetric_bipartite(spark):
     e = {(r["src"], r["dst"]) for r in customer_supplier_edges(orders, li).collect()}
     fwd = {("c10", "s7"), ("c10", "s8"), ("c11", "s7")}
     assert e == fwd | {(b, a) for a, b in fwd}
+
+
+def test_label_propagation_recovers_planted_clusters(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.graph import knn_label_propagation
+
+    # three tight, well-separated clusters -> a masked point's neighbors
+    # are its own cluster, so propagation must recover every label
+    rng = np.random.default_rng(3)
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    vid = 0
+    for lbl, c in centers.items():
+        for _ in range(30):
+            v = (np.array(c) + rng.normal(0, 0.3, 3)).tolist()
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = knn_label_propagation(
+        emb, unlabeled=F.col("vec_id") % 5 == 0, k=5, block_size=32
+    ).collect()
+    assert len(out) == 18  # every masked point has labeled neighbors
+    assert all(r["correct"] for r in out)
+    assert all(r["n_labeled_neighbors"] >= 1 for r in out)
