@@ -500,3 +500,121 @@ def label_prop_knn_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_propagation(
         emb, unlabeled=F.col("vec_id") % 3 == 0, k=5, block_size=128
     )
+
+
+@register(
+    "frequent_part_pairs_top50",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+    c AS (SELECT part_a, part_b, COUNT(*) AS support
+          FROM pairs GROUP BY part_a, part_b),
+    r AS (SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+                 row_number() OVER (ORDER BY support DESC, part_a, part_b)
+                     AS rnk
+          FROM c)
+    SELECT part_a, part_b, support, rnk FROM r WHERE rnk <= 50
+    """,
+    doc="Frequent 2-itemsets (market-basket co-occurrence): part pairs "
+    "bought in the same order, top-50 by support — the A-priori first "
+    "rung, and the same shape as co-occurrence mining for related-doc "
+    "suggestions. The pair generation is a self equi-join on the order "
+    "key, so its fan-out is bounded by per-order line count (≤7 in "
+    "TPC-H), never all-pairs over parts; one shuffle builds the distinct "
+    "item set, one counts pairs.",
+)
+def frequent_part_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").filter(
+        F.col("part_a") < F.col("part_b")
+    )
+    c = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    w = Window.orderBy(
+        F.col("support").desc(), F.col("part_a"), F.col("part_b")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("part_a", "part_b", "support", "rnk")
+    )
+
+
+_RFM_REF = "1998-12-31"
+
+
+@register(
+    "rfm_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             datediff('day', last_order, DATE '{_RFM_REF}') AS recency_days,
+             frequency, monetary,
+             ntile(4) OVER (ORDER BY datediff('day', last_order,
+                                              DATE '{_RFM_REF}') DESC,
+                            o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_q
+      FROM base)
+    SELECT r_q, f_q, m_q,
+           COUNT(*)::BIGINT AS n_customers,
+           CAST(SUM(CAST(frequency AS BIGINT)) AS BIGINT) AS total_orders,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+    doc="RFM customer segmentation: per-customer recency / frequency / "
+    "monetary quartiles (deterministic ntile with customer-key "
+    "tie-break) rolled up to segment counts — the classic audience-"
+    "building query, and the same shape as bucketing data sources by "
+    "activity for mixture planning. The ntile windows run over the "
+    "CUSTOMER frame (one row per customer, aggregate-sized), not the "
+    "order rows; monetary sums are exact decimals.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+    )
+    rec = F.datediff(F.lit(_RFM_REF), F.col("last_order"))
+    scored = base.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(rec.desc(), F.col("o_custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("frequency").cast("long").alias("total_orders"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
