@@ -127,8 +127,9 @@ def knn_label_propagation(
 ) -> DataFrame:
     """One round of semi-supervised label propagation over the EXACT
     cosine k-NN graph: each node matching ``unlabeled`` takes the
-    majority label among its k nearest LABELED neighbors (ties break to
-    the smallest label — deterministic), the classic transductive
+    majority label among the LABELED SUBSET of its k nearest neighbors
+    (ties break to the smallest label — deterministic), the classic
+    transductive
     baseline (Zhu & Ghahramani 2002) for pseudo-labeling a partially
     annotated corpus.
 

@@ -200,6 +200,11 @@ def groupwise_ols(
     prod = f"decimal(30,{2 * in_scale})"
     agg = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
+        # overflow guard: a value too wide for the decimal cast becomes
+        # NULL (non-ANSI mode), silently vanishing from the sums while
+        # still counted in _n — detect and null the group's fit instead
+        F.count(dx).cast("double").alias("_nx"),
+        F.count(dy).cast("double").alias("_ny"),
         F.sum(dx).cast("double").alias("_sx"),
         F.sum(dy).cast("double").alias("_sy"),
         F.sum((dx * dy).cast(prod)).cast("double").alias("_sxy"),
@@ -209,17 +214,19 @@ def groupwise_ols(
     cov_n = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     var_x = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     var_y = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    slope = F.when(var_x != 0, cov_n / var_x)
+    ok = (F.col("_nx") == F.col("_n")) & (F.col("_ny") == F.col("_n"))
+    slope = F.when(ok & (var_x != 0), cov_n / var_x)
     return agg.select(
         *keys,
         F.col("_n").cast("long").alias("n"),
         slope.alias("slope"),
         F.when(
-            var_x != 0,
+            ok & (var_x != 0),
             (F.col("_sy") - cov_n / var_x * F.col("_sx")) / F.col("_n"),
         ).alias("intercept"),
         F.when(
-            (var_x != 0) & (var_y != 0), cov_n * cov_n / (var_x * var_y)
+            ok & (var_x != 0) & (var_y != 0),
+            cov_n * cov_n / (var_x * var_y),
         ).alias("r2"),
     )
 

@@ -308,6 +308,10 @@ def weighted_sample_aes(
     return (
         df.filter(weight > 0)
         .withColumn("aes_key", aes)
-        .orderBy(F.col("aes_key").desc())
+        # key tie-break: equal weights + colliding 32-bit hashes yield
+        # identical aes_keys, and an untied limit() at the k-th boundary
+        # would pick per-partitioning — breaking the reproducibility
+        # contract (and the oracle, which ranks by (aes_key, key))
+        .orderBy(F.col("aes_key").desc(), F.col(key))
         .limit(k)
     )

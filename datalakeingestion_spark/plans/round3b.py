@@ -169,11 +169,11 @@ def pagerank_trade_graph_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = pagerank_fixed_point(
         edges, iters=3, damping_pct=_PR_DAMP, scale=_PR_SCALE
     )
+    # limit-first (TakeOrderedAndProject), then window only the 20 rows
+    top = rank.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
-    return (
-        rank.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("node", "rank", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "node", "rank", "rnk"
     )
 
 

@@ -452,10 +452,12 @@ def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("source").agg(*aggs)
 
 
+# the exact-kNN oracle is registered by plans/llm2.py — import it
+# explicitly so this module also works when imported directly, then
+# compose its oracle rather than duplicate it
+from . import llm2 as _llm2  # noqa: E402, F401
 from .registry import REGISTRY as _REG  # noqa: E402
 
-# the exact-kNN oracle is registered by plans/llm2.py (imported before
-# this module by the registry loader); compose it rather than duplicate
 _KNN_ORACLE = _REG["knn_graph_topk"].oracle
 
 
@@ -486,8 +488,9 @@ _KNN_ORACLE = _REG["knn_graph_topk"].oracle
     """,
     doc="One round of semi-supervised label propagation "
     "(operators/graph.py::knn_label_propagation): every third vector is "
-    "masked unlabeled and takes the majority label among its 5 nearest "
-    "LABELED neighbors on the exact cosine kNN graph (min-label "
+    "masked unlabeled and takes the majority label among the labeled "
+    "subset of its 5 nearest neighbors on the exact cosine kNN graph "
+    "(min-label "
     "tie-break) — the classic transductive pseudo-labeling baseline. "
     "The oracle composes the registered knn_graph_topk oracle verbatim, "
     "so graph and vote are both value-checked. Cost = the kNN graph + "
@@ -543,13 +546,16 @@ def frequent_part_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = pairs.groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
+    # limit-first: the full pair-count frame is data-sized, so take the
+    # top-50 via TakeOrderedAndProject and only then window the 50 rows
+    top = c.orderBy(
+        F.col("support").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(50)
     w = Window.orderBy(
         F.col("support").desc(), F.col("part_a"), F.col("part_b")
     )
-    return (
-        c.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
-        .select("part_a", "part_b", "support", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "part_a", "part_b", "support", "rnk"
     )
 
 

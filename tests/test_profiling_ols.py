@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from datalakeingestion_spark.operators.profiling import groupwise_ols
 
@@ -65,3 +66,32 @@ def test_mad_matches_python_reference(spark):
     assert got["g1"]["n_outliers"] == 1
     # constant group: mad 0, nothing beyond the fence
     assert float(got["g2"]["mad"]) == 0.0 and got["g2"]["n_outliers"] == 0
+
+
+def test_ols_overflow_never_corrupts_silently(spark):
+    # a value too wide for the decimal cast must never yield a WRONG fit:
+    # under ANSI (Spark 4 default) the cast raises; under non-ANSI it
+    # becomes NULL, vanishing from the sums while still counted in n —
+    # the _nx/_ny guard then nulls the fit instead
+    import pyspark.errors
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 1e15, 1e15)],
+        "g string, x double, y double",
+    )
+    ansi = spark.conf.get("spark.sql.ansi.enabled", "true") == "true"
+    if ansi:
+        with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+            groupwise_ols(df, ["g"], "x", "y").collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        r = groupwise_ols(df, ["g"], "x", "y").collect()[0]
+        assert r["n"] == 3
+        assert (
+            r["slope"] is None
+            and r["intercept"] is None
+            and r["r2"] is None
+        )
+    finally:
+        if ansi:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
