@@ -422,3 +422,75 @@ def test_containment_prefix_lossless_on_random_corpora(spark):
         )
         assert got == brute, f"threshold {t}"
     assert brute, "planted excerpts must qualify at containment 1.0"
+
+
+def test_mad_histogram_form_equals_sort_reference(spark):
+    # one vectorized job over many random groups: the histogram-median
+    # MAD must equal the brute-force sorted-python computation exactly
+    from decimal import Decimal
+
+    from datalakeingestion_spark.operators.profiling import mad_outliers
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(12):
+        n = rng.randint(1, 40)
+        for _ in range(n):
+            # 2-dp values incl. heavy ties and planted spikes
+            v = rng.choice(
+                [rng.randint(0, 500) / 100.0] * 3 + [rng.randint(0, 10_000)]
+            )
+            rows.append((f"g{g}", float(v)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in mad_outliers(df, ["g"], "v").collect()}
+
+    by_g: dict[str, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(Decimal(f"{v:.2f}"))
+    for g, vs in by_g.items():
+        s = sorted(vs)
+        n = len(s)
+        med = s[(n + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(n + 1) // 2 - 1]
+        out = sum(1 for v in vs if abs(v - med) > 3 * mad)
+        r = got[g]
+        assert r["n"] == n, g
+        assert Decimal(r["median"]) == med, g
+        assert Decimal(r["mad"]) == mad, g
+        assert r["n_outliers"] == out, g
+
+
+def test_compaction_plan_prefix_invariants(spark):
+    # every closed merge group's total is >= target (pack-with-overflow)
+    # and group ids are contiguous from 0 in sort order
+    from datalakeingestion_spark.operators.layout import compaction_plan
+
+    rng = random.Random(5)
+    files = [(f"f{i:04d}", rng.randint(1, 400)) for i in range(200)]
+    target = 1000
+    plan = sorted(
+        (
+            (r["path"], r["bytes"], r["merge_group"])
+            for r in compaction_plan(
+                spark.createDataFrame(files, "path string, bytes long"),
+                ["path"], "bytes", target, "path",
+            ).collect()
+        )
+    )
+    # groups follow sort order and are contiguous
+    groups = [g for _, _, g in plan]
+    assert groups == sorted(groups)
+    assert sorted(set(groups)) == list(range(max(groups) + 1))
+    # pack-with-overflow invariant: by the time group g closes, the
+    # CUMULATIVE bytes through it have crossed (g+1)·target (a single
+    # group's own total may be smaller when the previous group's last
+    # file overflowed past the boundary)
+    totals: dict[int, int] = {}
+    for _, b, g in plan:
+        totals[g] = totals.get(g, 0) + b
+    cum = 0
+    for g in range(max(groups) + 1):
+        cum += totals[g]
+        if g < max(groups):
+            assert cum >= (g + 1) * target, (g, cum)
