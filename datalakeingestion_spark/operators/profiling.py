@@ -319,3 +319,57 @@ def mad_outliers(
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]],
+    scale: str = "decimal(15,2)",
+) -> DataFrame:
+    """Exact per-group quantiles WITHOUT sorting the data — the
+    generalization of the histogram-median trick in :func:`mad_outliers`:
+    fixed-precision values have a bounded domain, so each group's value
+    histogram (one map-side-combinable aggregate) plus a cumulative sum
+    over its ≤|domain| rows yields any set of exact quantiles in a
+    single pass.  This is what `approx_percentile` approximates; here
+    the answer is exact AND scalable because the ranking window never
+    sees data-sized frames.
+
+    ``quantiles`` is a list of (alias, numerator, denominator) — rational
+    q = num/den keeps the rank arithmetic pure-integer (rank =
+    (num·n + den − 1) div den, the lower-quantile convention: smallest
+    value whose cumulative count reaches rank; q=1/2 equals the lower
+    median).  Returns (keys…, n, <alias> per quantile) with values in
+    the input's fixed-point ``scale``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    for _, num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    v = F.col(value_col).cast(scale)
+    hist = (
+        df.select(*keys, v.alias("_v"))
+        .groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for alias, num, den in quantiles:
+        rank = F.expr(f"({num} * _n + {den - 1}) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_v"))).alias(alias)
+        )
+    return cum.groupBy(*keys).agg(*aggs)

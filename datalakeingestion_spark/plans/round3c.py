@@ -624,3 +624,54 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frequency").cast("long").alias("total_orders"),
         F.sum("monetary").cast("double").alias("total_monetary"),
     )
+
+
+@register(
+    "exact_quantiles_price_by_flag",
+    oracle="""
+    WITH h AS (SELECT l_returnflag AS g,
+                      CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+                      COUNT(*) AS c
+               FROM lineitem GROUP BY g, v),
+    cum AS (SELECT g, v, c,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM h)
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cm >= (1 * n + 3) // 4 THEN v END)
+                AS DOUBLE) AS p25,
+           CAST(MIN(CASE WHEN cm >= (1 * n + 1) // 2 THEN v END)
+                AS DOUBLE) AS p50,
+           CAST(MIN(CASE WHEN cm >= (9 * n + 9) // 10 THEN v END)
+                AS DOUBLE) AS p90,
+           CAST(MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN v END)
+                AS DOUBLE) AS p99
+    FROM cum GROUP BY g
+    """,
+    doc="EXACT per-group p25/p50/p90/p99 without sorting the data "
+    "(operators/profiling.py::exact_quantiles) — the generalization of "
+    "the MAD histogram-median trick: fixed-precision values have a "
+    "bounded domain, so one combinable value-histogram aggregate plus a "
+    "cumulative sum over its ≤|domain| rows answers any quantile set "
+    "exactly. Pure-integer rank arithmetic ((num·n+den−1) div den) "
+    "keeps both engines identical; what approx_percentile estimates, "
+    "this computes exactly at the same shuffle count.",
+)
+def exact_quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        *[F.col(c).cast("double").alias(c) for c in ("p25", "p50", "p90", "p99")],
+    )

@@ -95,3 +95,33 @@ def test_ols_overflow_never_corrupts_silently(spark):
     finally:
         if ansi:
             spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_exact_quantiles_match_python(spark):
+    import math as _math
+    import random as _random
+    from decimal import Decimal
+
+    from datalakeingestion_spark.operators.profiling import exact_quantiles
+
+    rng = _random.Random(9)
+    rows = [("g", rng.randint(0, 999) / 100.0) for _ in range(777)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [("p10", 1, 10), ("p50", 1, 2), ("p95", 19, 20), ("max", 1, 1)]
+    r = exact_quantiles(df, ["g"], "v", qs).collect()[0]
+    s = sorted(Decimal(f"{v:.2f}") for _, v in rows)
+    n = len(s)
+    for alias, num, den in qs:
+        rank = (num * n + den - 1) // den
+        assert Decimal(r[alias]) == s[rank - 1], alias
+    assert r["n"] == n
+
+
+def test_exact_quantiles_validates_input(spark):
+    from datalakeingestion_spark.operators.profiling import exact_quantiles
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, ["g"], "v", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, ["g"], "v", [("bad", 3, 2)])
