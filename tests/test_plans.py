@@ -500,3 +500,30 @@ def test_blocklist_zero_preaggregate_shuffle(spark):
 
     plan = formatted_plan(run(spark, "blocklist_filter_stats"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_pair_mining_takeordered_not_global_sort(spark):
+    plan = formatted_plan(run(spark, "frequent_part_pairs_top50"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_windows_run_on_customer_frame(spark):
+    # the ntile windows sit ABOVE the per-customer aggregate: the order
+    # rows are reduced first, then windowed
+    plan = formatted_plan(run(spark, "rfm_segments"))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_quantiles_histogram_shape(spark):
+    # value histogram is a partial-aggregated exchange; the ranking
+    # window runs over histogram rows (same key partitioning reused)
+    import re
+
+    plan = formatted_plan(run(spark, "exact_quantiles_price_by_flag"))
+    assert "partial_count" in plan, plan
+    assert "Window" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
