@@ -60,13 +60,16 @@ def main() -> None:
 
     # Contention bursts on this box last seconds and hit CONSECUTIVE
     # samples, so even a median-of-5 block can be swallowed whole by one
-    # burst. Run every query's block twice — the second pass starts only
-    # after all first-pass blocks finish, so a query's two blocks are far
-    # apart in time — and report the lower median. A genuine plan
-    # regression slows BOTH blocks; a burst almost never spans both.
+    # burst. Run every query's block THREE times — each pass starts only
+    # after the previous pass finishes, so a query's blocks are minutes
+    # apart — and report the lowest median. A genuine plan regression
+    # slows EVERY block; a burst almost never spans all three (observed:
+    # a single burst still poisoned one query's both blocks under the
+    # old two-pass form — q4 read 2.0 s in one full run, 0.50 s in the
+    # next).
     bench_set = {n: qd for n, qd in sorted(REGISTRY.items()) if qd.bench}
     medians: dict[str, list[float]] = {n: [] for n in bench_set}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, qd in bench_set.items():
             medians[name].append(run_block(qd))
     timings = {n: round(min(ms), 4) for n, ms in medians.items()}
