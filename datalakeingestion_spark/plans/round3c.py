@@ -675,3 +675,76 @@ def exact_quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         *[F.col(c).cast("double").alias(c) for c in ("p25", "p50", "p90", "p99")],
     )
+
+
+_BAL_N = 10  # docs kept per length decile
+
+
+@register(
+    "sample_balanced_length_deciles",
+    oracle=f"""
+    WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+               GROUP BY v),
+    cum AS (SELECT v, c,
+                   SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cm,
+                   SUM(c) OVER () AS n
+            FROM h),
+    b AS (SELECT
+            {", ".join(
+                f"MIN(CASE WHEN cm >= ({k} * n + 9) // 10 THEN v END) AS b{k}"
+                for k in range(1, 10)
+            )}
+          FROM cum),
+    d AS (SELECT doc_id, n_chars,
+                 ({" + ".join(
+                     f"CASE WHEN n_chars > b{k} THEN 1 ELSE 0 END"
+                     for k in range(1, 10)
+                 )}) AS decile
+          FROM documents CROSS JOIN b),
+    r AS (SELECT doc_id, n_chars, decile,
+                 row_number() OVER (
+                     PARTITION BY decile
+                     ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || '#bal'), 1, 8))::BIGINT,
+                              doc_id) AS rn
+          FROM d)
+    SELECT decile, doc_id, n_chars FROM r WHERE rn <= {_BAL_N}
+    """,
+    doc="Length-balanced sampling by composition: EXACT decile "
+    "boundaries from the histogram-quantile operator "
+    "(operators/profiling.py::exact_quantiles — no data-sized sort), "
+    "decile assignment as a broadcast comparison against the 9 boundary "
+    "values, then exactly-n-per-decile deterministic selection "
+    "(operators/sampling.py::stratified_sample_exact, WindowGroupLimit "
+    "pushes the top-n below the exchange). The anti-length-bias eval-"
+    "set constructor; every stage is a reused, individually-verified "
+    "operator.",
+)
+def sample_balanced_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import exact_quantiles
+    from ..operators.sampling import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = exact_quantiles(
+        docs,
+        [],
+        "n_chars",
+        [(f"b{k}", k, 10) for k in range(1, 10)],
+        scale="bigint",
+    ).drop("n")
+    decile = None
+    for k in range(1, 10):
+        term = (F.col("n_chars") > F.col(f"b{k}")).cast("int")
+        decile = term if decile is None else decile + term
+    d = (
+        docs.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("decile", decile)
+    )
+    return stratified_sample_exact(
+        d.select("doc_id", "n_chars", "decile"),
+        "decile",
+        _BAL_N,
+        salt="bal",
+    ).select("decile", "doc_id", "n_chars")
