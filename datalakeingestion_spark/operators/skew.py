@@ -47,3 +47,37 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def join_size_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Predict an equi-join's output size and its skew WITHOUT executing
+    the join: |A ⋈ B| = Σ_key cA(key)·cB(key), computed from the two
+    per-key count frames (each distinct-key-sized) — the planning
+    primitive behind AQE's skew-join split and any "should this join be
+    salted?" decision.  On 100 TB inputs this costs two combinable
+    aggregates and a key-frame join instead of the join itself.
+
+    Returns one row: (join_rows, n_join_keys, max_key_rows,
+    skew_factor_x1000) where max_key_rows is the largest single key's
+    contribution and skew_factor_x1000 = 1000·max/avg rounded down — an
+    exact integer skew signal (>> 1000 means one key dominates and the
+    executor holding it becomes the straggler).
+    """
+    ca = left.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = right.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("_cb"))
+    per_key = ca.join(cb, key).select(
+        (F.col("_ca") * F.col("_cb")).alias("_rows")
+    )
+    return per_key.agg(
+        F.sum("_rows").cast("long").alias("join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+        F.max("_rows").cast("long").alias("max_key_rows"),
+        F.expr(
+            "(1000 * max(_rows)) div (sum(_rows) div count(1))"
+        ).cast("long").alias("skew_factor_x1000"),
+    )

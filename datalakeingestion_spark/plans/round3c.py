@@ -748,3 +748,39 @@ def sample_balanced_length_deciles(spark: SparkSession, sf_dir: str) -> DataFram
         _BAL_N,
         salt="bal",
     ).select("decile", "doc_id", "n_chars")
+
+
+@register(
+    "join_size_profile_orders_lineitem",
+    oracle="""
+    WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders
+                GROUP BY o_orderkey),
+    cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem
+           GROUP BY l_orderkey),
+    pk AS (SELECT ca.ca * cb.cb AS r FROM ca JOIN cb USING (k))
+    SELECT CAST(SUM(r) AS BIGINT) AS join_rows,
+           COUNT(*)::BIGINT AS n_join_keys,
+           CAST(MAX(r) AS BIGINT) AS max_key_rows,
+           CAST((1000 * MAX(r)) // (CAST(SUM(r) AS BIGINT) // COUNT(*))
+                AS BIGINT) AS skew_factor_x1000
+    FROM pk
+    """,
+    doc="Join-size and skew prediction WITHOUT executing the join "
+    "(operators/skew.py::join_size_profile): |orders ⋈ lineitem| and "
+    "its heaviest key from the two distinct-key-sized count frames — "
+    "two combinable aggregates plus a key-frame join, the planning "
+    "primitive behind 'should this join be salted?' at 100 TB. All "
+    "integer math; skew_factor_x1000 = 1000·max/avg per-key output.",
+)
+def join_size_profile_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.skew import join_size_profile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return join_size_profile(orders, li, "k")

@@ -59,3 +59,21 @@ def test_checksum_partitioning_independent(spark):
 def test_bad_blocks_rejected(spark):
     with pytest.raises(ValueError):
         block_checksums(_tbl(spark, [(1, "a")]), ["id"], 0)
+
+
+def test_join_size_profile_predicts_actual_join(spark):
+    from datalakeingestion_spark.operators.skew import join_size_profile
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 3 + [3] * 2], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 10 + [4] * 7], "k long"
+    )
+    r = join_size_profile(left, right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r["join_rows"] == actual == 50 * 4 + 3 * 10
+    assert r["n_join_keys"] == 2
+    assert r["max_key_rows"] == 200
+    # avg = 230 div 2 = 115; 1000*200 div 115 = 1739
+    assert r["skew_factor_x1000"] == 1739
