@@ -373,3 +373,69 @@ def exact_quantiles(
             F.min(F.when(F.col("_cum") >= rank, F.col("_v"))).alias(alias)
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def quantile_map_to_global(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: str = "bigint",
+) -> DataFrame:
+    """Quantile normalization: map each group's value distribution onto
+    the GLOBAL distribution (v → the global value at the same quantile
+    rank), the distribution-alignment step that makes per-source scores
+    comparable before mixing — the histogram-exact form of sklearn's
+    QuantileTransformer against the pooled corpus.
+
+    Mechanism (all integer/histogram math, so the result is exact and
+    oracle-checkable): per-group histogram cumulative rank cum_g(v); the
+    target global rank is ceil(cum_g·N / n_g) (pure-integer rational
+    arithmetic); the mapped value is the smallest global value whose
+    cumulative count reaches it.  Both histograms are domain-bounded
+    (fixed-precision values), so the global frame BROADCASTS and the
+    rank lookup is a broadcast range join over histogram rows — never
+    data-sized.  Returns one row per distinct (group, value):
+    (group_col, value_col, n_in_group, mapped).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast(scale)
+    hist = (
+        df.select(F.col(group_col), v.alias("_v"))
+        .groupBy(group_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_group = hist.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(group_col))
+    )
+    g_hist = (
+        df.select(v.alias("_gv"))
+        .groupBy("_gv")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+    )
+    g_cum = g_hist.withColumn(
+        "_gcum",
+        F.sum("_gc").over(
+            Window.orderBy("_gv").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_total = df.count()  # control-plane scalar
+    tgt = per_group.withColumn(
+        "_rank", F.expr(f"(_cum * {n_total} + _n - 1) div _n")
+    )
+    joined = tgt.join(
+        F.broadcast(g_cum), F.col("_gcum") >= F.col("_rank")
+    )
+    return joined.groupBy(
+        group_col, F.col("_v").alias(value_col), F.col("_n")
+    ).agg(F.min("_gv").alias("mapped")).select(
+        group_col,
+        value_col,
+        F.col("_n").cast("long").alias("n_in_group"),
+        "mapped",
+    )

@@ -784,3 +784,46 @@ def join_size_profile_orders_lineitem(
         F.col("l_orderkey").alias("k")
     )
     return join_size_profile(orders, li, "k")
+
+
+@register(
+    "quantile_map_nchars_by_source",
+    oracle="""
+    WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents
+               GROUP BY source, n_chars),
+    pg AS (SELECT source, v, c,
+                  SUM(c) OVER (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                  SUM(c) OVER (PARTITION BY source) AS n
+           FROM h),
+    gt AS (SELECT COUNT(*) AS nt FROM documents),
+    gh AS (SELECT n_chars AS gv, COUNT(*) AS gc FROM documents
+           GROUP BY n_chars),
+    gc AS (SELECT gv, SUM(gc) OVER (ORDER BY gv
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS gcum
+           FROM gh),
+    t AS (SELECT source, v, n, (cum * nt + n - 1) // n AS r
+          FROM pg CROSS JOIN gt)
+    SELECT t.source, t.v AS n_chars,
+           CAST(t.n AS BIGINT) AS n_in_group,
+           MIN(gc.gv) AS mapped
+    FROM t JOIN gc ON gc.gcum >= t.r
+    GROUP BY t.source, t.v, t.n
+    """,
+    doc="Quantile normalization of per-source document lengths onto the "
+    "global distribution (operators/profiling.py::quantile_map_to_global) "
+    "— the distribution-alignment step that makes per-source scores "
+    "comparable before mixing (histogram-exact QuantileTransformer). "
+    "Pure-integer rational rank arithmetic; both histograms are "
+    "domain-bounded so the global frame broadcasts and the rank lookup "
+    "is a broadcast range join over histogram rows, never data-sized.",
+)
+def quantile_map_nchars_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profiling import quantile_map_to_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_map_to_global(docs, "source", "n_chars")

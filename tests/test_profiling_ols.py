@@ -125,3 +125,37 @@ def test_exact_quantiles_validates_input(spark):
         exact_quantiles(df, ["g"], "v", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, ["g"], "v", [("bad", 3, 2)])
+
+
+def test_quantile_map_identity_and_shift(spark):
+    from datalakeingestion_spark.operators.profiling import (
+        quantile_map_to_global,
+    )
+
+    # group "a" == the global distribution (only group) -> identity map
+    rows = [("a", v) for v in [1, 1, 2, 3, 5, 8, 8, 9]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g"], r["v"]): r["mapped"]
+        for r in quantile_map_to_global(df, "g", "v").collect()
+    }
+    for _, v in rows:
+        assert out[("a", v)] == v
+
+    # a shifted group maps onto the pooled distribution monotonically
+    rows2 = [("lo", v) for v in [1, 2, 3, 4]] + [
+        ("hi", v) for v in [101, 102, 103, 104]
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    out2 = {
+        (r["g"], r["v"]): r["mapped"]
+        for r in quantile_map_to_global(df2, "g", "v").collect()
+    }
+    # each group spans the FULL pooled range after mapping
+    assert out2[("lo", 4)] == 104 and out2[("hi", 104)] == 104
+    assert out2[("lo", 1)] < out2[("lo", 4)]
+    assert out2[("hi", 101)] < out2[("hi", 104)]
+    # mapping is monotone within each group
+    for g, vals in (("lo", [1, 2, 3, 4]), ("hi", [101, 102, 103, 104])):
+        mapped = [out2[(g, v)] for v in vals]
+        assert mapped == sorted(mapped)
