@@ -827,3 +827,82 @@ def quantile_map_nchars_by_source(
 
     docs = load_table(spark, sf_dir, "documents")
     return quantile_map_to_global(docs, "source", "n_chars")
+
+
+@register(
+    "anomalous_event_days",
+    oracle=f"""
+    WITH d AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                      COUNT(*) AS n_events
+               FROM events GROUP BY event_type, day),
+    r AS (SELECT event_type, day, n_events,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n_events, day) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM d),
+    med AS (SELECT event_type, n_events AS med FROM r
+            WHERE rn = (nd + 1) // 2),
+    dev AS (SELECT d.event_type, d.day, d.n_events,
+                   abs(d.n_events - m.med) AS dv, m.med
+            FROM d JOIN med m ON d.event_type = m.event_type),
+    rd AS (SELECT event_type, day, n_events, dv, med,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dv, day) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS nd
+           FROM dev),
+    mad AS (SELECT event_type, dv AS mad FROM rd WHERE rn = (nd + 1) // 2)
+    SELECT dev.event_type, dev.day, CAST(dev.n_events AS BIGINT) AS n_events,
+           CAST(dev.med AS BIGINT) AS median_events,
+           CAST(mad.mad AS BIGINT) AS mad
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE dev.dv > 3 * mad.mad
+    """,
+    doc="Time-series anomaly screen: days whose per-type event count "
+    "sits beyond 3·MAD of that type's daily median — the robust "
+    "volume-monitoring alarm (a traffic spike can't inflate the fence "
+    "that is supposed to catch it, unlike mean/stddev alerting). The "
+    "day-count frame is calendar-bounded (|types|·|days| rows), so the "
+    "ranking windows are trivially small however large the raw event "
+    "log; day arithmetic is timezone-free integer epoch math. "
+    "Tie-break on day makes the lower median deterministic.",
+)
+def anomalous_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type",
+            F.expr("cast(ts as long) div 86400").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def lower_median(frame, order_col, out):
+        w = Window.partitionBy("event_type").orderBy(order_col, "day")
+        n = Window.partitionBy("event_type")
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nd", F.count(F.lit(1)).over(n))
+            .filter(F.col("_rn") == F.expr("(_nd + 1) div 2"))
+            .select("event_type", F.col(order_col).alias(out))
+        )
+
+    med = lower_median(d, "n_events", "med")
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "dv", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = lower_median(dev, "dv", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dv") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("med").cast("long").alias("median_events"),
+            F.col("mad").cast("long").alias("mad"),
+        )
+    )
