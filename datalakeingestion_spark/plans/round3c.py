@@ -906,3 +906,138 @@ def anomalous_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("long").alias("mad"),
         )
     )
+
+
+# Wilson 95% z, shipped as one double literal so both engines use the
+# identical constant
+_WILSON_Z = "1.96"
+_LATE_DAYS = 60  # shipped more than this after the order date = late
+
+
+@register(
+    "supplier_reliability_wilson",
+    oracle=f"""
+    WITH s AS (SELECT l_suppkey,
+                      COUNT(*) AS n,
+                      SUM(CASE WHEN l_shipdate > o_orderdate
+                                    + INTERVAL {_LATE_DAYS} DAY
+                               THEN 1 ELSE 0 END) AS late
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY l_suppkey),
+    w AS (SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+                 CAST(late AS BIGINT) AS late,
+                 round((late / CAST(n AS DOUBLE) + {_WILSON_Z} * {_WILSON_Z}
+                            / (2 * CAST(n AS DOUBLE))
+                        - {_WILSON_Z} * sqrt(
+                            (late / CAST(n AS DOUBLE))
+                            * (1 - late / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + {_WILSON_Z} * {_WILSON_Z}
+                              / (4 * CAST(n AS DOUBLE)
+                                   * CAST(n AS DOUBLE))))
+                       / (1 + {_WILSON_Z} * {_WILSON_Z}
+                              / CAST(n AS DOUBLE)), 6) AS late_rate_lcb
+          FROM s WHERE n >= 10),
+    r AS (SELECT *, row_number() OVER (ORDER BY late_rate_lcb DESC,
+                                       l_suppkey) AS rnk
+          FROM w)
+    SELECT l_suppkey, n, late, late_rate_lcb, rnk FROM r WHERE rnk <= 20
+    """,
+    doc="Supplier lateness ranked by the WILSON LOWER CONFIDENCE BOUND "
+    "of the late-shipment rate (late = shipped > 60 days after the "
+    "order date) — the proper way to rank rates with unequal sample "
+    "sizes: a 2/2 supplier no longer outranks a 95/100 one, the "
+    "low-n uncertainty is priced in (the Reddit-comment-ranking "
+    "estimator applied to vendor scoring / data-source QA). One "
+    "fact join + one combinable aggregate; the Wilson dag is identical "
+    "double ops on both sides, 6-dp rounded before ranking.",
+)
+def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    z = float(_WILSON_Z)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), _LATE_DAYS)
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("late"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("late") / nd
+    lcb = F.round(
+        (
+            p
+            + F.lit(z) * F.lit(z) / (2 * nd)
+            - F.lit(z)
+            * F.sqrt(
+                p * (1 - p) / nd
+                + F.lit(z) * F.lit(z) / (4 * nd * nd)
+            )
+        )
+        / (1 + F.lit(z) * F.lit(z) / nd),
+        6,
+    )
+    w = s.withColumn("late_rate_lcb", lcb)
+    top = w.orderBy(
+        F.col("late_rate_lcb").desc(), F.col("l_suppkey")
+    ).limit(20)
+    win = Window.orderBy(F.col("late_rate_lcb").desc(), F.col("l_suppkey"))
+    return top.withColumn("rnk", F.row_number().over(win)).select(
+        "l_suppkey", "n", "late", "late_rate_lcb", "rnk"
+    )
+
+
+@register(
+    "event_hourly_seasonality",
+    oracle="""
+    WITH h AS (SELECT event_type,
+                      (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24
+                          AS hour_utc,
+                      COUNT(*) AS n_events
+               FROM events GROUP BY event_type, hour_utc),
+    t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+          FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour_utc,
+           CAST(h.n_events AS BIGINT) AS n_events,
+           round(h.n_events / CAST(t.total AS DOUBLE), 6) AS share
+    FROM h JOIN t ON h.event_type = t.event_type
+    """,
+    doc="Hour-of-day seasonality profile per event type (timezone-free "
+    "integer epoch math; share = hour/total, 6-dp) — the traffic-shape "
+    "baseline that anomaly alerting and capacity planning read. One "
+    "combinable aggregate into a |types|·24 frame; the totals join is "
+    "a broadcast of a |types|-row frame.",
+)
+def event_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.expr("(cast(ts as long) div 3600) % 24").alias("hour_utc"),
+        )
+        .groupBy("event_type", "hour_utc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("total")
+    )
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hour_utc",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )

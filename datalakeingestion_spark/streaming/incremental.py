@@ -507,3 +507,16 @@ def read_mv(spark: SparkSession, state_dir: str, keys: list) -> DataFrame:
 
     df = spark.read.parquet(state_dir)
     return merge_states([df.drop("epoch")], keys)
+
+
+def compact_mv_states(
+    spark: SparkSession, state_dir: str, keys: list, target_dir: str
+) -> None:
+    """Compact a streaming MV's epoch states: merge every epoch into one
+    state and write it as ``target_dir/epoch=0``.  The caller repoints
+    readers (or swaps directories) once the write completes — the source
+    ``state_dir`` is never mutated, so a crash mid-compaction loses
+    nothing and the stream keeps appending epochs meanwhile; epochs
+    written after the cut simply re-merge on the next compaction."""
+    merged = read_mv(spark, state_dir, keys)
+    merged.write.mode("overwrite").parquet(f"{target_dir}/epoch=0")

@@ -682,3 +682,33 @@ def test_stream_mv_folds_batches_and_replay_is_idempotent(spark, tmp_path):
         for r in read_mv(spark, state, ["k"]).collect()
     }
     assert final == got
+
+
+def test_compact_mv_states_preserves_view(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from datalakeingestion_spark.operators.mv import aggregate_state
+    from datalakeingestion_spark.streaming.incremental import (
+        compact_mv_states,
+        read_mv,
+    )
+
+    state = str(tmp_path / "state")
+    target = str(tmp_path / "compacted")
+    for epoch, rows in enumerate(
+        [[("a", 1.0), ("b", 2.0)], [("a", 3.0)], [("b", -2.0), ("c", 9.0)]]
+    ):
+        df = spark.createDataFrame(rows, "k string, v double")
+        aggregate_state(df, ["k"], {"s": F.col("v")}).write.parquet(
+            f"{state}/epoch={epoch}"
+        )
+    before = {
+        r["k"]: (float(r["s"]), r["n_rows"])
+        for r in read_mv(spark, state, ["k"]).collect()
+    }
+    compact_mv_states(spark, state, ["k"], target)
+    after = {
+        r["k"]: (float(r["s"]), r["n_rows"])
+        for r in read_mv(spark, target, ["k"]).collect()
+    }
+    assert after == before == {"a": (4.0, 2), "b": (0.0, 2), "c": (9.0, 1)}
