@@ -1041,3 +1041,106 @@ def event_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.col("total").cast("double"), 6
         ).alias("share"),
     )
+
+
+@register(
+    "heatmap_price_qty_deciles",
+    oracle="""
+    WITH hp AS (SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS v,
+                       COUNT(*) AS c
+                FROM lineitem GROUP BY v),
+    cp AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cm,
+                  SUM(c) OVER () AS n
+           FROM hp),
+    bp AS (SELECT
+             MIN(CASE WHEN cm >= (1*n+9)//10 THEN v END) AS p1,
+             MIN(CASE WHEN cm >= (2*n+9)//10 THEN v END) AS p2,
+             MIN(CASE WHEN cm >= (3*n+9)//10 THEN v END) AS p3,
+             MIN(CASE WHEN cm >= (4*n+9)//10 THEN v END) AS p4,
+             MIN(CASE WHEN cm >= (5*n+9)//10 THEN v END) AS p5,
+             MIN(CASE WHEN cm >= (6*n+9)//10 THEN v END) AS p6,
+             MIN(CASE WHEN cm >= (7*n+9)//10 THEN v END) AS p7,
+             MIN(CASE WHEN cm >= (8*n+9)//10 THEN v END) AS p8,
+             MIN(CASE WHEN cm >= (9*n+9)//10 THEN v END) AS p9
+           FROM cp),
+    hq AS (SELECT CAST(l_quantity AS DECIMAL(15,2)) AS v, COUNT(*) AS c
+           FROM lineitem GROUP BY v),
+    cq AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW) AS cm,
+                  SUM(c) OVER () AS n
+           FROM hq),
+    bq AS (SELECT
+             MIN(CASE WHEN cm >= (1*n+9)//10 THEN v END) AS q1,
+             MIN(CASE WHEN cm >= (2*n+9)//10 THEN v END) AS q2,
+             MIN(CASE WHEN cm >= (3*n+9)//10 THEN v END) AS q3,
+             MIN(CASE WHEN cm >= (4*n+9)//10 THEN v END) AS q4,
+             MIN(CASE WHEN cm >= (5*n+9)//10 THEN v END) AS q5,
+             MIN(CASE WHEN cm >= (6*n+9)//10 THEN v END) AS q6,
+             MIN(CASE WHEN cm >= (7*n+9)//10 THEN v END) AS q7,
+             MIN(CASE WHEN cm >= (8*n+9)//10 THEN v END) AS q8,
+             MIN(CASE WHEN cm >= (9*n+9)//10 THEN v END) AS q9
+           FROM cq)
+    SELECT
+      (CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p1 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p2 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p3 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p4 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p5 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p6 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p7 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p8 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_extendedprice AS DECIMAL(15,2)) > p9 THEN 1 ELSE 0 END)
+          AS price_decile,
+      (CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q1 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q2 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q3 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q4 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q5 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q6 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q7 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q8 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) > q9 THEN 1 ELSE 0 END)
+          AS qty_decile,
+      COUNT(*)::BIGINT AS n_rows
+    FROM lineitem CROSS JOIN bp CROSS JOIN bq
+    GROUP BY price_decile, qty_decile
+    """,
+    doc="2-D equi-depth heatmap: line items bucketed by EXACT price and "
+    "quantity deciles (operators/profiling.py::exact_quantiles twice, "
+    "boundaries broadcast as two 1-row frames) — the dependence profile "
+    "between two measures that an equal-WIDTH histogram hides when "
+    "distributions are skewed. If price and quantity were independent "
+    "every cell would hold ~1% of rows; the exact-decile grid makes "
+    "deviations directly readable. One scan + one aggregate.",
+)
+def heatmap_price_qty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [(f"b{k}", k, 10) for k in range(1, 10)]
+    bp = exact_quantiles(li, [], "l_extendedprice", qs).drop("n")
+    bq = exact_quantiles(li, [], "l_quantity", qs).drop("n")
+    bp = bp.select(*[F.col(f"b{k}").alias(f"p{k}") for k in range(1, 10)])
+    bq = bq.select(*[F.col(f"b{k}").alias(f"q{k}") for k in range(1, 10)])
+
+    def decile(col, prefix):
+        v = F.col(col).cast("decimal(15,2)")
+        out = None
+        for k in range(1, 10):
+            term = (v > F.col(f"{prefix}{k}")).cast("int")
+            out = term if out is None else out + term
+        return out
+
+    d = (
+        li.select("l_extendedprice", "l_quantity")
+        .crossJoin(F.broadcast(bp))
+        .crossJoin(F.broadcast(bq))
+        .select(
+            decile("l_extendedprice", "p").alias("price_decile"),
+            decile("l_quantity", "q").alias("qty_decile"),
+        )
+    )
+    return d.groupBy("price_decile", "qty_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
