@@ -35,3 +35,25 @@ def test_kmv_set_relation_estimation_error_bounded(spark):
     # std err ~ 1/sqrt(k-2) ~ 6%; allow 4 sigma
     assert abs(r["est_union"] - 5000) / 5000 < 0.25
     assert abs(r["est_intersection"] - 2000) / 2000 < 0.35
+
+
+def test_kmv_set_relation_random_flags_exact_regime(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.sketches import kmv_set_relation
+
+    rng = random.Random(21)
+    rows = [
+        (i, rng.random() < 0.6, rng.random() < 0.4) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "v long, fa boolean, fb boolean")
+    r = kmv_set_relation(
+        df, "v", in_a=F.col("fa"), in_b=F.col("fb"), k=512
+    ).collect()[0]
+    union = {v for v, a, b in rows if a or b}
+    both = {v for v, a, b in rows if a and b}
+    # under k the sketch IS the set: everything exact
+    assert r["est_union"] == r["exact_union"] == len(union)
+    assert r["est_intersection"] == r["exact_intersection"] == len(both)
