@@ -65,6 +65,8 @@ def pagerank_fixed_point(
         .persist()
     )
     n = nodes.count()  # control-plane scalar (node count, not data)
+    if n == 0:
+        raise ValueError("pagerank_fixed_point: edge list is empty")
     base = (scale * (100 - damping_pct)) // (100 * n)
     rank = nodes.withColumn("rank", F.lit(scale // n))
     for _ in range(iters):

@@ -113,3 +113,11 @@ def test_label_propagation_recovers_planted_clusters(spark):
     assert len(out) == 18  # every masked point has labeled neighbors
     assert all(r["correct"] for r in out)
     assert all(r["n_labeled_neighbors"] >= 1 for r in out)
+
+
+def test_empty_edge_list_raises_clearly(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty"):
+        pagerank_fixed_point(df)

@@ -117,3 +117,8 @@ def test_compaction_plan_groups_and_clustering(spark):
             for h, qs in groups.items() if h > g
             for q in qs
         )
+
+
+def test_empty_frame_yields_empty_stats(spark):
+    df = spark.createDataFrame([], "uid long, v long")
+    assert file_minmax_stats(df, "uid", ["uid"], ["v"], 100).count() == 0

@@ -78,3 +78,17 @@ def test_bad_sign_rejected(spark):
         aggregate_state(_mk(spark, [("a", 1.0)]), ["k"], _meas(), sign=0)
     with pytest.raises(ValueError):
         merge_states([], ["k"])
+
+
+def test_empty_batch_state_merges_as_noop(spark):
+    empty = spark.createDataFrame([], "k string, v double")
+    full = _mk(spark, [("a", 2.0)])
+    merged = merge_states(
+        [
+            aggregate_state(full, ["k"], _meas()),
+            aggregate_state(empty, ["k"], _meas()),
+        ],
+        ["k"],
+    )
+    rows = {r["k"]: (float(r["sum_v"]), r["n_rows"]) for r in merged.collect()}
+    assert rows == {"a": (2.0, 1)}
