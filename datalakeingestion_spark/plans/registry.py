@@ -57,64 +57,56 @@ def register(
 # stricter exact-match gate in tests/test_parity.py regardless of
 # position. Checked-green history: CORRECTNESS_r01 + CORRECTNESS_r02.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # previously err: no_oracle — now carry recall-bound oracles
     "ann_lsh_bucketed",
     "ann_ivf_topk",
-    # TPC-H-shape join queries never sampled by the driver
-    "q2_min_acctbal_supplier",
-    "q4_order_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_join",
-    "q20_half_volume_suppliers",
-    "q21_sole_late_supplier",
-    "q21_sole_late_supplier_agg",
-    "q22_global_sales_opportunity",
-    # LLM-pipeline / extended operators never sampled
-    "bm25_rank",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "dedup_semantic_clusters",
-    "dedup_keep_best",
-    "decontaminate_embedding_cosine",
-    "knn_graph_topk",
     "embedding_quantize_int8",
-    "assemble_sequences_512",
-    "budget_cap_per_source",
-    "sample_quality_weighted",
-    "text_repetition_filter_auto",
-    # approximate aggregates with new error-bound oracles
-    "a8_approx_distinct_parts",
-    "g7_approx_percentiles",
-    # range/window/sketch operators never sampled
     "range_join_error_context_5min",
     "range_join_signup_followups_1h",
-    "funnel_conversion_1h",
-    "salted_join_segment_counts",
+    "cms_term_frequency",
+    "g6_grouping_sets",
+    "w7_event_gap_stats",
     "d4_price_quantity_correlation",
     "sketch_kmv_by_returnflag",
-    # round-3 continuation operators (never driver-checked; the six
-    # displaced window/set/scalar queries rotate to r04 — they remain
-    # exact-parity-covered in tests/test_parity.py)
-    "dedup_incremental_vs_lake",
-    "cdc_shared_chunk_fraction",
-    "pca_embedding_contract",
-    "ann_pca_rerank_topk",
-    "containment_quote_pairs",
-    "kmeans_cluster_profile",
-    "curation_pipeline_v2",
-    "cms_term_frequency",
     "countsketch_term_frequency",
+    "a8_approx_distinct_parts",
+    "g7_approx_percentiles",
+    "sample_quality_weighted",
+    "budget_cap_per_source",
+    "assemble_sequences_512",
+    "u3_intersect_click_purchase_days",
+    "unigram_logprob_score",
+    "tfidf_top_terms",
+    "text_repetition_filter_auto",
+    "dedup_keep_best",
+    "knn_graph_topk",
+    "funnel_conversion_1h",
+    "bm25_rank",
+    "dedup_semantic_clusters",
+    "w6_rolling_1h_range",
+    "decontaminate_embedding_cosine",
+    "salted_join_segment_counts",
+    "boilerplate_span_flag",
+    "a1_watermark_bounds",
+    "c4_next_watermark",
+    "a3_scalar_max",
+    "a5_distinct_event_types",
+    "a6_argmax_latest_event",
+    "a2_group_count_validation",
+    "c1_date_bucket_monthly",
+    "c2_int_bucket",
+    "c9_json_extract",
+    "p3_timestamp_clamp",
+    "o1_sort_topk",
+    "u1_union_append",
+    "u2_anti_join_new_tables",
+    "v1_count_reconciliation",
+    "scd2_user_history",
+    "t9_stream_dedup",
+    "source_js_divergence",
+    "fuzzy_match_customer_names",
+    "profile_price_histogram",
+    "quality_rank_normalize",
+    "dedup_cluster_assign_star",
 )
 
 
