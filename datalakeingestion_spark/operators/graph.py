@@ -181,3 +181,74 @@ def knn_label_propagation(
             (F.col("nb_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Degree-ordered orientation (the MapReduce-era standard for making
+    triangle enumeration shuffle-bounded): every undirected edge is
+    directed from its lower-(degree, node) endpoint to the higher one,
+    so each triangle is generated EXACTLY once — as a wedge at its
+    lowest-ranked corner — and the wedge fan-out at any node is capped
+    at O(sqrt(|E|)) choose 2 regardless of raw degree skew (a
+    celebrity node of degree d contributes wedges only at neighbors
+    ranked below it, never d^2 of its own).
+
+    Three hash shuffles total: degree aggregate, wedge self-join on the
+    low corner, wedge⋈edge existence join; then one explode-to-corners
+    aggregate for per-node counts. Never materializes neighbor sets on
+    the driver.
+
+    Returns (node, n_triangles) for nodes in >=1 triangle, with node
+    typed as the input key type.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, node): lo -> hi
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    o = o.persist()
+    # wedges at the low corner: (lo, v, w) with v before w in the
+    # orientation's (deg, node) order — but v/w order within a wedge is
+    # irrelevant for the existence probe because the probe edge set is
+    # canonicalized undirected (a<b) again.
+    w1 = o.select(F.col("lo").alias("c"), F.col("hi").alias("v"))
+    w2 = o.select(F.col("lo").alias("c"), F.col("hi").alias("w"))
+    wedges = w1.join(w2, "c").filter(F.col("v") < F.col("w"))
+    probe = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(probe, ["v", "w"], "left_semi")
+    corners = (
+        tri.select(F.col("c").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

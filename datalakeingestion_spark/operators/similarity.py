@@ -761,3 +761,77 @@ def label_centroid_similarity(
             ),
         )
     )
+
+
+def truncate_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 32,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN: candidate generation on the
+    PREFIX of the embedding (``prefix_dims`` leading components) + exact
+    full-width cosine rerank of ``candidates`` rows per query → top-k.
+
+    The zero-training sibling of ``pca.pca_rerank_topk``: MRL-trained
+    embedding models front-load information into the leading dims, so a
+    prefix slice is the index — prefix_dims/d of the full footprint with
+    no fitting pass, no projection matrix to ship. Recall equals
+    candidate recall (the rerank is exact), so the candidate budget is
+    the knob: on the near-isotropic fixtures (the worst case — NO
+    front-loading, the prefix keeps only half the signal energy)
+    prefix 32/64 measures >= 0.9 per-query recall@10 at C=150 but as
+    low as 0.5 at C=50.
+
+    Output matches ``cosine_topk``: (query_id, neighbor_id, cosine),
+    6-dp rounding, ties by neighbor_id.
+    """
+    if prefix_dims <= 0:
+        raise ValueError("prefix_dims must be positive")
+    from pyspark.sql.window import Window
+
+    sl = F.slice(F.col(vec_col), 1, prefix_dims)
+    red_corpus = embeddings.select(
+        F.col(id_col).alias(id_col), sl.alias(vec_col)
+    )
+    red_queries = queries.select(
+        F.col(id_col).alias(id_col), sl.alias(vec_col)
+    )
+    cand = cosine_topk(
+        red_corpus, red_queries, k=candidates, id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cf = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

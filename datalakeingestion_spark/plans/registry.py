@@ -153,6 +153,7 @@ def _ensure_loaded() -> None:
         round3,
         round3b,
         round3c,
+        round4,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

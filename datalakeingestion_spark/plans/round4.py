@@ -1,0 +1,301 @@
+"""Round-4 plans: graph triangles, first-touch cumulative distinct,
+leakage-free grouped splits, the stream-stream join's batch twin,
+matryoshka (prefix-truncated) ANN, and YoY growth windows.
+
+Same determinism contract as every plan module: integer/epoch math where
+possible, exact-decimal sums for float aggregates, identical expression
+dags on both sides for pure-double derivations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+_DAY = 86400
+
+
+@register(
+    "triangle_count_coorder_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+    SELECT node, COUNT(*)::BIGINT AS n_triangles
+    FROM corners GROUP BY node
+    """,
+    doc="Per-part triangle counts over the co-order graph (parts that "
+    "appear together in >= 2 orders are connected) — the community/"
+    "clustering-coefficient primitive for product-affinity and link-spam "
+    "analysis. Spark side (operators/graph.py::triangle_counts) uses "
+    "degree-ordered edge orientation, the shuffle-bounded distributed "
+    "form: each triangle is enumerated exactly once at its lowest-"
+    "(degree, id) corner and wedge fan-out is capped at O(sqrt(E)) per "
+    "node, so a hub of degree d never generates d^2 wedges. The oracle "
+    "enumerates a<b<c corners directly — same triangle set by "
+    "construction. Edge building is one distinct + one keyed self-join "
+    "with a support filter (same shape as frequent_part_pairs).",
+)
+def triangle_count_coorder_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("src"), F.col("b.p").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "cumulative_distinct_users_daily",
+    oracle=f"""
+    WITH d AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // {_DAY} AS day
+               FROM events),
+    ft AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id),
+    nu AS (SELECT day, COUNT(*) AS new_users FROM ft GROUP BY day),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT day,
+           COALESCE(new_users, 0)::BIGINT AS new_users,
+           CAST(SUM(COALESCE(new_users, 0)) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM days LEFT JOIN nu USING (day)
+    """,
+    doc="Users-to-date per day via the FIRST-TOUCH transform: cumulative "
+    "COUNT(DISTINCT) is rewritten as min-day-per-user (one map-side-"
+    "combinable aggregate over the raw stream) + per-day new-user counts "
+    "+ a prefix sum over the DAY DOMAIN. The naive form — distinct-count "
+    "over an unbounded window — reshuffles the full user x day history "
+    "per day; this form touches the raw data once and the only window "
+    "runs over |days| rows (~3.7k rows for a decade), driver-trivial at "
+    "any corpus size. All integer epoch math, timezone-free.",
+)
+def cumulative_distinct_users_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr(f"cast(ts as long) div {_DAY}").alias("day")
+    )
+    ft = d.groupBy("user_id").agg(F.min("day").alias("day"))
+    nu = ft.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = d.select("day").distinct()
+    j = days.join(nu, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    # |days|-sized frame: the single-partition window is over the day
+    # domain, never the event stream
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+_GSPLIT_THRESHOLD = int(0.8 * 2**32)  # 3435973836
+
+
+@register(
+    "split_group_holdout",
+    oracle=f"""
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                         || '#gsplit'), 1, 8))::BIGINT
+                     < {_GSPLIT_THRESHOLD}
+                THEN 'train' ELSE 'holdout' END AS split,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="Leakage-free 80/20 holdout split at the GROUP level: the split "
+    "hash is computed on user_id, so every event of a user lands on the "
+    "same side by construction — no join, no shuffle, no per-group "
+    "assignment table to broadcast; the row-level hash of the group key "
+    "IS the group assignment. This is the split discipline that "
+    "prevents train/eval contamination through entity overlap (the "
+    "document-level split_train_val would leak a user's history across "
+    "the boundary). Deterministic md5 math, identical in the oracle.",
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash32
+
+    ev = load_table(spark, sf_dir, "events")
+    h = portable_hash32(
+        F.concat(F.col("user_id").cast("string"), F.lit("#gsplit"))
+    )
+    return (
+        ev.withColumn(
+            "split",
+            F.when(h < F.lit(_GSPLIT_THRESHOLD), F.lit("train")).otherwise(
+                F.lit("holdout")
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "t10_stream_stream_join",
+    oracle="""
+    SELECT e.user_id, e.event_id, e.ts AS event_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND e.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    """,
+    doc="Batch twin of the stream-stream interval join "
+    "(streaming/incremental.py::interval_join_events_orders): every "
+    "click paired with the same user's purchases within the following "
+    "hour — the attribution join. On streams both sides carry "
+    "watermarks and the interval bound is what lets Spark GC join state "
+    "(SPARK-26154 semantics); on batch the identical expression is a "
+    "range-predicate equi-join on user_id. Streaming equivalence to "
+    "this batch form is pinned in tests/test_streaming.py.",
+)
+def t10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import interval_join_events_orders
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    return interval_join_events_orders(
+        clicks,
+        purchases,
+        event_ts="ts",
+        order_ts="pts",
+        user_key="user_id",
+        order_key="user_id",
+        event_id="event_id",
+        order_id="purchase_id",
+        within="1 hour",
+    ).select(
+        "user_id",
+        "event_id",
+        "event_ts",
+        "purchase_id",
+        F.col("order_ts").alias("purchase_ts"),
+    )
+
+
+@register(
+    "matryoshka_rerank_topk",
+    # recall-contract oracle (same design as ann_pca_rerank_topk):
+    # measured per-query recall@10 >= 0.9 at BOTH parity scales with the
+    # 32-of-64 prefix index and C=150 candidates; bound 0.8 keeps
+    # margin. Near-isotropic fixtures are the worst case — no MRL
+    # front-loading, the prefix carries only half the energy — which is
+    # why the candidate budget is the knob (C=50 measured as low as 0.5
+    # per-query on the 100-vector fixture).
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_true,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Matryoshka-style two-stage ANN "
+    "(operators/similarity.py::truncate_rerank_topk): candidate "
+    "generation on the leading 32 of 64 embedding dims (the index is a "
+    "prefix SLICE — half the footprint, zero training, no projection "
+    "matrix to ship, unlike the PCA sibling) + exact full-width rerank "
+    "of 150 candidates/query. Recall equals candidate recall because "
+    "the rerank is exact. Emits the per-query recall contract vs the "
+    "brute-force twin (bound 0.8, measured >= 0.9 per query).",
+)
+def matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+    from .llm import _recall_contract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = sim.truncate_rerank_topk(
+        emb, queries, k=10, prefix_dims=32, candidates=150
+    )
+    return _recall_contract(
+        sim.cosine_topk(emb, queries, k=10), approx, 0.8
+    )
+
+
+@register(
+    "brand_revenue_yoy",
+    oracle="""
+    WITH r AS (
+      SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, yr)
+    SELECT p_brand, yr, revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS yoy_growth
+    FROM r WINDOW w AS (PARTITION BY p_brand ORDER BY yr)
+    """,
+    doc="Year-over-year revenue growth per brand: broadcast dim join "
+    "(part is the small side), one keyed aggregate with exact decimal "
+    "sums, then a lag window PARTITIONED BY brand — the window state is "
+    "per-brand year-count-sized, so the op scales with the group "
+    "domain, not the fact table. The growth ratio divides two "
+    "bit-identical doubles (cast from identical decimal sums) and is "
+    "6-dp rounded on both sides; the first year is NULL by definition.",
+)
+def brand_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,4)")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    r = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", F.year("l_shipdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return r.select(
+        "p_brand",
+        "yr",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )

@@ -121,3 +121,66 @@ def test_empty_edge_list_raises_clearly(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty"):
         pagerank_fixed_point(df)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _py_triangles(edges):
+    """Brute-force per-node triangle counts (set-based twin)."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    nbr = {v: set() for v in nodes}
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    counts = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in nbr[a]:
+                continue
+            for c in nbr[a] & nbr[b]:
+                if c > b:
+                    for v in (a, b, c):
+                        counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from datalakeingestion_spark.operators.graph import triangle_counts
+
+    # K4 plus a pendant edge, a hub fan (no triangles among fan tips),
+    # duplicate + reversed + self-loop edges to exercise canonicalization
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"),                      # pendant: no new triangle
+        ("h", "x"), ("h", "y"), ("h", "z"),  # star: no triangles
+        ("x", "y"),                      # closes exactly one
+        ("a", "a"),                      # self-loop ignored
+        ("a", "b"),                      # duplicate ignored
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _py_triangles(edges)
+    # K4: every corner is in C(3,2)=3 triangles
+    assert got["a"] == 3 and got["d"] == 3
+    # the star closes one triangle at h/x/y; z and e are in none
+    assert got["h"] == 1 and "z" not in got and "e" not in got
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from datalakeingestion_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(empty).count() == 0
+    # a path graph has no triangles
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_counts(path).count() == 0

@@ -168,3 +168,40 @@ def test_sample_negatives_excludes_self_and_true_neighbors(spark):
     # deterministic: a second run yields the identical sample
     again = sample_negatives(emb, queries, k_neg=15, exclude_topk=10).collect()
     assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# truncate_rerank_topk (matryoshka-style prefix index)
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_rerank_full_prefix_is_exact(spark):
+    """With prefix_dims >= dim, candidate gen IS full-space cosine, so
+    the two-stage result must equal brute force exactly."""
+    from datalakeingestion_spark.operators.similarity import (
+        cosine_topk,
+        truncate_rerank_topk,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 3")
+    exact = cosine_topk(emb, q, k=5).collect()
+    two_stage = truncate_rerank_topk(
+        emb, q, k=5, prefix_dims=64, candidates=120
+    ).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, two_stage)) == sorted(map(key, exact))
+
+
+def test_truncate_rerank_rejects_bad_prefix(spark):
+    import pytest as _pytest
+
+    from datalakeingestion_spark.operators.similarity import (
+        truncate_rerank_topk,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="prefix_dims"):
+        truncate_rerank_topk(emb, emb, prefix_dims=0)
