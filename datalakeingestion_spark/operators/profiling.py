@@ -439,3 +439,72 @@ def quantile_map_to_global(
         F.col("_n").cast("long").alias("n_in_group"),
         "mapped",
     )
+
+
+def gini_from_values(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of a non-negative integer
+    column, per group — computed from the VALUE HISTOGRAM, never a
+    global sort.
+
+    The textbook formula needs the values ranked: with sorted values
+    x_1 <= ... <= x_n, Gini = (2·Σ i·x_i) / (n·Σx) − (n+1)/n.  Sorting
+    100 TB to rank every row is the trap (same trap mad_outliers
+    documents); instead aggregate to per-(group, value) counts c_v and
+    recover the rank-weighted sum exactly from the histogram: the ranks
+    occupied by value v are cumb+1 .. cumb+c_v (cumb = count of smaller
+    values), so
+
+        Σ_{i in v} 2·i·x_i  =  v · (2·c_v·cumb + c_v·(c_v+1)).
+
+    Everything up to the final division is bigint arithmetic on exact
+    counts, so the result is bit-identical across engines and
+    partitionings; the only window runs over DISTINCT VALUES per group
+    (≤ |value domain| rows), not the data.
+
+    Returns (group_cols..., n, total, gini) with gini 6-dp rounded;
+    single-member or all-zero groups yield gini = 0.0 by convention.
+    """
+    gcols = list(group_cols or [])
+    hist = df.groupBy(
+        *gcols, F.col(value_col).cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*gcols).orderBy("_v")
+        if gcols
+        else Window.orderBy("_v")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "_cumb", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_v") * F.col("_c")).alias("total"),
+        F.sum(
+            F.col("_v")
+            * (
+                2 * F.col("_c") * F.col("_cumb")
+                + F.col("_c") * (F.col("_c") + 1)
+            )
+        ).alias("_num"),
+    )
+    gini = F.when(
+        (F.col("n") > 1) & (F.col("total") > 0),
+        F.round(
+            F.col("_num")
+            / (F.col("n").cast("double") * F.col("total").cast("double"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *gcols,
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        gini.alias("gini"),
+    )

@@ -835,3 +835,80 @@ def truncate_rerank_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def silhouette_by_label(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean simplified silhouette — the embedding-space QA
+    check for a labeled corpus (are the label clusters real, which
+    labels bleed into which).
+
+    Simplified (medoid-free) silhouette: a(i) = distance to the OWN
+    label centroid, b(i) = distance to the nearest OTHER centroid,
+    s(i) = (b − a) / max(a, b).  The O(n²) pairwise form is the trap;
+    the centroid form is one explode pass + a join against the
+    label×dim centroid frame (label-count-sized — broadcastable at any
+    corpus size), linear in rows.
+
+    Every aggregate is an exact decimal sum of 6-dp-rounded terms
+    (same discipline as ``embedding_centroid_outliers``), distances are
+    reconstructed as ||x||² − 2x·μ + ||μ||² from those sums, so the
+    result is bit-identical across engines and partitionings.
+
+    Returns (label, n_vectors, mean_silhouette), 6-dp rounded.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("dim", "xf"),
+    ).withColumn("x", F.col("xf").cast("double"))
+
+    def dsum(col: Column) -> Column:
+        return F.sum(F.round(col, 6).cast("decimal(27,6)")).cast("double")
+
+    mu = e.groupBy(F.col("lbl").alias("l"), "dim").agg(
+        (dsum(F.col("x")) / F.count(F.lit(1))).alias("mu")
+    )
+    nm = mu.groupBy("l").agg(dsum(F.col("mu") * F.col("mu")).alias("nm2"))
+    nv = e.groupBy("vid").agg(dsum(F.col("x") * F.col("x")).alias("nv2"))
+    dots = (
+        e.join(F.broadcast(mu), "dim")
+        .groupBy("vid", "lbl", "l")
+        .agg(dsum(F.col("x") * F.col("mu")).alias("dot"))
+    )
+    dist = (
+        dots.join(F.broadcast(nm), "l")
+        .join(nv, "vid")
+        .withColumn(
+            "d",
+            F.sqrt(
+                F.greatest(
+                    F.col("nv2") - 2 * F.col("dot") + F.col("nm2"),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    per_vec = dist.groupBy("vid", "lbl").agg(
+        F.min(F.when(F.col("l") == F.col("lbl"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("l") != F.col("lbl"), F.col("d"))).alias("b"),
+    )
+    s = per_vec.withColumn(
+        "s",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.round(
+                (F.col("b") - F.col("a")) / F.greatest("a", "b"), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return s.groupBy(F.col("lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(dsum(F.col("s")) / F.count(F.lit(1)), 6).alias(
+            "mean_silhouette"
+        ),
+    )

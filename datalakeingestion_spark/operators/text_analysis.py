@@ -1017,3 +1017,45 @@ def trigram_backoff_logprob(
             ),
         )
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity profile: type-token ratio and hapax
+    ratio — the cheap corpus-health signals that flag template spam
+    (TTR collapses) and OCR noise / boilerplate-free natural text (hapax
+    share balloons or collapses).
+
+    One token-explode shuffle builds (group, token) counts; everything
+    after runs on the vocabulary-sized frame. Ratios divide exact
+    bigints and are 6-dp rounded, so they're partitioning-independent.
+
+    Returns (group, n_tokens, n_types, type_token_ratio, hapax_ratio).
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.round(
+                F.col("n_types") / F.col("n_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("_hapax") / F.col("n_types").cast("double"), 6
+            ).alias("hapax_ratio"),
+        )
+    )

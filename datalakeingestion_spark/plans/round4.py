@@ -299,3 +299,134 @@ def brand_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "token_gini_by_source",
+    oracle="""
+    WITH v AS (SELECT source, len(list_filter(string_split(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' '), t -> t <> ''))::BIGINT AS val
+               FROM documents),
+    h AS (SELECT source, val, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    r AS (SELECT source, val, c,
+                 COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cumb
+          FROM h),
+    a AS (SELECT source, SUM(c)::BIGINT AS n,
+                 SUM(val * c)::BIGINT AS total,
+                 SUM(val * (2 * c * cumb + c * (c + 1)))::BIGINT AS num
+          FROM r GROUP BY source)
+    SELECT source, n, total,
+           CASE WHEN n > 1 AND total > 0
+                THEN round(num / (n::DOUBLE * total::DOUBLE)
+                           - (n + 1) / n::DOUBLE, 6)
+                ELSE 0.0 END AS gini
+    FROM a
+    """,
+    doc="Token-count concentration (exact Gini) per source "
+    "(operators/profiling.py::gini_from_values) — the data-balance "
+    "diagnostic: a source whose token mass concentrates in a few huge "
+    "documents behaves very differently in a training mix than its doc "
+    "count suggests. Computed from the VALUE HISTOGRAM, never a global "
+    "sort: ranks are recovered from per-value cumulative counts, all "
+    "bigint math until the final division, and the only window runs "
+    "over distinct values per group.",
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.profiling import gini_from_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.size(tokens(F.col("text"))).alias("val")
+    )
+    return gini_from_values(v, "val", ["source"])
+
+
+@register(
+    "lexical_diversity_by_source",
+    oracle="""
+    WITH tok AS (SELECT source AS grp,
+                        unnest(list_filter(string_split(
+                            trim(regexp_replace(lower(text),
+                                 '[^a-z0-9]+', ' ', 'g')), ' '),
+                            t -> t <> '')) AS tok
+                 FROM documents),
+    c AS (SELECT grp, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT grp AS source,
+           SUM(c)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_types,
+           round(COUNT(*) / SUM(c)::DOUBLE, 6) AS type_token_ratio,
+           round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS hapax_ratio
+    FROM c GROUP BY grp
+    """,
+    doc="Per-source lexical diversity "
+    "(operators/text_analysis.py::lexical_diversity): type-token ratio "
+    "and hapax share — template-spam collapses TTR, OCR noise balloons "
+    "hapax share. One token shuffle to (source, token) counts; the "
+    "rest runs on the vocabulary-sized frame; exact bigint ratios "
+    "6-dp rounded.",
+)
+def lexical_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text_analysis import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs, group_col="source")
+
+
+@register(
+    "silhouette_by_label",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      generate_subscripts(embedding, 1) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings),
+    mu AS (SELECT label AS l, dim,
+                  CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                      / COUNT(*) AS mu
+           FROM e GROUP BY label, dim),
+    nm AS (SELECT l, CAST(SUM(CAST(round(mu * mu, 6) AS DECIMAL(27,6)))
+                          AS DOUBLE) AS nm2
+           FROM mu GROUP BY l),
+    nv AS (SELECT vec_id, CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(27,6)))
+                               AS DOUBLE) AS nv2
+           FROM e GROUP BY vec_id),
+    dots AS (SELECT e.vec_id, e.label, m.l,
+                    CAST(SUM(CAST(round(e.x * m.mu, 6) AS DECIMAL(27,6)))
+                         AS DOUBLE) AS dot
+             FROM e JOIN mu m USING (dim)
+             GROUP BY e.vec_id, e.label, m.l),
+    d AS (SELECT dots.vec_id, dots.label, dots.l,
+                 sqrt(greatest(nv.nv2 - 2 * dots.dot + nm.nm2, 0)) AS d
+          FROM dots JOIN nm USING (l) JOIN nv USING (vec_id)),
+    pv AS (SELECT vec_id, label,
+                  MIN(CASE WHEN l = label THEN d END) AS a,
+                  MIN(CASE WHEN l <> label THEN d END) AS b
+           FROM d GROUP BY vec_id, label),
+    s AS (SELECT label,
+                 CASE WHEN greatest(a, b) > 0
+                      THEN round((b - a) / greatest(a, b), 6)
+                      ELSE 0.0 END AS s
+          FROM pv)
+    SELECT label, COUNT(*)::BIGINT AS n_vectors,
+           round(CAST(SUM(CAST(round(s, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+    doc="Per-label mean simplified silhouette "
+    "(operators/similarity.py::silhouette_by_label) — embedding-space "
+    "QA for a labeled corpus. Centroid form, not the O(n^2) pairwise "
+    "form: one explode pass + a broadcast join against the label x dim "
+    "centroid frame; distances reconstructed from exact decimal sums "
+    "(||x||^2 - 2x.mu + ||mu||^2), fully exact oracle.",
+)
+def silhouette_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import silhouette_by_label
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_by_label(emb)

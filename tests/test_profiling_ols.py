@@ -159,3 +159,53 @@ def test_quantile_map_identity_and_shift(spark):
     for g, vals in (("lo", [1, 2, 3, 4]), ("hi", [101, 102, 103, 104])):
         mapped = [out2[(g, v)] for v in vals]
         assert mapped == sorted(mapped)
+
+
+# ---------------------------------------------------------------------------
+# gini_from_values (exact histogram Gini)
+# ---------------------------------------------------------------------------
+
+
+def _py_gini(values):
+    xs = sorted(values)
+    n = len(xs)
+    s = sum(xs)
+    if n <= 1 or s == 0:
+        return 0.0
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+    return round(num / (n * s) - (n + 1) / n, 6)
+
+
+def test_gini_known_and_bruteforce(spark):
+    from datalakeingestion_spark.operators.profiling import gini_from_values
+
+    groups = {
+        "uniform": [5, 5, 5, 5],          # perfect equality -> 0
+        "extreme": [0, 0, 0, 10],         # one holder -> 0.75
+        "mixed": [1, 2, 3, 4, 5, 30],
+        "single": [7],                    # convention: 0
+        "zeros": [0, 0, 0],               # total 0 -> convention 0
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {
+        r["grp"]: (r["n"], r["total"], r["gini"])
+        for r in gini_from_values(df, "val", ["grp"]).collect()
+    }
+    for g, vs in groups.items():
+        assert got[g][0] == len(vs)
+        assert got[g][1] == sum(vs)
+        assert got[g][2] == _py_gini(vs), g
+    assert got["uniform"][2] == 0.0
+    assert got["extreme"][2] == 0.75
+
+
+def test_gini_ungrouped_matches_grouped(spark):
+    from datalakeingestion_spark.operators.profiling import gini_from_values
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame([(v,) for v in vals], "val long")
+    [row] = gini_from_values(df, "val").collect()
+    assert (row["n"], row["total"], row["gini"]) == (
+        len(vals), sum(vals), _py_gini(vals),
+    )

@@ -205,3 +205,36 @@ def test_truncate_rerank_rejects_bad_prefix(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with _pytest.raises(ValueError, match="prefix_dims"):
         truncate_rerank_topk(emb, emb, prefix_dims=0)
+
+
+def test_silhouette_separated_vs_shuffled_labels(spark):
+    """Well-separated clusters score near 1; randomly relabeled points
+    score near 0 or below — the QA signal the operator exists for."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.similarity import (
+        silhouette_by_label,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    vid = 0
+    for lbl, c in centers.items():
+        for _ in range(12):
+            v = (np.array(c) + rng.normal(0, 0.2, 3)).tolist()
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    good = silhouette_by_label(emb).collect()
+    assert {r["label"] for r in good} == {0, 1, 2}
+    assert all(r["n_vectors"] == 12 for r in good)
+    assert all(r["mean_silhouette"] > 0.9 for r in good)
+
+    shuffled = emb.withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    bad = silhouette_by_label(shuffled).collect()
+    assert all(r["mean_silhouette"] < 0.5 for r in bad)

@@ -87,3 +87,29 @@ def test_trigram_backoff_matches_python_reference(spark):
         assert r["n_backoff_bigram"] == bo1
         assert r["n_backoff_unigram"] == bo2
         assert abs(r["mean_logprob"] - mean) < 1e-9
+
+
+def test_lexical_diversity_exact_counts(spark):
+    from datalakeingestion_spark.operators.text_analysis import (
+        lexical_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b", "s1"),     # tokens: a×3 b×1
+            (2, "b c", "s1"),         # s1: 6 tokens, types {a,b,c}
+            (3, "x x", "s2"),         # s2: 2 tokens, 1 type, 0 hapax
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in lexical_diversity(docs).collect()
+    }
+    assert got["s1"]["n_tokens"] == 6
+    assert got["s1"]["n_types"] == 3
+    assert got["s1"]["type_token_ratio"] == 0.5
+    # hapax in s1: only c (a appears 3x, b twice across docs)
+    assert got["s1"]["hapax_ratio"] == round(1 / 3, 6)
+    assert got["s2"]["n_tokens"] == 2
+    assert got["s2"]["hapax_ratio"] == 0.0
