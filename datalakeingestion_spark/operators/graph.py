@@ -213,6 +213,11 @@ def triangle_counts(
         )
         .distinct()
     )
+    # e feeds degree counting (twice via the union), the orientation
+    # join, and the existence probe — without the persist the caller's
+    # whole edge-construction subtree (often a join+groupBy of its own)
+    # re-executes for every consumer.
+    e = e.persist()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

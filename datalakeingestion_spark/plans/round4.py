@@ -430,3 +430,147 @@ def silhouette_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return silhouette_by_label(emb)
+
+
+@register(
+    "conversion_attribution_last_touch",
+    oracle="""
+    WITH j AS (
+      SELECT e.user_id, e.event_id AS click_id, e.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts
+      FROM events e JOIN events p
+        ON p.user_id = e.user_id
+       AND e.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY purchase_id
+              ORDER BY click_ts DESC, click_id DESC) AS rn
+          FROM j)
+    SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+    FROM r WHERE rn = 1
+    """,
+    doc="Last-touch attribution: each purchase credited to the LAST "
+    "click of the same user in the preceding hour. Composition of the "
+    "stream-stream interval join's batch twin + a per-purchase "
+    "WindowGroupLimit (rn=1 prunes pre-exchange); ties broken "
+    "(click_ts, click_id) DESC so the credit is deterministic. The "
+    "window partitions by purchase — state is per-purchase candidate-"
+    "click-sized, never user-history-sized.",
+)
+def conversion_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.incremental import interval_join_events_orders
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    j = interval_join_events_orders(
+        clicks,
+        purchases,
+        event_ts="ts",
+        order_ts="pts",
+        user_key="user_id",
+        order_key="user_id",
+        event_id="event_id",
+        order_id="purchase_id",
+        within="1 hour",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("event_ts"), F.desc("event_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.col("order_ts").alias("purchase_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_ts").alias("click_ts"),
+        )
+    )
+
+
+@register(
+    "ks_drift_by_source",
+    oracle="""
+    WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM h),
+    srcs AS (SELECT source, SUM(c) AS n_s FROM h GROUP BY source),
+    grid AS (SELECT s.source, s.n_s, vals.v, COALESCE(hh.c, 0) AS c
+             FROM srcs s CROSS JOIN vals
+             LEFT JOIN h hh ON hh.source = s.source AND hh.v = vals.v),
+    cum AS (SELECT source, n_s, v,
+                   SUM(c) OVER (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM grid),
+    gh AS (SELECT v, SUM(c) AS c FROM h GROUP BY v),
+    gcum AS (SELECT v, SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS gcum
+             FROM gh),
+    n AS (SELECT SUM(c)::DOUBLE AS n_tot FROM h)
+    SELECT cum.source,
+           MAX(cum.n_s)::BIGINT AS n_docs,
+           MAX(round(abs(cum.cum / cum.n_s::DOUBLE
+                         - gcum.gcum / n.n_tot), 6)) AS ks_distance
+    FROM cum JOIN gcum USING (v) CROSS JOIN n
+    GROUP BY cum.source
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov distance of each source's "
+    "doc-length distribution vs the whole corpus — the distribution-"
+    "drift screen that PSI's fixed binning smooths over. Computed on "
+    "the VALUE DOMAIN, never by sorting rows: per-(source, value) "
+    "counts, cumulative windows over distinct values (|domain| rows "
+    "per source), and the sup over the union grid. The grid is "
+    "|sources| x |domain| — metadata-sized at any corpus scale. CDF "
+    "ratios divide exact bigints; the sup takes MAX of 6-dp-rounded "
+    "identical doubles.",
+)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    h = h.persist()
+    vals = h.select("v").distinct()
+    srcs = h.groupBy("source").agg(F.sum("c").alias("n_s"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(h, ["source", "v"], "left")
+        .select(
+            "source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wsrc = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cum", F.sum("c").over(wsrc))
+    gh = h.groupBy("v").agg(F.sum("c").alias("c"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gh.withColumn("gcum", F.sum("c").over(wg)).select("v", "gcum")
+    n_tot = h.agg(F.sum("c").cast("double").alias("n_tot"))
+    return (
+        cum.join(gcum, "v")
+        .crossJoin(n_tot)
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.max(
+                F.round(
+                    F.abs(
+                        F.col("cum") / F.col("n_s").cast("double")
+                        - F.col("gcum") / F.col("n_tot")
+                    ),
+                    6,
+                )
+            ).alias("ks_distance"),
+        )
+    )
