@@ -527,3 +527,45 @@ def test_exact_quantiles_histogram_shape(spark):
     assert "partial_count" in plan, plan
     assert "Window" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_runtime_bloom_filter_fires_on_fact_dim_shape(spark):
+    """At cluster scale, Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.*) injects a bloom built
+    from the SELECTIVE dim side into the fact scan before the shuffle —
+    the engine-native replacement for hand-built semi-join prefilters.
+    The local fixture sits below the 10 GiB application-side default,
+    so this pin lowers the thresholds to simulate scale and asserts the
+    optimizer still recognizes our canonical fact⋈selective-dim shape
+    (a wrapped/non-deterministic join key would silently defeat it)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
