@@ -574,3 +574,76 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_distance"),
         )
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS fs
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS fc
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s.fs GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS fp
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.fc GROUP BY 1)
+    SELECT COUNT(*)::BIGINT AS n_signup,
+           COUNT(c.fc)::BIGINT AS n_click_after,
+           COUNT(p.fp)::BIGINT AS n_purchase_after,
+           round(COUNT(c.fc) / COUNT(*)::DOUBLE, 6) AS click_rate,
+           round(COUNT(p.fp) / COUNT(*)::DOUBLE, 6) AS purchase_rate
+    FROM s LEFT JOIN c ON c.user_id = s.user_id
+           LEFT JOIN p ON p.user_id = s.user_id
+    """,
+    doc="Three-step STRICT-ORDER funnel (signup -> first click after "
+    "it -> first purchase after that): the sequential-chaining pattern "
+    "funnel_conversion_1h's two-step form can't express. Spark side "
+    "chains two per-user windows + one aggregate ALL on the user_id "
+    "partitioning, so the event stream shuffles exactly once and the "
+    "second window + groupBy reuse the first window's exchange (plan-"
+    "pinned); the oracle's three-aggregate join form is the reference "
+    "semantics, not the execution shape.",
+)
+def funnel_signup_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    e1 = ev.withColumn(
+        "fs",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    ).filter(F.col("fs").isNotNull())
+    e2 = e1.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("fs")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e2.groupBy("user_id").agg(
+        F.min("fs").alias("fs"),
+        F.min("fc").alias("fc"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("fc")),
+                F.col("ts"),
+            )
+        ).alias("fp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("fc").alias("n_click_after"),
+        F.count("fp").alias("n_purchase_after"),
+        F.round(
+            F.count("fc") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("click_rate"),
+        F.round(
+            F.count("fp") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("purchase_rate"),
+    )

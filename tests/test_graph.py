@@ -184,3 +184,29 @@ def test_triangle_counts_empty_and_triangle_free(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_counts(path).count() == 0
+
+
+def test_triangle_counts_random_graphs_property(spark):
+    """Randomized adversary for the degree-orientation enumeration:
+    Erdős–Rényi-ish graphs across densities vs the brute-force twin."""
+    import itertools
+    import random
+
+    from datalakeingestion_spark.operators.graph import triangle_counts
+
+    rng = random.Random(20260814)
+    for trial, p in [(0, 0.2), (1, 0.5), (2, 0.8)]:
+        nodes = list(range(10))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < p
+        ]
+        # mix in reversed duplicates to exercise canonicalization
+        edges += [(b, a) for a, b in edges[::3]]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+        assert got == _py_triangles(edges), (trial, p)

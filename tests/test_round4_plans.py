@@ -111,3 +111,44 @@ def test_group_holdout_has_no_user_overlap(spark):
         .count()
     )
     assert both == 0
+
+
+def test_funnel_strict_order_and_single_shuffle(spark, tmp_path):
+    """The fixture converts 100%, so pin the strict-order semantics on
+    synthetic data: a purchase BEFORE the first post-signup click must
+    not count, and a click before signup doesn't open the funnel."""
+    import re
+
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 0.0, "{}")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, 0, 1, "signup"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # u2: purchase BEFORE the post-signup click -> stalls at click
+        ev(4, 0, 2, "signup"), ev(5, 10, 2, "purchase"), ev(6, 20, 2, "click"),
+        # u3: click only before signup -> stalls at signup
+        ev(7, 10, 3, "signup"), ev(8, 0, 3, "click"),
+        # u4: never signs up -> not in the funnel at all
+        ev(9, 0, 4, "click"), ev(10, 5, 4, "purchase"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    qd = REGISTRY["funnel_signup_click_purchase"]
+    [r] = qd.fn(spark, sf_dir).collect()
+    assert (r["n_signup"], r["n_click_after"], r["n_purchase_after"]) == (
+        3, 2, 1,
+    )
+    plan = (
+        qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows + the groupBy share the user_id partitioning: exactly
+    # one data shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
