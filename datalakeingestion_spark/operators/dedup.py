@@ -1091,3 +1091,42 @@ def keep_best_per_cluster(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def lsh_candidate_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One-row calibration report for the MinHash-LSH index: how many
+    candidate pairs the banding surfaces, how many survive exact Jaccard
+    verification, and the resulting precision — the number that tells
+    you whether the (bands, rows) configuration is wasting verification
+    compute (precision → 0) or starving recall (candidates → 0) BEFORE
+    a full dedup run over the corpus.
+
+    Same single-pass cost structure as ``minhash_near_duplicates`` (the
+    shingle and signature tables are shared); the report adds only two
+    global counts. Returns (n_candidates, n_true, lsh_precision) with
+    precision 6-dp rounded (0.0 when there are no candidates).
+    """
+    shingles = _shingle_table(docs, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(shingles).persist()
+    cand = lsh_candidate_pairs(sig).persist()
+    ver = _jaccard_verify(cand, shingles, threshold)
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = ver.agg(F.count(F.lit(1)).alias("n_true"))
+    return nc.crossJoin(nt).select(
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_true") / F.col("n_candidates").cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lsh_precision"),
+    )

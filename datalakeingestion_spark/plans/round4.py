@@ -647,3 +647,85 @@ def funnel_signup_click_purchase(
             F.count("fp") / F.count(F.lit(1)).cast("double"), 6
         ).alias("purchase_rate"),
     )
+
+
+@register(
+    "active_users_trailing_7d",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // {_DAY} AS day
+               FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day, COUNT(DISTINCT d.user_id)::BIGINT AS active_7d
+    FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day
+    """,
+    doc="Trailing-7-day active users per day (the WAU curve) via "
+    "PRESENCE EXPANSION: the per-(user, day) presence frame — already "
+    "orders of magnitude smaller than the event stream — explodes each "
+    "presence day to the <=7 future days it covers, then one distinct-"
+    "count per day. The naive form is a range join of days x presence "
+    "(or a 7-day window re-scanning history per day); this form's "
+    "expansion factor is exactly the window length and joins "
+    "equi-style. The oracle uses the range-join form — same set by "
+    "definition of 'active within [d-6, d]'.",
+)
+def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"cast(ts as long) div {_DAY}").alias("day")
+    ).distinct()
+    days = ud.select(F.col("day").alias("obs_day")).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("cday"),
+    ).distinct()
+    return (
+        cover.join(days, cover.cday == days.obs_day)
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+_LSH_PRECISION_THRESHOLD = 0.5
+
+
+def _register_lsh_precision() -> None:
+    # import here: llm.py defines the shared minhash CTE chain (and is
+    # always loaded by the registry loader before this module)
+    from .llm import _minhash_pairs_ctes
+
+    @register(
+        "lsh_candidate_precision",
+        oracle=f"""
+        WITH {_minhash_pairs_ctes(_LSH_PRECISION_THRESHOLD)}
+        SELECT (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+               (SELECT COUNT(*) FROM pairs)::BIGINT AS n_true,
+               CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                    THEN round((SELECT COUNT(*) FROM pairs)
+                               / (SELECT COUNT(*) FROM cand)::DOUBLE, 6)
+                    ELSE 0.0 END AS lsh_precision
+        """,
+        doc="MinHash-LSH index calibration "
+        "(operators/dedup.py::lsh_candidate_report): candidate-pair "
+        "count from the banding, survivors of exact Jaccard "
+        "verification, and the precision — the go/no-go number for a "
+        "(bands, rows) configuration before committing a corpus-wide "
+        "dedup run. Shares the shingle/signature tables with the dedup "
+        "pass (persisted once); the oracle composes the exact same "
+        "banding CTEs as dedup_minhash_lsh.",
+    )
+    def lsh_candidate_precision(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..operators.dedup import lsh_candidate_report
+
+        docs = load_table(spark, sf_dir, "documents")
+        return lsh_candidate_report(
+            docs, threshold=_LSH_PRECISION_THRESHOLD
+        )
+
+
+_register_lsh_precision()

@@ -303,3 +303,34 @@ def test_cdc_chunks_partition_the_token_stream(spark, docs):
         .count()
     )
     assert bad == 0
+
+
+def test_lsh_candidate_report_degenerate_corpora(spark):
+    from datalakeingestion_spark.operators.dedup import lsh_candidate_report
+
+    # identical docs: the banding must surface the pair and it must
+    # verify -> precision 1.0
+    twins = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = lsh_candidate_report(twins, threshold=0.5).collect()
+    assert r["n_candidates"] >= 1
+    assert r["n_true"] == r["n_candidates"]
+    assert r["lsh_precision"] == 1.0
+
+    # fully disjoint docs: zero candidates exercises the 0-division guard
+    disjoint = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh"),
+            (2, "ii jj kk ll mm nn oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    [r2] = lsh_candidate_report(disjoint, threshold=0.5).collect()
+    assert r2["n_candidates"] == 0
+    assert r2["n_true"] == 0
+    assert r2["lsh_precision"] == 0.0

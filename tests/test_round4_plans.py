@@ -152,3 +152,33 @@ def test_funnel_strict_order_and_single_shuffle(spark, tmp_path):
     # both windows + the groupBy share the user_id partitioning: exactly
     # one data shuffle
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_trailing_7d_window_edges(spark, tmp_path):
+    """A user active only on day 0 counts as active through day 6 and
+    not on day 7; each (day) row counts distinct users once."""
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1, "view", 0.0, "{}"),                       # u1 day 0
+        (2, d0 + dt.timedelta(days=6), 2, "view", 0.0, "{}"),  # u2 day 6
+        (3, d0 + dt.timedelta(days=7), 3, "view", 0.0, "{}"),  # u3 day 7
+        (4, d0 + dt.timedelta(days=7), 3, "click", 0.0, "{}"),  # dup presence
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r["day"]: r["active_7d"]
+        for r in REGISTRY["active_users_trailing_7d"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    base = min(out)
+    # day 6: u1 still in window + u2 -> 2; day 7: u1 aged out -> u2+u3
+    assert out[base] == 1
+    assert out[base + 6] == 2
+    assert out[base + 7] == 2
