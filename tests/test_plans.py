@@ -569,3 +569,63 @@ def test_runtime_bloom_filter_fires_on_fact_dim_shape(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: the
+# build side is a 1-row scalar frame (corpus totals, thresholds, decile
+# boundaries) or the deliberately-broadcast query set joined on a
+# non-equi condition (ANN's query_id != neighbor_id). Audited round 4.
+_BNLJ_WHITELIST = {
+    "ann_lsh_bucketed",
+    "bm25_rank",
+    "source_js_divergence",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine_blocked",
+    "ann_pca_rerank_topk",
+    "embedding_centroid_outliers",
+    "psi_price_drift",
+    "mix_corpora_temperature_half",
+    "sketch_kmv_union_intersect",
+    "decayed_event_score",
+    "label_prop_knn_majority",
+    "sample_balanced_length_deciles",
+    "quantile_map_nchars_by_source",
+    "heatmap_price_qty_deciles",
+    "matryoshka_rerank_topk",
+    "ks_drift_by_source",
+    "lsh_candidate_precision",
+    "q11_important_stock",
+    # block-pair / probe-set broadcasts on non-equi conditions
+    "ann_ivf_topk",
+    "knn_graph_topk",
+    "sample_negatives_contrastive",
+}
+
+
+def test_registry_wide_no_cartesian_products(spark):
+    """Global plan-shape net: NO registered query may compile to a
+    CartesianProduct, and BroadcastNestedLoopJoin only where audited
+    (1-row scalar builds / broadcast query sets on non-equi conditions).
+    A refactor that drops a join key or wraps it in a non-pushable
+    expression degrades to one of these silently — this catches it
+    across all 193 queries at plan-build cost, no execution."""
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        plan = (
+            qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        cart = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if cart:
+            offenders[name] = f"cartesian x{cart}"
+        elif bnlj and name not in _BNLJ_WHITELIST:
+            offenders[name] = f"unexpected BNLJ x{bnlj}"
+    assert not offenders, offenders
