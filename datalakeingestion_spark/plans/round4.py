@@ -734,3 +734,130 @@ def _register_lsh_precision() -> None:
 
 
 _register_lsh_precision()
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+               AS n_orphans,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT,
+           (SELECT COUNT(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))::BIGINT,
+           (SELECT COUNT(*) FROM customer)::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT
+    """,
+    doc="Cross-table referential-integrity audit — orphan counts for "
+    "the four FK relationships in one result. Each check is a LEFT "
+    "ANTI join (the dim side broadcasts; nation/customer/part are all "
+    "dim-sized), so a full-lake audit costs one fact-scan per FK with "
+    "zero fact-side shuffles. The post-ingest data-quality gate that "
+    "catches a partial upstream load before consumers join through the "
+    "dangling keys.",
+)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    def audit(fk: str, fact: DataFrame, key, dim: DataFrame, dkey):
+        orphans = fact.join(
+            F.broadcast(dim), fact[key] == dim[dkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(
+                F.lit(fk).alias("fk"),
+                F.col("n_orphans").cast("long"),
+                F.col("n_rows").cast("long"),
+            )
+        )
+
+    out = audit(
+        "lineitem.l_orderkey -> orders", li, "l_orderkey", orders,
+        "o_orderkey",
+    )
+    for args in (
+        ("orders.o_custkey -> customer", orders, "o_custkey", cust,
+         "c_custkey"),
+        ("customer.c_nationkey -> nation", cust, "c_nationkey", nation,
+         "n_nationkey"),
+        ("lineitem.l_partkey -> part", li, "l_partkey", part, "p_partkey"),
+    ):
+        out = out.unionByName(audit(*args))
+    return out
+
+
+@register(
+    "effective_tokens_by_source",
+    oracle="""
+    WITH t AS (SELECT source, md5(text) AS h,
+                      len(list_filter(string_split(
+                          trim(regexp_replace(lower(text),
+                               '[^a-z0-9]+', ' ', 'g')), ' '),
+                          x -> x <> ''))::BIGINT AS n_tok
+               FROM documents),
+    u AS (SELECT source, h, MIN(n_tok) AS n_tok, COUNT(*) AS copies
+          FROM t GROUP BY source, h)
+    SELECT source,
+           SUM(n_tok * copies)::BIGINT AS raw_tokens,
+           SUM(n_tok)::BIGINT AS effective_tokens,
+           round(SUM(n_tok) / SUM(n_tok * copies)::DOUBLE, 6)
+               AS effective_ratio
+    FROM u GROUP BY source
+    """,
+    doc="Token budget a source ACTUALLY contributes after exact dedup: "
+    "raw tokens vs tokens of distinct texts (per-source md5 grouping — "
+    "copies of a doc add no new training signal). The mixing-weight "
+    "input that doc counts and raw token counts both get wrong for "
+    "template-heavy sources. One hash-groupBy on (source, md5) with "
+    "map-side partials; ratios divide exact bigints.",
+)
+def effective_tokens_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    u = t.groupBy("source", "h").agg(
+        F.min("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+    return u.groupBy("source").agg(
+        F.sum(F.col("n_tok") * F.col("copies")).cast("long").alias(
+            "raw_tokens"
+        ),
+        F.sum("n_tok").cast("long").alias("effective_tokens"),
+        F.round(
+            F.sum("n_tok")
+            / F.sum(F.col("n_tok") * F.col("copies")).cast("double"),
+            6,
+        ).alias("effective_ratio"),
+    )
