@@ -600,6 +600,8 @@ _BNLJ_WHITELIST = {
     "ann_ivf_topk",
     "knn_graph_topk",
     "sample_negatives_contrastive",
+    # four 1-row (orphans x total) scalar joins, one per audited FK
+    "referential_integrity_audit",
 }
 
 
