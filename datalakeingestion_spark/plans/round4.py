@@ -861,3 +861,127 @@ def effective_tokens_by_source(
             6,
         ).alias("effective_ratio"),
     )
+
+
+@register(
+    "embedding_drift_halves",
+    oracle="""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x,
+                      vec_id % 2 AS half
+               FROM embeddings),
+    mu AS (SELECT half, dim,
+                  CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                      / COUNT(*) AS mu
+           FROM e GROUP BY half, dim),
+    w AS (SELECT m0.dim, m0.mu AS mu0, m1.mu AS mu1
+          FROM mu m0 JOIN mu m1 ON m1.dim = m0.dim
+          WHERE m0.half = 0 AND m1.half = 1),
+    s AS (SELECT
+            CAST(SUM(CAST(round(mu0 * mu1, 6) AS DECIMAL(27,6)))
+                 AS DOUBLE) AS dot,
+            CAST(SUM(CAST(round(mu0 * mu0, 6) AS DECIMAL(27,6)))
+                 AS DOUBLE) AS n0,
+            CAST(SUM(CAST(round(mu1 * mu1, 6) AS DECIMAL(27,6)))
+                 AS DOUBLE) AS n1,
+            CAST(SUM(CAST(round((mu0 - mu1) * (mu0 - mu1), 6)
+                          AS DECIMAL(27,6))) AS DOUBLE) AS d2
+          FROM w)
+    SELECT round(dot / (sqrt(n0) * sqrt(n1)), 6) AS centroid_cosine,
+           round(sqrt(d2), 6) AS centroid_shift_l2,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0)::BIGINT
+               AS n_half0,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1)::BIGINT
+               AS n_half1
+    FROM s
+    """,
+    doc="Embedding-version drift check: split the corpus into two "
+    "deterministic halves (vec_id parity — stand-in for old/new model "
+    "versions or time slices) and compare their EXACT centroids: "
+    "cosine and L2 shift. The cheap canary that catches a re-embedding "
+    "run with a changed model/normalization before an index rebuild "
+    "mixes incompatible vectors. One explode pass + a dim-sized "
+    "centroid frame; all decimal-summed, fully exact oracle.",
+)
+def embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).withColumn("x", F.col("xf").cast("double"))
+
+    def dsum(col):
+        return F.sum(F.round(col, 6).cast("decimal(27,6)")).cast("double")
+
+    mu = e.groupBy("half", "dim").agg(
+        (dsum(F.col("x")) / F.count(F.lit(1))).alias("mu")
+    )
+    m0 = mu.filter("half = 0").select("dim", F.col("mu").alias("mu0"))
+    m1 = mu.filter("half = 1").select("dim", F.col("mu").alias("mu1"))
+    w = m0.join(m1, "dim")
+    s = w.agg(
+        dsum(F.col("mu0") * F.col("mu1")).alias("dot"),
+        dsum(F.col("mu0") * F.col("mu0")).alias("n0"),
+        dsum(F.col("mu1") * F.col("mu1")).alias("n1"),
+        dsum((F.col("mu0") - F.col("mu1")) * (F.col("mu0") - F.col("mu1")))
+        .alias("d2"),
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_half0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_half1"),
+    )
+    return s.crossJoin(counts).select(
+        F.round(
+            F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("d2"), 6).alias("centroid_shift_l2"),
+        "n_half0",
+        "n_half1",
+    )
+
+
+@register(
+    "forward_fill_values",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CASE WHEN event_type = 'error' THEN NULL
+                           ELSE round(value, 6) END AS v
+               FROM events)
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM v
+    """,
+    doc="Per-entity forward fill (LOCF imputation): error events carry "
+    "no valid measurement, so each row takes the user's last non-null "
+    "value in (ts, event_id) order. One window PARTITIONED BY user — "
+    "state per partition is a single scalar, the canonical gap-filling "
+    "op for sensor/telemetry lakes. Values 6-dp rounded on both sides "
+    "(pure passthrough, no summation).",
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.round("value", 6)
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return v.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -602,6 +602,8 @@ _BNLJ_WHITELIST = {
     "sample_negatives_contrastive",
     # four 1-row (orphans x total) scalar joins, one per audited FK
     "referential_integrity_audit",
+    # 1-row (stats x counts) scalar join
+    "embedding_drift_halves",
 }
 
 
