@@ -1,0 +1,73 @@
+"""Declarative data-contract evaluation — Great-Expectations-style checks
+compiled into ONE aggregation pass.
+
+The ingestion-side quality gate the reference approximates with a single
+global row-count validation (start_ingestion.py's count reconciliation):
+here a contract is a list of named row-level predicates plus optional
+uniqueness keys, and the evaluator emits one (expectation, n_violations,
+n_rows) row per check.
+
+Scale design: every row-level expectation is a conditional SUM inside the
+same aggregate — the table is scanned once regardless of how many checks
+the contract carries, all partials map-side. Uniqueness checks need key
+cardinality, so each adds one keyed aggregate over its key (rows minus
+distinct keys = violations) — still a single shuffle per unique-key
+constraint, and the key frames are group-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def evaluate_expectations(
+    df: DataFrame,
+    row_checks: Sequence[tuple[str, Column]],
+    unique_keys: Sequence[tuple[str, Sequence[str]]] = (),
+) -> DataFrame:
+    """Evaluate a data contract.
+
+    ``row_checks`` — (name, boolean Column) pairs; a row violates a check
+    when the predicate is NOT true (false OR null, so a null in
+    ``price > 0`` counts as a violation rather than slipping through
+    three-valued logic). ``unique_keys`` — (name, key columns) pairs;
+    violations = n_rows − n_distinct_keys (the number of surplus rows).
+
+    Returns (expectation, n_violations, n_rows) with one row per check,
+    in contract order semantics (row order itself is unordered — sort on
+    read).
+    """
+    if not row_checks and not unique_keys:
+        raise ValueError("contract is empty: no checks given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in row_checks:
+        aggs.append(
+            F.sum(
+                F.when(pred, F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__v_{name}")
+        )
+    base = df.agg(*aggs)
+    stacked = None
+    for name, _ in row_checks:
+        row = base.select(
+            F.lit(name).alias("expectation"),
+            F.coalesce(F.col(f"__v_{name}"), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+        stacked = row if stacked is None else stacked.unionByName(row)
+    for name, keys in unique_keys:
+        uniq = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("__d"),
+        ).select(
+            F.lit(name).alias("expectation"),
+            (F.col("__n") - F.col("__d")).cast("long").alias("n_violations"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+        stacked = uniq if stacked is None else stacked.unionByName(uniq)
+    return stacked

@@ -985,3 +985,135 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "clustering_coefficient_parts",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS a, b.p AS b
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tcount AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY node)
+    SELECT deg.node, deg.d::BIGINT AS degree,
+           COALESCE(t, 0)::BIGINT AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * COALESCE(t, 0) / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tcount USING (node)
+    """,
+    doc="Local clustering coefficient per part over the same support>=2 "
+    "co-order graph as triangle_count_coorder_parts: cc(v) = 2T(v) / "
+    "(d(v)(d(v)-1)) — the 'is this node in a community or a hub-spoke' "
+    "signal. Composes the orientation-bounded triangle operator with "
+    "one degree aggregate; pure integer operands into the final "
+    "division, so both engines compute the identical double.",
+)
+def clustering_coefficient_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    ).persist()
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    j = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+    return j
+
+
+@register(
+    "expectations_orders_contract",
+    oracle="""
+    SELECT 'totalprice_positive' AS expectation,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_totalprice > 0, FALSE))::BIGINT
+               AS n_violations,
+           (SELECT COUNT(*) FROM orders)::BIGINT AS n_rows
+    UNION ALL
+    SELECT 'status_in_domain',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))::BIGINT,
+           (SELECT COUNT(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate IS NULL)::BIGINT,
+           (SELECT COUNT(*) FROM orders)::BIGINT
+    UNION ALL
+    SELECT 'orderkey_unique',
+           ((SELECT COUNT(*) FROM orders)
+            - (SELECT COUNT(DISTINCT o_orderkey) FROM orders))::BIGINT,
+           (SELECT COUNT(*) FROM orders)::BIGINT
+    """,
+    doc="Declarative data contract over orders "
+    "(operators/expectations.py::evaluate_expectations): range, domain, "
+    "non-null, and key-uniqueness checks. All row-level checks compile "
+    "into ONE aggregation scan (conditional sums, map-side partials) no "
+    "matter how many the contract carries; the uniqueness check adds "
+    "one keyed aggregate. Predicate semantics are null-hostile: a NULL "
+    "price VIOLATES price>0 instead of escaping through three-valued "
+    "logic — pinned in tests/test_expectations.py.",
+)
+def expectations_orders_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.expectations import evaluate_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluate_expectations(
+        orders,
+        row_checks=[
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            (
+                "status_in_domain",
+                F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        ],
+        unique_keys=[("orderkey_unique", ["o_orderkey"])],
+    )
