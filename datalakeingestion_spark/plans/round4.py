@@ -1117,3 +1117,175 @@ def expectations_orders_contract(
         ],
         unique_keys=[("orderkey_unique", ["o_orderkey"])],
     )
+
+
+@register(
+    "revenue_pareto_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS spend
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT spend,
+             ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend),
+    d AS (SELECT decile, COUNT(*)::BIGINT AS n_customers,
+                 CAST(SUM(CAST(round(spend, 4) AS DECIMAL(27,4)))
+                      AS DOUBLE) AS decile_revenue
+          FROM ranked GROUP BY decile),
+    tot AS (SELECT CAST(SUM(CAST(round(spend, 4) AS DECIMAL(27,4)))
+                        AS DOUBLE) AS total FROM ranked)
+    SELECT decile, n_customers, decile_revenue,
+           round(decile_revenue / total, 6) AS revenue_share,
+           round(CAST(SUM(decile_revenue) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / total, 6) AS cum_share
+    FROM d CROSS JOIN tot
+    """,
+    doc="Revenue Pareto/Lorenz curve: customers ranked by total spend "
+    "into deciles (ties broken by custkey for determinism), revenue "
+    "share and cumulative share per decile — 'the top 10% of customers "
+    "carry X% of revenue'. The ranking window runs over the CUSTOMER-"
+    "aggregated frame (customer-sized, not fact-sized); spends are "
+    "exact decimal sums, shares divide identical doubles, the "
+    "cumulative window sees 10 rows. Complements token_gini_by_source: "
+    "gini summarizes the curve, this emits it.",
+)
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend")
+    )
+    wr = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "spend", F.ntile(10).over(wr).alias("decile")
+    )
+
+    def dsum4(col):
+        return F.sum(F.round(col, 4).cast("decimal(27,4)")).cast("double")
+
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        dsum4(F.col("spend")).alias("decile_revenue"),
+    )
+    tot = ranked.agg(dsum4(F.col("spend")).alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return d.crossJoin(tot).select(
+        "decile",
+        "n_customers",
+        "decile_revenue",
+        F.round(F.col("decile_revenue") / F.col("total"), 6).alias(
+            "revenue_share"
+        ),
+        F.round(
+            F.sum("decile_revenue").over(wc).cast("double")
+            / F.col("total"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "lang_consistency_by_source",
+    oracle="""
+    WITH c AS (SELECT source, lang, COUNT(*) AS n
+               FROM documents GROUP BY source, lang),
+    maj AS (SELECT source, lang AS majority_lang
+            FROM (SELECT source, lang, n,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY n DESC, lang) AS rn
+                  FROM c)
+            WHERE rn = 1)
+    SELECT c.source, maj.majority_lang,
+           SUM(c.n)::BIGINT AS n_docs,
+           SUM(CASE WHEN c.lang <> maj.majority_lang THEN c.n
+                    ELSE 0 END)::BIGINT AS n_off_majority,
+           round(SUM(CASE WHEN c.lang <> maj.majority_lang THEN c.n
+                          ELSE 0 END) / SUM(c.n)::DOUBLE, 6)
+               AS off_majority_ratio
+    FROM c JOIN maj ON maj.source = c.source
+    GROUP BY c.source, maj.majority_lang
+    """,
+    doc="Language-consistency screen per source: the majority language "
+    "(deterministic tie-break) and the fraction of documents tagged "
+    "otherwise — a high off-majority ratio flags either a mislabeled "
+    "source feed or a broken language-ID stage upstream. Runs entirely "
+    "on the (source, lang) count frame: one aggregate over the corpus, "
+    "then source-sized windows and joins.",
+)
+def lang_consistency_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    maj = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("source", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        c.join(maj, "source")
+        .groupBy("source", "majority_lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") != F.col("majority_lang"), F.col("n"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_off_majority"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("lang") != F.col("majority_lang"), F.col("n")
+                    ).otherwise(F.lit(0))
+                )
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("off_majority_ratio"),
+        )
+    )
+
+
+@register(
+    "sql_api_revenue_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="The SQL-surface path (SURVEY S8: the engine IS the query "
+    "layer): this query goes through api.open_session's registered "
+    "temp views and spark.sql(...) VERBATIM rather than the DataFrame "
+    "builder — proving the declarative SQL front door produces "
+    "oracle-identical results under the same determinism contract "
+    "(decimal sums cast back to double).",
+)
+def sql_api_revenue_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..api import open_session
+
+    open_session(sf_dir=sf_dir, spark=spark, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY o_orderstatus
+        """
+    )

@@ -604,6 +604,8 @@ _BNLJ_WHITELIST = {
     "referential_integrity_audit",
     # 1-row (stats x counts) scalar join
     "embedding_drift_halves",
+    # 1-row total-revenue scalar join
+    "revenue_pareto_deciles",
 }
 
 
