@@ -33,8 +33,11 @@ def evaluate_expectations(
     ``row_checks`` — (name, boolean Column) pairs; a row violates a check
     when the predicate is NOT true (false OR null, so a null in
     ``price > 0`` counts as a violation rather than slipping through
-    three-valued logic). ``unique_keys`` — (name, key columns) pairs;
-    violations = n_rows − n_distinct_keys (the number of surplus rows).
+    three-valued logic). ``unique_keys`` — (name, key columns) pairs
+    with PRIMARY-KEY semantics: violations = surplus rows among
+    fully-non-null keys PLUS every row whose key has any null component
+    (a null key can't be unique, same null-hostile stance as the row
+    checks).
 
     Returns (expectation, n_violations, n_rows) with one row per check,
     in contract order semantics (row order itself is unordered — sort on
@@ -42,6 +45,10 @@ def evaluate_expectations(
     """
     if not row_checks and not unique_keys:
         raise ValueError("contract is empty: no checks given")
+    names = [n for n, _ in row_checks] + [n for n, _ in unique_keys]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(f"duplicate expectation name(s): {dupes}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in row_checks:
         aggs.append(
@@ -61,6 +68,9 @@ def evaluate_expectations(
         )
         stacked = row if stacked is None else stacked.unionByName(row)
     for name, keys in unique_keys:
+        # count_distinct drops tuples with any null key component, so
+        # n − d = surplus among fully-non-null keys + every null-keyed
+        # row — exactly the PK semantics the docstring states
         uniq = df.agg(
             F.count(F.lit(1)).alias("__n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("__d"),

@@ -460,10 +460,13 @@ def gini_from_values(
 
         Σ_{i in v} 2·i·x_i  =  v · (2·c_v·cumb + c_v·(c_v+1)).
 
-    Everything up to the final division is bigint arithmetic on exact
+    Everything up to the final division is exact integer arithmetic on
     counts, so the result is bit-identical across engines and
     partitionings; the only window runs over DISTINCT VALUES per group
-    (≤ |value domain| rows), not the data.
+    (≤ |value domain| rows), not the data. The rank-weighted terms are
+    accumulated in decimal(38,0) — c·cumb alone exceeds int64 once a
+    group passes ~3e9 rows (DuckDB's SUM(BIGINT) auto-promotes to
+    HUGEINT; Spark's long sum would silently wrap).
 
     Returns (group_cols..., n, total, gini) with gini 6-dp rounded;
     single-member or all-zero groups yield gini = 0.0 by convention.
@@ -482,21 +485,21 @@ def gini_from_values(
     ranked = hist.withColumn(
         "_cumb", F.coalesce(F.sum("_c").over(w), F.lit(0))
     )
+    d38 = "decimal(38,0)"
+    v38 = F.col("_v").cast(d38)
+    c38 = F.col("_c").cast(d38)
+    cumb38 = F.col("_cumb").cast(d38)
     agg = ranked.groupBy(*gcols).agg(
         F.sum("_c").alias("n"),
-        F.sum(F.col("_v") * F.col("_c")).alias("total"),
+        F.sum(v38 * c38).alias("total"),
         F.sum(
-            F.col("_v")
-            * (
-                2 * F.col("_c") * F.col("_cumb")
-                + F.col("_c") * (F.col("_c") + 1)
-            )
+            v38 * (2 * c38 * cumb38 + c38 * (c38 + 1))
         ).alias("_num"),
     )
     gini = F.when(
         (F.col("n") > 1) & (F.col("total") > 0),
         F.round(
-            F.col("_num")
+            F.col("_num").cast("double")
             / (F.col("n").cast("double") * F.col("total").cast("double"))
             - (F.col("n") + 1) / F.col("n").cast("double"),
             6,

@@ -866,6 +866,10 @@ def silhouette_by_label(
         F.col(label_col).alias("lbl"),
         F.posexplode(vec_col).alias("dim", "xf"),
     ).withColumn("x", F.col("xf").cast("double"))
+    # e feeds three aggregations with DIFFERENT grouping keys (mu, nv,
+    # dots) — no exchange reuse applies, so without the persist the
+    # corpus scan + rows x dims explode executes three times.
+    e = e.persist()
 
     def dsum(col: Column) -> Column:
         return F.sum(F.round(col, 6).cast("decimal(27,6)")).cast("double")
@@ -873,6 +877,8 @@ def silhouette_by_label(
     mu = e.groupBy(F.col("lbl").alias("l"), "dim").agg(
         (dsum(F.col("x")) / F.count(F.lit(1))).alias("mu")
     )
+    # mu is consumed by both nm and the dots join
+    mu = mu.persist()
     nm = mu.groupBy("l").agg(dsum(F.col("mu") * F.col("mu")).alias("nm2"))
     nv = e.groupBy("vid").agg(dsum(F.col("x") * F.col("x")).alias("nv2"))
     dots = (

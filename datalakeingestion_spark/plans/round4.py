@@ -19,6 +19,25 @@ from .registry import register
 _DAY = 86400
 
 
+def _coorder_edges(li: DataFrame) -> DataFrame:
+    """Support>=2 part co-order graph: undirected (src, dst) edges for
+    parts appearing together in at least two orders — shared by the
+    triangle and clustering-coefficient plans so the two can never
+    diverge on the graph definition."""
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+
+
 @register(
     "triangle_count_coorder_parts",
     oracle="""
@@ -55,21 +74,7 @@ def triangle_count_coorder_parts(
     from ..operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o"))
-               & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.col("a.p").alias("src"), F.col("b.p").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_coorder_edges(li))
 
 
 @register(
@@ -1026,18 +1031,7 @@ def clustering_coefficient_parts(
     from ..operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o"))
-               & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    ).persist()
+    edges = _coorder_edges(li).persist()
     tri = triangle_counts(edges)
     deg = (
         edges.select(F.col("src").alias("node"))

@@ -53,3 +53,25 @@ def test_clean_table_passes_everything(spark):
     ).collect()
     assert all(r["n_violations"] == 0 for r in rows)
     assert all(r["n_rows"] == 2 for r in rows)
+
+
+def test_null_key_rows_violate_uniqueness(spark):
+    """PK semantics: a null-keyed row violates uniqueness even with no
+    duplicates (count_distinct drops null tuples, so n − d counts it)."""
+    df = spark.createDataFrame([(None, 1.0)], "k string, price double")
+    [r] = evaluate_expectations(
+        df, row_checks=[], unique_keys=[("k_unique", ["k"])]
+    ).collect()
+    assert (r["n_violations"], r["n_rows"]) == (1, 1)
+
+
+def test_duplicate_check_names_rejected(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="duplicate"):
+        evaluate_expectations(
+            df,
+            row_checks=[
+                ("positive", F.col("id") > 0),
+                ("positive", F.col("id") < 10),
+            ],
+        )

@@ -615,7 +615,7 @@ def test_registry_wide_no_cartesian_products(spark):
     (1-row scalar builds / broadcast query sets on non-equi conditions).
     A refactor that drops a join key or wraps it in a non-pushable
     expression degrades to one of these silently — this catches it
-    across all 193 queries at plan-build cost, no execution."""
+    across every registered query at plan-build cost, no execution."""
     from datalakeingestion_spark.plans.registry import (
         REGISTRY,
         _ensure_loaded,
