@@ -1283,3 +1283,81 @@ def sql_api_revenue_by_status(
         FROM orders GROUP BY o_orderstatus
         """
     )
+
+
+_PPR_SCALE = 10**12
+_PPR_DAMP = 85
+
+
+def _ppr_iter_sql(prev: str, name: str) -> str:
+    return f"""{name} AS (
+      SELECT nd.node,
+             CAST(CASE WHEN nd.node LIKE 's%' THEN p.base ELSE 0 END
+                  + ({_PPR_DAMP} * COALESCE(rv.recv, 0)) // 100
+                  AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN p
+      LEFT JOIN (SELECT e.dst, SUM(r.rank // d.outdeg) AS recv
+                 FROM e JOIN deg d ON e.src = d.src
+                 JOIN {prev} r ON r.node = e.src
+                 GROUP BY e.dst) rv ON rv.dst = nd.node)"""
+
+
+@register(
+    "pagerank_personalized_suppliers",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    p AS (SELECT ns,
+                 ({_PPR_SCALE} * {100 - _PPR_DAMP}) // (100 * ns) AS base
+          FROM (SELECT COUNT(*)::BIGINT AS ns FROM nodes
+                WHERE node LIKE 's%')),
+    r0 AS (SELECT nd.node,
+                  CASE WHEN nd.node LIKE 's%'
+                       THEN {_PPR_SCALE} // p.ns ELSE 0 END AS rank
+           FROM nodes nd CROSS JOIN p),
+    {_ppr_iter_sql('r0', 'it1')},
+    {_ppr_iter_sql('it1', 'it2')},
+    {_ppr_iter_sql('it2', 'it3')},
+    ranked AS (SELECT node, rank,
+                      row_number() OVER (ORDER BY rank DESC, node) AS rnk
+               FROM it3)
+    SELECT node, rank, rnk FROM ranked WHERE rnk <= 20
+    """,
+    doc="PERSONALIZED PageRank over the trade graph "
+    "(operators/graph.py::personalized_pagerank_fixed_point): teleport "
+    "mass returns only to the SUPPLIER seed set, ranking authority "
+    "relative to trusted seeds — the crawl-frontier / related-entity "
+    "form of the global pagerank_trade_graph_3iter beside it. Same "
+    "exact bigint fixed-point recurrence (bit-reproducible, unrolled-"
+    "CTE oracle); one hash join + one combinable SUM per sweep, rank "
+    "frame node-sized.",
+)
+def pagerank_personalized_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import (
+        customer_supplier_edges,
+        personalized_pagerank_fixed_point,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = customer_supplier_edges(orders, li)
+    rank = personalized_pagerank_fixed_point(
+        edges,
+        seed=F.col("node").startswith("s"),
+        iters=3,
+        damping_pct=_PPR_DAMP,
+        scale=_PPR_SCALE,
+    )
+    top = rank.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "node", "rank", "rnk"
+    )

@@ -210,3 +210,61 @@ def test_triangle_counts_random_graphs_property(spark):
             for r in triangle_counts(df).collect()
         }
         assert got == _py_triangles(edges), (trial, p)
+
+
+def _py_ppr(edges, seeds, iters, scale=10**12, damp=85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ns = sum(1 for v in nodes if v in seeds)
+    base = (scale * (100 - damp)) // (100 * ns)
+    rank = {v: (scale // ns if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        for s, d in edges:
+            recv[d] += rank[s] // outdeg[s]
+        rank = {
+            v: (base if v in seeds else 0) + (damp * recv[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_python_twin(spark):
+    from pyspark.sql import functions as SF
+
+    from datalakeingestion_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = {"a", "d"}
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank_fixed_point(
+            df, seed=SF.col("node").isin(*seeds), iters=3
+        ).collect()
+    }
+    assert got == _py_ppr(EDGES, seeds, iters=3)
+    # teleport mass concentrates near the seeds: every seed outranks
+    # the weakest non-seed
+    non_seed_min = min(v for k, v in got.items() if k not in seeds)
+    assert all(got[s] > non_seed_min for s in seeds)
+
+
+def test_personalized_pagerank_empty_seed_raises(spark):
+    from pyspark.sql import functions as SF
+
+    from datalakeingestion_spark.operators.graph import (
+        personalized_pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank_fixed_point(
+            df, seed=SF.col("node") == "nope"
+        )
