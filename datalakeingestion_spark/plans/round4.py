@@ -1361,3 +1361,55 @@ def pagerank_personalized_suppliers(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "node", "rank", "rnk"
     )
+
+
+@register(
+    "skipgram_pairs_top50",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(
+                          trim(regexp_replace(lower(text),
+                               '[^a-z0-9]+', ' ', 'g')), ' '),
+                          x -> x <> '') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+                   unnest(toks) AS w
+            FROM t),
+    pairs AS (SELECT a.w AS w1, b.w AS w2
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id
+               AND b.i > a.i AND b.i <= a.i + 2)
+    SELECT w1, w2, COUNT(*)::BIGINT AS n_cooc
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n_cooc DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="Skip-gram co-occurrence statistics (word2vec-style window-2 "
+    "pairs, ordered): the count matrix an embedding trainer or PMI "
+    "pipeline consumes. Fan-out is exactly the window size per token — "
+    "a position self-join bounded at 2 rows per left token, joined on "
+    "doc_id (never all positions x all positions); one count shuffle "
+    "then TakeOrdered top-50. Extends pmi_collocations_top50's "
+    "adjacent-bigram stats to the windowed form.",
+)
+def skipgram_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w")
+    )
+    a = pos.alias("a")
+    b = pos.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.i") > F.col("a.i"))
+        & (F.col("b.i") <= F.col("a.i") + 2),
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
