@@ -1413,3 +1413,144 @@ def skipgram_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooc"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+@register(
+    "retention_cohort_revenue",
+    oracle=f"""
+    WITH d AS (SELECT user_id, event_type, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) // {_DAY} AS day
+               FROM events),
+    cohort AS (SELECT user_id, MIN(day) // 7 AS cohort_wk
+               FROM d WHERE event_type = 'signup' GROUP BY user_id),
+    pur AS (SELECT user_id, day // 7 AS wk, value FROM d
+            WHERE event_type = 'purchase'),
+    j AS (SELECT c.cohort_wk, p.wk - c.cohort_wk AS week_offset,
+                 p.user_id, p.value
+          FROM cohort c JOIN pur p USING (user_id)
+          WHERE p.wk >= c.cohort_wk)
+    SELECT cohort_wk, week_offset,
+           COUNT(DISTINCT user_id)::BIGINT AS n_buyers,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue
+    FROM j GROUP BY cohort_wk, week_offset
+    """,
+    doc="REVENUE-weighted retention cohorts: purchase value per "
+    "(signup-week cohort, week offset) — the LTV curve behind "
+    "retention_cohorts' user counts; the two diverge exactly when "
+    "retained users spend differently over their lifetime. Same "
+    "integer-epoch cohort math + one hash join on user_id; purchase "
+    "values are 6-dp-rounded decimal sums so the matrix is exact.",
+)
+def retention_cohort_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(f"cast(ts as long) div {_DAY}").alias("day"),
+    )
+    cohort = (
+        d.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr("min(day) div 7").alias("cohort_wk"))
+    )
+    pur = d.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("day div 7").alias("wk"), "value"
+    )
+    j = pur.join(cohort, "user_id").filter(
+        F.col("wk") >= F.col("cohort_wk")
+    )
+    return (
+        j.select(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+            "user_id",
+            "value",
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum(F.round("value", 6).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "multi_touch_attribution_linear",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_id AS click_id, p.event_id AS purchase_id,
+             round(p.value, 6) AS value
+      FROM events e JOIN events p
+        ON p.user_id = e.user_id
+       AND e.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR),
+    w AS (SELECT click_id, purchase_id, value,
+                 COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+          FROM j)
+    SELECT click_id,
+           COUNT(*)::BIGINT AS n_purchases_touched,
+           round(SUM(round(1.0 / n_touches, 6)), 6) AS credit,
+           CAST(SUM(CAST(round(round(value, 6) / n_touches, 6)
+                         AS DECIMAL(27,6))) AS DOUBLE)
+               AS attributed_revenue
+    FROM w GROUP BY click_id
+    """,
+    doc="LINEAR multi-touch attribution: each purchase's credit (and "
+    "revenue) split equally across ALL clicks in the preceding hour — "
+    "the sibling of conversion_attribution_last_touch for marketing-"
+    "mix analysis. Interval-join candidates + a per-purchase COUNT "
+    "window (candidate-click-sized state) + one keyed aggregate per "
+    "click. Each share is 6-dp rounded BEFORE summation and the "
+    "revenue shares decimal-summed, so credits are order-independent "
+    "on both engines.",
+)
+def multi_touch_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.incremental import interval_join_events_orders
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round("value", 6).alias("pvalue"),
+    )
+    j = interval_join_events_orders(
+        clicks,
+        purchases.drop("pvalue"),
+        event_ts="ts",
+        order_ts="pts",
+        user_key="user_id",
+        order_key="user_id",
+        event_id="event_id",
+        order_id="purchase_id",
+        within="1 hour",
+    ).join(
+        purchases.select("purchase_id", "pvalue"), "purchase_id"
+    )
+    w = Window.partitionBy("purchase_id")
+    shares = j.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return (
+        shares.groupBy(F.col("event_id").alias("click_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+            F.round(
+                F.sum(F.round(1.0 / F.col("n_touches"), 6)), 6
+            ).alias("credit"),
+            F.sum(
+                F.round(F.col("pvalue") / F.col("n_touches"), 6).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
