@@ -55,58 +55,60 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01 + CORRECTNESS_r02.
+# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 (108
+# distinct queries externally green; this tuple is the next 50 of the 98
+# never-checked, in registration order, via tools/rotate_priority.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "embedding_quantize_int8",
-    "range_join_error_context_5min",
-    "range_join_signup_followups_1h",
-    "cms_term_frequency",
-    "g6_grouping_sets",
-    "w7_event_gap_stats",
-    "d4_price_quantity_correlation",
-    "sketch_kmv_by_returnflag",
-    "countsketch_term_frequency",
-    "a8_approx_distinct_parts",
-    "g7_approx_percentiles",
-    "sample_quality_weighted",
-    "budget_cap_per_source",
-    "assemble_sequences_512",
-    "u3_intersect_click_purchase_days",
-    "unigram_logprob_score",
-    "tfidf_top_terms",
-    "text_repetition_filter_auto",
-    "dedup_keep_best",
-    "knn_graph_topk",
-    "funnel_conversion_1h",
-    "bm25_rank",
-    "dedup_semantic_clusters",
-    "w6_rolling_1h_range",
-    "decontaminate_embedding_cosine",
-    "salted_join_segment_counts",
-    "boilerplate_span_flag",
-    "a1_watermark_bounds",
-    "c4_next_watermark",
-    "a3_scalar_max",
-    "a5_distinct_event_types",
-    "a6_argmax_latest_event",
-    "a2_group_count_validation",
-    "c1_date_bucket_monthly",
-    "c2_int_bucket",
-    "c9_json_extract",
-    "p3_timestamp_clamp",
-    "o1_sort_topk",
-    "u1_union_append",
-    "u2_anti_join_new_tables",
-    "v1_count_reconciliation",
-    "scd2_user_history",
-    "t9_stream_dedup",
-    "source_js_divergence",
-    "fuzzy_match_customer_names",
-    "profile_price_histogram",
-    "quality_rank_normalize",
-    "dedup_cluster_assign_star",
+    "dedup_jaccard_prefix_join",
+    "bigram_logprob_score",
+    "pmi_collocations_top50",
+    "kmeans_cluster_profile",
+    "source_ngram_overlap_matrix",
+    "dedup_incremental_vs_lake",
+    "cdc_shared_chunk_fraction",
+    "pca_embedding_contract",
+    "ann_pca_rerank_topk",
+    "zipf_alpha_fit",
+    "embedding_centroid_outliers",
+    "containment_quote_pairs",
+    "quality_logistic_score",
+    "curation_pipeline_v2",
+    "tokenize_to_ids",
+    "quality_by_source_rollup",
+    "sample_negatives_contrastive",
+    "label_centroid_similarity",
+    "winnowing_fingerprint_pairs",
+    "bpe_pair_stats_top50",
+    "psi_price_drift",
+    "dedup_ratio_by_source",
+    "audio_pcm_clip_stats",
+    "dedup_sorted_neighborhood",
+    "mv_incremental_revenue",
+    "mv_retraction_consistency",
+    "pagerank_trade_graph_3iter",
+    "zorder_skipping_report",
+    "trigram_backoff_score",
+    "mix_corpora_temperature_half",
+    "sketch_kmv_union_intersect",
+    "sample_weighted_aes_top50",
+    "compaction_plan_daily",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "decayed_event_score",
+    "ols_price_quantity_by_flag",
+    "mad_outliers_by_flag",
+    "table_checksum_diff_blocks",
+    "oov_rate_by_source",
+    "blocklist_filter_stats",
+    "label_prop_knn_majority",
+    "frequent_part_pairs_top50",
+    "rfm_segments",
+    "exact_quantiles_price_by_flag",
+    "sample_balanced_length_deciles",
+    "join_size_profile_orders_lineitem",
+    "quantile_map_nchars_by_source",
+    "anomalous_event_days",
+    "supplier_reliability_wilson",
 )
 
 
