@@ -1111,6 +1111,16 @@ def lsh_candidate_report(
     shingle and signature tables are shared); the report adds only two
     global counts. Returns (n_candidates, n_true, lsh_precision) with
     precision 6-dp rounded (0.0 when there are no candidates).
+
+    Caching note: the shingle/signature/candidate persists below are
+    INTENTIONALLY left for the session lifetime — the returned frame is
+    lazy (an eager unpersist would force an action at plan-build time),
+    and the default MEMORY_AND_DISK level is LRU-evicted under storage
+    pressure, so the cache is bounded. Long-lived sessions running many
+    unrelated queries can ``spark.catalog.clearCache()`` between
+    batches. Same policy applies to ``graph.triangle_counts``,
+    ``graph.personalized_pagerank_fixed_point``,
+    ``similarity.silhouette_by_label`` and the ks-drift histogram.
     """
     shingles = _shingle_table(docs, text_col, id_col, n).persist()
     sig = _signatures_from_shingles(shingles).persist()

@@ -8,8 +8,9 @@ uniqueness keys, and the evaluator emits one (expectation, n_violations,
 n_rows) row per check.
 
 Scale design: every row-level expectation is a conditional SUM inside the
-same aggregate — the table is scanned once regardless of how many checks
-the contract carries, all partials map-side. Uniqueness checks need key
+same aggregate, and the single agg row is unpivoted with inline() — the
+table is scanned once regardless of how many checks the contract carries
+(structurally, not relying on ReuseExchange), all partials map-side. Uniqueness checks need key
 cardinality, so each adds one keyed aggregate over its key (rows minus
 distinct keys = violations) — still a single shuffle per unique-key
 constraint, and the key frames are group-sized.
@@ -56,17 +57,26 @@ def evaluate_expectations(
                 F.when(pred, F.lit(0)).otherwise(F.lit(1))
             ).alias(f"__v_{name}")
         )
-    base = df.agg(*aggs)
     stacked = None
-    for name, _ in row_checks:
-        row = base.select(
-            F.lit(name).alias("expectation"),
-            F.coalesce(F.col(f"__v_{name}"), F.lit(0))
-            .cast("long")
-            .alias("n_violations"),
-            F.col("__n").cast("long").alias("n_rows"),
+    if row_checks:
+        # ONE aggregate row, unpivoted via inline() — not a union of N
+        # re-selects of the same agg subplan, which would rescan the
+        # table per check whenever ReuseExchange doesn't kick in.
+        base = df.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("expectation"),
+                    F.coalesce(F.col(f"__v_{name}"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                )
+                for name, _ in row_checks
+            ]
         )
-        stacked = row if stacked is None else stacked.unionByName(row)
+        stacked = base.select(
+            F.inline(pairs), F.col("__n").cast("long").alias("n_rows")
+        )
     for name, keys in unique_keys:
         # count_distinct drops tuples with any null key component, so
         # n − d = surplus among fully-non-null keys + every null-keyed

@@ -204,6 +204,10 @@ def triangle_counts(
 
     Returns (node, n_triangles) for nodes in >=1 triangle, with node
     typed as the input key type.
+
+    The canonical-edge persist below is intentionally session-lifetime
+    (the result is lazy; MEMORY_AND_DISK is LRU-evicted under storage
+    pressure) — see ``dedup.lsh_candidate_report`` for the full policy.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -286,6 +290,9 @@ def personalized_pagerank_fixed_point(
     ``seed`` is a boolean Column over the node id column ``node``.
     Every node needs out-degree ≥ 1 (as for the global form). Returns
     (node, rank); non-seed nodes unreachable from S rank 0.
+
+    Edge/degree persists are intentionally session-lifetime (lazy
+    result; LRU-evictable) — see ``dedup.lsh_candidate_report``.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")

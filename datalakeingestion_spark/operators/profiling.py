@@ -470,11 +470,17 @@ def gini_from_values(
 
     Returns (group_cols..., n, total, gini) with gini 6-dp rounded;
     single-member or all-zero groups yield gini = 0.0 by convention.
+    NULL values are EXCLUDED before the histogram (n, total and gini
+    all see only non-null rows — the SQL-aggregate convention); without
+    the filter a null histogram row would inflate n while dropping out
+    of total/_num, silently skewing the coefficient.
     """
     gcols = list(group_cols or [])
-    hist = df.groupBy(
-        *gcols, F.col(value_col).cast("long").alias("_v")
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(value_col).cast("long").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     from pyspark.sql.window import Window
 
     w = (

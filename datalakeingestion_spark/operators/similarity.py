@@ -860,6 +860,9 @@ def silhouette_by_label(
     result is bit-identical across engines and partitionings.
 
     Returns (label, n_vectors, mean_silhouette), 6-dp rounded.
+
+    The explode/centroid persists are intentionally session-lifetime
+    (lazy result; LRU-evictable) — see ``dedup.lsh_candidate_report``.
     """
     e = emb.select(
         F.col(id_col).alias("vid"),

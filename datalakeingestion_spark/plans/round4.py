@@ -544,6 +544,8 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.groupBy(
         "source", F.col("n_chars").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
+    # Intentional session-lifetime persist (lazy result; LRU-evictable)
+    # — see dedup.lsh_candidate_report for the policy.
     h = h.persist()
     vals = h.select("v").distinct()
     srcs = h.groupBy("source").agg(F.sum("c").alias("n_s"))
@@ -1495,7 +1497,8 @@ def retention_cohort_revenue(
           FROM j)
     SELECT click_id,
            COUNT(*)::BIGINT AS n_purchases_touched,
-           round(SUM(round(1.0 / n_touches, 6)), 6) AS credit,
+           round(CAST(SUM(CAST(round(1.0 / n_touches, 6)
+                              AS DECIMAL(27,6))) AS DOUBLE), 6) AS credit,
            CAST(SUM(CAST(round(round(value, 6) / n_touches, 6)
                          AS DECIMAL(27,6))) AS DOUBLE)
                AS attributed_revenue
@@ -1506,9 +1509,9 @@ def retention_cohort_revenue(
     "the sibling of conversion_attribution_last_touch for marketing-"
     "mix analysis. Interval-join candidates + a per-purchase COUNT "
     "window (candidate-click-sized state) + one keyed aggregate per "
-    "click. Each share is 6-dp rounded BEFORE summation and the "
-    "revenue shares decimal-summed, so credits are order-independent "
-    "on both engines.",
+    "click. Each share is 6-dp rounded BEFORE summation and BOTH the "
+    "credit and revenue shares are decimal(27,6)-summed, so results "
+    "are order-independent on both engines.",
 )
 def multi_touch_attribution_linear(
     spark: SparkSession, sf_dir: str
@@ -1543,7 +1546,12 @@ def multi_touch_attribution_linear(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
             F.round(
-                F.sum(F.round(1.0 / F.col("n_touches"), 6)), 6
+                F.sum(
+                    F.round(1.0 / F.col("n_touches"), 6).cast(
+                        "decimal(27,6)"
+                    )
+                ).cast("double"),
+                6,
             ).alias("credit"),
             F.sum(
                 F.round(F.col("pvalue") / F.col("n_touches"), 6).cast(

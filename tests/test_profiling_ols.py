@@ -200,6 +200,27 @@ def test_gini_known_and_bruteforce(spark):
     assert got["extreme"][2] == 0.75
 
 
+def test_gini_nulls_excluded(spark):
+    """NULL values are dropped BEFORE the histogram: n/total/gini all see
+    only non-null rows (previously a null row inflated n while vanishing
+    from total/_num, skewing the coefficient)."""
+    from datalakeingestion_spark.operators.profiling import gini_from_values
+
+    vals = [1, 2, 3, 4, 5, 30]
+    rows = [("g", v) for v in vals] + [("g", None), ("g", None)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    [row] = gini_from_values(df, "val", ["grp"]).collect()
+    assert (row["n"], row["total"], row["gini"]) == (
+        len(vals), sum(vals), _py_gini(vals),
+    )
+    # an all-null group produces NO output row (no non-null values)
+    df2 = spark.createDataFrame(
+        [("a", 1), ("b", None)], "grp string, val long"
+    )
+    out = {r["grp"] for r in gini_from_values(df2, "val", ["grp"]).collect()}
+    assert out == {"a"}
+
+
 def test_gini_ungrouped_matches_grouped(spark):
     from datalakeingestion_spark.operators.profiling import gini_from_values
 
