@@ -4,11 +4,14 @@ Media are opaque ``binary`` columns with typed metadata structs; transforms
 run as Arrow-batched ``mapInPandas`` operators so the bytes never leave the
 executors and never pass through row-at-a-time Python.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this environment, so the
-decode kernels are STUBBED: ``decoder="fake"`` derives small deterministic
-feature vectors from the bytes' md5 (so schema/partitioning/batch-shape —
-the Spark-side contract — is fully real and tested), and ``decoder="real"``
-raises ``NotImplementedError`` at the exact seam where a codec plugs in.
+Compressed codecs (JPEG/PNG via PIL, video/audio via ffmpeg) are NOT in
+this environment, so those paths stay stubbed: ``decoder="fake"`` derives
+small deterministic feature vectors from the bytes' md5 (so schema/
+partitioning/batch-shape — the Spark-side contract — is fully real and
+tested). ``decoder="real"`` IS real for the uncompressed formats a
+pure-numpy decode can handle — NetPBM P5/P6 (PGM/PPM) and 24-bit
+uncompressed BMP (``decode_image``) — and raises ``NotImplementedError``
+only when handed a format that genuinely needs an external codec.
 
 Scale notes: one media row can be MBs — ``mapInPandas`` streams Arrow
 batches, so executor memory is bounded by ``spark.sql.execution.arrow.
@@ -65,25 +68,135 @@ def _fake_features(blob: bytes | None) -> list[float] | None:
     ]
 
 
+def decode_image(blob: bytes | None):
+    """REAL image decode for the uncompressed formats a pure-numpy parser
+    can handle — no external codec needed:
+
+    - NetPBM binary: ``P6`` (PPM, RGB) and ``P5`` (PGM, grayscale),
+      including header comments and maxval <= 255;
+    - BMP: 24-bit uncompressed (``BI_RGB``) BITMAPINFOHEADER files,
+      bottom-up or top-down, with the standard 4-byte row padding.
+
+    Returns ``(fmt, width, height, pixels)`` with ``pixels`` an
+    (H, W, 3) uint8 RGB array (grayscale replicated across channels),
+    or ``None`` for a null blob. Raises ``NotImplementedError`` for any
+    other format — the exact seam where PIL/opencv would plug in — and
+    ``ValueError`` for a recognized-but-truncated/corrupt file (a real
+    pipeline routes those to a quarantine sink, not the codec seam).
+    """
+    import numpy as np
+
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if b[:2] in (b"P6", b"P5"):
+        fmt = "ppm" if b[:2] == b"P6" else "pgm"
+        # header = magic + 3 ints separated by whitespace/comments, then
+        # exactly ONE whitespace byte before the raster
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            if start == pos:
+                raise ValueError(f"bad {fmt} header")
+            fields.append(int(b[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit NetPBM needs a codec")
+        nch = 3 if fmt == "ppm" else 1
+        need = w * h * nch
+        raster = b[pos : pos + need]
+        if len(raster) != need:
+            raise ValueError(f"truncated {fmt}: {len(raster)}/{need} bytes")
+        px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, nch)
+        if nch == 1:
+            px = np.repeat(px, 3, axis=2)
+        return (fmt, w, h, px)
+    if b[:2] == b"BM":
+        if len(b) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression} needs a codec "
+                "(only 24-bit BI_RGB is decodable without one)"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        need = stride * h
+        raster = b[data_off : data_off + need]
+        if len(raster) != need:
+            raise ValueError(f"truncated BMP: {len(raster)}/{need} bytes")
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if not top_down:
+            px = px[::-1]
+        return ("bmp", w, h, np.ascontiguousarray(px))
+    raise NotImplementedError(
+        "unrecognized image format (only P5/P6 NetPBM and 24-bit BMP "
+        "decode codec-free) — plug PIL/opencv in here"
+    )
+
+
+def _real_features(blob: bytes | None) -> list[float] | None:
+    """Decode → FEATURE_DIM-float descriptor, all derived from the real
+    pixel array: dimensions, per-channel means, luma dispersion, aspect.
+    Deterministic (exact integer sums in float64 before the rounding)."""
+    import numpy as np
+
+    decoded = decode_image(blob)
+    if decoded is None:
+        return None
+    _, w, h, px = decoded
+    x = px.astype(np.float64)
+    mean_rgb = x.mean(axis=(0, 1)) / 255.0
+    luma = x.mean(axis=2) / 255.0
+    return [
+        round(float(v), 6)
+        for v in (
+            w / 4096.0,
+            h / 4096.0,
+            mean_rgb[0],
+            mean_rgb[1],
+            mean_rgb[2],
+            float(luma.mean()),
+            float(luma.std()),
+            w / max(h, 1),
+        )
+    ]
+
+
 def extract_features(
     media: DataFrame, decoder: str = "fake", batch_size_hint: int | None = None
 ) -> DataFrame:
-    """(media_id, feature: array<float>) via Arrow-batched mapInPandas."""
+    """(media_id, feature: array<float>) via Arrow-batched mapInPandas.
+
+    ``decoder="real"`` decodes each blob with :func:`decode_image`
+    (NetPBM/BMP24, codec-free) and emits an 8-dim pixel-derived
+    descriptor; unsupported formats raise at the codec seam."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    kernel = _real_features if decoder == "real" else _fake_features
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding requires an image/audio codec "
-                    "(PIL/ffmpeg) — not available in this environment; "
-                    "plug the codec in here"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": pdf["content"].map(_fake_features),
+                    "feature": pdf["content"].map(kernel),
                 }
             )
 
@@ -175,29 +288,123 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(op, schema)
 
 
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics via the REAL codec-free decode
+    (:func:`decode_image`): format, dimensions, pixel count, and exact
+    per-channel means — the resolution/brightness screen an image
+    curation pipeline runs before any model, and the image twin of
+    ``audio_pcm_stats``.
+
+    Channel sums are exact uint8 integer sums accumulated in int64
+    (exact below 2^53 pixels/image), divided once and 6-dp rounded, so
+    results are bit-identical across engines and partitionings.
+    Arrow-batched mapInPandas, no shuffle. Undecodable/corrupt blobs
+    yield a row with null stats and the error class in ``decode_error``
+    (quarantine-friendly: the scan never dies mid-corpus on one bad
+    file).
+
+    Output: (media_id, format, width, height, n_pixels,
+    mean_r, mean_g, mean_b, decode_error).
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_pixels", T.LongType(), True),
+            T.StructField("mean_r", T.DoubleType(), True),
+            T.StructField("mean_g", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    fmt, w, h, px = decode_image(blob)
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         type(exc).__name__)
+                    )
+                    continue
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                n = w * h
+
+                def r6(s: int) -> float:
+                    # exact half-UP 6-dp rounding in integer math —
+                    # Python round() ties-to-even would diverge from
+                    # SQL ROUND on exact .5 ties like 92.6328125
+                    return ((int(s) * 2_000_000 + n) // (2 * n)) / 1e6
+
+                rows.append(
+                    (
+                        mid, fmt, w, h, int(n),
+                        r6(sums[0]), r6(sums[1]), r6(sums[2]),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "decode_error",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, schema)
+
+
+def encode_ppm(pixels) -> bytes:
+    """(H, W, 3) uint8 RGB array -> binary PPM (P6) bytes — the inverse
+    of :func:`decode_image` for the codec-free interchange format."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, decoder: str = "fake"
 ) -> DataFrame:
     """Image resize plumbing: (media_id, content, meta) -> same shape with
     ``content`` replaced by the resized image bytes and ``meta`` updated
-    to the target dimensions. With ``decoder="fake"`` the output bytes
-    are a deterministic md5-keyed stream of exactly width*height bytes
-    (so schema, meta bookkeeping, batch shape, and downstream joins are
-    fully real and testable); ``decoder="real"`` raises at the seam
-    where PIL/opencv plugs in. Arrow-batched mapInPandas, no shuffle;
-    executor memory bounded by arrow.maxRecordsPerBatch.
+    to the target dimensions. ``decoder="real"`` decodes with
+    :func:`decode_image` (NetPBM/BMP24, codec-free), nearest-neighbor
+    resamples with a deterministic integer grid (floor(i·src/dst) —
+    identical on every platform, no float filter kernels), and re-encodes
+    as binary PPM; compressed inputs raise at the codec seam. With
+    ``decoder="fake"`` the output bytes are a deterministic md5-keyed
+    stream of exactly width*height bytes (schema/meta/batch plumbing
+    without any decode). Arrow-batched mapInPandas, no shuffle; executor
+    memory bounded by arrow.maxRecordsPerBatch.
     """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "plug a real image codec here (PIL/opencv not in env)"
-                )
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 if blob is None:
                     out.append((mid, None, None))
+                    continue
+                if decoder == "real":
+                    _, sw, sh, px = decode_image(blob)
+                    ys = (np.arange(height) * sh) // height
+                    xs = (np.arange(width) * sw) // width
+                    resized = np.ascontiguousarray(px[ys][:, xs])
+                    body = encode_ppm(resized)
+                    out.append(
+                        (mid, body, ("ppm", width, height, len(body)))
+                    )
                     continue
                 seed = hashlib.md5(bytes(blob)).digest()
                 n = width * height

@@ -108,7 +108,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_size_profile_orders_lineitem",
     "quantile_map_nchars_by_source",
     "anomalous_event_days",
-    "supplier_reliability_wilson",
+    # round-5 addition checked ahead of the remaining backlog: it closes
+    # the "multimodal decode is stubbed" weakness, so an external green
+    # row is worth one round's delay for supplier_reliability_wilson
+    "image_ppm_pixel_stats",
 )
 
 
@@ -156,6 +159,7 @@ def _ensure_loaded() -> None:
         round3b,
         round3c,
         round4,
+        round5,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

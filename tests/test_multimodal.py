@@ -113,3 +113,166 @@ def test_resize_images_contract(spark):
     assert bytes(again[1].content) == bytes(out[1].content)
     with pytest.raises(Exception, match="codec"):
         resize_images(df, 8, 4, decoder="real").collect()
+
+# ---------------------------------------------------------------------------
+# REAL codec-free image decode (NetPBM P5/P6, BMP24)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, pixel_bytes):
+    return b"P6\n%d %d\n255\n" % (w, h) + pixel_bytes
+
+
+def _bmp24(pixels_rgb):
+    """Hand-assemble a bottom-up 24-bit BI_RGB BMP from (H,W,3) uint8."""
+    import numpy as np
+
+    h, w, _ = pixels_rgb.shape
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in pixels_rgb[::-1]:  # bottom-up storage
+        line = bytearray(row[:, ::-1].tobytes())  # RGB -> BGR
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    data_off = 14 + 40
+    file_size = data_off + len(raster)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_decode_image_ppm_pgm_bmp():
+    import numpy as np
+    import pytest
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    fmt, w, h, got = decode_image(_ppm(3, 5, px.tobytes()))
+    assert (fmt, w, h) == ("ppm", 3, 5)
+    assert np.array_equal(got, px)
+    # round-trip through the encoder
+    assert decode_image(encode_ppm(px))[3].tolist() == px.tolist()
+    # header comments + arbitrary whitespace are part of the spec
+    commented = b"P6 # comment\n# another\n 3\t5 # dims\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image(commented)[3], px)
+    # PGM grayscale replicates across channels
+    gray = rng.integers(0, 256, size=(4, 2), dtype=np.uint8)
+    fmt, w, h, got = decode_image(b"P5\n2 4\n255\n" + gray.tobytes())
+    assert fmt == "pgm" and got.shape == (4, 2, 3)
+    assert np.array_equal(got[:, :, 0], gray)
+    assert np.array_equal(got[:, :, 1], gray)
+    # BMP24 exact pixels incl. row padding (w=3 -> stride 12, 3 pad bytes)
+    bmp_px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    fmt, w, h, got = decode_image(_bmp24(bmp_px))
+    assert (fmt, w, h) == ("bmp", 3, 2)
+    assert np.array_equal(got, bmp_px)
+    # corrupt -> ValueError; unknown -> NotImplementedError; None -> None
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(_ppm(3, 5, px.tobytes()[:-1]))
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    assert decode_image(None) is None
+
+
+def test_image_stats_real_decode(spark):
+    """image_stats over real PPM/BMP blobs matches a numpy reference;
+    corrupt and compressed blobs quarantine into decode_error rows."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import image_stats
+
+    rng = np.random.default_rng(11)
+    p1 = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    p2 = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_ppm(6, 4, p1.tobytes()))),
+        (2, bytearray(_bmp24(p2))),
+        (3, bytearray(b"\x89PNG compressed")),
+        (4, bytearray(_ppm(9, 9, b"short"))),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in image_stats(df).collect()}
+    for mid, px, fmt in ((1, p1, "ppm"), (2, p2, "bmp")):
+        r = got[mid]
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        n = px.shape[0] * px.shape[1]
+        assert (r.format, r.width, r.height, r.n_pixels) == (
+            fmt, px.shape[1], px.shape[0], n,
+        )
+        # half-UP 6-dp rounding (SQL ROUND semantics, not Python's
+        # ties-to-even), exact in integer math
+        exp = tuple(((int(v) * 2_000_000 + n) // (2 * n)) / 1e6 for v in s)
+        assert (r.mean_r, r.mean_g, r.mean_b) == exp
+        assert r.decode_error is None
+    assert got[3].decode_error == "NotImplementedError"
+    assert got[4].decode_error == "ValueError"
+    assert got[3].n_pixels is None
+    assert 5 not in got  # null blob skipped entirely
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """Real resize: decode -> integer-grid nearest neighbor -> PPM
+    re-encode, verified against the same grid computed locally."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(8, 6, src.tobytes())))],
+        "media_id long, content binary",
+    )
+    [r] = resize_images(df, width=4, height=3, decoder="real").collect()
+    assert (r.meta.format, r.meta.width, r.meta.height) == ("ppm", 4, 3)
+    fmt, w, h, got = decode_image(bytes(r.content))
+    assert (fmt, w, h) == ("ppm", 4, 3)
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(got, src[ys][:, xs])
+
+
+def test_extract_features_real_pixels(spark):
+    """decoder='real' features come from decoded pixels (not byte
+    hashes): a constant-color image yields its exact channel means."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import extract_features
+
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(8, 4, px.tobytes()))), (2, None)],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r.feature for r in extract_features(df, "real").collect()}
+    f = rows[1]
+    assert rows[2] is None
+    # values are 6-dp rounded then stored as float32
+    assert f[:2] == pytest.approx(
+        [round(8 / 4096, 6), round(4 / 4096, 6)], abs=1e-6
+    )
+    assert f[2:5] == pytest.approx([1.0, 0.0, 0.0], abs=1e-6)  # mean RGB
+    assert f[5] == pytest.approx(round(1 / 3, 6), abs=1e-6)    # mean luma
+    assert f[7] == pytest.approx(2.0, abs=1e-6)                # aspect
