@@ -2,10 +2,11 @@
 
 The reference drives everything from a 21-column Excel sheet on S3
 (update_config.py:34-41; loaded + filtered at start_ingestion.py:206-240 /
-utils/common_utils.py:21-60). Here the control table is plain data — CSV or
-parquet read into a (tiny, driver-side) Spark DataFrame with an explicit
-schema; filtering is ordinary Catalyst predicates instead of pandas
-``df.query`` strings.
+utils/common_utils.py:21-60). Here the control table is plain data — CSV,
+parquet, or the reference's native xlsx (config/xlsx.py, stdlib-only) read
+into a (tiny, driver-side) Spark DataFrame with an explicit schema;
+filtering is ordinary Catalyst predicates instead of pandas ``df.query``
+strings.
 """
 
 from __future__ import annotations
@@ -49,6 +50,32 @@ def load_control(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
         return spark.read.schema(CONTROL_SCHEMA).option("header", True).csv(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt in ("xlsx", "excel"):
+        # the reference's native control format (pd.read_excel at
+        # utils/aws_utils.py:290-292) — read driver-side with the
+        # stdlib-only SpreadsheetML codec (sheets are tiny), then cast
+        # string cells through the explicit schema like the CSV path
+        from .xlsx import read_xlsx
+
+        header, rows = read_xlsx(path)
+        want = [f.name for f in CONTROL_SCHEMA.fields]
+        if header != want:
+            raise ValueError(
+                f"control sheet columns {header!r} != expected {want!r}"
+            )
+        as_str = T.StructType(
+            [T.StructField(n, T.StringType()) for n in want]
+        )
+        raw = spark.createDataFrame(
+            [[None if v is None else str(v) for v in r] for r in rows],
+            as_str,
+        )
+        return raw.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in CONTROL_SCHEMA.fields
+            ]
+        )
     raise ValueError(f"unsupported control format {fmt!r}")
 
 
@@ -64,11 +91,30 @@ def filter_control(control: DataFrame, groups: Sequence[str] | None = None) -> D
     return out
 
 
-def save_control(control: DataFrame, path: str) -> None:
-    """Persist the (tiny) control table as one headered CSV — the
-    reference writes a new Excel to S3 (K3, update_config.py:322-326);
-    plain CSV keeps the config diffable and eval-free."""
-    control.toPandas().to_csv(path, index=False)
+def save_control(control: DataFrame, path: str, fmt: str = "csv") -> None:
+    """Persist the (tiny) control table. ``fmt="csv"`` (default) keeps
+    the config plainly diffable; ``fmt="xlsx"`` mirrors the reference's
+    write-back of a new Excel to S3 (K3, update_config.py:322-326 via
+    utils/aws_utils.py:246-259) with the stdlib SpreadsheetML writer —
+    deterministic bytes, inline strings, re-castable on load."""
+    pdf = control.toPandas()
+    if fmt == "csv":
+        pdf.to_csv(path, index=False)
+        return
+    if fmt in ("xlsx", "excel"):
+        from .xlsx import write_xlsx
+
+        def norm(v):
+            if v is None or v != v:  # None or NaN
+                return None
+            return v.item() if hasattr(v, "item") else v  # numpy -> python
+
+        rows = [
+            [norm(v) for v in rec] for rec in pdf.itertuples(index=False)
+        ]
+        write_xlsx(path, list(pdf.columns), rows)
+        return
+    raise ValueError(f"unsupported control format {fmt!r}")
 
 
 def next_ingestion_id(control: DataFrame) -> int:

@@ -8,9 +8,9 @@ them into typed DataFrames:
 - csv / parquet / json / orc natively (orc ships in Spark's jars);
 - avro behind a format-availability check (spark-avro is an external
   package — present on most clusters, absent here);
-- xlsx behind an import-try (openpyxl is not in the base image — the
-  reference's Excel dependency is exactly the kind of thing the engine
-  gates rather than requires);
+- xlsx via openpyxl/pandas when installed, else the stdlib-only
+  SpreadsheetML reader in config/xlsx.py (plain header+rows sheets —
+  exactly what report attachments are — need no external dependency);
 - ``binaryFile`` for opaque payloads (feeds operators/multimodal.py).
 """
 
@@ -78,13 +78,52 @@ def _read_avro(
 
 
 def _read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """openpyxl/pandas when available (full Excel feature surface);
+    otherwise the stdlib SpreadsheetML reader (config/xlsx.py), which
+    covers the plain header+rows sheets report attachments actually are
+    (inline or shared strings, numbers, sparse cells)."""
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "xlsx ingestion needs openpyxl (or the spark-excel package on "
-            "a cluster); neither is available in this environment"
-        ) from exc
-    pdf = pd.read_excel(path)
-    return spark.createDataFrame(pdf)
+
+        pdf = pd.read_excel(path)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        pass
+    from ..config.xlsx import read_xlsx
+
+    header, rows = read_xlsx(path)
+    if not header:
+        raise ValueError(f"empty xlsx sheet at {path!r}")
+    fields = []
+    for idx, name in enumerate(header):
+        col = [r[idx] for r in rows if r[idx] is not None]
+        if col and all(isinstance(v, bool) for v in col):
+            dt: T.DataType = T.BooleanType()
+        elif col and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in col
+        ):
+            dt = T.LongType()
+        elif col and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in col
+        ):
+            dt = T.DoubleType()
+        else:
+            dt = T.StringType()
+        fields.append(T.StructField(name or f"_c{idx}", dt))
+    schema = T.StructType(fields)
+    cast_rows = []
+    for r in rows:
+        rec = []
+        for f, v in zip(fields, r):
+            if v is None:
+                rec.append(None)
+            elif isinstance(f.dataType, T.StringType):
+                rec.append(str(v))
+            elif isinstance(f.dataType, T.DoubleType):
+                rec.append(float(v))
+            else:
+                rec.append(v)
+        cast_rows.append(rec)
+    return spark.createDataFrame(cast_rows, schema)

@@ -255,3 +255,98 @@ def test_run_groups_coalesce_expr_row(spark, tmp_path):
     assert report3.results[1].source_count == 1
     lake = spark.read.parquet(str(tmp_path / "lake" / "co"))
     assert sorted(r["id"] for r in lake.select("id").collect()) == [1, 2, 3]
+
+
+def test_save_control_xlsx_roundtrip(spark, tmp_path, existing):
+    """The reference's NATIVE control format: write the 21-column sheet
+    as .xlsx (stdlib SpreadsheetML codec, no openpyxl), read it back
+    through the schema cast, and get value-identical rows — including
+    null cells and integer flags."""
+    from datalakeingestion_spark.config.control import (
+        load_control,
+        save_control,
+    )
+
+    # add a row with nulls to exercise sparse-cell handling
+    extra = spark.createDataFrame(
+        [(
+            4, "xlsx-file", None, "db2", "report_t", None, None,
+            1, 0, None, None, None, "s3", "/lake/db2/report_t", None,
+            None, None, 0, None, "dag_db2", None,
+        )],
+        existing.schema,
+    )
+    ctl = existing.unionByName(extra)
+    path = str(tmp_path / "control.xlsx")
+    save_control(ctl, path, fmt="xlsx")
+    back = load_control(spark, path, fmt="xlsx")
+    assert back.schema == ctl.schema
+    want = sorted(map(tuple, ctl.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    # deterministic bytes: same table -> same file
+    path2 = str(tmp_path / "control2.xlsx")
+    save_control(ctl, path2, fmt="xlsx")
+    assert open(path, "rb").read() == open(path2, "rb").read()
+    # wrong columns are rejected loudly, not silently misaligned
+    from datalakeingestion_spark.config.xlsx import write_xlsx
+
+    bad = str(tmp_path / "bad.xlsx")
+    write_xlsx(bad, ["not", "the", "control", "schema"], [["a", "b", "c", "d"]])
+    with pytest.raises(ValueError, match="control sheet columns"):
+        load_control(spark, bad, fmt="xlsx")
+
+
+def test_read_landing_xlsx_stdlib(spark, tmp_path):
+    """Data-plane xlsx (S9 attachments) reads through read_landing with
+    type inference: ints stay longs, mixed numerics become doubles,
+    sparse cells are nulls, sharedStrings files (what pandas/openpyxl
+    emit) parse too."""
+    from datalakeingestion_spark.config.xlsx import write_xlsx
+    from datalakeingestion_spark.sources.files import read_landing
+
+    p = str(tmp_path / "report.xlsx")
+    write_xlsx(
+        p,
+        ["campaign", "clicks", "spend"],
+        [["brand", 10, 1.5], ["generic", 7, 2], ["null-row", None, None]],
+    )
+    df = read_landing(spark, p, "xlsx")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "bigint", "double",
+    ]
+    rows = {r["campaign"]: (r["clicks"], r["spend"]) for r in df.collect()}
+    assert rows["brand"] == (10, 1.5)
+    assert rows["generic"] == (7, 2.0)
+    assert rows["null-row"] == (None, None)
+
+    # sharedStrings + explicit cell refs variant (openpyxl-style output)
+    import zipfile
+
+    p2 = str(tmp_path / "shared.xlsx")
+    with zipfile.ZipFile(p, "r") as zin, zipfile.ZipFile(p2, "w") as zout:
+        for name in zin.namelist():
+            if name == "xl/worksheets/sheet1.xml":
+                sheet = (
+                    '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+                    'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                    '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                    '<c r="B1" t="s"><v>1</v></c></row>'
+                    '<row r="2"><c r="A2" t="s"><v>2</v></c>'
+                    '<c r="B2"><v>42</v></c></row>'
+                    # sparse row: only column B present
+                    '<row r="3"><c r="B3"><v>7</v></c></row>'
+                    "</sheetData></worksheet>"
+                )
+                zout.writestr(name, sheet)
+            else:
+                zout.writestr(name, zin.read(name))
+        zout.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+            'org/spreadsheetml/2006/main"><si><t>name</t></si>'
+            "<si><t>value</t></si><si><t>row-a</t></si></sst>",
+        )
+    df2 = read_landing(spark, p2, "xlsx")
+    got = sorted(map(tuple, df2.collect()), key=lambda t: t[1])
+    assert got == [(None, 7), ("row-a", 42)]
