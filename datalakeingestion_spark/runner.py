@@ -29,6 +29,10 @@ import argparse
 from collections.abc import Callable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .sources.fetch import Fetcher
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
@@ -75,11 +79,34 @@ def default_source_resolver(spark: SparkSession, row: Row) -> DataFrame:
         )
     if itype == "parquet-table":
         return spark.read.parquet(row["servername"])
-    if itype in ("csv-file", "json-file", "orc-file", "avro-file"):
+    if itype in ("csv-file", "json-file", "orc-file", "avro-file", "xlsx-file"):
         from .sources.files import read_landing
 
         return read_landing(spark, row["servername"], itype.split("-")[0])
     raise ValueError(f"unsupported ingestion_type {row['ingestion_type']!r}")
+
+
+def make_fetching_resolver(
+    fetchers: dict[int, "Fetcher"],
+    base: SourceResolver = default_source_resolver,
+) -> SourceResolver:
+    """Prepend the ACQUISITION half of S9 to source resolution: before
+    reading a table's landing directory, run its
+    :class:`~datalakeingestion_spark.sources.fetch.Fetcher` (mailbox
+    attachment extraction / report-link download — reference
+    extractors/ingest_files.py:69-151) against that directory. Keyed by
+    ``lake_ingestion_id``; tables without a fetcher resolve unchanged,
+    so JDBC and pre-landed rows mix freely in one run. The landing
+    directory is the control row's ``servername`` — same convention as
+    the file ingestion types above."""
+
+    def resolver(spark: SparkSession, row: Row) -> DataFrame:
+        fetcher = fetchers.get(row["lake_ingestion_id"])
+        if fetcher is not None:
+            fetcher.fetch(row["servername"])
+        return base(spark, row)
+
+    return resolver
 
 
 @dataclass

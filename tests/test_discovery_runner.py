@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -178,8 +180,14 @@ def test_default_resolver_dispatch(spark, tmp_path):
     ).first()
     assert default_source_resolver(spark, mkrow("parquet-table", pq)).count() == 20
     assert default_source_resolver(spark, mkrow("csv-file", cv)).count() == 20
+    # xlsx-file dispatches through the stdlib SpreadsheetML reader now
+    from datalakeingestion_spark.config.xlsx import write_xlsx
+
+    xl = str(tmp_path / "t.xlsx")
+    write_xlsx(xl, ["a", "b"], [[1, "x"], [2, "y"]])
+    assert default_source_resolver(spark, mkrow("xlsx-file", xl)).count() == 2
     with _pytest.raises(ValueError, match="unsupported ingestion_type"):
-        default_source_resolver(spark, mkrow("xlsx-file", cv))
+        default_source_resolver(spark, mkrow("pdf-file", cv))
     # mysql-table builds a JDBC plan lazily (no driver in this env: the
     # load itself fails, which is the correct seam)
     with _pytest.raises(Exception):
@@ -350,3 +358,141 @@ def test_read_landing_xlsx_stdlib(spark, tmp_path):
     df2 = read_landing(spark, p2, "xlsx")
     got = sorted(map(tuple, df2.collect()), key=lambda t: t[1])
     assert got == [(None, 7), ("row-a", 42)]
+
+
+class _FakeMailbox:
+    """Mailbox transport fake: real email.message.Message objects, the
+    same shapes the reference parses (multipart attachment / HTML body
+    with a view-report CTA link)."""
+
+    def __init__(self, messages):
+        self._messages = dict(messages)
+
+    def search(self, sender, subject):
+        return sorted(self._messages)
+
+    def fetch(self, uid):
+        return self._messages[uid]
+
+
+def _attachment_email(filename, body_bytes):
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = "reports@ads.example"
+    msg["Subject"] = "Your scheduled report is ready to view"
+    msg.set_content("see attachment")
+    msg.add_attachment(
+        body_bytes, maintype="text", subtype="csv", filename=filename
+    )
+    return msg
+
+
+def _link_email(url):
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = "ads-account-noreply@google.example"
+    msg["Subject"] = "Your Google Ads report is ready"
+    msg.set_content("view in browser")
+    msg.add_alternative(
+        f'<html><body><!-- CTA OUTLOOK END--><a href={url} >VIEW REPORT'
+        "</a></body></html>",
+        subtype="html",
+    )
+    return msg
+
+
+def test_mailbox_fetcher_attachments_links_and_hostile_names(tmp_path):
+    """The REAL parsing half of acquisition: attachments land under safe
+    basenames, CTA links download through the injected opener, and a
+    crafted ../ filename cannot escape the landing directory."""
+    from datalakeingestion_spark.sources.fetch import MailboxFetcher
+
+    csv_bytes = b"campaign,clicks\nbrand,10\n"
+    mb = _FakeMailbox({
+        "101": _attachment_email("bing_report.csv", csv_bytes),
+        "102": _link_email("https://ads.example/report.csv"),
+        "103": _attachment_email("../../evil.csv", b"owned\n"),
+    })
+    fetched_urls = []
+
+    def opener(url):
+        fetched_urls.append(url)
+        return b"campaign,clicks\ngeneric,7\n"
+
+    landing = str(tmp_path / "landing")
+    out = MailboxFetcher(
+        mb, sender="reports@ads.example", subject="report",
+        url_opener=opener,
+    ).fetch(landing)
+    names = sorted(os.path.basename(p) for p in out)
+    # ../../evil.csv is flattened to its sanitized basename
+    assert names == ["bing_report.csv", "evil.csv", "report_102.csv"]
+    assert fetched_urls == ["https://ads.example/report.csv"]
+    assert open(os.path.join(landing, "bing_report.csv"), "rb").read() == csv_bytes
+    # nothing escaped the landing dir
+    assert not (tmp_path.parent / "evil.csv").exists()
+    assert set(os.listdir(landing)) == set(names)
+
+
+def test_run_groups_mailbox_to_lake_end_to_end(spark, tmp_path):
+    """S9 acquisition → landing → lake in ONE run_groups call: the
+    mailbox fetcher drops the report into the landing dir the control
+    row points at, the csv-file resolver reads it, the pipeline lands
+    parquet."""
+    from datalakeingestion_spark.runner import make_fetching_resolver
+    from datalakeingestion_spark.sources.fetch import (
+        DirectoryFetcher,
+        MailboxFetcher,
+    )
+
+    mb = _FakeMailbox({
+        "7": _attachment_email(
+            "ads.csv", b"row_id,campaign,clicks\n1,brand,10\n2,generic,7\n"
+        ),
+    })
+    landing = str(tmp_path / "landing" / "ads")
+    lake = str(tmp_path / "lake" / "ads")
+    row = (
+        11, "csv-file", landing, "db1", "ads", "row_id", "", 1, 1, "NULL",
+        "c", "g", "s3", lake, "row_id", "vdb", "ads_lv", 0, "()",
+        "dag_mail", "2024-01-01",
+    )
+    control = spark.createDataFrame([row], CONTROL_SCHEMA)
+    resolver = make_fetching_resolver(
+        {11: MailboxFetcher(mb, sender="reports@ads.example",
+                            subject="report")}
+    )
+    report = run_groups(
+        spark, control, str(tmp_path / "state"), groups=["dag_mail"],
+        source_resolver=resolver,
+    )
+    assert report.succeeded == [11]
+    landed = spark.read.parquet(lake)
+    assert sorted(r["campaign"] for r in landed.collect()) == [
+        "brand", "generic",
+    ]
+
+    # second flavor: the DirectoryFetcher fake feeding a fresh table
+    pre = tmp_path / "downloaded"
+    pre.mkdir()
+    (pre / "extra.csv").write_text("row_id,campaign,clicks\n3,video,5\n")
+    (pre / "notes.txt").write_text("ignore me")
+    landing2 = str(tmp_path / "landing" / "ads2")
+    lake2 = str(tmp_path / "lake" / "ads2")
+    row2 = (
+        12, "csv-file", landing2, "db1", "ads2", "row_id", "", 1, 1, "NULL",
+        "c", "g", "s3", lake2, "row_id", "vdb", "ads2_lv", 0, "()",
+        "dag_mail", "2024-01-01",
+    )
+    control2 = spark.createDataFrame([row2], CONTROL_SCHEMA)
+    report2 = run_groups(
+        spark, control2, str(tmp_path / "state2"), groups=["dag_mail"],
+        source_resolver=make_fetching_resolver(
+            {12: DirectoryFetcher(str(pre), pattern="*.csv")}
+        ),
+    )
+    assert report2.succeeded == [12]
+    assert spark.read.parquet(lake2).count() == 1
+    assert os.listdir(landing2) == ["extra.csv"]  # .txt filtered
