@@ -47,6 +47,9 @@ STATUS_SUCCESS = "success"
 STATUS_VALIDATION_FAILURE = "validation-failure"
 STATUS_EXTRACTION_FAILURE = "extraction-failure"
 STATUS_FAILED = "failed"
+# a table whose task_order stage never ran because an upstream stage
+# failed (runner barrier semantics — Airflow's all_success trigger rule)
+STATUS_SKIPPED = "skipped-upstream-failed"
 
 # reason_code of the SUCCESS row a compaction re-baseline writes; history
 # treats such a commit's file list as COMPLETE (it replaces, not extends,

@@ -119,11 +119,95 @@ def _lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band_id", "b.band_sig")
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Distinct candidate (a,b) pairs sharing at least one LSH band."""
-    bands = _lsh_bands(sig)
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct candidate (a,b) pairs sharing at least one LSH band.
+
+    ``max_bucket`` is the hot-bucket CAP: band buckets holding more than
+    this many docs are excluded from pair generation (both join sides),
+    bounding any single bucket's cost at C(max_bucket, 2). A bucket that
+    large is a mass-duplication flood, not a near-dup neighborhood —
+    the standard LSH-at-scale guard (exact dedup upstream already
+    collapses byte-identical floods, measured in
+    tools/scale_probe_r5.py; the cap covers the near-identical
+    residue). ``None`` (default) keeps the exhaustive behavior the
+    oracles replicate — capped calls trade recall inside flooded
+    buckets for a hard cost bound, so the cap is an explicit operator
+    knob, never silently applied.
+
+    Dedup of the UNCAPPED path is FIRST-MATCHING-BAND, not
+    ``.distinct()``: every band row carries the doc's full
+    band-signature array, and a joined pair survives only when no
+    EARLIER band also matched — so each pair is emitted exactly once,
+    at its minimal matching band. That removes the extra full shuffle a
+    pair-level ``distinct`` cost (the verify join downstream
+    re-partitions by doc anyway, so the distinct's (a,b) partitioning
+    was never reused), at the price of a ``LSH_BANDS``-wide array
+    riding the band shuffle. Exactness matters: duplicate pair rows
+    would MULTIPLY the per-pair shingle matches in
+    ``_jaccard_verify``'s intersection count, so the dedup cannot
+    simply be dropped. The CAPPED path uses ``.distinct()`` instead:
+    first-band logic can't see that an earlier matching band was capped
+    away (it would silently drop the pair), and the capped output is
+    cost-bounded anyway, so the distinct shuffle is cheap there."""
+    sig_arr = sig.withColumn(
+        "all_sigs",
+        F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{j * LSH_ROWS + r}")
+                        for r in range(LSH_ROWS)
+                    ],
+                )
+                for j in range(LSH_BANDS)
+            ]
+        ),
+    )
+    bands = sig_arr.select(
+        "doc_id",
+        F.posexplode("all_sigs").alias("band_id", "band_sig"),
+        "all_sigs",
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bw = Window.partitionBy("band_id", "band_sig")
+        capped = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("doc_id", "band_id", "band_sig")
+        )
+        c1, c2 = capped.alias("b1"), capped.alias("b2")
+        return (
+            c1.join(
+                c2,
+                (F.col("b1.band_id") == F.col("b2.band_id"))
+                & (F.col("b1.band_sig") == F.col("b2.band_sig"))
+                & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+            )
+            .select(
+                F.col("b1.doc_id").alias("doc_id_a"),
+                F.col("b2.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
     b1 = bands.alias("b1")
     b2 = bands.alias("b2")
+    no_earlier_match = F.forall(
+        F.slice(
+            F.zip_with(
+                F.col("b1.all_sigs"),
+                F.col("b2.all_sigs"),
+                lambda x, y: x != y,
+            ),
+            F.lit(1),
+            F.col("b1.band_id"),
+        ),
+        lambda differs: differs,
+    )
     return (
         b1.join(
             b2,
@@ -131,11 +215,11 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             & (F.col("b1.band_sig") == F.col("b2.band_sig"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
         )
+        .filter(no_earlier_match)
         .select(
             F.col("b1.doc_id").alias("doc_id_a"),
             F.col("b2.doc_id").alias("doc_id_b"),
         )
-        .distinct()
     )
 
 

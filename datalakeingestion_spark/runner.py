@@ -26,7 +26,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
@@ -41,7 +41,12 @@ from .config.partition_spec import parse_partition_config
 from .ingest.pipeline import IncrementalIngestJob, IngestResult
 from .ingest.schema_registry import SchemaRegistry
 from .ingest.views import register_latest_view
-from .ingest.watermark import STATUS_FAILED, STATUS_SUCCESS, ExecutionLog
+from .ingest.watermark import (
+    STATUS_FAILED,
+    STATUS_SKIPPED,
+    STATUS_SUCCESS,
+    ExecutionLog,
+)
 
 SourceResolver = Callable[[SparkSession, Row], DataFrame]
 
@@ -127,6 +132,7 @@ def run_groups(
     max_parallel_tables: int = 4,
     register_views: bool = True,
     schema_registry_path: str | None = None,
+    task_orders: "Mapping[str, int] | None" = None,
 ) -> RunReport:
     rows = filter_control(control, groups).collect()
     log = ExecutionLog(spark, state_path)
@@ -156,9 +162,44 @@ def run_groups(
             log.append(ingestion_id, STATUS_FAILED, reason_code=str(exc)[:500])
             return ingestion_id, IngestResult(STATUS_FAILED, "")
 
-    # inter-table parallelism: concurrent Spark jobs from driver threads
-    with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
-        results = dict(pool.map(run_one, rows))
+    # inter-table parallelism: concurrent Spark jobs from driver threads.
+    # task_order barriers (reference dag/dag_lif.py:41-61: each sorted
+    # order's task list fans out in parallel, then an end_N barrier
+    # gates the next order): rows sharing an order value run
+    # concurrently; the next stage starts only after the stage
+    # completes. On a stage failure the remaining stages are SKIPPED
+    # (Airflow's all_success trigger rule — downstream staging tables
+    # must not build on a missing upstream), each skipped row logged.
+    if task_orders is None:
+        stages = [rows]
+    else:
+        by_order: dict[int, list[Row]] = {}
+        for row in rows:
+            by_order.setdefault(
+                int(task_orders.get(row["tablename"], 0)), []
+            ).append(row)
+        stages = [by_order[k] for k in sorted(by_order)]
+
+    results = {}
+    failed_stage = False
+    for stage_rows in stages:
+        if failed_stage:
+            for row in stage_rows:
+                rid = row["lake_ingestion_id"]
+                log.append(
+                    rid,
+                    STATUS_SKIPPED,
+                    reason_code="upstream task_order stage failed",
+                )
+                results[rid] = IngestResult(STATUS_SKIPPED, "")
+            continue
+        with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+            stage_results = dict(pool.map(run_one, stage_rows))
+        results.update(stage_results)
+        if any(
+            r.status == STATUS_FAILED for r in stage_results.values()
+        ):
+            failed_stage = True
 
     if register_views:
         for row in rows:

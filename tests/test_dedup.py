@@ -334,3 +334,80 @@ def test_lsh_candidate_report_degenerate_corpora(spark):
     assert r2["n_candidates"] == 0
     assert r2["n_true"] == 0
     assert r2["lsh_precision"] == 0.0
+
+
+def test_lsh_hot_band_candidates_exact_and_bounded_by_exact_dedup(spark):
+    """Adversarial band skew: 60% of the corpus is ONE identical text, so
+    one band bucket holds >half the docs. Two facts pinned:
+
+    1. ``lsh_candidate_pairs`` emits each qualifying pair EXACTLY once
+       even though identical docs agree on ALL 4 bands (first-matching-
+       band dedup) — the hot bucket costs C(m,2) pairs, never
+       4 * C(m,2).
+    2. The 100-TB mitigation is STRUCTURAL, not AQE luck: running exact
+       dedup first (curation stage 1) collapses the identical group to
+       one keeper, so the LSH stage sees C(distinct,2)-bounded
+       candidates — the quadratic term is gone before the band join.
+    """
+    from datalakeingestion_spark.operators.dedup import (
+        exact_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    hot = [(i, "the same hot document text repeated everywhere") for i in range(60)]
+    cold = [(1000 + i, f"distinct cold document number {i} with words {i*7}")
+            for i in range(40)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    n_hot = len(hot)
+    hot_pairs = n_hot * (n_hot - 1) // 2
+    cnt = cand.count()
+    # every hot pair exactly once; template-generated cold docs are
+    # legitimately similar to EACH OTHER, so allow up to the full cold
+    # pair budget on top — but never another hot-sized quadratic term
+    cold_budget = (len(cold) + 1) * len(cold) // 2
+    assert cnt >= hot_pairs
+    assert cnt <= hot_pairs + cold_budget, cnt
+    # no pair appears twice (the .distinct()-free dedup is exact)
+    assert cand.distinct().count() == cnt
+
+    # structural mitigation: exact-dedup-first leaves one keeper for the
+    # hot text -> candidate volume collapses below the cold-corpus bound
+    from pyspark.sql import functions as SF
+
+    keepers = exact_duplicates(docs).select(
+        SF.col("keep_doc_id").alias("doc_id")
+    ).join(docs, "doc_id")
+    cand2 = lsh_candidate_pairs(minhash_signatures(keepers))
+    n_keep = keepers.count()
+    assert n_keep == 1 + len(cold)
+    assert cand2.count() <= n_keep * (n_keep - 1) // 2
+    # the hot group's quadratic term (1770 pairs) is structurally gone
+    assert cand2.count() < hot_pairs / 2
+
+
+def test_lsh_max_bucket_cap(spark):
+    """The hot-bucket cap: flooded band buckets are excluded from pair
+    generation (cost bound C(max_bucket, 2) per bucket); pairs that ALSO
+    share an uncapped band still surface via that band."""
+    from datalakeingestion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    hot = [(i, "flooded boilerplate text shared by many documents")
+           for i in range(30)]
+    pair = [(500, "a genuinely near duplicate document body one"),
+            (501, "a genuinely near duplicate document body one")]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    uncapped = lsh_candidate_pairs(sig).count()
+    assert uncapped >= 30 * 29 // 2
+    capped = lsh_candidate_pairs(sig, max_bucket=10)
+    got = {(r.doc_id_a, r.doc_id_b) for r in capped.collect()}
+    # the flood is gone; the small identical pair (bucket size 2) stays
+    assert (500, 501) in got
+    assert all(a >= 500 for a, _ in got), got

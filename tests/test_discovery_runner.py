@@ -496,3 +496,77 @@ def test_run_groups_mailbox_to_lake_end_to_end(spark, tmp_path):
     assert report2.succeeded == [12]
     assert spark.read.parquet(lake2).count() == 1
     assert os.listdir(landing2) == ["extra.csv"]  # .txt filtered
+
+
+def test_run_groups_task_order_barriers_and_skip(spark, tmp_path):
+    """Reference dag_lif.py:41-61 semantics: task_order stages run in
+    sequence with a barrier between them; a stage failure SKIPS every
+    later stage (all_success trigger rule) and logs the skip, while
+    tables inside the failing stage are isolated from each other."""
+    import threading
+
+    from datalakeingestion_spark.ingest.watermark import (
+        STATUS_SKIPPED,
+        ExecutionLog,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(10)
+    src = str(tmp_path / "src")
+    events.selectExpr("event_id AS seq_id", "value").write.parquet(src)
+
+    mk = lambda rid, tbl, srcdir: (
+        rid, "parquet-table", srcdir, "db1", tbl, "seq_id", "", 1, 1, "NULL",
+        "c", "g", "s3", str(tmp_path / "lake" / tbl), "", "vdb",
+        f"{tbl}_lv", 0, "()", "dag_o", "2024-01-01",
+    )
+    control = spark.createDataFrame(
+        [
+            mk(1, "stage1_a", src),
+            mk(2, "stage1_b", src),
+            mk(3, "stage2_ok", src),
+            mk(4, "stage2_bad", str(tmp_path / "missing")),  # fails
+            mk(5, "stage3_never", src),
+        ],
+        CONTROL_SCHEMA,
+    )
+    orders = {
+        "stage1_a": 1, "stage1_b": 1,
+        "stage2_ok": 2, "stage2_bad": 2,
+        "stage3_never": 3,
+    }
+
+    # record stage entry order via a resolver wrapper
+    seen = []
+    lock = threading.Lock()
+
+    def resolver(spark_, row):
+        with lock:
+            seen.append(row["tablename"])
+        return parquet_source_resolver(spark_, row)
+
+    from datalakeingestion_spark.runner import parquet_source_resolver
+
+    report = run_groups(
+        spark, control, str(tmp_path / "state"), groups=["dag_o"],
+        source_resolver=resolver, task_orders=orders,
+        max_parallel_tables=4,
+    )
+    # stage 1 both succeed; stage 2: ok succeeds (isolated from bad),
+    # bad fails; stage 3 skipped entirely
+    assert sorted(report.succeeded) == [1, 2, 3]
+    assert report.results[4].status == "failed"
+    assert report.results[5].status == STATUS_SKIPPED
+    # barrier ordering: every stage-1 resolution precedes every stage-2
+    # resolution, and stage 3 never resolved at all
+    pos = {t: i for i, t in enumerate(seen)}
+    assert max(pos["stage1_a"], pos["stage1_b"]) < min(
+        pos["stage2_ok"], pos["stage2_bad"]
+    )
+    assert "stage3_never" not in pos
+    # the skip is durable state, not just an in-memory report
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    assert log.latest_entry(5, STATUS_SKIPPED) is not None
+    # stage-3's lake path was never written
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "lake" / "stage3_never"))

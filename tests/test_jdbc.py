@@ -354,3 +354,111 @@ def test_live_source_growth_between_bounds_and_write(spark, tmp_path, monkeypatc
     lake = spark.read.parquet(str(tmp_path / "lake"))
     assert lake.count() == ev.count()
     assert lake.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MySQL-8 pushdown golden tests (the wire-dialect evidence the embedded-
+# Derby round-trips can't give: Derby accepts this subset too, so these
+# pin the EXACT generated text and check it against an independent SQL
+# parser + MySQL lexical rules instead)
+# ---------------------------------------------------------------------------
+
+
+def _assert_mysql8_subset(sql: str) -> None:
+    """The generated pushdown must stay inside the dialect-neutral subset
+    MySQL 8 accepts verbatim: bare [a-z0-9_.]/star identifiers (nothing
+    needing backtick quoting), single-quoted literals with no embedded
+    quotes, and only SELECT/FROM/WHERE/BETWEEN/AND/OR/AS keywords — no
+    ANSI-only forms (FETCH FIRST, ILIKE, ||, double-quoted strings)."""
+    import re
+
+    # literals out, then check the remaining tokens
+    stripped = re.sub(r"'[^']*'", "'L'", sql)
+    assert '"' not in stripped, sql  # ANSI_QUOTES-dependent in MySQL
+    assert "||" not in stripped and "FETCH" not in stripped.upper(), sql
+    for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", stripped):
+        assert tok in ("SELECT", "FROM", "WHERE", "BETWEEN", "AND", "OR",
+                       "AS", "L", "t") or re.fullmatch(
+            r"[a-z_][a-z0-9_]*(\.[a-z_][a-z0-9_]*)?", tok
+        ), (tok, sql)
+    # balanced quoting: literals must tokenize cleanly
+    assert sql.count("'") % 2 == 0, sql
+
+
+def _assert_parses(sql: str) -> None:
+    """Independent grammar check via DuckDB's parser (json_serialize_sql
+    parses without executing; errors on malformed SQL). Not a MySQL
+    parser — the lexical subset check above covers the dialect side —
+    but it catches structural breakage (unbalanced parens/quotes,
+    dangling operators) no regex golden test would."""
+    import json
+
+    import duckdb
+
+    # json_serialize_sql needs a constant VARCHAR — inline with '' escape
+    lit = sql.replace("'", "''")
+    res = json.loads(
+        duckdb.execute(
+            f"SELECT json_serialize_sql('{lit}')"
+        ).fetchone()[0]
+    )
+    assert not res.get("error"), (res.get("error_message"), sql)
+
+
+def test_pushdown_golden_mysql8():
+    """Golden text for every pushed-query shape the source generates.
+    Reference pendant: ingest_mysql_data.py:250-267 (windowed BETWEEN),
+    :256-262 (coalesce→OR so MySQL can use per-column indexes),
+    :306-318 (open-ended catch-up)."""
+    base = _src()
+    golden = {
+        base.delta_query("2024-01-01 00:00:00"): (
+            "SELECT id, created_datetime, status "
+            "FROM lendingstream.application "
+            "WHERE created_datetime >= '2024-01-01 00:00:00'"
+        ),
+        base.delta_query("2024-01-01 00:00:00", "2024-01-02 00:00:00"): (
+            "SELECT id, created_datetime, status "
+            "FROM lendingstream.application "
+            "WHERE created_datetime BETWEEN '2024-01-01 00:00:00' "
+            "AND '2024-01-02 00:00:00'"
+        ),
+        _src(
+            delta_expr_cols=("modified_datetime", "created_datetime")
+        ).delta_query("2024-01-01 00:00:00", "2024-01-02 00:00:00"): (
+            "SELECT id, created_datetime, status "
+            "FROM lendingstream.application "
+            "WHERE (modified_datetime BETWEEN '2024-01-01 00:00:00' "
+            "AND '2024-01-02 00:00:00' "
+            "OR created_datetime BETWEEN '2024-01-01 00:00:00' "
+            "AND '2024-01-02 00:00:00')"
+        ),
+    }
+    for got, want in golden.items():
+        assert got == want
+        _assert_mysql8_subset(got)
+        _assert_parses(got)
+
+
+def test_pushdown_golden_partitioned_derived_table():
+    """The parallel-range form wraps the SAME pushed query in a derived
+    table (Spark forbids query+partitionColumn); the inner text must be
+    byte-identical to the serial form so MySQL's planner sees one query
+    shape either way."""
+    src = _src(
+        delta_expr_cols=("modified_datetime", "created_datetime"),
+        partition_column="id",
+        lower_bound="1",
+        upper_bound="100000",
+        num_partitions=8,
+    )
+    opts = src.reader_options("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    inner = src.delta_query("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert opts["dbtable"] == f"({inner}) AS t"
+    _assert_mysql8_subset(opts["dbtable"].strip("()").replace(") AS t", ""))
+    _assert_parses(f"SELECT * FROM {opts['dbtable']}")
+    # Spark composes 'SELECT * FROM (inner) AS t WHERE id >= ? AND id < ?'
+    # per range partition — that composition must also parse
+    _assert_parses(
+        f"SELECT * FROM {opts['dbtable']} WHERE id >= 1 AND id < 12501"
+    )

@@ -238,3 +238,43 @@ def test_silhouette_separated_vs_shuffled_labels(spark):
     )
     bad = silhouette_by_label(shuffled).collect()
     assert all(r["mean_silhouette"] < 0.5 for r in bad)
+
+
+def test_truncate_rerank_recall_curve(spark):
+    """Pin the candidate-budget -> recall curve on the 500-vector
+    near-isotropic fixture (NO MRL front-loading — the worst case for a
+    prefix index). Measured: C=50 mean recall@10 ~= 0.73, C=100 ~= 0.90,
+    C=150 ~= 0.96. The shipped default budget (C=150) must keep mean
+    recall >= 0.9, and recall must not DECREASE as the budget grows —
+    the contract that makes 'raise candidates' a safe production knob."""
+    from datalakeingestion_spark.operators.similarity import (
+        cosine_topk,
+        truncate_rerank_topk,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth: dict = {}
+    for r in cosine_topk(emb, q, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def mean_recall(C: int) -> float:
+        byq: dict = {}
+        rows = truncate_rerank_topk(
+            emb, q, k=10, prefix_dims=32, candidates=C
+        ).collect()
+        for r in rows:
+            byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        per_q = [
+            len(truth[qid] & byq.get(qid, set())) / len(truth[qid])
+            for qid in truth
+        ]
+        return sum(per_q) / len(per_q)
+
+    curve = {C: mean_recall(C) for C in (50, 100, 150)}
+    assert curve[150] >= 0.9, curve
+    assert curve[50] <= curve[100] + 1e-9 <= curve[150] + 2e-9, curve
+    # the fixture really is adversarial for a small budget: C=50 must
+    # sit well below the C=150 point, or the knob test is vacuous
+    assert curve[50] < curve[150], curve

@@ -1,0 +1,101 @@
+"""Round-5 scale probes (results recorded in SCALE.md).
+
+Adversarial LSH band skew: a corpus where ONE band bucket holds >50% of
+documents (mass-duplicated boilerplate — the shape a crawl corpus
+actually has). Three measurements:
+
+1. the hot band join with AQE skew-join ON (the shipped config),
+2. the same join with AQE OFF (what a naive config would do),
+3. the structural mitigation: exact-dedup FIRST (curation stage 1),
+   which collapses the hot group to one keeper before any band join.
+
+Run on an otherwise idle box:  python tools/scale_probe_r5.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from datalakeingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-r5")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datalakeingestion_spark.operators import dedup as dd
+
+    n_hot, n_cold = 5_000, 95_000
+    # hot docs: byte-identical boilerplate → identical signatures → one
+    # band bucket with n_hot members in EVERY band. cold docs: unique
+    # random-ish text from the doc id.
+    docs = (
+        spark.range(n_hot + n_cold)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < n_hot,
+                F.lit("mass duplicated boilerplate paragraph that every "
+                      "scraped page carries verbatim"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("unique document "),
+                    F.conv(F.abs(F.xxhash64("id")).cast("string"), 10, 36),
+                    F.lit(" body "),
+                    F.conv(
+                        F.abs(F.xxhash64("id", F.lit(1))).cast("string"),
+                        10, 36,
+                    ),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    docs = docs.persist()
+    docs.count()
+
+    hot_pairs = n_hot * (n_hot - 1) // 2
+
+    def cand_count(label: str) -> None:
+        t0 = time.time()
+        n = dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).count()
+        print(
+            f"{label}: {n} candidates ({n - hot_pairs} beyond the hot "
+            f"quadratic) in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    cand_count(f"hot-band {n_hot}/{n_hot + n_cold} AQE+skewJoin ON ")
+    cand_count("  (warm repeat)                          ")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    cand_count(f"hot-band {n_hot}/{n_hot + n_cold} AQE OFF        ")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # structural mitigation: exact dedup first (curation stage 1)
+    t0 = time.time()
+    keepers = (
+        dd.exact_duplicates(docs)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+        .join(docs, "doc_id")
+    )
+    n = dd.lsh_candidate_pairs(dd.minhash_signatures(keepers)).count()
+    print(
+        f"exact-dedup-first: {n} candidates in {time.time() - t0:.1f}s "
+        f"(hot group collapsed to 1 keeper)",
+        flush=True,
+    )
+    docs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
