@@ -130,9 +130,13 @@ def test_read_landing_formats(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
         read_landing(spark, str(tmp_path / "p"), "avroish")
 
-    # xlsx gated behind import-try in this environment
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_landing(spark, str(tmp_path / "x.xlsx"), "xlsx")
+    # xlsx reads through the stdlib SpreadsheetML fallback now
+    # (no openpyxl in this environment) — see config/xlsx.py
+    from datalakeingestion_spark.config.xlsx import write_xlsx
+
+    write_xlsx(str(tmp_path / "x.xlsx"), ["a", "b"], [[1, "u"], [2, "v"]])
+    xdf = read_landing(spark, str(tmp_path / "x.xlsx"), "xlsx")
+    assert xdf.count() == 2 and set(xdf.columns) == {"a", "b"}
 
 
 def test_merge_latest_incremental_equals_batch_view(spark, tmp_path):
