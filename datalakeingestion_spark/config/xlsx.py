@@ -64,6 +64,24 @@ _WORKBOOK_RELS = (
 )
 
 
+_X_ESCAPE_RE = re.compile(r"_x[0-9A-Fa-f]{4}_")
+# XML 1.0 cannot carry most control chars even entity-escaped; OOXML's
+# convention (what openpyxl/Excel emit) is _xHHHH_ with literal _xHHHH_
+# sequences self-escaped as _x005F_xHHHH_
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def _x_escape(s: str) -> str:
+    s = _X_ESCAPE_RE.sub(lambda m: "_x005F_" + m.group(0)[1:], s)
+    return _CTRL_RE.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _x_unescape(s: str) -> str:
+    return _X_ESCAPE_RE.sub(
+        lambda m: chr(int(m.group(0)[2:6], 16)), s
+    )
+
+
 def _col_letters(idx: int) -> str:
     """0-based column index -> A, B, ..., Z, AA, ..."""
     out = ""
@@ -106,7 +124,7 @@ def write_xlsx(
             return f'<c r="{ref}"><v>{num}</v></c>'
         return (
             f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-            f"{escape(str(v))}</t></is></c>"
+            f"{escape(_x_escape(str(v)))}</t></is></c>"
         )
 
     body = []
@@ -149,15 +167,17 @@ def _cell_value(c: ET.Element, shared: list[str]):
         is_el = c.find(f"{_NS}is")
         if is_el is None:
             return None
-        return "".join(t_el.text or "" for t_el in is_el.iter(f"{_NS}t"))
+        return _x_unescape(
+            "".join(t_el.text or "" for t_el in is_el.iter(f"{_NS}t"))
+        )
     if v is None or v.text is None:
         return None
     if t == "s":
-        return shared[int(v.text)]
+        return _x_unescape(shared[int(v.text)])
     if t == "b":
         return v.text == "1"
     if t in ("str", "e"):
-        return v.text
+        return _x_unescape(v.text)
     # numeric: preserve ints exactly (Excel stores 7 as "7")
     txt = v.text
     try:

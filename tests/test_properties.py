@@ -494,3 +494,126 @@ def test_compaction_plan_prefix_invariants(spark):
         cum += totals[g]
         if g < max(groups):
             assert cum >= (g + 1) * target, (g, cum)
+
+
+# ---------------------------------------------------------------------------
+# xlsx codec round-trip (pure driver-side — no Spark job per example)
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00\r"
+        ),
+        max_size=40,
+    ),
+)
+
+
+@given(
+    header=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    rows=st.lists(st.lists(_cell, min_size=1, max_size=8), max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_xlsx_roundtrip_property(tmp_path_factory, header, rows):
+    """write_xlsx -> read_xlsx is the identity on (header, rows) up to
+    the documented type model: bools stay bool, ints stay int,
+    integral floats collapse to int (Excel number cells have no
+    int/float distinction), other floats repr-roundtrip, strings stay
+    verbatim, None cells stay None; rows are padded/truncated to header
+    width."""
+    import os
+
+    from datalakeingestion_spark.config.xlsx import read_xlsx, write_xlsx
+
+    width = len(header)
+    norm_rows = [r[:width] + [None] * (width - len(r)) for r in rows]
+    d = tmp_path_factory.mktemp("xlsx")
+    p = os.path.join(str(d), "t.xlsx")
+    write_xlsx(p, header, norm_rows)
+    got_header, got_rows = read_xlsx(p)
+    assert got_header == header
+    assert len(got_rows) == len(norm_rows)
+
+    def expected(v):
+        if isinstance(v, bool) or v is None or isinstance(v, str):
+            return v
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    for got, want in zip(got_rows, norm_rows):
+        assert got == [expected(v) for v in want], (got, want)
+
+
+# ---------------------------------------------------------------------------
+# image codec round-trip (pure numpy — no Spark job per example)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    top_down=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_codec_roundtrip_property(w, h, seed, top_down):
+    """encode_ppm -> decode_image is the identity on any (H, W, 3)
+    uint8 array, and the BMP24 parser recovers exact pixels for both
+    bottom-up and top-down row orders at every width (stride padding
+    0-3 bytes)."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fmt, gw, gh, got = decode_image(encode_ppm(px))
+    assert (fmt, gw, gh) == ("ppm", w, h)
+    assert np.array_equal(got, px)
+
+    # hand-assemble a BMP24 with the chosen row order
+    stride = (w * 3 + 3) // 4 * 4
+    rows_iter = px if top_down else px[::-1]
+    raster = bytearray()
+    for row in rows_iter:
+        line = bytearray(row[:, ::-1].tobytes())
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    data_off = 54
+    hdr = (
+        b"BM"
+        + (data_off + len(raster)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    fmt, gw, gh, got = decode_image(bytes(hdr) + bytes(raster))
+    assert (fmt, gw, gh) == ("bmp", w, h)
+    assert np.array_equal(got, px)
