@@ -30,7 +30,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
@@ -68,7 +68,9 @@ _X_ESCAPE_RE = re.compile(r"_x[0-9A-Fa-f]{4}_")
 # XML 1.0 cannot carry most control chars even entity-escaped; OOXML's
 # convention (what openpyxl/Excel emit) is _xHHHH_ with literal _xHHHH_
 # sequences self-escaped as _x005F_xHHHH_
-_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+# \x0d (\r) included: XML 1.0 parsers NORMALIZE \r and \r\n to \n in
+# text content, so an unescaped \r would silently round-trip changed
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x0d\x0e-\x1f\x7f]")
 
 
 def _x_escape(s: str) -> str:
@@ -143,7 +145,7 @@ def write_xlsx(
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
         '2006/main" xmlns:r="http://schemas.openxmlformats.org/'
         'officeDocument/2006/relationships"><sheets>'
-        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        f'<sheet name={quoteattr(sheet_name)} sheetId="1" r:id="rId1"/>'
         "</sheets></workbook>"
     )
     fixed_date = (1980, 1, 1, 0, 0, 0)  # deterministic zip entries
@@ -217,8 +219,15 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
                     "".join(t.text or "" for t in si.iter(f"{_NS}t"))
                 )
         root = ET.fromstring(zf.read(sheet_path))
-        out: list[list] = []
+        # honor the r= ROW index when present: producers (Excel,
+        # openpyxl) omit fully-empty <row> elements, and dropping them
+        # would shift every later row up relative to pd.read_excel
+        indexed: dict[int, list] = {}
+        next_r = 1
         for row in root.iter(f"{_NS}row"):
+            r_attr = row.get("r")
+            r_idx = int(r_attr) if r_attr else next_r
+            next_r = r_idx + 1
             vals: list = []
             for c in row.findall(f"{_NS}c"):
                 ref = c.get("r")
@@ -226,10 +235,20 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
                 while len(vals) < col:
                     vals.append(None)
                 vals.append(_cell_value(c, shared))
-            out.append(vals)
-    if not out:
+            indexed[r_idx] = vals
+    if not indexed:
         return [], []
+    last = max(indexed)
+    out = [indexed.get(i, []) for i in range(1, last + 1)]
     header = [None if v is None else str(v) for v in out[0]]
     width = len(header)
+    for i, r in enumerate(out[1:], start=2):
+        extra = [v for v in r[width:] if v is not None]
+        if extra:
+            raise ValueError(
+                f"row {i} has {len(extra)} value(s) beyond the "
+                f"{width}-column header (first: {extra[0]!r}) — refusing "
+                "to silently drop data in unnamed columns"
+            )
     rows = [r[:width] + [None] * (width - len(r)) for r in out[1:]]
     return header, rows

@@ -111,6 +111,8 @@ def decode_image(blob: bytes | None):
         w, h, maxval = fields
         if maxval > 255:
             raise NotImplementedError("16-bit NetPBM needs a codec")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"degenerate {fmt} dimensions {w}x{h}")
         nch = 3 if fmt == "ppm" else 1
         need = w * h * nch
         raster = b[pos : pos + need]
@@ -135,6 +137,8 @@ def decode_image(blob: bytes | None):
             )
         top_down = h < 0
         h = abs(h)
+        if w <= 0 or h == 0:
+            raise ValueError(f"degenerate BMP dimensions {w}x{h}")
         stride = (w * 3 + 3) // 4 * 4
         need = stride * h
         raster = b[data_off : data_off + need]

@@ -173,12 +173,15 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
            4 AS width,
            CAST(h AS INT) AS height,
            CAST(4 * h AS BIGINT) AS n_pixels,
-           round(CAST(SUM(CASE WHEN ch = 0 THEN val END) AS DOUBLE)
-                 / (4 * h), 6) AS mean_r,
-           round(CAST(SUM(CASE WHEN ch = 1 THEN val END) AS DOUBLE)
-                 / (4 * h), 6) AS mean_g,
-           round(CAST(SUM(CASE WHEN ch = 2 THEN val END) AS DOUBLE)
-                 / (4 * h), 6) AS mean_b
+           -- exact integer HALF-UP at 6 dp, mirroring the kernel's
+           -- (s*2e6 + n) // (2n) / 1e6 — double round() can land on the
+           -- other side of a tie when s/n is not representable
+           CAST((SUM(CASE WHEN ch = 0 THEN val END) * 2000000 + 4 * h)
+                // (8 * h) AS DOUBLE) / 1000000.0 AS mean_r,
+           CAST((SUM(CASE WHEN ch = 1 THEN val END) * 2000000 + 4 * h)
+                // (8 * h) AS DOUBLE) / 1000000.0 AS mean_g,
+           CAST((SUM(CASE WHEN ch = 2 THEN val END) * 2000000 + 4 * h)
+                // (8 * h) AS DOUBLE) / 1000000.0 AS mean_b
     FROM v GROUP BY media_id, h
     """,
     doc="REAL image decode, exactly oracle-checked: documents' ASCII "

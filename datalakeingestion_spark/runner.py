@@ -42,10 +42,19 @@ from .ingest.pipeline import IncrementalIngestJob, IngestResult
 from .ingest.schema_registry import SchemaRegistry
 from .ingest.views import register_latest_view
 from .ingest.watermark import (
+    STATUS_EXTRACTION_FAILURE,
     STATUS_FAILED,
     STATUS_SKIPPED,
     STATUS_SUCCESS,
+    STATUS_VALIDATION_FAILURE,
     ExecutionLog,
+)
+
+# any of these in a stage means downstream stages must not run: the
+# upstream table is missing (failed / extraction) or was rolled back
+# (validation failure) — all_success semantics, not merely not-crashed
+_STAGE_FAILURE_STATUSES = frozenset(
+    {STATUS_FAILED, STATUS_EXTRACTION_FAILURE, STATUS_VALIDATION_FAILURE}
 )
 
 SourceResolver = Callable[[SparkSession, Row], DataFrame]
@@ -197,7 +206,8 @@ def run_groups(
             stage_results = dict(pool.map(run_one, stage_rows))
         results.update(stage_results)
         if any(
-            r.status == STATUS_FAILED for r in stage_results.values()
+            r.status in _STAGE_FAILURE_STATUSES
+            for r in stage_results.values()
         ):
             failed_stage = True
 

@@ -57,19 +57,27 @@ class Mailbox(Protocol):
     def fetch(self, uid: str) -> email.message.Message: ...
 
 
-# the reference's CTA link regex (ingest_files.py:137), minus the
-# Outlook-comment anchor so plain HTML bodies match too
-_HREF_RE = re.compile(r'<a\s+href=["\']?([^"\'\s>]+)')
+# the reference's CTA link regex (ingest_files.py:137); the fallback is
+# an anchor whose TEXT is the view-report CTA — never "first href in the
+# body", which would download logo/unsubscribe links from ordinary
+# marketing HTML
 _CTA_RE = re.compile(r'<!-- CTA OUTLOOK END--><a href=([^ >]+)[\s>]')
+_VIEW_REPORT_RE = re.compile(
+    r'<a\s+href=["\']?([^"\'\s>]+)[^>]*>\s*view\s*report', re.IGNORECASE
+)
 
 
 def _safe_name(name: str) -> str:
     """Attachment filenames come from an untrusted mailbox — keep only
     the basename and a conservative charset so a crafted
-    ``../../etc/cron.d/x`` name cannot escape the landing directory."""
+    ``../../etc/cron.d/x`` name cannot escape the landing directory.
+    Dot-only results ('.', '..') would resolve to directories, so they
+    fall back to 'attachment' too."""
     base = os.path.basename(name.replace("\\", "/"))
     base = re.sub(r"[^A-Za-z0-9._-]", "_", base)
-    return base or "attachment"
+    if not base or set(base) == {"."}:
+        return "attachment"
+    return base
 
 
 @dataclass
@@ -87,13 +95,36 @@ class MailboxFetcher:
     def fetch(self, landing_dir: str) -> list[str]:
         os.makedirs(landing_dir, exist_ok=True)
         out: list[str] = []
+        used: set[str] = set()
         for uid in self.mailbox.search(self.sender, self.subject):
             msg = self.mailbox.fetch(uid)
-            out.extend(self._extract(msg, landing_dir, uid))
+            out.extend(self._extract(msg, landing_dir, uid, used))
         return out
 
+    @staticmethod
+    def _unique_dest(
+        landing_dir: str, name: str, uid: str, used: set[str]
+    ) -> str:
+        """Daily scheduled reports reuse attachment names across
+        messages ('report.csv' every day) — colliding names get the
+        message uid (and, if needed, a counter) prefixed instead of
+        silently clobbering an earlier report."""
+        candidate = name
+        if candidate in used:
+            candidate = f"{uid}_{name}"
+        n = 1
+        while candidate in used:
+            candidate = f"{uid}_{n}_{name}"
+            n += 1
+        used.add(candidate)
+        return os.path.join(landing_dir, candidate)
+
     def _extract(
-        self, msg: email.message.Message, landing_dir: str, uid: str
+        self,
+        msg: email.message.Message,
+        landing_dir: str,
+        uid: str,
+        used: set[str],
     ) -> Iterable[str]:
         written: list[str] = []
         parts = msg.walk() if msg.is_multipart() else [msg]
@@ -106,8 +137,11 @@ class MailboxFetcher:
                 payload = part.get_payload(decode=True)
                 if payload is None:
                     continue
-                dest = os.path.join(
-                    landing_dir, _safe_name(filename or f"{uid}.bin")
+                dest = self._unique_dest(
+                    landing_dir,
+                    _safe_name(filename or f"{uid}.bin"),
+                    uid,
+                    used,
                 )
                 with open(dest, "wb") as fp:
                     fp.write(payload)
@@ -116,8 +150,11 @@ class MailboxFetcher:
             if part.get_content_type() == "text/html":
                 url = self._report_url(part)
                 if url and self.url_opener is not None:
-                    dest = os.path.join(
-                        landing_dir, f"{self.link_file_prefix}{uid}.csv"
+                    dest = self._unique_dest(
+                        landing_dir,
+                        f"{self.link_file_prefix}{uid}.csv",
+                        uid,
+                        used,
                     )
                     with open(dest, "wb") as fp:
                         fp.write(self.url_opener(url))
@@ -131,7 +168,7 @@ class MailboxFetcher:
             return None
         html = payload.decode("utf-8", "replace")
         html = html.replace("\r\n", "").replace("  ", "")
-        m = _CTA_RE.search(html) or _HREF_RE.search(html)
+        m = _CTA_RE.search(html) or _VIEW_REPORT_RE.search(html)
         return m.group(1).strip("\"'") if m else None
 
 

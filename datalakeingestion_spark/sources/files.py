@@ -82,6 +82,23 @@ def _read_excel(spark: SparkSession, path: str) -> DataFrame:
     otherwise the stdlib SpreadsheetML reader (config/xlsx.py), which
     covers the plain header+rows sheets report attachments actually are
     (inline or shared strings, numbers, sparse cells)."""
+    import os
+
+    # landing-zone convention: servername may be a DIRECTORY of sheets
+    # (like the csv/json siblings) — union all .xlsx files in it
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.lower().endswith(".xlsx")
+        )
+        if not parts:
+            raise ValueError(f"no .xlsx files in landing dir {path!r}")
+        dfs = [_read_excel(spark, p) for p in parts]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
     try:
         import openpyxl  # noqa: F401
         import pandas as pd

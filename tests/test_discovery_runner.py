@@ -570,3 +570,92 @@ def test_run_groups_task_order_barriers_and_skip(spark, tmp_path):
     import os as _os
 
     assert not _os.path.exists(str(tmp_path / "lake" / "stage3_never"))
+
+
+def test_mailbox_fetcher_collisions_dotnames_and_link_fallback(tmp_path):
+    """Review regressions: same-named attachments across messages get
+    uid-prefixed instead of clobbered; '..' filenames can't resolve to a
+    directory; link downloads happen only for a view-report CTA anchor,
+    never the first href in the body."""
+    from email.message import EmailMessage
+
+    from datalakeingestion_spark.sources.fetch import MailboxFetcher
+
+    def attach(name, body):
+        m = EmailMessage()
+        m["From"] = "r@x"; m["Subject"] = "report"
+        m.set_content("x")
+        m.add_attachment(body, maintype="text", subtype="csv", filename=name)
+        return m
+
+    def html(body_html):
+        m = EmailMessage()
+        m["From"] = "r@x"; m["Subject"] = "report"
+        m.set_content("x")
+        m.add_alternative(body_html, subtype="html")
+        return m
+
+    mb = _FakeMailbox({
+        "1": attach("report.csv", b"day1\n"),
+        "2": attach("report.csv", b"day2\n"),
+        "3": attach("..", b"dots\n"),
+        # first href is an unsubscribe link; NO view-report CTA -> no fetch
+        "4": html('<a href="https://x/unsub">unsubscribe</a> plain mail'),
+        # anchor text is the CTA -> fetch via the text-matched fallback
+        "5": html('<a href="https://x/logo">logo</a>'
+                  '<a href="https://x/report.csv" class="c">VIEW REPORT</a>'),
+    })
+    urls = []
+    landing = str(tmp_path / "landing")
+    out = MailboxFetcher(
+        mb, sender="r@x", subject="report",
+        url_opener=lambda u: urls.append(u) or b"data\n",
+    ).fetch(landing)
+    names = sorted(os.path.basename(p) for p in out)
+    assert names == [
+        "2_report.csv", "attachment", "report.csv", "report_5.csv",
+    ]
+    assert urls == ["https://x/report.csv"]
+    assert open(os.path.join(landing, "report.csv"), "rb").read() == b"day1\n"
+    assert open(os.path.join(landing, "2_report.csv"), "rb").read() == b"day2\n"
+
+
+def test_run_groups_barrier_trips_on_validation_failure(spark, tmp_path, monkeypatch):
+    """A validation failure (load rolled back) must gate later stages
+    exactly like a hard failure — downstream staging tables cannot
+    build on a missing upstream."""
+    from datalakeingestion_spark.ingest.pipeline import (
+        IncrementalIngestJob,
+        IngestResult,
+    )
+    from datalakeingestion_spark.ingest.watermark import (
+        STATUS_SKIPPED,
+        STATUS_VALIDATION_FAILURE,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").limit(5)
+    src = str(tmp_path / "src")
+    events.selectExpr("event_id AS seq_id", "value").write.parquet(src)
+    mk = lambda rid, tbl: (
+        rid, "parquet-table", src, "db1", tbl, "seq_id", "", 1, 1, "NULL",
+        "c", "g", "s3", str(tmp_path / "lake" / tbl), "", "vdb",
+        f"{tbl}_lv", 0, "()", "dag_v", "2024-01-01",
+    )
+    control = spark.createDataFrame(
+        [mk(1, "s1_bad_counts"), mk(2, "s2_never")], CONTROL_SCHEMA
+    )
+
+    real_run = IncrementalIngestJob.run
+
+    def fake_run(self):
+        if self.ingestion_id == 1:
+            return IngestResult(STATUS_VALIDATION_FAILURE, "")
+        return real_run(self)
+
+    monkeypatch.setattr(IncrementalIngestJob, "run", fake_run)
+    report = run_groups(
+        spark, control, str(tmp_path / "state"), groups=["dag_v"],
+        task_orders={"s1_bad_counts": 1, "s2_never": 2},
+    )
+    assert report.results[1].status == STATUS_VALIDATION_FAILURE
+    assert report.results[2].status == STATUS_SKIPPED

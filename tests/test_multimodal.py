@@ -276,3 +276,25 @@ def test_extract_features_real_pixels(spark):
     assert f[2:5] == pytest.approx([1.0, 0.0, 0.0], abs=1e-6)  # mean RGB
     assert f[5] == pytest.approx(round(1 / 3, 6), abs=1e-6)    # mean luma
     assert f[7] == pytest.approx(2.0, abs=1e-6)                # aspect
+
+
+def test_image_stats_zero_area_quarantined(spark):
+    """A zero-dimension header (w or h = 0) is a corrupt file, not a
+    crash: decode_image raises ValueError and image_stats quarantines
+    the row instead of dying on ZeroDivision inside the mean."""
+    import pytest as _pytest
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        image_stats,
+    )
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        decode_image(b"P6\n0 5\n255\n")
+    with _pytest.raises(ValueError, match="degenerate"):
+        decode_image(b"P6\n5 0\n255\n")
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n0 5\n255\n"))], "media_id long, content binary"
+    )
+    [r] = image_stats(df).collect()
+    assert r.decode_error == "ValueError" and r.n_pixels is None
