@@ -659,3 +659,42 @@ def test_run_groups_barrier_trips_on_validation_failure(spark, tmp_path, monkeyp
     )
     assert report.results[1].status == STATUS_VALIDATION_FAILURE
     assert report.results[2].status == STATUS_SKIPPED
+
+
+def test_fetcher_failure_isolated_per_table(spark, tmp_path):
+    """A fetcher that raises (mailbox down, bad credentials) fails ONLY
+    its table — the failure is caught by run_one's extraction guard,
+    logged, and sibling tables in the same run still land."""
+    from datalakeingestion_spark.runner import make_fetching_resolver
+
+    events = load_table(spark, SF_SMALL, "events").limit(5)
+    src = str(tmp_path / "src")
+    events.selectExpr("event_id AS seq_id", "value").write.parquet(src)
+
+    class DownFetcher:
+        def fetch(self, landing_dir):
+            raise ConnectionError("mailbox unreachable")
+
+    mk = lambda rid, tbl, itype, srcdir: (
+        rid, itype, srcdir, "db1", tbl, "seq_id", "", 1, 1, "NULL",
+        "c", "g", "s3", str(tmp_path / "lake" / tbl), "", "vdb",
+        f"{tbl}_lv", 0, "()", "dag_f", "2024-01-01",
+    )
+    control = spark.createDataFrame(
+        [
+            mk(1, "ok_table", "parquet-table", src),
+            mk(2, "mailbox_down", "csv-file", str(tmp_path / "landing")),
+        ],
+        CONTROL_SCHEMA,
+    )
+    report = run_groups(
+        spark, control, str(tmp_path / "state"), groups=["dag_f"],
+        source_resolver=make_fetching_resolver({2: DownFetcher()}),
+    )
+    assert report.succeeded == [1]
+    assert report.results[2].status == "failed"
+    from datalakeingestion_spark.ingest.watermark import ExecutionLog
+
+    log = ExecutionLog(spark, str(tmp_path / "state"))
+    entry = log.latest_entry(2, "failed")
+    assert entry is not None
