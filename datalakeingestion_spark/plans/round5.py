@@ -225,3 +225,122 @@ def image_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g",
         "mean_b",
     )
+
+
+@register(
+    "session_funnel_stages",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (SELECT user_id, event_id, event_type, us,
+                 SUM(brk) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess
+          FROM g),
+    p1 AS (SELECT *,
+                  MIN(CASE WHEN event_type = 'signup' THEN us END) OVER
+                    (PARTITION BY user_id, sess ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS min_signup
+           FROM s),
+    p2 AS (SELECT *,
+                  MIN(CASE WHEN event_type = 'click'
+                            AND min_signup IS NOT NULL
+                            AND min_signup < us THEN us END) OVER
+                    (PARTITION BY user_id, sess ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS min_qclick
+           FROM p1)
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(MAX(CASE
+             WHEN event_type = 'purchase' AND min_qclick IS NOT NULL
+                  AND min_qclick < us THEN 3
+             WHEN event_type = 'click' AND min_signup IS NOT NULL
+                  AND min_signup < us THEN 2
+             WHEN event_type = 'signup' THEN 1
+             ELSE 0 END) AS INT) AS max_stage
+    FROM p2
+    GROUP BY user_id, sess
+    """,
+    doc="Per-session ordered funnel progression — the batch twin of "
+    "streaming/stateful.py::streaming_session_funnel (same strict-"
+    "order semantics: each stage counts only strictly LATER than the "
+    "previous stage's first qualifying event, sessions split on 30-min "
+    "gaps). Two stacked window passes compute running first-signup and "
+    "first-qualified-click, so stage assignment is one pass over the "
+    "sessionized stream — no per-stage self-joins; all gap arithmetic "
+    "in integral epoch-micros on both engines.",
+)
+def session_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(us - F.lag(us).over(wu) > 1_800_000_000, 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        ev.select("user_id", "event_id", "event_type", us.alias("us"),
+                  brk.alias("brk"))
+        .withColumn("sess", F.sum("brk").over(run))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p1 = s.withColumn(
+        "min_signup",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).over(ws),
+    )
+    p2 = p1.withColumn(
+        "min_qclick",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("min_signup").isNotNull()
+                & (F.col("min_signup") < F.col("us")),
+                F.col("us"),
+            )
+        ).over(ws),
+    )
+    stage = (
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("min_qclick").isNotNull()
+            & (F.col("min_qclick") < F.col("us")),
+            3,
+        )
+        .when(
+            (F.col("event_type") == "click")
+            & F.col("min_signup").isNotNull()
+            & (F.col("min_signup") < F.col("us")),
+            2,
+        )
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+    )
+    return (
+        p2.withColumn("stg", stage)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("stg").cast("int").alias("max_stage"),
+        )
+        .select(
+            "user_id", "session_start_us", "session_end_us",
+            "n_events", "max_stage",
+        )
+    )

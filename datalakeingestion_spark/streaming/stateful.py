@@ -119,3 +119,135 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_session_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Stateful per-user SESSION FUNNEL: sessions close after
+    ``gap_seconds`` of inactivity (event-time, via the input watermark),
+    and within each session the funnel stage advances only on the next
+    step type STRICTLY LATER than the previous stage's event — the
+    conversion-path measurement (how far did each session get) that a
+    batch pipeline recomputes from scratch and this operator maintains
+    incrementally with one state row per live user.
+
+    State: the OPEN session (start, last-activity, per-stage timestamps,
+    event count) as epoch-micros longs. A session row is EMITTED when
+    the session closes — either a same-user event arrives past the gap,
+    or the event-time watermark passes last_activity + gap
+    (EventTimeTimeout; the input stream must carry ``withWatermark`` on
+    ``ts_col``). Output schema (all epoch-micros to stay
+    timezone-proof):
+
+        (user_id, session_start_us, session_end_us, n_events,
+         max_stage, completed)
+
+    max_stage = number of funnel steps reached in order (0..len(steps));
+    completed = max_stage == len(steps). Ordering caveat (standard for
+    per-key stateful funnels): rows are sorted inside each micro-batch,
+    so per-key delivery must be in order ACROSS batches up to the
+    watermark — the same assumption session_window makes.
+
+    Batch twin: plans/round5.py::session_funnel_stages (identical
+    strict-order semantics, DuckDB-oracle-checked).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("steps must be non-empty")
+    gap_us = gap_seconds * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_stage", T.IntegerType()),
+            T.StructField("completed", T.BooleanType()),
+        ]
+    )
+    # state: session_start, last_us, n_events, stage, stage_ts
+    state_schema = T.StructType(
+        [
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("stage_us", T.LongType()),
+        ]
+    )
+
+    # the caller applies withWatermark(ts_col, ...) upstream; the
+    # watermarked TIMESTAMP column itself must survive the projection
+    # (a derived unix_micros column does not carry the watermark), so
+    # it rides along as event_ts even though the kernel only reads us
+    src = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("etype"),
+        F.col(tie_break).alias("tb"),
+        F.col(ts_col).alias("event_ts"),
+    )
+
+    def close_row(key: int, st: tuple) -> tuple:
+        start, last, n, stage, _ = st
+        return (key, start, last, n, stage, stage == n_steps)
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        closed: list[tuple] = []
+        st = tuple(state.get) if state.exists else None
+        if state.hasTimedOut:
+            if st is not None:
+                closed.append(close_row(uid, st))
+                state.remove()
+            if closed:
+                yield pd.DataFrame(closed, columns=[f.name for f in out_schema])
+            return
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["us", "tb"])
+            for us, etype in zip(pdf["us"], pdf["etype"]):
+                us = int(us)
+                if st is not None and us - st[1] > gap_us:
+                    closed.append(close_row(uid, st))
+                    st = None
+                if st is None:
+                    st = (us, us, 0, 0, 0)
+                start, _, n, stage, stage_us = st
+                if stage < n_steps and etype == steps[stage] and (
+                    stage == 0 or us > stage_us
+                ):
+                    stage, stage_us = stage + 1, us
+                st = (start, us, n + 1, stage, stage_us)
+        if st is not None:
+            state.update(st)
+            # close the open session once the watermark passes the gap
+            state.setTimeoutTimestamp((st[1] + gap_us) // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in out_schema])
+
+    return (
+        src.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
