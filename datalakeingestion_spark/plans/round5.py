@@ -277,7 +277,11 @@ def image_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gaps). Two stacked window passes compute running first-signup and "
     "first-qualified-click, so stage assignment is one pass over the "
     "sessionized stream — no per-stage self-joins; all gap arithmetic "
-    "in integral epoch-micros on both engines.",
+    "in integral epoch-micros on both engines. Plan: ONE "
+    "hash(user_id) exchange feeds every window pass AND the final "
+    "(user, session) aggregate (hash(user_id) satisfies the "
+    "(user_id, sess) clustered distribution), so the whole funnel is "
+    "a single shuffle at any scale.",
 )
 def session_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
