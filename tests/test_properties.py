@@ -617,3 +617,28 @@ def test_image_codec_roundtrip_property(w, h, seed, top_down):
     fmt, gw, gh, got = decode_image(bytes(hdr) + bytes(raster))
     assert (fmt, gw, gh) == ("bmp", w, h)
     assert np.array_equal(got, px)
+
+
+@given(data=st.binary(max_size=200), prefix=st.sampled_from(
+    [b"", b"P6", b"P5", b"P6\n", b"BM", b"P6 # ", b"P6\n999999 999999\n255\n"]
+))
+@settings(max_examples=200, deadline=None)
+def test_decode_image_total_on_garbage(data, prefix):
+    """decode_image is TOTAL over arbitrary bytes: it either decodes or
+    raises exactly ValueError (recognized-but-corrupt) /
+    NotImplementedError (needs a codec) — never IndexError,
+    ZeroDivision, struct errors, or numpy reshape crashes. This is the
+    quarantine contract image_stats relies on to survive a corrupt
+    corpus."""
+    from datalakeingestion_spark.operators.multimodal import decode_image
+
+    blob = prefix + data
+    try:
+        out = decode_image(blob)
+    except (ValueError, NotImplementedError):
+        return
+    # decoded: the tuple contract must hold
+    fmt, w, h, px = out
+    assert fmt in ("ppm", "pgm", "bmp")
+    assert w >= 1 and h >= 1
+    assert px.shape == (h, w, 3)

