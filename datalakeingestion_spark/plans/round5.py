@@ -348,3 +348,106 @@ def session_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "max_stage",
         )
     )
+
+
+@register(
+    "multi_touch_attribution_decay",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_id AS click_id, p.event_id AS purchase_id,
+             round(p.value, 6) AS value,
+             CAST((epoch_us(p.ts) - epoch_us(e.ts)) // 600000000
+                  AS INT) AS k
+      FROM events e JOIN events p
+        ON p.user_id = e.user_id
+       AND e.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR),
+    w AS (SELECT click_id, purchase_id, value,
+                 1.0 / CAST(1 << k AS DOUBLE) AS wt
+          FROM j),
+    s AS (SELECT click_id, value, wt,
+                 SUM(wt) OVER (PARTITION BY purchase_id) AS sw
+          FROM w)
+    SELECT click_id,
+           COUNT(*)::BIGINT AS n_purchases_touched,
+           round(CAST(SUM(CAST(round(wt / sw, 6) AS DECIMAL(27,6)))
+                      AS DOUBLE), 6) AS credit,
+           CAST(SUM(CAST(round(value * (wt / sw), 6) AS DECIMAL(27,6)))
+                AS DOUBLE) AS attributed_revenue
+    FROM s GROUP BY click_id
+    """,
+    doc="TIME-DECAY multi-touch attribution: each purchase's credit and "
+    "revenue split across its preceding-hour clicks with a 10-minute "
+    "half-life — recent touches weigh more (the recency sibling of "
+    "multi_touch_attribution_linear). Cross-engine exactness by "
+    "CONSTRUCTION, not luck: decay buckets are integral (age div 10 "
+    "min, k in 0..6), weights are exact binary fractions 2^-k via a "
+    "bit shift (no pow/exp2 — transcendental libraries differ in the "
+    "last ulp across engines), the per-purchase weight sum is exact in "
+    "a double (tiny mantissa span), so every share is one correctly-"
+    "rounded division of identical operands on both engines; shares "
+    "are then 6-dp rounded and decimal(27,6)-summed, order-"
+    "independent. Same interval-join + per-purchase window shape as "
+    "the linear form.",
+)
+def multi_touch_attribution_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..streaming.incremental import interval_join_events_orders
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round("value", 6).alias("pvalue"),
+    )
+    j = interval_join_events_orders(
+        clicks,
+        purchases.drop("pvalue"),
+        event_ts="ts",
+        order_ts="pts",
+        user_key="user_id",
+        order_key="user_id",
+        event_id="event_id",
+        order_id="purchase_id",
+        within="1 hour",
+    ).join(purchases.select("purchase_id", "pvalue"), "purchase_id")
+    # the interval join exposes the two sides as event_ts / order_ts
+    k = F.floor(
+        (F.unix_micros(F.col("order_ts")) - F.unix_micros(F.col("event_ts")))
+        / F.lit(600_000_000)
+    ).cast("int")
+    w = Window.partitionBy("purchase_id")
+    shares = (
+        j.withColumn("k", k)
+        # shiftleft needs a column shift amount -> expr form; the weight
+        # stays an exact binary fraction 2^-k (no pow/exp2)
+        .withColumn(
+            "wt", F.lit(1.0) / F.expr("shiftleft(1, k)").cast("double")
+        )
+        .withColumn("sw", F.sum("wt").over(w))
+        .withColumn("share", F.col("wt") / F.col("sw"))
+    )
+    return (
+        shares.groupBy(F.col("event_id").alias("click_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+            F.round(
+                F.sum(
+                    F.round(F.col("share"), 6).cast("decimal(27,6)")
+                ).cast("double"),
+                6,
+            ).alias("credit"),
+            F.sum(
+                F.round(F.col("pvalue") * F.col("share"), 6).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
