@@ -70,12 +70,43 @@ def load_control(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
             [[None if v is None else str(v) for v in r] for r in rows],
             as_str,
         )
-        return raw.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in CONTROL_SCHEMA.fields
-            ]
+        # Integer fields go string→double→int: a producer storing 7 as
+        # "7.0" would otherwise cast to NULL (or, under ANSI, throw a
+        # raw SparkNumberFormatException). try_cast turns genuinely bad
+        # cells into NULLs that the audit below converts into one clean
+        # ValueError naming the columns.
+        def cast_expr(f: T.StructField):
+            if isinstance(f.dataType, (T.IntegerType, T.LongType)):
+                return (
+                    F.col(f.name).try_cast("double").try_cast(f.dataType)
+                ).alias(f.name)
+            return F.col(f.name).try_cast(f.dataType).alias(f.name)
+
+        both = raw.select(
+            *[cast_expr(f) for f in CONTROL_SCHEMA.fields],
+            *[F.col(n).alias("_raw_" + n) for n in want],
         )
+        # Any cast that turned a present cell into NULL is a corrupt
+        # sheet — fail loudly like the header mismatch above (the
+        # control table is tiny, so the audit pass is driver-cheap).
+        audit = both.select(
+            *[
+                F.sum(
+                    (
+                        F.col("_raw_" + n).isNotNull()
+                        & (F.trim("_raw_" + n) != "")
+                        & F.col(n).isNull()
+                    ).cast("int")
+                ).alias(n)
+                for n in want
+            ]
+        ).first()
+        bad = {n: audit[n] for n in want if (audit[n] or 0) > 0}
+        if bad:
+            raise ValueError(
+                f"control sheet cells failed schema cast (col: n_rows): {bad}"
+            )
+        return both.select(*want)
     raise ValueError(f"unsupported control format {fmt!r}")
 
 

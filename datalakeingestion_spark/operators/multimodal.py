@@ -331,6 +331,13 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 if blob is None:
+                    # preserve the row (null stats + error class), like
+                    # extract_features/resize_images — dropping it would
+                    # silently lose the media_id from downstream joins
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None,
+                         "NullContent")
+                    )
                     continue
                 try:
                     fmt, w, h, px = decode_image(blob)

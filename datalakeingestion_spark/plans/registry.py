@@ -55,63 +55,61 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 (108
-# distinct queries externally green; this tuple is the next 50 of the 98
-# never-checked, in registration order, via tools/rotate_priority.py).
+# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 (157
+# distinct queries externally green; this tuple is 50 of the 53 remaining
+# never-checked, in registration order, via tools/rotate_priority.py —
+# the final 3 TPC-H variants rotate in next round).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "dedup_jaccard_prefix_join",
-    "bigram_logprob_score",
-    "pmi_collocations_top50",
-    "kmeans_cluster_profile",
-    "source_ngram_overlap_matrix",
-    "dedup_incremental_vs_lake",
-    "cdc_shared_chunk_fraction",
-    "pca_embedding_contract",
-    "ann_pca_rerank_topk",
-    "zipf_alpha_fit",
-    "embedding_centroid_outliers",
-    "containment_quote_pairs",
-    "quality_logistic_score",
-    "curation_pipeline_v2",
-    "tokenize_to_ids",
-    "quality_by_source_rollup",
-    "sample_negatives_contrastive",
-    "label_centroid_similarity",
-    "winnowing_fingerprint_pairs",
-    "bpe_pair_stats_top50",
-    "psi_price_drift",
-    "dedup_ratio_by_source",
-    "audio_pcm_clip_stats",
-    "dedup_sorted_neighborhood",
-    "mv_incremental_revenue",
-    "mv_retraction_consistency",
-    "pagerank_trade_graph_3iter",
-    "zorder_skipping_report",
-    "trigram_backoff_score",
-    "mix_corpora_temperature_half",
-    "sketch_kmv_union_intersect",
     "sample_weighted_aes_top50",
-    "compaction_plan_daily",
-    "retention_cohorts",
-    "event_transition_matrix",
-    "decayed_event_score",
-    "ols_price_quantity_by_flag",
-    "mad_outliers_by_flag",
-    "table_checksum_diff_blocks",
-    "oov_rate_by_source",
-    "blocklist_filter_stats",
-    "label_prop_knn_majority",
-    "frequent_part_pairs_top50",
-    "rfm_segments",
-    "exact_quantiles_price_by_flag",
-    "sample_balanced_length_deciles",
-    "join_size_profile_orders_lineitem",
-    "quantile_map_nchars_by_source",
-    "anomalous_event_days",
-    # round-5 addition checked ahead of the remaining backlog: it closes
-    # the "multimodal decode is stubbed" weakness, so an external green
-    # row is worth one round's delay for supplier_reliability_wilson
-    "image_ppm_pixel_stats",
+    "supplier_reliability_wilson",
+    "event_hourly_seasonality",
+    "heatmap_price_qty_deciles",
+    "triangle_count_coorder_parts",
+    "cumulative_distinct_users_daily",
+    "split_group_holdout",
+    "t10_stream_stream_join",
+    "matryoshka_rerank_topk",
+    "brand_revenue_yoy",
+    "token_gini_by_source",
+    "lexical_diversity_by_source",
+    "silhouette_by_label",
+    "conversion_attribution_last_touch",
+    "ks_drift_by_source",
+    "funnel_signup_click_purchase",
+    "active_users_trailing_7d",
+    "lsh_candidate_precision",
+    "referential_integrity_audit",
+    "effective_tokens_by_source",
+    "embedding_drift_halves",
+    "forward_fill_values",
+    "clustering_coefficient_parts",
+    "expectations_orders_contract",
+    "revenue_pareto_deciles",
+    "lang_consistency_by_source",
+    "sql_api_revenue_by_status",
+    "pagerank_personalized_suppliers",
+    "skipgram_pairs_top50",
+    "retention_cohort_revenue",
+    "multi_touch_attribution_linear",
+    "lsh_threshold_sweep",
+    "session_funnel_stages",
+    "multi_touch_attribution_decay",
+    "q4_order_priority_exists",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_join",
+    "q7_nation_volume",
+    "q12_priority_shipping",
+    "q13_order_count_distribution",
+    "q22_global_sales_opportunity",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q2_min_acctbal_supplier",
+    "q21_sole_late_supplier",
+    "q21_sole_late_supplier_agg",
+    "q9_profit_by_nation_year",
 )
 
 

@@ -492,7 +492,7 @@ def sketch_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT doc_id, n_chars, aes_key,
                  row_number() OVER (ORDER BY aes_key DESC, doc_id) AS rnk
           FROM s)
-    SELECT doc_id, n_chars, round(aes_key, 6) AS aes_key, rnk
+    SELECT doc_id, n_chars, round(aes_key, 6) + 0.0 AS aes_key, rnk
     FROM r WHERE rnk <= 50
     """,
     doc="Weighted sampling WITHOUT replacement, 50 docs weighted by "
@@ -512,10 +512,14 @@ def sample_weighted_aes_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     picked = weighted_sample_aes(docs, F.col("n_chars"), "doc_id", 50)
     w = Window.orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+    # `+ 0.0` maps IEEE -0.0 to +0.0 on both engines: Spark's
+    # BigDecimal-based round() yields +0.0 while DuckDB's keeps the
+    # sign, and the external driver hashes the FORMATTED value, so the
+    # two zeros would hash-mismatch despite comparing == equal.
     return picked.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id",
         "n_chars",
-        F.round("aes_key", 6).alias("aes_key"),
+        (F.round("aes_key", 6) + F.lit(0.0)).alias("aes_key"),
         "rnk",
     )
 

@@ -95,7 +95,10 @@ class MailboxFetcher:
     def fetch(self, landing_dir: str) -> list[str]:
         os.makedirs(landing_dir, exist_ok=True)
         out: list[str] = []
-        used: set[str] = set()
+        # Seed with whatever already landed (yesterday's run): the daily
+        # 'report.csv' collision the uid-prefixing exists for happens
+        # across runs too, not only within one fetch() call.
+        used: set[str] = set(os.listdir(landing_dir))
         for uid in self.mailbox.search(self.sender, self.subject):
             msg = self.mailbox.fetch(uid)
             out.extend(self._extract(msg, landing_dir, uid, used))

@@ -151,9 +151,10 @@ def streaming_session_funnel(
 
     max_stage = number of funnel steps reached in order (0..len(steps));
     completed = max_stage == len(steps). Ordering caveat (standard for
-    per-key stateful funnels): rows are sorted inside each micro-batch,
-    so per-key delivery must be in order ACROSS batches up to the
-    watermark — the same assumption session_window makes.
+    per-key stateful funnels): a key's rows are materialized and sorted
+    once per micro-batch (across Arrow chunks), so per-key delivery must
+    be in order ACROSS micro-batches up to the watermark — the same
+    assumption session_window makes.
 
     Batch twin: plans/round5.py::session_funnel_stages (identical
     strict-order semantics, DuckDB-oracle-checked).
@@ -218,11 +219,19 @@ def streaming_session_funnel(
             if closed:
                 yield pd.DataFrame(closed, columns=[f.name for f in out_schema])
             return
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["us", "tb"])
-            for us, etype in zip(pdf["us"], pdf["etype"]):
+        # Materialize the whole key's micro-batch before sorting: Arrow
+        # hands the group over in ~10k-row chunks, and sorting each chunk
+        # independently would let a late-chunk event that precedes an
+        # earlier-chunk event corrupt session splits (the funnel is
+        # order-sensitive, unlike the commutative heavy-hitters state).
+        # Per-key micro-batch volume is bounded, so the concat is small.
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        whole = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if not whole.empty:
+            whole = whole.sort_values(["us", "tb"])
+            for us, etype in zip(whole["us"], whole["etype"]):
                 us = int(us)
                 if st is not None and us - st[1] > gap_us:
                     closed.append(close_row(uid, st))

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -56,7 +57,14 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
+            arr = s.astype("float64").to_numpy(copy=True)
+            # The external driver hashes the FORMATTED value, where
+            # -0.0 != 0.0 even though they compare == equal. Displace
+            # negative zero to the nearest representable negative so the
+            # local gate is exactly as strict (both-sides -0.0 still
+            # matches; a -0.0 vs +0.0 split fails as it would there).
+            arr[np.signbit(arr) & (arr == 0.0)] = -5e-324
+            df[c] = arr
         else:
             df[c] = s.astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)

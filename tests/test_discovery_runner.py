@@ -305,6 +305,41 @@ def test_save_control_xlsx_roundtrip(spark, tmp_path, existing):
         load_control(spark, bad, fmt="xlsx")
 
 
+def test_load_control_xlsx_float_ints_and_cast_audit(spark, tmp_path, existing):
+    """A producer storing 7 as the number cell 7.0 (pandas.to_excel does
+    this for any int column holding a NaN) must load as int 7, not a
+    silent NULL; a genuinely non-numeric cell in an int column raises
+    instead of nulling the ingestion id."""
+    from datalakeingestion_spark.config.control import (
+        CONTROL_SCHEMA,
+        load_control,
+    )
+    from datalakeingestion_spark.config.xlsx import write_xlsx
+
+    cols = [f.name for f in CONTROL_SCHEMA.fields]
+    base = {n: None for n in cols}
+    row = dict(
+        base,
+        lake_ingestion_id=7.0,  # float-typed int cell
+        ingestion_type="mysql-table",
+        tablename="t7",
+        date_not_available=0.0,
+        active_indicator=1.0,
+        view_needed=0.0,
+        airflow_dag_group="g",
+    )
+    p = str(tmp_path / "floaty.xlsx")
+    write_xlsx(p, cols, [[row[n] for n in cols]])
+    [r] = load_control(spark, p, fmt="xlsx").collect()
+    assert r["lake_ingestion_id"] == 7 and r["active_indicator"] == 1
+
+    bad = dict(row, lake_ingestion_id="seven")
+    p2 = str(tmp_path / "corrupt.xlsx")
+    write_xlsx(p2, cols, [[bad[n] for n in cols]])
+    with pytest.raises(ValueError, match="failed schema cast"):
+        load_control(spark, p2, fmt="xlsx").collect()
+
+
 def test_read_landing_xlsx_stdlib(spark, tmp_path):
     """Data-plane xlsx (S9 attachments) reads through read_landing with
     type inference: ints stay longs, mixed numerics become doubles,
@@ -618,6 +653,15 @@ def test_mailbox_fetcher_collisions_dotnames_and_link_fallback(tmp_path):
     assert urls == ["https://x/report.csv"]
     assert open(os.path.join(landing, "report.csv"), "rb").read() == b"day1\n"
     assert open(os.path.join(landing, "2_report.csv"), "rb").read() == b"day2\n"
+
+    # cross-RUN collision: a second fetch() against the same landing dir
+    # (tomorrow's scheduler tick) must not clobber yesterday's report —
+    # the `used` set is seeded from the directory listing
+    mb2 = _FakeMailbox({"9": attach("report.csv", b"day3\n")})
+    out2 = MailboxFetcher(mb2, sender="r@x", subject="report").fetch(landing)
+    assert [os.path.basename(p) for p in out2] == ["9_report.csv"]
+    assert open(os.path.join(landing, "report.csv"), "rb").read() == b"day1\n"
+    assert open(os.path.join(landing, "9_report.csv"), "rb").read() == b"day3\n"
 
 
 def test_run_groups_barrier_trips_on_validation_failure(spark, tmp_path, monkeypatch):

@@ -225,7 +225,9 @@ def test_image_stats_real_decode(spark):
     assert got[3].decode_error == "NotImplementedError"
     assert got[4].decode_error == "ValueError"
     assert got[3].n_pixels is None
-    assert 5 not in got  # null blob skipped entirely
+    # null blob keeps its row (quarantine contract, same as
+    # extract_features/resize_images)
+    assert got[5].decode_error == "NullContent" and got[5].n_pixels is None
 
 
 def test_resize_images_real_nearest_neighbor(spark):
@@ -298,3 +300,20 @@ def test_image_stats_zero_area_quarantined(spark):
     )
     [r] = image_stats(df).collect()
     assert r.decode_error == "ValueError" and r.n_pixels is None
+
+
+def test_image_stats_null_content_preserved(spark):
+    """A NULL content blob keeps its row (null stats + 'NullContent')
+    like extract_features/resize_images do — dropping it would silently
+    lose the media_id from downstream joins."""
+    from datalakeingestion_spark.operators.multimodal import image_stats
+
+    df = spark.createDataFrame(
+        [(7, None), (8, bytearray(b"P6\n1 1\n255\nABC"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in image_stats(df).collect()}
+    assert set(rows) == {7, 8}
+    assert rows[7].decode_error == "NullContent"
+    assert rows[7].n_pixels is None and rows[7].format is None
+    assert rows[8].decode_error is None and rows[8].n_pixels == 1

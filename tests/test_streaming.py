@@ -784,3 +784,58 @@ def test_streaming_session_funnel_matches_batch_twin(spark, tmp_path):
     # completion implies all three stages in order
     stages = [v[2] for v in got.values()]
     assert any(s >= 2 for s in stages)
+
+
+def test_streaming_session_funnel_orders_across_arrow_chunks(spark, tmp_path):
+    """The funnel is order-sensitive: a key's micro-batch must be sorted
+    GLOBALLY, not per Arrow chunk. With maxRecordsPerBatch=1 every row is
+    its own chunk, and the fixture rows are written in reverse time
+    order — per-chunk sorting would replay purchase→click→signup and
+    stall the funnel at stage 1."""
+    from datalakeingestion_spark.streaming.stateful import (
+        streaming_session_funnel,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        rows = [
+            # user 1, reverse time order in file order
+            (1, "2024-01-01 00:20:00", "purchase", 3),
+            (1, "2024-01-01 00:10:00", "click", 2),
+            (1, "2024-01-01 00:00:00", "signup", 1),
+            # sentinel far in the future: advances the watermark so user
+            # 1's session closes via EventTimeTimeout
+            (2, "2024-03-01 00:00:00", "view", 4),
+        ]
+        src = str(tmp_path / "chunk_src")
+        spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_type string, event_id long"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+            "ts_s"
+        ).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, event_id long, ts timestamp"
+        ).parquet(src)
+        out = streaming_session_funnel(
+            stream.withWatermark("ts", "30 minutes"),
+            steps=("signup", "click", "purchase"),
+            gap_seconds=1800,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("funnel_chunks")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user_id"]: r
+            for r in spark.sql("SELECT * FROM funnel_chunks").collect()
+        }
+        assert got[1]["max_stage"] == 3 and got[1]["completed"]
+        assert got[1]["n_events"] == 3
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
