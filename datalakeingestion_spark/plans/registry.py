@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
         round3c,
         round4,
         round5,
+        round6,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -1,0 +1,139 @@
+"""Round-6 plans: time-sliced distribution drift.
+
+``ks_drift_by_source`` screens one static split (source vs corpus) over
+the small integer ``n_chars`` domain, where a |sources| x |domain| value
+grid is metadata-sized. The time-sliced variant answers the production
+question — WHEN did a feed drift? — over the CONTINUOUS ``events.value``
+domain, where a slice x domain grid would be data-squared. The exact-KS
+trick that avoids it: each (event_type, week) slice is a SUBSET of its
+type's all-time reference sample, so the KS sup is attained at the
+slice's own observed points, checked both at the jump (inclusive CDFs)
+and just before it (exclusive CDFs). That needs only two keyed running
+sums + one equi-join on (type, value) — O(n) rows end to end, no grid.
+
+Both running sums use ``operators/packing.py::keyed_prefix_sum`` (the
+two-pass range-shuffle prefix sum) instead of a keyed window: a window
+``PARTITION BY event_type`` puts one whole type — a third of a 100 TB
+event log — into a single task. The oracle states the same semantics in
+ANSI window form, which is the reference shape, not the execution shape.
+
+Same determinism contract as every plan module: week buckets are integer
+epoch math (timezone-independent, no to_date()), CDF ratios divide exact
+bigint counts, and the sup takes MAX of 6-dp-rounded doubles.
+
+Reference pendant: none — greenfield training-pipeline operator
+(SURVEY.md §2 beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import keyed_prefix_sum
+from ..sources.fixtures import load_table
+from .registry import register
+
+_WEEK_EXPR = "cast(ts as long) div 86400 div 7"
+_WEEK_SQL = "CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7"
+
+
+@register(
+    "ks_drift_time_sliced",
+    oracle=f"""
+    WITH pts AS (SELECT event_type, {_WEEK_SQL} AS wk, value AS v
+                 FROM events WHERE value IS NOT NULL),
+    sh AS (SELECT event_type, wk, v, COUNT(*) AS c
+           FROM pts GROUP BY 1, 2, 3),
+    rh AS (SELECT event_type, v, SUM(c) AS rc FROM sh GROUP BY 1, 2),
+    rcum AS (SELECT event_type, v, rc,
+                    SUM(rc) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS rcum
+             FROM rh),
+    scum AS (SELECT event_type, wk, v, c,
+                    SUM(c) OVER (PARTITION BY event_type, wk ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS scum
+             FROM sh),
+    nr AS (SELECT event_type, SUM(rc) AS n_r FROM rh GROUP BY 1),
+    ns AS (SELECT event_type, wk, SUM(c) AS n_s FROM sh GROUP BY 1, 2)
+    SELECT s.event_type, s.wk AS week,
+           MAX(ns.n_s)::BIGINT AS n_events,
+           MAX(round(GREATEST(
+               abs(s.scum / ns.n_s::DOUBLE - r.rcum / nr.n_r::DOUBLE),
+               abs((s.scum - s.c) / ns.n_s::DOUBLE
+                   - (r.rcum - r.rc) / nr.n_r::DOUBLE)
+           ), 6)) AS ks_distance
+    FROM scum s
+    JOIN rcum r ON r.event_type = s.event_type AND r.v = s.v
+    JOIN ns ON ns.event_type = s.event_type AND ns.wk = s.wk
+    JOIN nr ON nr.event_type = s.event_type
+    GROUP BY 1, 2
+    """,
+    doc="EXACT two-sample KS distance of each (event_type, epoch-week) "
+    "slice's value distribution vs the type's all-time distribution — "
+    "the drift MATRIX that localizes ks_drift_by_source's single "
+    "static screen in time, over a continuous domain where the grid "
+    "approach is data-squared. Slice points are a subset of the "
+    "reference sample, so the sup needs only the two CDFs at the "
+    "slice's own points (at and just before each jump): two keyed "
+    "prefix sums + one (type, value) equi-join, O(n) rows total. Both "
+    "cumsums run through keyed_prefix_sum, never a per-type window "
+    "(one type = one task at scale).",
+)
+def ks_drift_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.select(
+        "event_type",
+        F.expr(_WEEK_EXPR).alias("wk"),
+        F.col("value").alias("v"),
+    )
+    sh = pts.groupBy("event_type", "wk", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # Intentional session-lifetime persist (lazy result; LRU-evictable)
+    # — see dedup.lsh_candidate_report for the policy. sh feeds the
+    # reference histogram, both prefix sums, and both size frames.
+    sh = sh.persist()
+    rh = sh.groupBy("event_type", "v").agg(F.sum("c").alias("rc"))
+    rcum = keyed_prefix_sum(
+        rh, ["event_type"], ["v"], "rc", out_col="rcum"
+    )
+    scum = keyed_prefix_sum(
+        sh, ["event_type", "wk"], ["v"], "c", out_col="scum"
+    )
+    nr = rh.groupBy("event_type").agg(
+        F.sum("rc").cast("double").alias("n_r")
+    )
+    ns = sh.groupBy("event_type", "wk").agg(
+        F.sum("c").cast("double").alias("n_s")
+    )
+    j = (
+        scum.join(rcum.select("event_type", "v", "rc", "rcum"),
+                  ["event_type", "v"])
+        .join(F.broadcast(ns), ["event_type", "wk"])
+        .join(F.broadcast(nr), ["event_type"])
+    )
+    d = F.round(
+        F.greatest(
+            F.abs(
+                F.col("scum") / F.col("n_s")
+                - F.col("rcum") / F.col("n_r")
+            ),
+            F.abs(
+                (F.col("scum") - F.col("c")) / F.col("n_s")
+                - (F.col("rcum") - F.col("rc")) / F.col("n_r")
+            ),
+        ),
+        6,
+    )
+    return (
+        j.groupBy("event_type", F.col("wk").alias("week"))
+        .agg(
+            F.max("n_s").cast("long").alias("n_events"),
+            F.max(d).alias("ks_distance"),
+        )
+    )

@@ -61,3 +61,71 @@ def test_tokenize_to_ids_roundtrip_and_rank_order(spark):
     assert list(out[1].token_ids) == [2, 1, 1]
     assert list(out[2].token_ids) == [1, 2, 3]
     assert out[1].n_tokens == 3
+
+
+def test_keyed_prefix_sum_matches_window_across_partitions(spark):
+    """keyed_prefix_sum over many partitions and tiny Arrow batches must
+    equal the window form SUM() OVER (PARTITION BY key ORDER BY ord):
+    keys span range-partition boundaries (the offset path) and Arrow
+    chunk boundaries (the carry path) at maxRecordsPerBatch=3."""
+    import random
+
+    from pyspark.sql import Window
+
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, rng.randint(0, 9))
+        for k in ("a", "b", "c")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, ord long, w long")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = keyed_prefix_sum(
+            df, ["k"], ["ord"], "w", out_col="cum", num_partitions=8
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    w = Window.partitionBy("k").orderBy("ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("cum", F.sum("w").over(w))
+    assert got.count() == 600
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_keyed_prefix_sum_composite_key_and_empty(spark):
+    """Composite (k1, k2) keys get independent running sums; an empty
+    frame passes through with the cum column attached."""
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    rows = [
+        ("a", 1, 10, 5),
+        ("a", 1, 20, 7),
+        ("a", 2, 10, 1),
+        ("b", 1, 10, 2),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 long, ord long, w long")
+    got = {
+        (r.k1, r.k2, r.ord): r.cum
+        for r in keyed_prefix_sum(
+            df, ["k1", "k2"], ["ord"], "w", num_partitions=4
+        ).collect()
+    }
+    assert got == {
+        ("a", 1, 10): 5,
+        ("a", 1, 20): 12,
+        ("a", 2, 10): 1,
+        ("b", 1, 10): 2,
+    }
+
+    empty = df.limit(0)
+    out = keyed_prefix_sum(empty, ["k1"], ["ord"], "w")
+    assert out.columns == ["k1", "k2", "ord", "w", "cum"]
+    assert out.count() == 0
