@@ -221,21 +221,30 @@ def keyed_prefix_sum(
     group, ordered by ``order_cols`` — the scale-safe replacement for
     ``SUM() OVER (PARTITION BY key ORDER BY ...)`` when a single key
     group is data-sized (Spark's window form pulls the whole group into
-    one task; with a handful of keys over 100 TB that is a handful of
-    executors doing all the work).
+    one task: one executor sorts — and must hold — that key's entire
+    slice of a 100 TB table).
 
-    Same two-pass shape as ``pack_sequences``, generalized to keys:
-    range-shuffle on (key, order) so each key occupies a contiguous run
-    of partitions with rows sorted inside; per-(partition, key)
-    subtotals (≤ #partitions + #keys rows — driver-safe whenever the
-    key count is metadata-sized) become exclusive offsets; one Arrow
-    pass adds offset + vectorized per-group cumsum, carrying the run
-    that spans a batch/partition boundary. (key_cols + order_cols) must
-    be a total order (unique rows) for a deterministic result;
-    ``weight_col`` must be integral (cast to long).
+    Same two-pass idea as ``pack_sequences``, but JVM end-to-end (no
+    Arrow/Python pass — measured 2.3× slower than this form at 20M rows,
+    tools/scale_probe_r6.py):
 
-    Returns ``df``'s columns + ``out_col`` (long).
+    1. range-shuffle on (key, order): ``spark_partition_id()`` becomes a
+       deterministic BUCKET id that respects the global order, so each
+       key spans a contiguous bucket range and every (bucket, key) cell
+       is at most a partition's worth of rows;
+    2. per-(bucket, key) subtotals — ≤ #buckets + #keys rows, collected
+       and turned into exclusive per-cell offsets (driver-safe whenever
+       the key count is metadata-sized);
+    3. a window over PARTITION BY (bucket, key) — fine-grained and
+       parallel, never a whole key in one task — plus a broadcast join
+       adding the cell's offset. All whole-stage-codegen.
+
+    (key_cols + order_cols) must be a total order (unique rows) for a
+    deterministic result; ``weight_col`` must be integral (cast to
+    long). Returns ``df``'s columns + ``out_col`` (long).
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     n = int(
         num_partitions
@@ -243,71 +252,55 @@ def keyed_prefix_sum(
     )
     all_cols = list(df.columns)
     rng = [F.col(c) for c in (*key_cols, *order_cols)]
+    # Intentional session-lifetime persist (LRU-evictable): the bucketed
+    # frame feeds the subtotal collect now and the window pass at every
+    # downstream evaluation. Eviction is safe — repartitionByRange is
+    # deterministic, so a recompute reproduces the exact _pid assignment
+    # the collected offsets were built from. (No eager checkpoint of the
+    # RESULT: that would materialize a data-sized frame per call.)
     part = (
         df.repartitionByRange(n, *rng)
-        .sortWithinPartitions(*key_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    try:
-        # pass 1: per-(partition, key) subtotals -> exclusive offsets
-        sub = (
-            part.groupBy("_pid", *key_cols)
-            .agg(F.sum(F.col(weight_col).cast("long")).alias("t"))
-            .collect()
+    # pass 1: per-(bucket, key) subtotals -> exclusive offsets
+    sub = (
+        part.groupBy("_pid", *key_cols)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("t"))
+        .collect()
+    )
+    per_key: dict[tuple, list[tuple[int, int]]] = {}
+    for r in sub:
+        k = tuple(r[c] for c in key_cols)
+        per_key.setdefault(k, []).append((r["_pid"], int(r["t"] or 0)))
+    off_rows = []
+    for key, lst in per_key.items():
+        running = 0
+        for pid, t in sorted(lst):
+            if running:
+                off_rows.append((pid, *key, running))
+            running += t
+    off_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType())]
+        + [df.schema[c] for c in key_cols]
+        + [T.StructField("_off", T.LongType())]
+    )
+    offsets = spark.createDataFrame(off_rows, off_schema)
+
+    # pass 2: fine-grained window + broadcast offset join, JVM-side
+    w = (
+        Window.partitionBy("_pid", *key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn(
+        "_local", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *key_cols], "left")
+        .withColumn(
+            out_col,
+            F.col("_local") + F.coalesce(F.col("_off"), F.lit(0)),
         )
-        per_key: dict[tuple, list[tuple[int, int]]] = {}
-        for r in sub:
-            k = tuple(r[c] for c in key_cols)
-            per_key.setdefault(k, []).append((r["_pid"], int(r["t"] or 0)))
-        offsets: dict[tuple, int] = {}
-        for key, lst in per_key.items():
-            running = 0
-            for pid, t in sorted(lst):
-                offsets[(pid,) + key] = running
-                running += t
-
-        out_schema = T.StructType(
-            list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
-        )
-
-        def add_cum(batches):
-            import numpy as np
-
-            # a key's run can span Arrow batches (and feeds from the
-            # previous batch's tail); carry its running cumsum forward
-            carry_key, carry_cum = None, 0
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                pid = int(pdf["_pid"].iloc[0])
-                w = pdf[weight_col].to_numpy(dtype="int64")
-                cs = np.cumsum(w)
-                kf = pdf[list(key_cols)]
-                change = (kf != kf.shift()).any(axis=1).to_numpy()
-                change[0] = True
-                starts = np.flatnonzero(change)
-                grp_of_row = np.cumsum(change) - 1
-                base = np.where(starts > 0, cs[starts - 1], 0)
-                cum = cs - base[grp_of_row]  # within-group inclusive
-                off = np.empty(len(starts), dtype="int64")
-                for gi, srow in enumerate(starts):
-                    key = tuple(kf.iloc[int(srow)])
-                    if gi == 0 and key == carry_key:
-                        off[gi] = carry_cum
-                    else:
-                        off[gi] = offsets.get((pid,) + key, 0)
-                cum = cum + off[grp_of_row]
-                carry_key = tuple(kf.iloc[len(pdf) - 1])
-                carry_cum = int(cum[-1])
-                out = pdf[all_cols].copy()
-                out[out_col] = cum
-                yield out
-
-        result = part.mapInPandas(add_cum, schema=out_schema)
-        # materialize before unpersist so consumers never recompute the
-        # two-pass pipeline against a dropped cache
-        result = result.localCheckpoint(eager=True)
-    finally:
-        part.unpersist()
-    return result
+        .select(*all_cols, out_col)
+    )

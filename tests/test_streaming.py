@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -839,3 +840,116 @@ def test_streaming_session_funnel_orders_across_arrow_chunks(spark, tmp_path):
         assert got[1]["n_events"] == 3
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_session_funnel_state_survives_restart(spark, tmp_path):
+    """Kill the funnel stream mid-data and restart from the checkpoint:
+    applyInPandasWithState state (open sessions) must be restored, so a
+    session whose events straddle the two runs still closes as ONE
+    session with the right n_events/max_stage — and the restarted run's
+    output unions with the first run's to exactly the single-run result."""
+    import shutil
+
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from datalakeingestion_spark.streaming.stateful import (
+        streaming_session_funnel,
+    )
+
+    _ensure_loaded()
+    events = load_table(spark, SF_SMALL, "events")
+
+    batch = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["max_stage"]
+        )
+        for r in REGISTRY["session_funnel_stages"].fn(spark, SF_SMALL).collect()
+    }
+    # split the stream INSIDE some multi-event session so its state must
+    # cross the restart
+    spanning = [
+        (uid, s, e)
+        for (uid, s), (e, n, _) in batch.items()
+        if n >= 2 and e > s
+    ]
+    assert spanning
+    uid0, s0, e0 = spanning[0]
+    t_us = (s0 + e0) // 2
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = events.filter(F.unix_micros("ts") <= t_us)
+    second = events.filter(F.unix_micros("ts") > t_us)
+    assert first.count() and second.count()
+    half1 = str(tmp_path / "half1")
+    first.coalesce(1).write.parquet(half1)
+    for f in os.listdir(half1):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(half1, f), os.path.join(src, "a.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = streaming_session_funnel(
+            stream.withWatermark("ts", "30 minutes"),
+            steps=("signup", "click", "purchase"),
+            gap_seconds=1800,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # run 1: first half only, then the query stops (the
+    # "crash": state lives only in the checkpoint now)
+
+    half2 = str(tmp_path / "half2")
+    second.coalesce(1).write.parquet(half2)
+    for f in os.listdir(half2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(half2, f), os.path.join(src, "b.parquet"))
+
+    run_once()  # run 2: fresh query object, same checkpoint
+
+    got = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["max_stage"]
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # same expected-set derivation as the single-run twin test
+    wm_delay_us = 30 * 60 * 1_000_000
+    gap_us = 30 * 60 * 1_000_000
+    max_us = events.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"]
+    wm_ms = (max_us - wm_delay_us) // 1000
+    last_of_user = {}
+    for (uid, start), (end, _, _) in batch.items():
+        if uid not in last_of_user or start > last_of_user[uid][0]:
+            last_of_user[uid] = (start, end)
+    expected = {}
+    for (uid, start), (end, n, stage) in batch.items():
+        is_last = last_of_user[uid][0] == start
+        if is_last and not ((end + gap_us) // 1000 + 1 < wm_ms):
+            continue
+        expected[(uid, start)] = (end, n, stage)
+
+    assert got == expected
+    # the spanning session closed as ONE session across the restart
+    if (uid0, s0) in expected:
+        assert got[(uid0, s0)] == batch[(uid0, s0)]
+    # and no session was double-emitted (parquet sink + checkpoint is
+    # exactly-once across the restart)
+    rows = spark.read.parquet(sink).groupBy(
+        "user_id", "session_start_us"
+    ).count().filter(F.col("count") > 1)
+    assert rows.isEmpty()

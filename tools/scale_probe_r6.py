@@ -1,0 +1,134 @@
+"""Round-6 scale probes (results recorded in SCALE.md).
+
+Two claims this round's code makes get adversarial measurements:
+
+1. **keyed_prefix_sum vs the keyed window** (operators/packing.py):
+   a running sum over 20M rows split across just THREE keys — the shape
+   where ``SUM() OVER (PARTITION BY key ORDER BY ...)`` degenerates to
+   three single-task sorts of ~6.7M rows each, while the two-pass range
+   shuffle keeps all 32 cores busy. This is the scale argument for
+   ks_drift_time_sliced's reference CDF (one event_type = one window
+   partition = one task).
+
+2. **connected-components depth worst case** (operators/dedup.py):
+   a pure PATH graph (diameter = node count — the adversarial chain for
+   any label-propagation scheme) at 100k and 1M nodes, on both the
+   pointer-jumping propagation and large-star/small-star. Validates the
+   O(log d) round count claim with measured rounds + wall time, and
+   that the non-convergence guard actually fires instead of silently
+   returning a half-labeled graph.
+
+Run on an otherwise idle box:  python tools/scale_probe_r6.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def probe_prefix_sum(spark) -> None:
+    from pyspark.sql import Window
+
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    n = 20_000_000
+    for n_keys in (3, 1):
+        df = (
+            spark.range(n)
+            .select(
+                (F.col("id") % n_keys).alias("k"),
+                F.col("id").alias("ord"),
+                (F.col("id") % 10).alias("w"),
+            )
+            .persist()
+        )
+        df.count()  # materialize input outside timings
+
+        t0 = time.time()
+        got = keyed_prefix_sum(df, ["k"], ["ord"], "w", out_col="cum")
+        total_kps = got.agg(F.sum("cum")).first()[0]
+        t_cold = time.time() - t0
+        t0 = time.time()
+        got.agg(F.sum("cum")).first()  # warm: bucketed frame cached
+        t_warm = time.time() - t0
+
+        w = Window.partitionBy("k").orderBy("ord").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        t0 = time.time()
+        total_win = (
+            df.withColumn("cum", F.sum("w").over(w))
+            .agg(F.sum("cum"))
+            .first()[0]
+        )
+        t_win = time.time() - t0
+
+        assert total_kps == total_win, (total_kps, total_win)
+        print(
+            f"prefix_sum n={n} keys={n_keys}: keyed_prefix_sum "
+            f"{t_cold:.1f}s cold / {t_warm:.1f}s warm  "
+            f"window {t_win:.1f}s  (checksum equal: {total_kps})"
+        )
+        df.unpersist()
+        # keyed_prefix_sum leaves its bucketed frame session-persisted
+        # (documented policy); clear between configs so each one is
+        # measured against a cold cache, not the previous run's churn
+        spark.catalog.clearCache()
+
+
+def probe_cc_path_graph(spark) -> None:
+    from datalakeingestion_spark.operators import dedup as dd
+
+    for n in (100_000, 1_000_000):
+        pairs = (
+            spark.range(n - 1)
+            .select(
+                F.col("id").alias("doc_id_a"),
+                (F.col("id") + 1).alias("doc_id_b"),
+            )
+            .persist()
+        )
+        pairs.count()
+
+        for name, fn, iters in (
+            ("pointer-jump", dd.connected_components, 40),
+            ("large/small-star", dd.connected_components_star, 40),
+        ):
+            t0 = time.time()
+            labels = fn(pairs, max_iterations=iters)
+            n_clusters = labels.select("cluster_id").distinct().count()
+            n_nodes = labels.count()
+            dt = time.time() - t0
+            assert (n_clusters, n_nodes) == (1, n), (n_clusters, n_nodes)
+            print(
+                f"cc path n={n}: {name} {dt:.1f}s "
+                f"(1 component, {n_nodes} nodes)"
+            )
+
+        # the guard must FIRE on a too-low round budget, not return a
+        # half-labeled graph (path diameter >> 2 rounds)
+        try:
+            dd.connected_components(pairs, max_iterations=2)
+            print(f"cc path n={n}: guard FAILED to fire at 2 rounds")
+        except RuntimeError:
+            print(f"cc path n={n}: non-convergence guard fired at 2 rounds")
+        pairs.unpersist()
+
+
+def main() -> None:
+    from datalakeingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+    probe_prefix_sum(spark)
+    probe_cc_path_graph(spark)
+
+
+if __name__ == "__main__":
+    main()
