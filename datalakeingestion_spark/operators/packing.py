@@ -53,77 +53,38 @@ def pack_sequences(
     result). ``include_position=True`` adds the exclusive prefix sum
     itself as a ``position`` column — with ``tokens_col`` ≡ 1 that is a
     distributed 0-based row_number (see ``global_positions``).
+
+    The prefix sum itself is ``keyed_prefix_sum`` with a constant key —
+    one shared two-pass JVM implementation (range-shuffle bucketing,
+    per-bucket window, broadcast offsets) instead of a parallel Arrow
+    code path (the Arrow form measured 2.3× slower at 20M rows,
+    tools/scale_probe_r6.py).
     """
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     order_cols = list(order_cols or [id_col])
-    spark = docs.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     keep = [id_col] + [c for c in order_cols if c != id_col]
-    part = (
-        docs.select(
-            *[F.col(c) for c in keep],
-            F.col(tokens_col).cast("long").alias(tokens_col),
-        )
-        .repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    sized = docs.select(
+        *[F.col(c) for c in keep],
+        F.col(tokens_col).cast("long").alias(tokens_col),
+    ).withColumn("_k", F.lit(1))
+    cum = keyed_prefix_sum(
+        sized,
+        ["_k"],
+        order_cols,
+        tokens_col,
+        out_col="_cum",
+        num_partitions=num_partitions,
     )
-    try:
-        # pass 1: per-partition subtotals — #partitions rows, driver-safe
-        totals = {
-            r["_pid"]: r["t"]
-            for r in part.groupBy("_pid")
-            .agg(F.sum(tokens_col).alias("t"))
-            .collect()
-        }
-        offsets: dict[int, int] = {}
-        running = 0
-        for pid in range(n):
-            offsets[pid] = running
-            running += int(totals.get(pid, 0) or 0)
-
-        id_field = part.schema[id_col]
-        fields = [
-            T.StructField(id_col, id_field.dataType),
-            T.StructField(tokens_col, T.LongType()),
-            T.StructField("seq_id", T.LongType()),
-        ]
-        if include_position:
-            fields.append(T.StructField("position", T.LongType()))
-        out_schema = T.StructType(fields)
-
-        def pack(batches):
-            import numpy as np
-
-            cum = None  # running global prefix, carried across batches
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                if cum is None:
-                    cum = offsets[int(pdf["_pid"].iloc[0])]
-                t = pdf[tokens_col].to_numpy()
-                cum_before = cum + np.concatenate(
-                    ([0], np.cumsum(t)[:-1])
-                )
-                cum += int(t.sum())
-                out = pdf[[id_col, tokens_col]].copy()
-                out["seq_id"] = cum_before // token_budget
-                if include_position:
-                    out["position"] = cum_before
-                yield out
-
-        result = part.mapInPandas(pack, schema=out_schema)
-        # materialize before unpersist so consumers never recompute the
-        # two-pass pipeline against a dropped cache
-        result = result.localCheckpoint(eager=True)
-    finally:
-        part.unpersist()
-    return result
+    before = F.col("_cum") - F.col(tokens_col)  # exclusive prefix
+    out_cols = [
+        F.col(id_col),
+        F.col(tokens_col),
+        F.expr(f"(_cum - {tokens_col}) div {token_budget}").alias("seq_id"),
+    ]
+    if include_position:
+        out_cols.append(before.alias("position"))
+    return cum.select(*out_cols)
 
 
 def global_positions(

@@ -137,3 +137,49 @@ def ks_drift_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(d).alias("ks_distance"),
         )
     )
+
+
+@register(
+    "price_percentile_rank",
+    oracle="""
+    WITH h AS (SELECT l_returnflag, l_extendedprice AS price, COUNT(*) AS c
+               FROM lineitem GROUP BY 1, 2),
+    cum AS (SELECT l_returnflag, price, c,
+                   SUM(c) OVER (PARTITION BY l_returnflag ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM h),
+    t AS (SELECT l_returnflag, SUM(c) AS n FROM h GROUP BY 1)
+    SELECT cum.l_returnflag, cum.price, cum.c::BIGINT AS n_rows,
+           round(cum.cum / t.n::DOUBLE, 6) AS pct
+    FROM cum JOIN t USING (l_returnflag)
+    """,
+    doc="EXACT cumulative percentile rank (cume_dist) of every distinct "
+    "extended price within its return flag — a continuous ~unique "
+    "domain over THREE keys, i.e. precisely the shape where the window "
+    "form collapses to three tasks each sorting and holding a third of "
+    "the table. The Spark side runs the per-(flag, price) histogram "
+    "through keyed_prefix_sum (range-bucketed two-pass JVM prefix sum, "
+    "tools/scale_probe_r6.py) and divides by broadcast per-flag "
+    "totals; the window-form oracle states the semantics.",
+)
+def price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum = keyed_prefix_sum(
+        h, ["l_returnflag"], ["price"], "c", out_col="cum"
+    )
+    t = h.groupBy("l_returnflag").agg(
+        F.sum("c").cast("double").alias("n")
+    )
+    return (
+        cum.join(F.broadcast(t), ["l_returnflag"])
+        .select(
+            "l_returnflag",
+            "price",
+            F.col("c").cast("long").alias("n_rows"),
+            F.round(F.col("cum") / F.col("n"), 6).alias("pct"),
+        )
+    )
