@@ -121,12 +121,78 @@ def probe_cc_path_graph(spark) -> None:
         pairs.unpersist()
 
 
+def probe_ks_sliced(spark) -> None:
+    """End-to-end ks_drift_time_sliced shape at 20M events / 26 weeks /
+    4 types: histogram -> two keyed prefix sums -> equi-join -> matrix."""
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    n = 20_000_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias(
+                "event_type"
+            ),
+            (F.col("id") % 26).alias("wk"),
+            # ~40% ties via a coarse lattice, the rest ~continuous
+            F.when(
+                F.col("id") % 5 < 2, (F.col("id") % 97).cast("double")
+            )
+            .otherwise(
+                (F.xxhash64("id") % 1_000_000_007).cast("double") / 1e6
+            )
+            .alias("v"),
+        )
+        .persist()
+    )
+    ev.count()
+
+    t0 = time.time()
+    sh = ev.groupBy("event_type", "wk", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    rh = sh.groupBy("event_type", "v").agg(F.sum("c").alias("rc"))
+    rcum = keyed_prefix_sum(rh, ["event_type"], ["v"], "rc", out_col="rcum")
+    scum = keyed_prefix_sum(
+        sh, ["event_type", "wk"], ["v"], "c", out_col="scum"
+    )
+    nr = rh.groupBy("event_type").agg(F.sum("rc").cast("double").alias("n_r"))
+    ns = sh.groupBy("event_type", "wk").agg(
+        F.sum("c").cast("double").alias("n_s")
+    )
+    d = F.greatest(
+        F.abs(F.col("scum") / F.col("n_s") - F.col("rcum") / F.col("n_r")),
+        F.abs(
+            (F.col("scum") - F.col("c")) / F.col("n_s")
+            - (F.col("rcum") - F.col("rc")) / F.col("n_r")
+        ),
+    )
+    out = (
+        scum.join(rcum.select("event_type", "v", "rc", "rcum"),
+                  ["event_type", "v"])
+        .join(F.broadcast(ns), ["event_type", "wk"])
+        .join(F.broadcast(nr), ["event_type"])
+        .groupBy("event_type", "wk")
+        .agg(F.max(d).alias("ks"))
+        .collect()
+    )
+    dt = time.time() - t0
+    print(
+        f"ks_sliced n={n} types=4 weeks=26: end-to-end {dt:.1f}s "
+        f"({len(out)} matrix cells)"
+    )
+    ev.unpersist()
+    sh.unpersist()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     from datalakeingestion_spark.session import get_spark
 
     spark = get_spark(app_name="scale-probe-r6")
     spark.sparkContext.setLogLevel("ERROR")
     probe_prefix_sum(spark)
+    probe_ks_sliced(spark)
     probe_cc_path_graph(spark)
 
 
