@@ -206,6 +206,12 @@ def keyed_prefix_sum(
     """
     from pyspark.sql import Window
 
+    reserved = {"_pid", "_off", "_local", out_col}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)}"
+        )
     spark = df.sparkSession
     n = int(
         num_partitions

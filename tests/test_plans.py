@@ -197,13 +197,16 @@ def test_chunking_no_shuffle(spark):
 
 def test_shuffle_rank_avoids_global_window(spark):
     plan = formatted_plan(run(spark, "shuffle_rank_deterministic"))
-    # the distributed prefix sum must NOT plan a Window (a bare
-    # row_number() window would collapse to a single partition). The
-    # prefix-sum pipeline itself is hidden behind the eager checkpoint,
-    # so the visible plan is the materialized scan — the pin is that no
-    # Window ever appears and the result arrives pre-computed.
-    assert "Window" not in plan, plan
-    assert "ExistingRDD" in plan, plan
+    # the distributed prefix sum plans a WINDOW, but only ever the
+    # fine-grained per-(range-bucket, key) one inside keyed_prefix_sum —
+    # every window spec must carry the _pid bucket column, and nothing
+    # may collapse to a single partition (the global row_number shape)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, plan
+    assert all("_pid" in ln for ln in specs), plan
+    assert "SinglePartition" not in plan, plan
 
 
 def test_quantize_stays_jvm_side(spark):
@@ -459,12 +462,17 @@ def test_ols_single_combinable_pass(spark):
 
 
 def test_zorder_report_has_no_global_window(spark):
-    # ranks come from the distributed prefix sum (the mapInPandas runs
-    # behind an eager localCheckpoint, so the final plan reads its RDD),
-    # never a single-partition Window
+    # the y/z ranks come from the distributed prefix sum: windows appear
+    # only as keyed_prefix_sum's per-(range-bucket, key) form (the _pid
+    # column in every spec), never a data-sized single-partition window;
+    # the only SinglePartition exchanges feed the block-sized report
+    # rollup, not row-scale data
     plan = formatted_plan(run(spark, "zorder_skipping_report"))
-    assert "Window" not in plan, plan
-    assert "ExistingRDD" in plan, plan
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, plan
+    assert all("_pid" in ln for ln in specs), plan
 
 
 def test_aes_sample_is_takeordered_not_global_sort(spark):
