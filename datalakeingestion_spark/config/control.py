@@ -89,16 +89,27 @@ def load_control(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
         # Any cast that turned a present cell into NULL is a corrupt
         # sheet — fail loudly like the header mismatch above (the
         # control table is tiny, so the audit pass is driver-cheap).
+        # Integer fields additionally fail on FRACTIONAL cells: the
+        # double→int cast truncates "7.5" to 7, which would fabricate an
+        # ingestion id instead of flagging the corruption.
+        def bad_cell(f: T.StructField):
+            n = f.name
+            present = F.col("_raw_" + n).isNotNull() & (
+                F.trim("_raw_" + n) != ""
+            )
+            nulled = F.col(n).isNull()
+            if isinstance(f.dataType, (T.IntegerType, T.LongType)):
+                truncated = (
+                    F.col("_raw_" + n).try_cast("double")
+                    != F.col(n).cast("double")
+                )
+                return present & (nulled | truncated)
+            return present & nulled
+
         audit = both.select(
             *[
-                F.sum(
-                    (
-                        F.col("_raw_" + n).isNotNull()
-                        & (F.trim("_raw_" + n) != "")
-                        & F.col(n).isNull()
-                    ).cast("int")
-                ).alias(n)
-                for n in want
+                F.sum(bad_cell(f).cast("int")).alias(f.name)
+                for f in CONTROL_SCHEMA.fields
             ]
         ).first()
         bad = {n: audit[n] for n in want if (audit[n] or 0) > 0}

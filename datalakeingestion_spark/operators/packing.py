@@ -9,14 +9,16 @@ serial" operation. A naive window ``SUM() OVER (ORDER BY id)`` plans as
 a SINGLE-partition window: one task pulls the whole table (at 100 TB,
 one executor and one shuffle of everything).
 
-The scale shape is the classic two-pass parallel prefix sum:
+The scale shape is the classic two-pass parallel prefix sum
+(``keyed_prefix_sum``, JVM end-to-end — the earlier Arrow/mapInPandas
+form measured 2.3× slower at 20M rows, tools/scale_probe_r6.py):
 
-1. range-partition by id (global order across partitions, rows sorted
-   within) — ONE shuffle;
-2. per-partition token subtotals — tiny (#partitions rows) collected to
-   the driver and turned into exclusive per-partition offsets;
-3. one Arrow-batched ``mapInPandas`` pass adds offset + local cumsum —
-   no further shuffle, state flows batch-to-batch inside a partition.
+1. range-partition by (key, order): ``spark_partition_id()`` becomes a
+   deterministic bucket id respecting the global order — ONE shuffle;
+2. per-(bucket, key) subtotals — tiny, collected to the driver and
+   turned into exclusive offsets;
+3. a window over PARTITION BY (bucket, key) — fine-grained, parallel,
+   whole-stage-codegen — plus a broadcast join adding the offsets.
 
 Output values are independent of where the range boundaries land (the
 global order is preserved regardless), so the result is deterministic
@@ -64,6 +66,11 @@ def pack_sequences(
         raise ValueError("token_budget must be positive")
     order_cols = list(order_cols or [id_col])
     keep = [id_col] + [c for c in order_cols if c != id_col]
+    if "_k" in keep or "_cum" in keep:
+        # "_k" would be silently clobbered by the constant key below;
+        # "_cum" would clash inside keyed_prefix_sum anyway — fail the
+        # same way, up front
+        raise ValueError("input already has reserved column _k/_cum")
     sized = docs.select(
         *[F.col(c) for c in keep],
         F.col(tokens_col).cast("long").alias(tokens_col),
@@ -97,9 +104,10 @@ def global_positions(
     Spark's window form can't scale (``row_number() OVER (ORDER BY ...)``
     with no PARTITION BY collapses to a single task). This is the
     prefix-sum machinery with a constant weight of 1: one range shuffle,
-    #partitions-row offsets, one Arrow pass. The canonical use is the
-    deterministic training-order shuffle: order by a seeded portable hash
-    and every engine/run agrees on the permutation.
+    a per-bucket JVM window, and #buckets-row broadcast offsets (see
+    ``keyed_prefix_sum``). The canonical use is the deterministic
+    training-order shuffle: order by a seeded portable hash and every
+    engine/run agrees on the permutation.
 
     Returns (id_col, global_pos).
     """
@@ -263,11 +271,19 @@ def keyed_prefix_sum(
     local = part.withColumn(
         "_local", F.sum(F.col(weight_col).cast("long")).over(w)
     )
+    # NULL-SAFE key equality: a NULL key is a legal group (groupBy and
+    # the window both treat NULLs as one group), but a plain equi-join
+    # would never match its offsets row (NULL != NULL), silently
+    # restarting the sum at every bucket boundary.
+    l, o = local.alias("l"), offsets.alias("o")
+    cond = F.col("l._pid") == F.col("o._pid")
+    for c in key_cols:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"o.{c}"))
     return (
-        local.join(F.broadcast(offsets), ["_pid", *key_cols], "left")
+        l.join(F.broadcast(o), cond, "left")
         .withColumn(
             out_col,
-            F.col("_local") + F.coalesce(F.col("_off"), F.lit(0)),
+            F.col("l._local") + F.coalesce(F.col("o._off"), F.lit(0)),
         )
-        .select(*all_cols, out_col)
+        .select(*[F.col(f"l.{c}") for c in all_cols], out_col)
     )

@@ -100,8 +100,22 @@ class MailboxFetcher:
         # across runs too, not only within one fetch() call.
         used: set[str] = set(os.listdir(landing_dir))
         for uid in self.mailbox.search(self.sender, self.subject):
+            # Cross-run IDEMPOTENCY: an IMAP search by sender+subject
+            # returns old messages again on tomorrow's tick. A
+            # dot-prefixed per-uid marker (invisible to Spark lake
+            # readers, like .staging-*) records "this message already
+            # landed once" — without it, the re-seen message would land
+            # a second copy under a uid-prefixed name and every row
+            # would ingest twice.
+            marker = os.path.join(
+                landing_dir, f".landed-{_safe_name(str(uid))}"
+            )
+            if os.path.exists(marker):
+                continue
             msg = self.mailbox.fetch(uid)
             out.extend(self._extract(msg, landing_dir, uid, used))
+            with open(marker, "w"):
+                pass
         return out
 
     @staticmethod

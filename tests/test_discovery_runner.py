@@ -339,6 +339,14 @@ def test_load_control_xlsx_float_ints_and_cast_audit(spark, tmp_path, existing):
     with pytest.raises(ValueError, match="failed schema cast"):
         load_control(spark, p2, fmt="xlsx").collect()
 
+    # fractional cell in an int column: double→int truncation would
+    # FABRICATE id 7 from "7.5" — must raise, not truncate
+    frac = dict(row, lake_ingestion_id=7.5)
+    p3 = str(tmp_path / "fractional.xlsx")
+    write_xlsx(p3, cols, [[frac[n] for n in cols]])
+    with pytest.raises(ValueError, match="failed schema cast"):
+        load_control(spark, p3, fmt="xlsx").collect()
+
 
 def test_read_landing_xlsx_stdlib(spark, tmp_path):
     """Data-plane xlsx (S9 attachments) reads through read_landing with
@@ -468,7 +476,14 @@ def test_mailbox_fetcher_attachments_links_and_hostile_names(tmp_path):
     assert open(os.path.join(landing, "bing_report.csv"), "rb").read() == csv_bytes
     # nothing escaped the landing dir
     assert not (tmp_path.parent / "evil.csv").exists()
-    assert set(os.listdir(landing)) == set(names)
+    # visible files = exactly the landed reports; the per-uid idempotency
+    # markers are dot-prefixed (invisible to Spark readers, same
+    # convention as .staging-*)
+    visible = {f for f in os.listdir(landing) if not f.startswith(".")}
+    assert visible == set(names)
+    assert {f for f in os.listdir(landing) if f.startswith(".")} == {
+        ".landed-101", ".landed-102", ".landed-103"
+    }
 
 
 def test_run_groups_mailbox_to_lake_end_to_end(spark, tmp_path):
@@ -662,6 +677,17 @@ def test_mailbox_fetcher_collisions_dotnames_and_link_fallback(tmp_path):
     assert [os.path.basename(p) for p in out2] == ["9_report.csv"]
     assert open(os.path.join(landing, "report.csv"), "rb").read() == b"day1\n"
     assert open(os.path.join(landing, "9_report.csv"), "rb").read() == b"day3\n"
+
+    # cross-run IDEMPOTENCY: the IMAP search returning an ALREADY-landed
+    # uid again (searches are by sender+subject, old mail stays visible)
+    # must not land a second copy — the per-uid marker skips it
+    out3 = MailboxFetcher(mb2, sender="r@x", subject="report").fetch(landing)
+    assert out3 == []
+    csvs = [f for f in os.listdir(landing) if f.endswith(".csv")]
+    assert sorted(csvs) == sorted(
+        [f for f in os.listdir(landing) if f.endswith(".csv")]
+    )
+    assert not os.path.exists(os.path.join(landing, "9_1_report.csv"))
 
 
 def test_run_groups_barrier_trips_on_validation_failure(spark, tmp_path, monkeypatch):

@@ -64,10 +64,10 @@ def test_tokenize_to_ids_roundtrip_and_rank_order(spark):
 
 
 def test_keyed_prefix_sum_matches_window_across_partitions(spark):
-    """keyed_prefix_sum over many partitions and tiny Arrow batches must
-    equal the window form SUM() OVER (PARTITION BY key ORDER BY ord):
-    keys span range-partition boundaries (the offset path) and Arrow
-    chunk boundaries (the carry path) at maxRecordsPerBatch=3."""
+    """keyed_prefix_sum over many range buckets must equal the window
+    form SUM() OVER (PARTITION BY key ORDER BY ord): with 8 buckets and
+    3×200 rows every key spans several buckets, exercising the
+    driver-computed offset path."""
     import random
 
     from pyspark.sql import Window
@@ -82,14 +82,9 @@ def test_keyed_prefix_sum_matches_window_across_partitions(spark):
     ]
     df = spark.createDataFrame(rows, "k string, ord long, w long")
 
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
-    try:
-        got = keyed_prefix_sum(
-            df, ["k"], ["ord"], "w", out_col="cum", num_partitions=8
-        )
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = keyed_prefix_sum(
+        df, ["k"], ["ord"], "w", out_col="cum", num_partitions=8
+    )
 
     w = Window.partitionBy("k").orderBy("ord").rowsBetween(
         Window.unboundedPreceding, 0
@@ -129,3 +124,32 @@ def test_keyed_prefix_sum_composite_key_and_empty(spark):
     out = keyed_prefix_sum(empty, ["k1"], ["ord"], "w")
     assert out.columns == ["k1", "k2", "ord", "w", "cum"]
     assert out.count() == 0
+
+
+def test_keyed_prefix_sum_null_key_group(spark):
+    """A NULL key is one group like groupBy treats it: its running sum
+    must continue across range buckets (the offsets join has to be
+    null-safe; a plain equi-join would silently restart at 0 in every
+    bucket)."""
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    rows = [(None, i, 1) for i in range(100)] + [("a", i, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, ord long, w long")
+    got = keyed_prefix_sum(
+        df, ["k"], ["ord"], "w", out_col="cum", num_partitions=8
+    )
+    agg = {
+        r["k"]: r["m"]
+        for r in got.groupBy("k").agg(F.max("cum").alias("m")).collect()
+    }
+    assert agg == {None: 100, "a": 50}
+
+
+def test_pack_sequences_rejects_reserved_columns(spark):
+    """An input column named _k would be clobbered by the constant key;
+    fail fast instead of silently producing a broken order."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "_k long, doc_id long, n_tokens long")
+    with _pytest.raises(ValueError, match="reserved"):
+        pack_sequences(df, order_cols=["_k"])
