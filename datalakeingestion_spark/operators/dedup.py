@@ -1091,10 +1091,26 @@ def dedup_against_index(
         )
         .distinct()
     )
-    # verify over the union shingle table. Ids MUST be disjoint across
-    # sides (guaranteed in the ingest flow): an id present on both sides
-    # would double its size in the union and understate jaccard.
-    return _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+    # verify over the union shingle table, SEMI-PRUNED to candidate docs
+    # first: without the prune, the verify joins shuffle the whole lake
+    # shingle table per batch — the one O(lake) term in the per-batch
+    # path (measured: tools/scale_probe_r6.py::probe_incremental_dedup).
+    # The candidate-id frame is ≤ 2×candidates rows, broadcastable. The
+    # residual O(lake) SCAN feeding the semi join disappears in
+    # production by storing the doc→shingle table bucketed by doc_id
+    # (bucket pruning on the IN-filter), same maintenance pattern as the
+    # band index itself. Ids MUST be disjoint across sides (guaranteed
+    # in the ingest flow): an id present on both sides would double its
+    # size in the union and understate jaccard.
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = sh_new.unionByName(sh_old).join(
+        F.broadcast(ids), "doc_id", "leftsemi"
+    )
+    return _jaccard_verify(cand, pruned, threshold)
 
 
 def ngram_contamination(

@@ -186,6 +186,108 @@ def probe_ks_sliced(spark) -> None:
     spark.catalog.clearCache()
 
 
+def probe_incremental_dedup(spark) -> None:
+    """dedup_against_index cost vs LAKE size at fixed batch size — the
+    dedup-at-the-door claim: probing a prebuilt band index is O(batch),
+    so doubling the lake must not double per-batch latency. Index build
+    (one-time, O(lake)) is timed separately from the per-batch probe."""
+    from datalakeingestion_spark.operators import dedup as dd
+
+    def mk_docs(n, start, dup_src=None):
+        base = (
+            spark.range(start, start + n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("document body "),
+                    F.conv(F.abs(F.xxhash64("id")).cast("string"), 10, 36),
+                    F.lit(" tail "),
+                    F.conv(
+                        F.abs(F.xxhash64("id", F.lit(7))).cast("string"),
+                        10, 36,
+                    ),
+                )
+                .alias("text"),
+            )
+        )
+        if dup_src is None:
+            return base
+        # 20% of the batch near-duplicates a lake doc (same body + a
+        # short suffix), the rest is fresh
+        return base.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("document body "),
+                    F.conv(
+                        F.abs(
+                            F.xxhash64((F.col("doc_id") % dup_src))
+                        ).cast("string"),
+                        10, 36,
+                    ),
+                    F.lit(" tail "),
+                    F.conv(
+                        F.abs(
+                            F.xxhash64(
+                                (F.col("doc_id") % dup_src), F.lit(7)
+                            )
+                        ).cast("string"),
+                        10, 36,
+                    ),
+                    F.lit(" x"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    batch_n = 5_000
+    # first iteration is a discarded warmup: codegen/JIT dominates
+    # small-lake index builds otherwise
+    for lake_n in (20_000, 100_000, 400_000):
+        lake = mk_docs(lake_n, 0).persist()
+        lake.count()
+        t0 = time.time()
+        sh_old = dd._shingle_table(lake, "text", "doc_id", 3).persist()
+        bands_old = dd._lsh_bands(
+            dd._signatures_from_shingles(sh_old)
+        ).persist()
+        n_band_rows = bands_old.count()
+        sh_old.count()
+        t_index = time.time() - t0
+
+        batch = mk_docs(batch_n, 10_000_000, dup_src=lake_n).persist()
+        batch.count()
+        t0 = time.time()
+        sh_new = dd._shingle_table(batch, "text", "doc_id", 3).persist()
+        bands_new = dd._lsh_bands(dd._signatures_from_shingles(sh_new))
+        cand = (
+            bands_new.alias("a")
+            .join(
+                bands_old.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        matches = dd._jaccard_verify(
+            cand, sh_new.unionByName(sh_old), 0.5
+        ).count()
+        t_probe = time.time() - t0
+        if lake_n > 20_000:
+            print(
+                f"incr_dedup lake={lake_n} batch={batch_n}: index build "
+                f"{t_index:.1f}s ({n_band_rows} band rows), batch probe "
+                f"{t_probe:.1f}s, {matches} verified matches"
+            )
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     from datalakeingestion_spark.session import get_spark
 
@@ -193,6 +295,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     probe_prefix_sum(spark)
     probe_ks_sliced(spark)
+    probe_incremental_dedup(spark)
     probe_cc_path_graph(spark)
 
 
