@@ -183,3 +183,73 @@ def price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") / F.col("n"), 6).alias("pct"),
         )
     )
+
+
+@register(
+    "psi_drift_windowed",
+    oracle="""
+    WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value AS v
+                 FROM events WHERE value IS NOT NULL),
+    m AS (SELECT MIN(es // 604800) AS w0 FROM pts),
+    binned AS (SELECT (es // 604800) * 604800 AS window_start_s,
+                      es // 604800 AS wk,
+                      CASE WHEN v < 0.0 THEN 0
+                           WHEN v >= 500.0 THEN 11
+                           ELSE CAST(floor((v - 0.0) / 500.0 * 10) AS INT) + 1
+                      END AS bin
+               FROM pts),
+    ref AS (SELECT g.bin,
+                   COALESCE(r.n_ref, 0)::BIGINT AS n_ref
+            FROM (SELECT unnest(range(0, 12)) AS bin) g
+            LEFT JOIN (SELECT b.bin, COUNT(*) AS n_ref
+                       FROM binned b CROSS JOIN m
+                       WHERE b.wk < m.w0 + 2 GROUP BY 1) r
+              ON r.bin = g.bin),
+    tref AS (SELECT SUM(n_ref) AS t_ref FROM ref),
+    win AS (SELECT window_start_s, bin, COUNT(*) AS c
+            FROM binned GROUP BY 1, 2),
+    wins AS (SELECT DISTINCT window_start_s FROM binned),
+    grid AS (SELECT w.window_start_s, g.bin
+             FROM wins w CROSS JOIN (SELECT unnest(range(0, 12)) AS bin) g),
+    counts AS (SELECT grid.window_start_s, grid.bin,
+                      COALESCE(win.c, 0)::BIGINT AS n_win
+               FROM grid LEFT JOIN win
+                 ON win.window_start_s = grid.window_start_s
+                AND win.bin = grid.bin),
+    twin AS (SELECT window_start_s, SUM(n_win) AS t_win
+             FROM counts GROUP BY 1)
+    SELECT c.window_start_s, c.bin, ref.n_ref, c.n_win,
+           round(((ref.n_ref + 0.5) / (tref.t_ref + 0.5 * 12.0)
+                  - (c.n_win + 0.5) / (twin.t_win + 0.5 * 12.0))
+                 * ln(((ref.n_ref + 0.5) / (tref.t_ref + 0.5 * 12.0))
+                      / ((c.n_win + 0.5) / (twin.t_win + 0.5 * 12.0))),
+                 6) AS psi_contrib
+    FROM counts c
+    JOIN ref ON ref.bin = c.bin
+    JOIN twin ON twin.window_start_s = c.window_start_s
+    CROSS JOIN tref
+    """,
+    doc="Per-epoch-week PSI of the event value distribution against the "
+    "first-two-weeks training reference — the BATCH TWIN of "
+    "streaming/drift.py::windowed_psi_drift (identical fixed 10-bin "
+    "grid + gutters, add-0.5 smoothing; F.window('7 days') boundaries "
+    "ARE epoch-week boundaries, so the oracle states them as integer "
+    "epoch math). One stateful-agg-shaped window histogram (all bins "
+    "as conditional sums in ONE groupBy — the append-mode streaming "
+    "constraint) + stateless broadcast-reference PSI tail; the "
+    "streaming test pins exact stream/batch agreement.",
+)
+def psi_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import reference_histogram, windowed_psi_drift
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wk = F.expr("cast(ts as long) div 604800")
+    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_histogram(
+        ev.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
+    )
+    return windowed_psi_drift(
+        ev, ref, "value", ts_col="ts", lo=0.0, hi=500.0, window="7 days"
+    )

@@ -1,0 +1,125 @@
+"""Windowed distribution-drift monitoring — the streaming face of the
+drift screens (`operators/profiling.py::psi_between`,
+`plans/round6.py::ks_drift_time_sliced`).
+
+Production shape: a fixed REFERENCE histogram (the training-period
+distribution, persisted once) and a live stream whose per-window value
+histogram is compared against it — the per-ingest-batch drift alarm.
+
+Streaming constraint that shapes the plan: append-mode output needs ONE
+stateful aggregation. A naive per-(window, bin) groupBy would need a
+SECOND stateful aggregate for the window totals, so instead one
+``groupBy(window)`` computes ALL bin counts as conditional-sum columns
+(bin cardinality is fixed and tiny); the total and the per-bin PSI
+contributions are then a stateless projection + broadcast join against
+the reference. The same function runs unchanged on a batch frame — the
+oracle-checked twin (`plans/round6.py::psi_drift_windowed`) and the
+stream/batch agreement test both pin it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_psi_drift(
+    df: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 10,
+    window: str = "7 days",
+) -> DataFrame:
+    """Per-time-window PSI of ``value_col`` against a STATIC reference.
+
+    ``reference`` must hold (bin, n_ref) exact counts over the same
+    fixed grid (n_bins interior bins on [lo, hi) plus under/overflow
+    gutters 0 and n_bins+1 — build it with :func:`reference_histogram`).
+    Works on a streaming frame (``df`` must carry a watermark on
+    ``ts_col``; windows emit when the watermark closes them) and on a
+    batch frame identically.
+
+    Output: one row per (window_start_s, bin) with both counts and the
+    bin's PSI contribution (p - q)·ln(p/q), add-0.5 smoothed, 6-dp
+    rounded — sum over a window's bins for its total PSI. Same
+    determinism contract as psi_between: exact long counts in, fixed
+    bin cardinality, no cross-partition float summation.
+    """
+    nb = n_bins + 2
+    v = F.col(value_col)
+    bin_expr = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(
+            F.floor((v - lo) / (hi - lo) * n_bins).cast("int") + 1
+        )
+    )
+    wincounts = (
+        df.filter(v.isNotNull())
+        .withColumn("_bin", bin_expr)
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
+                for i in range(nb)
+            ]
+        )
+    )
+    t_win = sum(F.col(f"_b{i}") for i in range(nb))
+    exploded = wincounts.select(
+        F.col("_w.start").cast("long").alias("window_start_s"),
+        t_win.alias("_t_win"),
+        F.posexplode(
+            F.array(*[F.col(f"_b{i}") for i in range(nb)])
+        ).alias("bin", "n_win"),
+    )
+    tot = reference.agg(F.sum("n_ref").alias("_t_ref"))
+    ref = (
+        reference.sparkSession.range(nb)
+        .select(F.col("id").alias("bin"))
+        .join(reference, "bin", "left")
+        .select(
+            "bin", F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    k = F.lit(0.5)
+    nbl = F.lit(float(nb))
+    p = (F.col("n_ref") + k) / (F.col("_t_ref") + k * nbl)
+    q = (F.col("n_win") + k) / (F.col("_t_win") + k * nbl)
+    return exploded.join(F.broadcast(ref), "bin").select(
+        "window_start_s",
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_win").cast("long").alias("n_win"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+def reference_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Exact (bin, n_ref) counts of ``value_col`` over the fixed grid —
+    the one-time training-period histogram ``windowed_psi_drift``
+    compares live windows against. Gutter bins included; absent bins
+    are simply missing (the monitor coalesces them to 0)."""
+    v = F.col(value_col)
+    bin_expr = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(
+            F.floor((v - lo) / (hi - lo) * n_bins).cast("int") + 1
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bin_expr.cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )

@@ -953,3 +953,72 @@ def test_streaming_session_funnel_state_survives_restart(spark, tmp_path):
         "user_id", "session_start_us"
     ).count().filter(F.col("count") > 1)
     assert rows.isEmpty()
+
+
+def test_windowed_psi_drift_streaming_matches_batch(spark, tmp_path):
+    """windowed_psi_drift runs the SAME code streaming and batch: the
+    streaming run (watermark + availableNow) must emit, for every window
+    the final watermark closed, exactly the batch twin's rows — counts
+    and 6-dp PSI contributions identical."""
+    from datalakeingestion_spark.streaming.drift import (
+        reference_histogram,
+        windowed_psi_drift,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = str(tmp_path / "psi_src")
+    events.coalesce(1).write.parquet(src)
+
+    wk = F.expr("cast(ts as long) div 604800")
+    w0 = events.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_histogram(
+        events.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
+    )
+
+    batch = {
+        (r["window_start_s"], r["bin"]): (r["n_ref"], r["n_win"],
+                                          r["psi_contrib"])
+        for r in windowed_psi_drift(
+            events, ref, "value", lo=0.0, hi=500.0, window="7 days"
+        ).collect()
+    }
+    assert len(batch) >= 3 * 12
+
+    max_s = events.agg(F.max(F.col("ts").cast("long")).alias("m")).first()["m"]
+    wm_s = max_s - 3600  # 1 hour watermark delay
+    expected = {
+        k: v
+        for k, v in batch.items()
+        if k[0] + 7 * 86400 < wm_s  # window closed by the final watermark
+    }
+    assert expected and len(expected) < len(batch)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_psi_drift(
+        stream.withWatermark("ts", "1 hour"),
+        ref,
+        "value",
+        lo=0.0,
+        hi=500.0,
+        window="7 days",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("psi_drift_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start_s"], r["bin"]): (r["n_ref"], r["n_win"],
+                                          r["psi_contrib"])
+        for r in spark.sql("SELECT * FROM psi_drift_out").collect()
+    }
+    # every closed window agrees exactly; the still-open tail window is
+    # the only permitted difference
+    assert expected.items() <= got.items()
+    for k in set(got) - set(expected):
+        assert k[0] + 7 * 86400 >= wm_s, k
