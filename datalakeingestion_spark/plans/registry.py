@@ -56,9 +56,10 @@ def register(
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
 # position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 (157
-# distinct queries externally green; this tuple is 50 of the 53 remaining
-# never-checked, in registration order, via tools/rotate_priority.py —
-# the final 3 TPC-H variants rotate in next round).
+# distinct queries externally green; this tuple is 50 of the then-53
+# remaining never-checked, in registration order, via
+# tools/rotate_priority.py — the final 3 TPC-H variants plus round-6's
+# 3 new queries rotate in next round).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_weighted_aes_top50",
     "supplier_reliability_wilson",
