@@ -584,6 +584,9 @@ def test_runtime_bloom_filter_fires_on_fact_dim_shape(spark):
 # boundaries) or the deliberately-broadcast query set joined on a
 # non-equi condition (ANN's query_id != neighbor_id). Audited round 4.
 _BNLJ_WHITELIST = {
+    # psi_drift_windowed: the 1-row reference-total frame broadcast onto
+    # the 12-row bin grid (metadata-sized both sides, audited)
+    "psi_drift_windowed",
     "ann_lsh_bucketed",
     "bm25_rank",
     "source_js_divergence",
