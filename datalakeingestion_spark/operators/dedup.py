@@ -1113,6 +1113,100 @@ def dedup_against_index(
     return _jaccard_verify(cand, pruned, threshold)
 
 
+def build_dedup_index(
+    docs: DataFrame,
+    index_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """Persist the lake-side state `dedup_against_stored_index` probes:
+
+    - ``{index_name}_bands``  (band_id, band_sig, doc_id), BUCKETED by
+      band_sig — the hash index the batch's band signatures probe;
+    - ``{index_name}_shingles``  (doc_id, s), BUCKETED by doc_id — the
+      exact-verify side.
+
+    Bucketing is the point: every per-batch probe joins against these
+    tables on their bucket keys, so the LAKE side never shuffles again —
+    per-batch shuffle volume is O(batch) by construction, which
+    `dedup_against_index` (self-contained, recomputes the lake side)
+    can only approximate. Same maintenance pattern as the IVF index:
+    rebuild periodically, append per batch in between (appending to a
+    bucketed table preserves the bucketing).
+
+    Bucket-count guidance as in operators/bucketing.py: size buckets to
+    100-500 MB at the target scale (100 TB shingles → thousands of
+    buckets, or buckets × date partitions).
+    """
+    from .bucketing import write_bucketed
+
+    sh = _shingle_table(docs, text_col, id_col, n)
+    bands = _lsh_bands(_signatures_from_shingles(sh))
+    write_bucketed(
+        bands,
+        f"{index_name}_bands",
+        "band_sig",
+        n_buckets,
+        sort_cols=["band_sig", "band_id"],
+    )
+    write_bucketed(
+        sh, f"{index_name}_shingles", "doc_id", n_buckets,
+    )
+
+
+def dedup_against_stored_index(
+    new_docs: DataFrame,
+    index_name: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """`dedup_against_index` against the PERSISTED bucketed index — the
+    production per-batch path. Identical output contract: (doc_id_a =
+    new doc, doc_id_b = indexed doc, jaccard >= threshold).
+
+    Plan shape this buys (pinned in tests/test_dedup.py): the band
+    probe joins on band_sig and the verify joins on doc_id — both
+    bucket keys — so the stored tables satisfy the joins' clustered
+    distribution straight off their file scans. Only the batch-derived
+    frames shuffle; the measured lake-coupled term of the inline form
+    (tools/scale_probe_r6.py::probe_incremental_dedup) is gone from the
+    shuffle graph. Ids must be disjoint from the indexed side, as in
+    `dedup_against_index`.
+    """
+    spark = new_docs.sparkSession
+    bands_old = spark.table(f"{index_name}_bands")
+    sh_old = spark.table(f"{index_name}_shingles")
+
+    sh_new = _shingle_table(new_docs, text_col, id_col, n).persist()
+    bands_new = _lsh_bands(_signatures_from_shingles(sh_new))
+    cand = (
+        bands_new.alias("a")
+        .join(
+            bands_old.alias("b"),
+            (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.band_id") == F.col("b.band_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = sh_new.unionByName(sh_old).join(
+        F.broadcast(ids), "doc_id", "leftsemi"
+    )
+    return _jaccard_verify(cand, pruned, threshold)
+
+
 def ngram_contamination(
     train: DataFrame,
     benchmark: DataFrame,

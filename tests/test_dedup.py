@@ -411,3 +411,69 @@ def test_lsh_max_bucket_cap(spark):
     # the flood is gone; the small identical pair (bucket size 2) stays
     assert (500, 501) in got
     assert all(a >= 500 for a, _ in got), got
+
+
+def test_stored_dedup_index_matches_inline_and_skips_lake_shuffle(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    """dedup_against_stored_index must (a) return exactly the inline
+    dedup_against_index result, and (b) read the persisted band/shingle
+    tables off their bucketed scans so the lake side never re-shuffles —
+    the per-batch plan contains strictly fewer exchanges than the
+    inline form, and the stored scans are bucketed."""
+    from datalakeingestion_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_stored_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lake = docs.filter(F.col("doc_id") % 3 != 0)
+    # batch: fresh ids; every third is a near-dup of a lake doc
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" tail")),
+        )
+        .otherwise(F.reverse("text"))
+        .alias("text"),
+    )
+
+    for t in ("dix_bands", "dix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_dedup_index(lake, "dix", n_buckets=4)
+
+    want = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in dedup_against_index(batch, lake, 0.3).collect()
+    }
+    got_df = dedup_against_stored_index(batch, "dix", 0.3)
+    got = {(r.doc_id_a, r.doc_id_b, r.jaccard) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stored_plan = (
+            dedup_against_stored_index(batch, "dix", 0.3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        inline_plan = (
+            dedup_against_index(batch, lake, 0.3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "Bucketed: true" in stored_plan, stored_plan
+    n_stored = stored_plan.count("+- Exchange")
+    n_inline = inline_plan.count("+- Exchange")
+    assert n_stored < n_inline, (n_stored, n_inline)
+    for t in ("dix_bands", "dix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
