@@ -642,3 +642,46 @@ def test_decode_image_total_on_garbage(data, prefix):
     assert fmt in ("ppm", "pgm", "bmp")
     assert w >= 1 and h >= 1
     assert px.shape == (h, w, 3)
+
+
+def test_keyed_prefix_sum_fuzz_matches_serial(spark):
+    """Hypothesis fuzz of keyed_prefix_sum against a serial Python
+    reference: ONE vectorized Spark job over a hypothesis-generated
+    batch of (key, ord, weight) rows — nullable keys, negative and zero
+    weights, duplicate keys across range-bucket boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"])),
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=-(10**3), max_value=10**3),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: (t[0], t[1]),  # (key, ord) total order
+    )
+
+    @given(rows_strategy)
+    @settings(max_examples=12, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(rows, "k string, ord long, w long")
+        got = {
+            (r.k, r.ord): r.cum
+            for r in keyed_prefix_sum(
+                df, ["k"], ["ord"], "w", num_partitions=5
+            ).collect()
+        }
+        want = {}
+        running = {}
+        for k, o, w in sorted(
+            rows, key=lambda t: (t[0] is not None, t[0] or "", t[1])
+        ):
+            running[k] = running.get(k, 0) + w
+            want[(k, o)] = running[k]
+        assert got == want
+
+    check()
