@@ -1142,18 +1142,23 @@ def build_dedup_index(
     """
     from .bucketing import write_bucketed
 
-    sh = _shingle_table(docs, text_col, id_col, n)
-    bands = _lsh_bands(_signatures_from_shingles(sh))
-    write_bucketed(
-        bands,
-        f"{index_name}_bands",
-        "band_sig",
-        n_buckets,
-        sort_cols=["band_sig", "band_id"],
-    )
-    write_bucketed(
-        sh, f"{index_name}_shingles", "doc_id", n_buckets,
-    )
+    # both writes consume the shingle table — persist so the
+    # compute-heavy tokenize+hash explode runs once, not per write
+    sh = _shingle_table(docs, text_col, id_col, n).persist()
+    try:
+        bands = _lsh_bands(_signatures_from_shingles(sh))
+        write_bucketed(
+            bands,
+            f"{index_name}_bands",
+            "band_sig",
+            n_buckets,
+            sort_cols=["band_sig", "band_id"],
+        )
+        write_bucketed(
+            sh, f"{index_name}_shingles", "doc_id", n_buckets,
+        )
+    finally:
+        sh.unpersist()
 
 
 def dedup_against_stored_index(

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -108,6 +108,21 @@ def numeric_histogram(
     )
 
 
+def histogram_bin(
+    col: Column, lo: float, hi: float, n_bins: int
+) -> Column:
+    """Fixed-width grid bin id with under/overflow gutters: 0 for
+    v < lo, n_bins+1 for v >= hi, else 1..n_bins. THE shared grid —
+    psi_between, the streaming drift monitor, and its reference
+    histogram must all bin identically or PSI compares different
+    grids."""
+    return (
+        F.when(col < lo, F.lit(0))
+        .when(col >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((col - lo) / (hi - lo) * n_bins).cast("int") + 1)
+    )
+
+
 def psi_between(
     old: DataFrame,
     new: DataFrame,
@@ -132,17 +147,8 @@ def psi_between(
     Scale: one map-side-combinable groupBy per snapshot shuffling at
     most n_bins+2 rows each; the join is on the bin id.
     """
-    width = (hi - lo) / n_bins
-
     def binned(df: DataFrame, alias: str) -> DataFrame:
-        b = (
-            F.when(F.col(col) < lo, F.lit(0))
-            .when(F.col(col) >= hi, F.lit(n_bins + 1))
-            .otherwise(
-                F.floor((F.col(col) - lo) / (hi - lo) * n_bins).cast("int")
-                + 1
-            )
-        )
+        b = histogram_bin(F.col(col), lo, hi, n_bins)
         return (
             df.filter(F.col(col).isNotNull())
             .groupBy(b.cast("long").alias("bin"))

@@ -48,15 +48,11 @@ def windowed_psi_drift(
     determinism contract as psi_between: exact long counts in, fixed
     bin cardinality, no cross-partition float summation.
     """
+    from ..operators.profiling import histogram_bin
+
     nb = n_bins + 2
     v = F.col(value_col)
-    bin_expr = (
-        F.when(v < lo, F.lit(0))
-        .when(v >= hi, F.lit(n_bins + 1))
-        .otherwise(
-            F.floor((v - lo) / (hi - lo) * n_bins).cast("int") + 1
-        )
-    )
+    bin_expr = histogram_bin(v, lo, hi, n_bins)
     wincounts = (
         df.filter(v.isNotNull())
         .withColumn("_bin", bin_expr)
@@ -110,16 +106,13 @@ def reference_histogram(
     the one-time training-period histogram ``windowed_psi_drift``
     compares live windows against. Gutter bins included; absent bins
     are simply missing (the monitor coalesces them to 0)."""
+    from ..operators.profiling import histogram_bin
+
     v = F.col(value_col)
-    bin_expr = (
-        F.when(v < lo, F.lit(0))
-        .when(v >= hi, F.lit(n_bins + 1))
-        .otherwise(
-            F.floor((v - lo) / (hi - lo) * n_bins).cast("int") + 1
-        )
-    )
     return (
         df.filter(v.isNotNull())
-        .groupBy(bin_expr.cast("long").alias("bin"))
+        .groupBy(
+            histogram_bin(v, lo, hi, n_bins).cast("long").alias("bin")
+        )
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )

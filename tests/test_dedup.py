@@ -416,13 +416,13 @@ def test_lsh_max_bucket_cap(spark):
 def test_stored_dedup_index_matches_inline_and_skips_lake_shuffle(
     spark, tmp_path
 ):
-    from pyspark.sql import functions as F
-
     """dedup_against_stored_index must (a) return exactly the inline
     dedup_against_index result, and (b) read the persisted band/shingle
     tables off their bucketed scans so the lake side never re-shuffles —
     the per-batch plan contains strictly fewer exchanges than the
     inline form, and the stored scans are bucketed."""
+    from pyspark.sql import functions as F
+
     from datalakeingestion_spark.operators.dedup import (
         build_dedup_index,
         dedup_against_index,
@@ -445,6 +445,18 @@ def test_stored_dedup_index_matches_inline_and_skips_lake_shuffle(
     for t in ("dix_bands", "dix_shingles"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     build_dedup_index(lake, "dix", n_buckets=4)
+    try:
+        _run_stored_index_assertions(spark, batch, lake, F)
+    finally:
+        for t in ("dix_bands", "dix_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _run_stored_index_assertions(spark, batch, lake, F):
+    from datalakeingestion_spark.operators.dedup import (
+        dedup_against_index,
+        dedup_against_stored_index,
+    )
 
     want = {
         (r.doc_id_a, r.doc_id_b, r.jaccard)
@@ -475,5 +487,3 @@ def test_stored_dedup_index_matches_inline_and_skips_lake_shuffle(
     n_stored = stored_plan.count("+- Exchange")
     n_inline = inline_plan.count("+- Exchange")
     assert n_stored < n_inline, (n_stored, n_inline)
-    for t in ("dix_bands", "dix_shingles"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
