@@ -93,3 +93,24 @@ def test_ks_time_sliced_matches_brute_force(spark, seed):
             assert got[(t, w)] == pytest.approx(
                 _brute_ks(sl, ref), abs=1e-12
             ), (t, w)
+
+
+def test_ks_time_sliced_plan_has_no_per_type_window(spark):
+    """ks_drift_time_sliced's scale contract: every window in its plan
+    is keyed_prefix_sum's per-(range-bucket, key) form (_pid in the
+    spec) — never PARTITION BY event_type alone, which would put a
+    whole type in one task — and the size frames join as broadcasts."""
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    df = REGISTRY["ks_drift_time_sliced"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert specs, plan
+    assert all("_pid" in ln for ln in specs), specs
+    assert "BroadcastHashJoin" in plan, plan
