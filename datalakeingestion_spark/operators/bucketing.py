@@ -25,10 +25,16 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed+sorted managed table (session warehouse)."""
+    """Persist as a bucketed+sorted managed table (session warehouse).
+
+    ``mode="append"`` with the SAME bucket spec adds new files per
+    bucket and keeps the table's bucketing metadata valid — the
+    per-batch maintenance path for persisted indexes (each bucket just
+    accumulates files; joins still skip the shuffle)."""
     writer = (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)
         .sortBy(*(sort_cols or [bucket_col]))
         .option("compression", "snappy")

@@ -1161,6 +1161,45 @@ def build_dedup_index(
         sh.unpersist()
 
 
+def append_dedup_index(
+    docs: DataFrame,
+    index_name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 8,
+) -> None:
+    """Per-batch index maintenance: append an ingested batch's bands and
+    shingles to the stored index with the SAME bucket spec — each bucket
+    accumulates files, the bucketing metadata stays valid, and every
+    later probe still joins shuffle-free. ``n_buckets`` must match the
+    ``build_dedup_index`` call. Run compaction on the same cadence as
+    the lake's (many small per-batch files per bucket is the usual
+    bucketed-append tax)."""
+    from .bucketing import write_bucketed
+
+    sh = _shingle_table(docs, text_col, id_col, n).persist()
+    try:
+        bands = _lsh_bands(_signatures_from_shingles(sh))
+        write_bucketed(
+            bands,
+            f"{index_name}_bands",
+            "band_sig",
+            n_buckets,
+            sort_cols=["band_sig", "band_id"],
+            mode="append",
+        )
+        write_bucketed(
+            sh,
+            f"{index_name}_shingles",
+            "doc_id",
+            n_buckets,
+            mode="append",
+        )
+    finally:
+        sh.unpersist()
+
+
 def dedup_against_stored_index(
     new_docs: DataFrame,
     index_name: str,

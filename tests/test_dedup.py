@@ -487,3 +487,53 @@ def _run_stored_index_assertions(spark, batch, lake, F):
     n_stored = stored_plan.count("+- Exchange")
     n_inline = inline_plan.count("+- Exchange")
     assert n_stored < n_inline, (n_stored, n_inline)
+
+
+def test_append_dedup_index_preserves_bucketing_and_results(spark):
+    """Per-batch index maintenance: after append_dedup_index, a probe
+    must see lake₁ ∪ lake₂ exactly as if the index were rebuilt, and
+    the plan must still read bucketed scans (append with the same
+    bucket spec keeps the bucketing metadata valid)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_stored_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lake1 = docs.filter(F.col("doc_id") % 3 == 1)
+    lake2 = docs.filter(F.col("doc_id") % 3 == 2)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+
+    for t in ("aix_bands", "aix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_dedup_index(lake1, "aix", n_buckets=4)
+    append_dedup_index(lake2, "aix", n_buckets=4)
+    try:
+        want = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in dedup_against_index(
+                batch, lake1.unionByName(lake2), 0.3
+            ).collect()
+        }
+        got_df = dedup_against_stored_index(batch, "aix", 0.3)
+        got = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard) for r in got_df.collect()
+        }
+        assert got == want and len(got) > 0
+        # matches from BOTH the built and the appended halves
+        mods = {b % 3 for (_, b, _) in got}
+        assert mods == {1, 2}, mods
+        plan = (
+            got_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan
+    finally:
+        for t in ("aix_bands", "aix_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
