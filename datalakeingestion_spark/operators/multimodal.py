@@ -9,9 +9,11 @@ this environment, so those paths stay stubbed: ``decoder="fake"`` derives
 small deterministic feature vectors from the bytes' md5 (so schema/
 partitioning/batch-shape — the Spark-side contract — is fully real and
 tested). ``decoder="real"`` IS real for the uncompressed formats a
-pure-numpy decode can handle — NetPBM P5/P6 (PGM/PPM) and 24-bit
-uncompressed BMP (``decode_image``) — and raises ``NotImplementedError``
-only when handed a format that genuinely needs an external codec.
+pure-numpy decode can handle — NetPBM P5/P6 (PGM/PPM), 24-bit
+uncompressed BMP (``decode_image``), PCM16 WAV-less audio, and
+uncompressed AVI video (``decode_video``: RIFF walk, 24-bit BI_RGB
+'00db' DIB frames) — and raises ``NotImplementedError`` only when
+handed a format that genuinely needs an external codec.
 
 Scale notes: one media row can be MBs — ``mapInPandas`` streams Arrow
 batches, so executor memory is bounded by ``spark.sql.execution.arrow.
@@ -237,6 +239,249 @@ def frame_sample(
                     out_frames.append(blob[lo : lo + frame_bytes])
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_no": out_nos, "frame": out_frames}
+            )
+
+    return media.select("media_id", "content").mapInPandas(op, schema)
+
+
+def encode_avi_rgb24(frames, micros_per_frame: int = 40_000) -> bytes:
+    """Minimal uncompressed AVI writer (RIFF / 'vids' 'DIB ' stream,
+    24-bit BI_RGB '00db' frames, bottom-up rows, 4-byte row padding) —
+    the container twin of :func:`decode_video`, used by tests and by
+    in-plan blob packaging the same way the PPM re-encoder is."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) // 4 * 4
+
+    def u32(v):
+        return int(v).to_bytes(4, "little")
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + u32(len(payload)) + payload + pad
+
+    def dib(frame):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = frame[y, :, ::-1].tobytes()  # RGB -> BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        return b"".join(rows)
+
+    avih = (
+        u32(micros_per_frame) + u32(0) + u32(0) + u32(0)
+        + u32(len(frames)) + u32(0) + u32(1) + u32(0)
+        + u32(w) + u32(h) + u32(0) * 4
+    )
+    strh = (
+        b"vids" + b"DIB " + u32(0) + u32(0) + u32(0)
+        + u32(micros_per_frame) + u32(1_000_000) + u32(0)
+        + u32(len(frames)) + u32(0) + u32(0) + u32(0)
+        + u32(0) + u32(0)
+    )
+    strf = (
+        u32(40) + u32(w) + u32(h)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + u32(0) + u32(stride * h) + u32(0) * 4
+    )
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + u32(len(body)) + body
+
+
+def decode_video(blob: bytes | None):
+    """REAL video decode for the one container/codec combination a pure
+    parser can handle — uncompressed AVI ('00db' DIB frames, 24-bit
+    BI_RGB, bottom-up rows with 4-byte padding), the same frame layout
+    as the BMP branch of :func:`decode_image`.
+
+    Returns ``("avi", width, height, micros_per_frame, frames)`` with
+    ``frames`` a list of (H, W, 3) uint8 RGB arrays, or ``None`` for a
+    null blob. Raises ``NotImplementedError`` for any compressed codec
+    (the ffmpeg seam) and ``ValueError`` for recognized-but-corrupt
+    files (quarantine, not the codec seam)."""
+    import numpy as np
+
+    if blob is None:
+        return None
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "unrecognized video container (only uncompressed AVI decodes "
+            "codec-free) — plug ffmpeg in here"
+        )
+
+    def chunks(buf, pos, end):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            payload_end = pos + 8 + size
+            if payload_end > end:
+                raise ValueError("truncated AVI chunk")
+            yield fourcc, pos + 8, payload_end
+            pos = payload_end + (size % 2)  # word alignment
+
+    micros = w = h = None
+    bpp = compression = None
+    frames = []
+    for fourcc, s, e in chunks(b, 12, len(b)):
+        if fourcc != b"LIST":
+            continue
+        kind = b[s : s + 4]
+        if kind == b"hdrl":
+            for f2, s2, e2 in chunks(b, s + 4, e):
+                if f2 == b"avih":
+                    micros = int.from_bytes(b[s2 : s2 + 4], "little")
+                    w = int.from_bytes(b[s2 + 32 : s2 + 36], "little")
+                    h = int.from_bytes(b[s2 + 36 : s2 + 40], "little")
+                elif f2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                    for f3, s3, e3 in chunks(b, s2 + 4, e2):
+                        if f3 == b"strf":
+                            bpp = int.from_bytes(
+                                b[s3 + 14 : s3 + 16], "little"
+                            )
+                            compression = int.from_bytes(
+                                b[s3 + 16 : s3 + 20], "little"
+                            )
+        elif kind == b"movi":
+            if w is None or bpp is None:
+                raise ValueError("AVI movi before hdrl")
+            if bpp != 24 or compression != 0:
+                raise NotImplementedError(
+                    f"AVI bpp={bpp} compression={compression} needs a "
+                    "codec (only 24-bit BI_RGB '00db' frames decode "
+                    "codec-free)"
+                )
+            if w <= 0 or h is None or h <= 0:
+                raise ValueError(f"degenerate AVI dimensions {w}x{h}")
+            stride = (w * 3 + 3) // 4 * 4
+            for f2, s2, e2 in chunks(b, s + 4, e):
+                if f2 not in (b"00db", b"00dc"):
+                    continue
+                if f2 == b"00dc":
+                    raise NotImplementedError(
+                        "compressed AVI frame ('00dc') needs a codec"
+                    )
+                raster = b[s2:e2]
+                if len(raster) != stride * h:
+                    raise ValueError(
+                        f"truncated AVI frame: {len(raster)}/{stride * h}"
+                    )
+                rows = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    h, stride
+                )
+                px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
+                frames.append(np.ascontiguousarray(px))
+    if micros is None or not frames:
+        raise ValueError("AVI without header or frames")
+    return ("avi", w, h, micros, frames)
+
+
+_VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("micros_per_frame", T.LongType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Per-video curation stats off the REAL decode: geometry, frame
+    count, frame interval, and exact per-channel means over ALL frames
+    (integer sums, HALF-UP 6-dp — same contract as image_stats).
+    Corrupt/compressed blobs and NULL content become quarantine rows
+    with ``decode_error`` set, never dropped rows."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    rows.append(
+                        (mid, None, None, None, None, None, None,
+                         None, None, None, "NullContent")
+                    )
+                    continue
+                try:
+                    fmt, w, h, micros, frames = decode_video(blob)
+                    n = w * h * len(frames)
+                    sums = np.zeros(3, dtype=np.int64)
+                    for f in frames:
+                        sums += f.astype(np.int64).sum(axis=(0, 1))
+                    means = [
+                        ((int(s) * 2_000_000 + n) // (2 * n)) / 1e6
+                        for s in sums
+                    ]
+                    rows.append(
+                        (mid, fmt, w, h, len(frames), micros,
+                         n, means[0], means[1], means[2], None)
+                    )
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append(
+                        (mid, None, None, None, None, None, None,
+                         None, None, None, type(exc).__name__)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        op, _VIDEO_STATS_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """REAL frame sampling: decode the AVI, keep every ``stride``-th
+    frame, re-encode each kept frame as binary PPM (P6) — the
+    codec-backed sibling of the byte-slicing :func:`frame_sample`
+    (which remains the raw-blob fallback). Undecodable blobs yield no
+    frames (run :func:`video_stats` first for the quarantine ledger)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, payloads = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue
+                try:
+                    _, w, h, _, frames = decode_video(blob)
+                except (NotImplementedError, ValueError):
+                    continue
+                for i in range(0, len(frames), stride):
+                    header = f"P6\n{w} {h}\n255\n".encode()
+                    ids.append(mid)
+                    nos.append(i)
+                    payloads.append(header + frames[i].tobytes())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": payloads}
             )
 
     return media.select("media_id", "content").mapInPandas(op, schema)

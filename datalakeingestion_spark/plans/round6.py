@@ -253,3 +253,86 @@ def psi_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_psi_drift(
         ev, ref, "value", ts_col="ts", lo=0.0, hi=500.0, window="7 days"
     )
+
+
+# Constant container bytes for a 2-frame 4x2 24-bit BI_RGB AVI at
+# 40000 us/frame (stride 12 = no row padding, chunk sizes even = no pad
+# bytes), computed once from multimodal.encode_avi_rgb24. Only the two
+# 24-byte frame rasters vary, so the blob is a 4-part concat in-plan.
+_AVI_PREFIX_HEX = (
+    "5249464618010000415649204c495354c00000006864726c6176696838000000"
+    "409c000000000000000000000000000002000000000000000100000000000000"
+    "0400000002000000000000000000000000000000000000004c49535474000000"
+    "7374726c73747268380000007669647344494220000000000000000000000000"
+    "409c000040420f000000000002000000000000000000000000000000000000000"
+    "0000000737472662800000028000000040000000200000001001800000000001"
+    "8000000000000000000000000000000000000004c495354440000006d6f7669"
+)
+_AVI_FRAME_HDR_HEX = "3030646218000000"  # '00db' + u32(24)
+
+
+@register(
+    "video_avi_channel_stats",
+    # frame raster byte i (1-based, i <= 48 across both 24-byte frames)
+    # is text byte i; DIB rows are BGR, so channel = (i-1)%3 maps
+    # 0=B, 1=G, 2=R. 16 pixels total (4x2 x 2 frames); exact integer
+    # HALF-UP at 6 dp, same contract as image_ppm_pixel_stats.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text
+               FROM documents WHERE len(text) >= 48),
+    b AS (SELECT media_id, unnest(range(1, 49)) AS i, text FROM m),
+    v AS (SELECT media_id, CAST((i - 1) % 3 AS INT) AS ch,
+                 ord(substr(text, CAST(i AS INT), 1)) AS val
+          FROM b)
+    SELECT media_id,
+           'avi' AS format,
+           4 AS width,
+           2 AS height,
+           2 AS n_frames,
+           40000::BIGINT AS micros_per_frame,
+           16::BIGINT AS n_pixels,
+           CAST((SUM(CASE WHEN ch = 2 THEN val END) * 2000000 + 16)
+                // 32 AS DOUBLE) / 1000000.0 AS mean_r,
+           CAST((SUM(CASE WHEN ch = 1 THEN val END) * 2000000 + 16)
+                // 32 AS DOUBLE) / 1000000.0 AS mean_g,
+           CAST((SUM(CASE WHEN ch = 0 THEN val END) * 2000000 + 16)
+                // 32 AS DOUBLE) / 1000000.0 AS mean_b
+    FROM v GROUP BY media_id
+    """,
+    doc="REAL video decode, exactly oracle-checked: documents' ASCII "
+    "bytes are packaged as uncompressed 2-frame AVI blobs in-plan "
+    "(constant RIFF/hdrl/movi container + the text as the two DIB "
+    "rasters), decoded by the pure-parser codec "
+    "(operators/multimodal.py::decode_video — RIFF chunk walk, 24-bit "
+    "BI_RGB '00db' frames, the same raster math as the BMP branch) and "
+    "reduced to geometry + frame interval + exact per-channel means "
+    "over all frames (multimodal.py::video_stats). Closes the last "
+    "multimodal codec seam: audio (PCM16), image (NetPBM/BMP24), and "
+    "video (AVI) all decode for real, with ffmpeg documented as the "
+    "compressed-codec plug-in point.",
+)
+def video_avi_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import video_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.filter(F.length("text") >= 48).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_AVI_PREFIX_HEX + _AVI_FRAME_HDR_HEX)),
+            F.encode(F.expr("substring(text, 1, 24)"), "UTF-8"),
+            F.unhex(F.lit(_AVI_FRAME_HDR_HEX)),
+            F.encode(F.expr("substring(text, 25, 24)"), "UTF-8"),
+        ).alias("content"),
+    )
+    return video_stats(media).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_frames",
+        "micros_per_frame",
+        "n_pixels",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )

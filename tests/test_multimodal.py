@@ -317,3 +317,89 @@ def test_image_stats_null_content_preserved(spark):
     assert rows[7].decode_error == "NullContent"
     assert rows[7].n_pixels is None and rows[7].format is None
     assert rows[8].decode_error is None and rows[8].n_pixels == 1
+
+
+def test_video_avi_roundtrip_and_stats(spark):
+    """encode_avi_rgb24 -> decode_video is bit-exact; video_stats
+    matches a numpy reference (HALF-UP 6-dp channel means over all
+    frames); corrupt/compressed/null blobs quarantine with the error
+    class, never dropping the media_id."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_video,
+        encode_avi_rgb24,
+        video_stats,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    blob = encode_avi_rgb24(frames, 33_333)
+    fmt, w, h, micros, out = decode_video(blob)
+    assert (fmt, w, h, micros, len(out)) == ("avi", 5, 3, 33_333, 4)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    compressed = bytearray(blob)
+    # flip biCompression in strf to a nonzero codec id
+    strf_at = blob.index(b"strf")
+    compressed[strf_at + 8 + 16 : strf_at + 8 + 20] = (1).to_bytes(
+        4, "little"
+    )
+    rows = [
+        (1, bytearray(blob)),
+        (2, bytearray(b"RIFF\x04\x00\x00\x00AVI ")),  # no header/frames
+        (3, bytearray(b"\x00\x01\x02 not a riff")),
+        (4, None),
+        (5, compressed),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in video_stats(df).collect()}
+    st = np.stack(frames).astype(np.int64)
+    n = 4 * 5 * 3
+    exp = [
+        ((int(st[..., c].sum()) * 2_000_000 + n) // (2 * n)) / 1e6
+        for c in range(3)
+    ]
+    r1 = got[1]
+    assert (r1.format, r1.width, r1.height, r1.n_frames) == ("avi", 5, 3, 4)
+    assert (r1.micros_per_frame, r1.n_pixels) == (33_333, n)
+    assert (r1.mean_r, r1.mean_g, r1.mean_b) == tuple(exp)
+    assert got[2].decode_error == "ValueError"
+    assert got[3].decode_error == "NotImplementedError"
+    assert got[4].decode_error == "NullContent" and got[4].width is None
+    assert got[5].decode_error == "NotImplementedError"
+
+
+def test_sample_video_frames_real_decode(spark):
+    """Every stride-th REAL frame comes back as a decodable PPM whose
+    pixels equal the source frame; undecodable blobs yield no frames."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        encode_avi_rgb24,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = [
+        rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+        for _ in range(5)
+    ]
+    rows = [
+        (1, bytearray(encode_avi_rgb24(frames))),
+        (2, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in sample_video_frames(df, stride=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}
+    for no in (0, 2, 4):
+        fmt, w, h, px = decode_image(got[(1, no)])
+        assert (fmt, w, h) == ("ppm", 4, 2)
+        assert np.array_equal(px, frames[no])
