@@ -288,6 +288,46 @@ def probe_incremental_dedup(spark) -> None:
         spark.catalog.clearCache()
 
 
+def probe_video_decode(spark) -> None:
+    """Real AVI decode throughput (mirror of round-5's image probe):
+    synthetic 64x64 8-frame uncompressed AVIs through video_stats
+    (Arrow-batched mapInPandas, RIFF walk + frombuffer reshapes)."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        encode_avi_rgb24,
+        video_stats,
+    )
+
+    rng = np.random.default_rng(9)
+    n_vids, w, h, nf = 500, 256, 256, 8
+    blob = encode_avi_rgb24(
+        [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+         for _ in range(nf)]
+    )
+    gb = n_vids * len(blob) / 1e9
+    df = (
+        spark.range(n_vids)
+        .select(
+            F.col("id").alias("media_id"),
+            F.lit(bytearray(blob)).alias("content"),
+        )
+        .persist()
+    )
+    df.count()
+    t0 = time.time()
+    out = video_stats(df)
+    n_ok = out.filter(F.col("decode_error").isNull()).count()
+    dt = time.time() - t0
+    assert n_ok == n_vids
+    print(
+        f"video_decode n={n_vids} ({w}x{h}x{nf}f, {gb:.2f} GB): "
+        f"{dt:.1f}s = {gb / dt:.2f} GB/s on local[32]"
+    )
+    df.unpersist()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     from datalakeingestion_spark.session import get_spark
 
@@ -296,6 +336,7 @@ def main() -> None:
     probe_prefix_sum(spark)
     probe_ks_sliced(spark)
     probe_incremental_dedup(spark)
+    probe_video_decode(spark)
     probe_cc_path_graph(spark)
 
 
