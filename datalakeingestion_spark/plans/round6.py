@@ -336,3 +336,64 @@ def video_avi_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g",
         "mean_b",
     )
+
+
+@register(
+    "ks_drift_windowed_grid",
+    oracle="""
+    WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value AS v
+                 FROM events WHERE value IS NOT NULL),
+    m AS (SELECT MIN(es // 604800) AS w0 FROM pts),
+    binned AS (SELECT (es // 604800) * 604800 AS ws, es // 604800 AS wk,
+                      CASE WHEN v < 0.0 THEN 0
+                           WHEN v >= 500.0 THEN 11
+                           ELSE CAST(floor(v / 500.0 * 10) AS INT) + 1
+                      END AS bin
+               FROM pts),
+    refc AS (SELECT bin, COUNT(*) AS c
+             FROM binned CROSS JOIN m WHERE wk < m.w0 + 2 GROUP BY 1),
+    tref AS (SELECT SUM(c) AS t FROM refc),
+    winc AS (SELECT ws, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    twin AS (SELECT ws, SUM(c) AS t FROM winc GROUP BY 1),
+    edges AS (SELECT unnest(range(1, 12)) AS k),
+    wcum AS (SELECT w.ws, e.k, COALESCE(SUM(winc.c), 0) AS cum
+             FROM (SELECT DISTINCT ws FROM winc) w
+             CROSS JOIN edges e
+             LEFT JOIN winc ON winc.ws = w.ws AND winc.bin < e.k
+             GROUP BY w.ws, e.k),
+    rcum AS (SELECT e.k, COALESCE(SUM(refc.c), 0) AS cum
+             FROM edges e LEFT JOIN refc ON refc.bin < e.k GROUP BY e.k)
+    SELECT wcum.ws AS window_start_s,
+           MAX(twin.t)::BIGINT AS n_events,
+           MAX(round(abs(wcum.cum / twin.t::DOUBLE
+                         - rcum.cum / tref.t::DOUBLE), 6)) AS ks_grid
+    FROM wcum
+    JOIN rcum USING (k)
+    JOIN twin ON twin.ws = wcum.ws
+    CROSS JOIN tref
+    GROUP BY wcum.ws
+    """,
+    doc="Per-epoch-week GRID-RESTRICTED KS distance of the event value "
+    "distribution vs the first-two-weeks reference — the bounded-state "
+    "batch twin of streaming/drift.py::windowed_ks_grid (same "
+    "histogram_bin grid as the PSI monitor; |F_win - F_ref| evaluated "
+    "at the 11 internal bin edges, 6-dp rounded per edge, max). "
+    "Lower-bounds true KS with error <= the reference's largest bin "
+    "mass; the streaming tail is array arithmetic "
+    "(transform/zip_with/array_max), deliberately no window functions, "
+    "so the SAME code runs on a watermarked stream.",
+)
+def ks_drift_windowed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import reference_histogram, windowed_ks_grid
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wk = F.expr("cast(ts as long) div 604800")
+    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_histogram(
+        ev.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
+    )
+    return windowed_ks_grid(
+        ev, ref, "value", ts_col="ts", lo=0.0, hi=500.0, window="7 days"
+    )

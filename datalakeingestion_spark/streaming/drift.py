@@ -116,3 +116,96 @@ def reference_histogram(
         )
         .agg(F.count(F.lit(1)).alias("n_ref"))
     )
+
+
+def windowed_ks_grid(
+    df: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 10,
+    window: str = "7 days",
+) -> DataFrame:
+    """Per-time-window KS distance against a STATIC reference, restricted
+    to the fixed bin grid — the bounded-state streaming companion of the
+    exact batch `ks_drift_time_sliced`.
+
+    Exact KS needs the window's full value multiset (unbounded state);
+    evaluating |F_win - F_ref| only at the grid's bin edges LOWER-BOUNDS
+    the true KS, with error at most the reference's largest bin mass —
+    choose ``n_bins`` so reference bins are thin where its CDF is steep.
+
+    Same one-stateful-aggregation shape as :func:`windowed_psi_drift`;
+    the tail is array arithmetic (``transform``/``zip_with``/
+    ``array_max``), deliberately NOT window functions, which streaming
+    frames reject even post-aggregation. Output: one row per window
+    (window_start_s, n_events, ks_grid), 6-dp rounded per edge before
+    the max (the cross-engine determinism contract).
+    """
+    from ..operators.profiling import histogram_bin
+
+    nb = n_bins + 2
+    v = F.col(value_col)
+    wincounts = (
+        df.filter(v.isNotNull())
+        .withColumn("_bin", histogram_bin(v, lo, hi, n_bins))
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
+                for i in range(nb)
+            ]
+        )
+        .select(
+            F.col("_w.start").cast("long").alias("window_start_s"),
+            F.array(*[F.col(f"_b{i}") for i in range(nb)]).alias("_arr"),
+        )
+    )
+    # cumulative counts BEFORE each internal edge k = sum of bins 0..k-1
+    cums = F.expr(
+        f"transform(sequence(1, {nb - 1}), "
+        "k -> aggregate(slice(_arr, 1, k), 0L, (a, x) -> a + x))"
+    )
+    total = F.expr("aggregate(_arr, 0L, (a, x) -> a + x)")
+
+    ref_row = (
+        reference.sparkSession.range(nb)
+        .select(F.col("id").alias("bin"))
+        .join(reference, "bin", "left")
+        .select(
+            "bin", F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(bin, n_ref))), "
+                "s -> s.n_ref)"
+            ).alias("_arr")
+        )
+        .select(F.col("_arr").alias("_ref_bins"))
+        .select(
+            F.expr(
+                f"transform(sequence(1, {nb - 1}), "
+                "k -> aggregate(slice(_ref_bins, 1, k), 0L, "
+                "(a, x) -> a + x))"
+            ).alias("_ref_cums"),
+            F.expr(
+                "aggregate(_ref_bins, 0L, (a, x) -> a + x)"
+            ).alias("_t_ref"),
+        )
+    )
+    joined = wincounts.withColumn("_t_win", total).withColumn(
+        "_cums", cums
+    ).crossJoin(F.broadcast(ref_row))
+    diffs = F.expr(
+        "zip_with(_cums, _ref_cums, (a, b) -> "
+        "round(abs(a / cast(_t_win as double) "
+        "- b / cast(_t_ref as double)), 6))"
+    )
+    return joined.select(
+        "window_start_s",
+        F.col("_t_win").alias("n_events"),
+        F.array_max(diffs).alias("ks_grid"),
+    )

@@ -1022,3 +1022,66 @@ def test_windowed_psi_drift_streaming_matches_batch(spark, tmp_path):
     assert expected.items() <= got.items()
     for k in set(got) - set(expected):
         assert k[0] + 7 * 86400 >= wm_s, k
+
+
+def test_windowed_ks_grid_streaming_matches_batch(spark, tmp_path):
+    """windowed_ks_grid's tail is array arithmetic precisely so the SAME
+    code runs on a stream: the streaming run must emit, for every
+    watermark-closed window, exactly the batch rows."""
+    from datalakeingestion_spark.streaming.drift import (
+        reference_histogram,
+        windowed_ks_grid,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = str(tmp_path / "ks_src")
+    events.coalesce(1).write.parquet(src)
+
+    wk = F.expr("cast(ts as long) div 604800")
+    w0 = events.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_histogram(
+        events.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
+    )
+    batch = {
+        r["window_start_s"]: (r["n_events"], r["ks_grid"])
+        for r in windowed_ks_grid(
+            events, ref, "value", lo=0.0, hi=500.0, window="7 days"
+        ).collect()
+    }
+    assert len(batch) >= 3
+    # drift sanity: the reference weeks score low, later weeks exist
+    assert min(batch.values(), key=lambda v: v[1])[1] < 0.2
+
+    max_s = events.agg(F.max(F.col("ts").cast("long")).alias("m")).first()["m"]
+    wm_s = max_s - 3600
+    expected = {
+        k: v for k, v in batch.items() if k + 7 * 86400 < wm_s
+    }
+    assert expected and len(expected) < len(batch)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_ks_grid(
+        stream.withWatermark("ts", "1 hour"),
+        ref,
+        "value",
+        lo=0.0,
+        hi=500.0,
+        window="7 days",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ks_grid_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start_s"]: (r["n_events"], r["ks_grid"])
+        for r in spark.sql("SELECT * FROM ks_grid_out").collect()
+    }
+    assert expected.items() <= got.items()
+    for k in set(got) - set(expected):
+        assert k + 7 * 86400 >= wm_s, k
