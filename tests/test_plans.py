@@ -584,9 +584,10 @@ def test_runtime_bloom_filter_fires_on_fact_dim_shape(spark):
 # boundaries) or the deliberately-broadcast query set joined on a
 # non-equi condition (ANN's query_id != neighbor_id). Audited round 4.
 _BNLJ_WHITELIST = {
-    # psi_drift_windowed: the 1-row reference-total frame broadcast onto
-    # the 12-row bin grid (metadata-sized both sides, audited)
+    # psi_drift_windowed / ks_drift_windowed_grid: the 1-row reference
+    # frame broadcast onto the window rows (metadata-sized, audited)
     "psi_drift_windowed",
+    "ks_drift_windowed_grid",
     "ann_lsh_bucketed",
     "bm25_rank",
     "source_js_divergence",
