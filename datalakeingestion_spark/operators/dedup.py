@@ -1140,6 +1140,17 @@ def build_dedup_index(
     100-500 MB at the target scale (100 TB shingles → thousands of
     buckets, or buckets × date partitions).
     """
+    _write_dedup_index(
+        docs, index_name, text_col, id_col, n, n_buckets, mode="overwrite"
+    )
+
+
+def _write_dedup_index(
+    docs, index_name, text_col, id_col, n, n_buckets, mode
+):
+    """Single source of truth for the index's bucket/sort specs — build
+    (overwrite) and per-batch append must stay byte-compatible or the
+    first production append dies on Spark's bucketing-mismatch check."""
     from .bucketing import write_bucketed
 
     # both writes consume the shingle table — persist so the
@@ -1153,9 +1164,10 @@ def build_dedup_index(
             "band_sig",
             n_buckets,
             sort_cols=["band_sig", "band_id"],
+            mode=mode,
         )
         write_bucketed(
-            sh, f"{index_name}_shingles", "doc_id", n_buckets,
+            sh, f"{index_name}_shingles", "doc_id", n_buckets, mode=mode,
         )
     finally:
         sh.unpersist()
@@ -1176,28 +1188,9 @@ def append_dedup_index(
     ``build_dedup_index`` call. Run compaction on the same cadence as
     the lake's (many small per-batch files per bucket is the usual
     bucketed-append tax)."""
-    from .bucketing import write_bucketed
-
-    sh = _shingle_table(docs, text_col, id_col, n).persist()
-    try:
-        bands = _lsh_bands(_signatures_from_shingles(sh))
-        write_bucketed(
-            bands,
-            f"{index_name}_bands",
-            "band_sig",
-            n_buckets,
-            sort_cols=["band_sig", "band_id"],
-            mode="append",
-        )
-        write_bucketed(
-            sh,
-            f"{index_name}_shingles",
-            "doc_id",
-            n_buckets,
-            mode="append",
-        )
-    finally:
-        sh.unpersist()
+    _write_dedup_index(
+        docs, index_name, text_col, id_col, n, n_buckets, mode="append"
+    )
 
 
 def dedup_against_stored_index(

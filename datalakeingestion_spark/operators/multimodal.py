@@ -254,7 +254,11 @@ def encode_avi_rgb24(frames, micros_per_frame: int = 40_000) -> bytes:
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise ValueError("need at least one frame")
+    if any(f.ndim != 3 or f.shape[2] != 3 for f in frames):
+        raise ValueError("frames must be (H, W, 3) arrays")
     h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one geometry")
     stride = (w * 3 + 3) // 4 * 4
 
     def u32(v):

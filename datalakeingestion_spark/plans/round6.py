@@ -185,6 +185,26 @@ def price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_with_first2wk_reference(spark: SparkSession, sf_dir: str):
+    """Shared setup for the drift monitors: non-null event values plus
+    the first-two-epoch-weeks reference histogram on the common
+    [0, 500) x 10-bin grid. ONE definition so both monitors always
+    compare against the same reference. Empty/all-NULL events make w0
+    None — fall back to 0 (everything downstream is empty anyway,
+    matching the oracles' empty result sets)."""
+    from ..streaming.drift import reference_histogram
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wk = F.expr("cast(ts as long) div 604800")
+    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_histogram(
+        ev.filter(wk < F.lit((w0 or 0) + 2)), "value", lo=0.0, hi=500.0
+    )
+    return ev, ref
+
+
 @register(
     "psi_drift_windowed",
     oracle="""
@@ -240,16 +260,9 @@ def price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming test pins exact stream/batch agreement.",
 )
 def psi_drift_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.drift import reference_histogram, windowed_psi_drift
+    from ..streaming.drift import windowed_psi_drift
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    wk = F.expr("cast(ts as long) div 604800")
-    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
-    ref = reference_histogram(
-        ev.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
-    )
+    ev, ref = _events_with_first2wk_reference(spark, sf_dir)
     return windowed_psi_drift(
         ev, ref, "value", ts_col="ts", lo=0.0, hi=500.0, window="7 days"
     )
@@ -384,16 +397,9 @@ def video_avi_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the SAME code runs on a watermarked stream.",
 )
 def ks_drift_windowed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.drift import reference_histogram, windowed_ks_grid
+    from ..streaming.drift import windowed_ks_grid
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    wk = F.expr("cast(ts as long) div 604800")
-    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
-    ref = reference_histogram(
-        ev.filter(wk < F.lit(w0 + 2)), "value", lo=0.0, hi=500.0
-    )
+    ev, ref = _events_with_first2wk_reference(spark, sf_dir)
     return windowed_ks_grid(
         ev, ref, "value", ts_col="ts", lo=0.0, hi=500.0, window="7 days"
     )

@@ -23,6 +23,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _windowed_histogram(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    window: str,
+) -> DataFrame:
+    """The ONE stateful aggregation both monitors share: per time window,
+    every grid bin's count as a conditional-sum column (append-mode
+    streaming allows exactly one stateful aggregate, so the histogram
+    must come out of a single groupBy)."""
+    from ..operators.profiling import histogram_bin
+
+    nb = n_bins + 2
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("_bin", histogram_bin(v, lo, hi, n_bins))
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
+                for i in range(nb)
+            ]
+        )
+    )
+
+
 def windowed_psi_drift(
     df: DataFrame,
     reference: DataFrame,
@@ -48,21 +78,9 @@ def windowed_psi_drift(
     determinism contract as psi_between: exact long counts in, fixed
     bin cardinality, no cross-partition float summation.
     """
-    from ..operators.profiling import histogram_bin
-
     nb = n_bins + 2
-    v = F.col(value_col)
-    bin_expr = histogram_bin(v, lo, hi, n_bins)
-    wincounts = (
-        df.filter(v.isNotNull())
-        .withColumn("_bin", bin_expr)
-        .groupBy(F.window(ts_col, window).alias("_w"))
-        .agg(
-            *[
-                F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
-                for i in range(nb)
-            ]
-        )
+    wincounts = _windowed_histogram(
+        df, value_col, ts_col, lo, hi, n_bins, window
     )
     t_win = sum(F.col(f"_b{i}") for i in range(nb))
     exploded = wincounts.select(
@@ -144,20 +162,14 @@ def windowed_ks_grid(
     (window_start_s, n_events, ks_grid), 6-dp rounded per edge before
     the max (the cross-engine determinism contract).
     """
-    from ..operators.profiling import histogram_bin
-
+    if reference.limit(1).isEmpty():
+        # the lower-bound contract needs a nonempty reference; with
+        # t_ref = 0 every edge divides by zero and the alarm would
+        # silently emit NULL forever instead of failing here
+        raise ValueError("windowed_ks_grid needs a nonempty reference")
     nb = n_bins + 2
-    v = F.col(value_col)
     wincounts = (
-        df.filter(v.isNotNull())
-        .withColumn("_bin", histogram_bin(v, lo, hi, n_bins))
-        .groupBy(F.window(ts_col, window).alias("_w"))
-        .agg(
-            *[
-                F.sum((F.col("_bin") == i).cast("long")).alias(f"_b{i}")
-                for i in range(nb)
-            ]
-        )
+        _windowed_histogram(df, value_col, ts_col, lo, hi, n_bins, window)
         .select(
             F.col("_w.start").cast("long").alias("window_start_s"),
             F.array(*[F.col(f"_b{i}") for i in range(nb)]).alias("_arr"),

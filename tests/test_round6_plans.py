@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMALL
+
 
 def _brute_ks(slice_vals: np.ndarray, ref_vals: np.ndarray) -> float:
     """sup_x |ECDF_slice(x) - ECDF_ref(x)| over the union of points,
@@ -106,7 +108,7 @@ def test_ks_time_sliced_plan_has_no_per_type_window(spark):
     )
 
     _ensure_loaded()
-    df = REGISTRY["ks_drift_time_sliced"].fn(spark, "/root/testdata/sf0.001")
+    df = REGISTRY["ks_drift_time_sliced"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     specs = [
         ln for ln in plan.splitlines() if "windowspecdefinition" in ln
