@@ -237,3 +237,38 @@ mix_corpora_temperature(docs, "source", "doc_id") \
     .groupBy("source").count().show(5)
 weighted_sample_aes(docs, F.col("n_chars"), "doc_id", 5) \
     .select("doc_id", "n_chars").show()
+
+# 9. Drift monitoring: PSI + grid-KS of live windows vs a training
+# reference (same code runs on a watermarked stream)
+from datalakeingestion_spark.streaming.drift import (  # noqa: E402
+    reference_histogram,
+    windowed_ks_grid,
+    windowed_psi_drift,
+)
+
+ev = spark.table("events").filter(F.col("value").isNotNull())
+ref = reference_histogram(
+    ev.filter("ts < '2024-01-15'"), "value", lo=0.0, hi=500.0
+)
+windowed_psi_drift(ev, ref, "value", lo=0.0, hi=500.0) \
+    .groupBy("window_start_s") \
+    .agg(F.round(F.sum("psi_contrib"), 6).alias("psi")) \
+    .orderBy("window_start_s").show()
+windowed_ks_grid(ev, ref, "value", lo=0.0, hi=500.0) \
+    .orderBy("window_start_s").show()
+
+# 10. Dedup-at-the-door against a PERSISTED bucketed index
+from datalakeingestion_spark.operators.dedup import (  # noqa: E402
+    build_dedup_index,
+    dedup_against_stored_index,
+)
+
+lake_docs = docs.filter("doc_id % 2 = 0")
+batch_docs = docs.filter("doc_id % 2 = 1").select(
+    (F.col("doc_id") + 1_000_000).alias("doc_id"),
+    F.concat("text", F.lit(" v2")).alias("text"),
+)
+build_dedup_index(lake_docs, "qs_index", n_buckets=4)
+dedup_against_stored_index(batch_docs, "qs_index", threshold=0.5).show(5)
+for t in ("qs_index_bands", "qs_index_shingles"):
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
