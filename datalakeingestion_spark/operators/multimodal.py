@@ -212,10 +212,11 @@ def extract_features(
 def frame_sample(
     media: DataFrame, frame_bytes: int = 1024, stride: int = 4
 ) -> DataFrame:
-    """Deterministic "video" frame sampler: every ``stride``-th
+    """Deterministic byte-level frame sampler: every ``stride``-th
     ``frame_bytes`` chunk of the blob becomes a frame row
-    (media_id, frame_no, frame: binary). The chunk/stride plumbing is the
-    real operator shape; a codec would replace the byte-slicing."""
+    (media_id, frame_no, frame: binary) — the raw-blob fallback for
+    formats without a codec. For uncompressed AVI the codec-backed
+    :func:`sample_video_frames` decodes REAL frames instead."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
