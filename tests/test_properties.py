@@ -685,3 +685,42 @@ def test_keyed_prefix_sum_fuzz_matches_serial(spark):
         assert got == want
 
     check()
+
+
+@given(
+    data=st.binary(max_size=300),
+    mutations=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500),
+                  st.integers(min_value=0, max_value=255)),
+        max_size=6,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_decode_video_total_on_garbage_and_mutations(data, mutations):
+    """decode_video is TOTAL over arbitrary bytes AND over random byte
+    mutations of a VALID AVI: it either decodes (tuple contract holds)
+    or raises exactly ValueError / NotImplementedError — never
+    IndexError, OverflowError, numpy reshape crashes, or an infinite
+    chunk-walk. This is the quarantine contract video_stats relies on."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_video,
+        encode_avi_rgb24,
+    )
+
+    base = encode_avi_rgb24(
+        [np.zeros((2, 3, 3), dtype=np.uint8)] * 2, 40_000
+    )
+    mutated = bytearray(base)
+    for pos, val in mutations:
+        mutated[pos % len(mutated)] = val
+
+    for blob in (data, b"RIFF" + data, bytes(mutated)):
+        try:
+            out = decode_video(blob)
+        except (ValueError, NotImplementedError):
+            continue
+        fmt, w, h, micros, frames = out
+        assert fmt == "avi" and w >= 1 and h >= 1 and frames
+        assert all(f.shape == (h, w, 3) for f in frames)
