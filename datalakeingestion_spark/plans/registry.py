@@ -55,62 +55,62 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 (157
-# distinct queries externally green; this tuple is 50 of the then-53
-# remaining never-checked, in registration order, via
-# tools/rotate_priority.py — the final 3 TPC-H variants plus round-6's
-# 3 new queries rotate in next round).
+# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 + r06
+# (207 distinct queries externally green; this tuple leads with the final
+# 8 never-checked queries — external coverage reaches 215/215 once they
+# land green — followed by long-unchecked green queries for re-validation,
+# via tools/rotate_priority.py).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "sample_weighted_aes_top50",
-    "supplier_reliability_wilson",
-    "event_hourly_seasonality",
-    "heatmap_price_qty_deciles",
-    "triangle_count_coorder_parts",
-    "cumulative_distinct_users_daily",
-    "split_group_holdout",
-    "t10_stream_stream_join",
-    "matryoshka_rerank_topk",
-    "brand_revenue_yoy",
-    "token_gini_by_source",
-    "lexical_diversity_by_source",
-    "silhouette_by_label",
-    "conversion_attribution_last_touch",
-    "ks_drift_by_source",
-    "funnel_signup_click_purchase",
-    "active_users_trailing_7d",
-    "lsh_candidate_precision",
-    "referential_integrity_audit",
-    "effective_tokens_by_source",
-    "embedding_drift_halves",
-    "forward_fill_values",
-    "clustering_coefficient_parts",
-    "expectations_orders_contract",
-    "revenue_pareto_deciles",
-    "lang_consistency_by_source",
-    "sql_api_revenue_by_status",
-    "pagerank_personalized_suppliers",
-    "skipgram_pairs_top50",
-    "retention_cohort_revenue",
-    "multi_touch_attribution_linear",
-    "lsh_threshold_sweep",
-    "session_funnel_stages",
-    "multi_touch_attribution_decay",
-    "q4_order_priority_exists",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_join",
-    "q7_nation_volume",
-    "q12_priority_shipping",
-    "q13_order_count_distribution",
-    "q22_global_sales_opportunity",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q2_min_acctbal_supplier",
-    "q21_sole_late_supplier",
-    "q21_sole_late_supplier_agg",
-    "q9_profit_by_nation_year",
+    "ks_drift_time_sliced",
+    "price_percentile_rank",
+    "psi_drift_windowed",
+    "video_avi_channel_stats",
+    "ks_drift_windowed_grid",
+    "q16_supplier_part_variety",
+    "q20_half_volume_suppliers",
+    "q11_important_stock",
+    "f3_predicate_string_filter",
+    "f5_key_lookup",
+    "c3_parse_truncate",
+    "c6_regex_extract",
+    "c7_concat_case",
+    "a4_count_with_predicate",
+    "w3_sessionize",
+    "w4_running_total",
+    "g1_rollup_counts",
+    "g2_pivot_status",
+    "g3_percentiles",
+    "asof_latest_order_per_event",
+    "sketch_kmv_distinct",
+    "t7_windowed_counts",
+    "zorder_clustering_key",
+    "g4_cube_counts",
+    "w5_latest_composite_key",
+    "t8_session_window_counts",
+    "profile_orders",
+    "d3_grouped_zscore",
+    "g5_unpivot_balances",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "decontaminate_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "token_count",
+    "text_repetition_filter",
+    "text_redact_pii",
+    "vocab_topk",
+    "text_length_filter_percentile",
+    "doc_fingerprint",
+    "multimodal_feature_extract",
+    "curation_pipeline",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine_blocked",
 )
 
 
