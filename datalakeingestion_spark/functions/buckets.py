@@ -39,6 +39,30 @@ def int_bucket(col: Column | str, width: int = 1_000_000) -> Column:
     return F.floor(c / F.lit(width)).cast("long")
 
 
+def floor_div(col: Column | str, divisor: int) -> Column:
+    """EXACT integer floor division (toward −∞) — the epoch-bucket
+    primitive. Spark's ``div`` truncates toward zero, so plain
+    ``cast(ts as long) div 86400`` puts pre-1970 timestamps (negative
+    epoch seconds) one day late, diverging from ANSI/DuckDB ``//``
+    floor semantics. ``x - pmod(x, d)`` is the largest multiple of
+    ``d`` ≤ x, so the division is an exact integer — IEEE double
+    division of exactly-representable operands with an integer result
+    is exact, and every Spark-representable epoch quantity (|seconds|
+    ≤ 9.2e12 for the full ±292k-year micros range) is far below 2^53."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.lit(int(divisor))
+    return ((c - F.pmod(c, d)) / d).cast("long")
+
+
+def epoch_bucket(col: Column | str, seconds: int) -> Column:
+    """Floor-division epoch bucket of a timestamp column: week buckets
+    are ``epoch_bucket(ts, 604800)``, days ``epoch_bucket(ts, 86400)``
+    — timezone-independent integer math, timestamp-range-safe (see
+    :func:`floor_div`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return floor_div(c.cast("long"), seconds)
+
+
 def clamp_timestamp(
     col: Column | str,
     lo: str = "1900-01-01 00:00:00",

@@ -1050,6 +1050,24 @@ def source_ngram_overlap(
     )
 
 
+def _cap_band_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop band buckets holding more than ``max_bucket`` docs — the
+    asymmetric-probe flood guard (same rationale as
+    ``lsh_candidate_pairs``' cap: a bucket that large is a
+    mass-duplication flood, not a near-dup neighborhood). Implemented as
+    a window so a scan already clustered on band_sig (the stored index's
+    bucket key) satisfies the window's distribution without an Exchange
+    — the lake side stays shuffle-free under the cap."""
+    from pyspark.sql.window import Window
+
+    bw = Window.partitionBy("band_id", "band_sig")
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     indexed_docs: DataFrame,
@@ -1057,6 +1075,7 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dedup: find documents in an incoming batch that
     near-duplicate documents already in the lake — the production shape
@@ -1073,11 +1092,33 @@ def dedup_against_index(
 
     Output: (doc_id_a = new doc, doc_id_b = indexed doc, jaccard >= t),
     exact-verified. A new doc may match several indexed docs.
+
+    ``max_bucket`` is the flood cap: band buckets holding more than this
+    many docs on EITHER side are excluded from the probe, bounding any
+    single bucket's candidate pairs at max_bucket² — without it a
+    near-identical flood batch against a hot bucket multiplies pairs
+    (and the downstream candidate-id broadcast) without bound. ``None``
+    keeps the exhaustive behavior the oracles replicate; the cap trades
+    recall inside flooded buckets for a hard cost bound, so it is an
+    explicit knob, never silently applied.
+
+    The batch/lake shingle tables are local-checkpointed, not persisted:
+    both are read twice (signatures + verify), but a session-lifetime
+    cache entry per ingested batch grows without bound across a
+    long-running ingest — checkpoint blocks are released when the frame
+    is garbage-collected instead.
     """
-    sh_new = _shingle_table(new_docs, text_col, id_col, n).persist()
-    sh_old = _shingle_table(indexed_docs, text_col, id_col, n).persist()
+    sh_new = _shingle_table(new_docs, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
+    sh_old = _shingle_table(
+        indexed_docs, text_col, id_col, n
+    ).localCheckpoint(eager=False)
     bands_new = _lsh_bands(_signatures_from_shingles(sh_new))
     bands_old = _lsh_bands(_signatures_from_shingles(sh_old))
+    if max_bucket is not None:
+        bands_new = _cap_band_buckets(bands_new, max_bucket)
+        bands_old = _cap_band_buckets(bands_old, max_bucket)
     cand = (
         bands_new.alias("a")
         .join(
@@ -1200,6 +1241,7 @@ def dedup_against_stored_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """`dedup_against_index` against the PERSISTED bucketed index — the
     production per-batch path. Identical output contract: (doc_id_a =
@@ -1213,13 +1255,28 @@ def dedup_against_stored_index(
     (tools/scale_probe_r6.py::probe_incremental_dedup) is gone from the
     shuffle graph. Ids must be disjoint from the indexed side, as in
     `dedup_against_index`.
+
+    ``max_bucket`` is the flood cap, as in ``dedup_against_index``: band
+    buckets holding more than this many docs on either side are dropped
+    from the probe, bounding per-bucket pairs at max_bucket² and hence
+    the candidate-id broadcast at O(capped pairs). The lake-side cap is
+    a window over the bucketed scan's own clustering, so the zero
+    lake-side Exchange property survives capping (plan-pinned). The
+    batch shingle table is local-checkpointed, not persisted — blocks
+    are released when the frame is GC'd instead of accumulating one
+    session-lifetime cache entry per ingested batch.
     """
     spark = new_docs.sparkSession
     bands_old = spark.table(f"{index_name}_bands")
     sh_old = spark.table(f"{index_name}_shingles")
 
-    sh_new = _shingle_table(new_docs, text_col, id_col, n).persist()
+    sh_new = _shingle_table(new_docs, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
     bands_new = _lsh_bands(_signatures_from_shingles(sh_new))
+    if max_bucket is not None:
+        bands_new = _cap_band_buckets(bands_new, max_bucket)
+        bands_old = _cap_band_buckets(bands_old, max_bucket)
     cand = (
         bands_new.alias("a")
         .join(

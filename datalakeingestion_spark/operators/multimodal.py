@@ -349,8 +349,19 @@ def decode_video(blob: bytes | None):
                     w = int.from_bytes(b[s2 + 32 : s2 + 36], "little")
                     h = int.from_bytes(b[s2 + 36 : s2 + 40], "little")
                 elif f2 == b"LIST" and b[s2 : s2 + 4] == b"strl":
+                    # bind strf to the FIRST video stream's strl only: a
+                    # later audio strl's WAVEFORMATEX would otherwise be
+                    # misread as the bitmap header (wBitsPerSample=16
+                    # parsed as bpp, rejecting a decodable video)
+                    stream_type = None
                     for f3, s3, e3 in chunks(b, s2 + 4, e2):
-                        if f3 == b"strf":
+                        if f3 == b"strh":
+                            stream_type = b[s3 : s3 + 4]
+                        elif (
+                            f3 == b"strf"
+                            and stream_type == b"vids"
+                            and bpp is None
+                        ):
                             bpp = int.from_bytes(
                                 b[s3 + 14 : s3 + 16], "little"
                             )

@@ -66,8 +66,9 @@ def pack_sequences(
         raise ValueError("token_budget must be positive")
     order_cols = list(order_cols or [id_col])
     keep = [id_col] + [c for c in order_cols if c != id_col]
-    if "_k" in keep or "_cum" in keep:
-        # "_k" would be silently clobbered by the constant key below;
+    if "_k" in (*keep, tokens_col) or "_cum" in (*keep, tokens_col):
+        # "_k" would be silently clobbered by the constant key below
+        # (a tokens_col named "_k" would turn every weight into 1);
         # "_cum" would clash inside keyed_prefix_sum anyway — fail the
         # same way, up front
         raise ValueError("input already has reserved column _k/_cum")
@@ -178,6 +179,12 @@ def tokenize_to_ids(
     )
 
 
+#: Upper bound on buckets × keys subtotal rows collected to the driver.
+#: Past this, the key cardinality is data-sized and the two-pass form is
+#: the wrong tool — fail loudly instead of OOMing the driver.
+MAX_SUBTOTAL_ROWS = 1_000_000
+
+
 def keyed_prefix_sum(
     df: DataFrame,
     key_cols: list[str],
@@ -185,6 +192,7 @@ def keyed_prefix_sum(
     weight_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    max_subtotal_rows: int = MAX_SUBTOTAL_ROWS,
 ) -> DataFrame:
     """Inclusive prefix sum of ``weight_col`` within each ``key_cols``
     group, ordered by ``order_cols`` — the scale-safe replacement for
@@ -210,7 +218,12 @@ def keyed_prefix_sum(
 
     (key_cols + order_cols) must be a total order (unique rows) for a
     deterministic result; ``weight_col`` must be integral (cast to
-    long). Returns ``df``'s columns + ``out_col`` (long).
+    long). The driver-side offset pass holds at most buckets × keys
+    subtotal rows and raises past ``max_subtotal_rows`` (a data-sized
+    key cardinality wants the plain keyed window —
+    ``SUM() OVER (PARTITION BY key ORDER BY ...)`` — whose per-key task
+    is then small by the same cardinality argument). Returns ``df``'s
+    columns + ``out_col`` (long).
     """
     from pyspark.sql import Window
 
@@ -227,23 +240,35 @@ def keyed_prefix_sum(
     )
     all_cols = list(df.columns)
     rng = [F.col(c) for c in (*key_cols, *order_cols)]
-    # Intentional session-lifetime persist (LRU-evictable): the bucketed
-    # frame feeds the subtotal collect now and the window pass at every
-    # downstream evaluation. Eviction is safe — repartitionByRange is
-    # deterministic, so a recompute reproduces the exact _pid assignment
-    # the collected offsets were built from. (No eager checkpoint of the
-    # RESULT: that would materialize a data-sized frame per call.)
-    part = (
-        df.repartitionByRange(n, *rng)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    # pass 1: per-(bucket, key) subtotals -> exclusive offsets
+    # EAGER localCheckpoint, not persist: the collected offsets are keyed
+    # by spark_partition_id, and repartitionByRange SAMPLES its boundaries
+    # — Spark does not guarantee the sample (hence the _pid assignment) is
+    # identical across re-executions. A persist can be evicted or cleared
+    # (spark.catalog.clearCache) between the offset collect and a later
+    # evaluation, and the recompute's shifted _pids would silently
+    # mis-apply the offsets. Checkpointing truncates the lineage: the
+    # bucketing can never re-run — block loss is a loud failure, never a
+    # wrong answer — and the blocks are cleaned when the frame is GC'd
+    # instead of living for the session.
+    part = df.repartitionByRange(n, *rng).withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    # pass 1: per-(bucket, key) subtotals -> exclusive offsets. The
+    # limit bounds driver memory: past max_subtotal_rows the key count
+    # is data-sized and this is the wrong operator — raise, don't OOM.
     sub = (
         part.groupBy("_pid", *key_cols)
         .agg(F.sum(F.col(weight_col).cast("long")).alias("t"))
+        .limit(max_subtotal_rows + 1)
         .collect()
     )
+    if len(sub) > max_subtotal_rows:
+        raise ValueError(
+            f"keyed_prefix_sum: >{max_subtotal_rows} bucket×key subtotal "
+            "rows — key cardinality is data-sized; use a plain keyed "
+            "window (SUM() OVER (PARTITION BY key ORDER BY ...)) instead, "
+            "or raise max_subtotal_rows if the driver can hold them"
+        )
     per_key: dict[tuple, list[tuple[int, int]]] = {}
     for r in sub:
         k = tuple(r[c] for c in key_cols)

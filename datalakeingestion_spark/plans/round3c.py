@@ -48,15 +48,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         "user_id",
         "event_type",
-        F.expr(f"cast(ts as long) div {_DAY}").alias("day"),
+        F.expr(f"cast((cast(ts as long) - pmod(cast(ts as long), {_DAY})) / {_DAY} as long)").alias("day"),
     )
     cohort = (
         d.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.expr("min(day) div 7").alias("cohort_wk"))
+        .agg(F.expr("cast((min(day) - pmod(min(day), 7)) / 7 as long)").alias("cohort_wk"))
     )
     activity = d.select(
-        "user_id", F.expr("day div 7").alias("wk")
+        "user_id", F.expr("cast((day - pmod(day, 7)) / 7 as long)").alias("wk")
     ).distinct()
     j = activity.join(cohort, "user_id").filter(
         F.col("wk") >= F.col("cohort_wk")
@@ -874,7 +874,7 @@ def anomalous_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         ev.select(
             "event_type",
-            F.expr("cast(ts as long) div 86400").alias("day"),
+            F.expr("cast((cast(ts as long) - pmod(cast(ts as long), 86400)) / 86400 as long)").alias("day"),
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -34,8 +34,15 @@ from ..operators.packing import keyed_prefix_sum
 from ..sources.fixtures import load_table
 from .registry import register
 
-_WEEK_EXPR = "cast(ts as long) div 86400 div 7"
+# floor-division week bucket (NOT `div`, which truncates toward zero
+# and would disagree with the oracle's `//` floor for pre-1970
+# negative-epoch timestamps); floor(floor(x/86400)/7) == floor(x/604800)
+_WEEK_EXPR = (
+    "cast((cast(ts as long) - pmod(cast(ts as long), 604800)) / 604800"
+    " as long)"
+)
 _WEEK_SQL = "CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7"
+_WEEK_SECONDS = 604800
 
 
 @register(
@@ -197,7 +204,10 @@ def _events_with_first2wk_reference(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    wk = F.expr("cast(ts as long) div 604800")
+    # floor division (pre-1970-safe), matching the oracle's `//`
+    from ..functions.buckets import epoch_bucket
+
+    wk = epoch_bucket("ts", _WEEK_SECONDS)
     w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
     ref = reference_histogram(
         ev.filter(wk < F.lit((w0 or 0) + 2)), "value", lo=0.0, hi=500.0

@@ -489,6 +489,106 @@ def _run_stored_index_assertions(spark, batch, lake, F):
     assert n_stored < n_inline, (n_stored, n_inline)
 
 
+def test_stored_dedup_index_flood_cap_bounds_candidates(spark):
+    """A near-identical flood batch probing a hot index bucket must be
+    boundable: with max_bucket set, (a) flood pairs are excluded while
+    normal near-dup pairs still match, (b) the capped stored plan adds
+    no lake-side Exchange (the cap is a window over the bucketed scan's
+    own clustering), and (c) stored and inline paths agree under the
+    same cap."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_stored_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lake = docs.limit(60).localCheckpoint()
+    # hot bucket: 30 near-identical clones of one lake doc (distinct
+    # tails keep them non-byte-identical, surviving exact dedup);
+    # plus one ordinary near-dup probe of a different lake doc
+    seed = lake.filter(F.col("doc_id") % 5 == 1).limit(1)
+    flood = (
+        seed.select(F.col("text").alias("t"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(30))).alias("i"), "t"
+        )
+        .select(
+            (F.lit(2_000_000) + F.col("i")).alias("doc_id"),
+            F.concat(F.col("t"), F.lit(" v"), F.col("i") % 7).alias("text"),
+        )
+    )
+    normal = (
+        lake.filter(F.col("doc_id") % 5 == 2)
+        .limit(1)
+        .select(
+            F.lit(3_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    batch = flood.unionByName(normal).localCheckpoint()
+
+    for t in ("fix_bands", "fix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_dedup_index(lake, "fix", n_buckets=4)
+    try:
+        uncapped = dedup_against_stored_index(batch, "fix", 0.3)
+        capped = dedup_against_stored_index(
+            batch, "fix", 0.3, max_bucket=8
+        )
+        got_uncapped = {
+            (r.doc_id_a, r.doc_id_b) for r in uncapped.collect()
+        }
+        got_capped = {(r.doc_id_a, r.doc_id_b) for r in capped.collect()}
+        # flood pairs dominate uncapped; capped keeps the normal probe
+        # but drops the flooded bucket's pairs
+        assert len(got_uncapped) > 30
+        assert len(got_capped) < len(got_uncapped)
+        assert any(a == 3_000_000 for a, _ in got_capped)
+        assert not any(2_000_000 < a <= 2_000_030 for a, _ in got_capped)
+
+        # inline path under the same cap agrees exactly
+        inline_capped = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup_against_index(
+                batch, lake, 0.3, max_bucket=8
+            ).collect()
+        }
+        assert got_capped == inline_capped
+
+        # capping must not add a lake-side shuffle: same Exchange count
+        # as the uncapped stored plan, and the bucketed scans remain
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p_unc = (
+                dedup_against_stored_index(batch, "fix", 0.3)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            p_cap = (
+                dedup_against_stored_index(batch, "fix", 0.3, max_bucket=8)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", threshold
+            )
+        assert "Bucketed: true" in p_cap
+        assert p_cap.count("+- Exchange") == p_unc.count("+- Exchange"), (
+            p_cap.count("+- Exchange"),
+            p_unc.count("+- Exchange"),
+        )
+    finally:
+        for t in ("fix_bands", "fix_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_append_dedup_index_preserves_bucketing_and_results(spark):
     """Per-batch index maintenance: after append_dedup_index, a probe
     must see lake₁ ∪ lake₂ exactly as if the index were rebuilt, and

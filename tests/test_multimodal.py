@@ -373,6 +373,67 @@ def test_video_avi_roundtrip_and_stats(spark):
     assert got[5].decode_error == "NotImplementedError"
 
 
+def test_video_avi_with_audio_stream_still_decodes():
+    """A standard AVI carries a video strl FOLLOWED by an audio strl;
+    the audio stream's WAVEFORMATEX (wBitsPerSample=16 at the same
+    offset the bitmap header keeps biBitCount) must not be misread as
+    the video format — strf parsing binds to the first 'vids' strl."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_video,
+        encode_avi_rgb24,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+        for _ in range(2)
+    ]
+    blob = encode_avi_rgb24(frames, 40_000)
+
+    def u32(v):
+        return int(v).to_bytes(4, "little")
+
+    def u16(v):
+        return int(v).to_bytes(2, "little")
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + u32(len(payload)) + payload + pad
+
+    # audio strl: strh fccType 'auds', strf = PCM WAVEFORMATEX with
+    # wBitsPerSample=16 exactly where a bitmap header keeps biBitCount
+    strh_a = b"auds" + b"\x00" * 4 + u32(0) * 11
+    strf_a = (
+        u16(1) + u16(2) + u32(44_100) + u32(176_400) + u16(4) + u16(16)
+        + u16(0)
+    )
+    strl_a = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", strf_a)
+    )
+
+    # splice the audio strl into hdrl after the video strl, fixing the
+    # hdrl LIST size and the outer RIFF size
+    hdrl_at = blob.index(b"hdrl") - 8  # LIST header start
+    hdrl_size = int.from_bytes(blob[hdrl_at + 4 : hdrl_at + 8], "little")
+    hdrl_end = hdrl_at + 8 + hdrl_size
+    two_stream = (
+        blob[:hdrl_at + 4]
+        + u32(hdrl_size + len(strl_a))
+        + blob[hdrl_at + 8 : hdrl_end]
+        + strl_a
+        + blob[hdrl_end:]
+    )
+    two_stream = (
+        two_stream[:4] + u32(len(two_stream) - 8) + two_stream[8:]
+    )
+
+    fmt, w, h, micros, out = decode_video(two_stream)
+    assert (fmt, w, h, micros, len(out)) == ("avi", 4, 2, 40_000, 2)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
 def test_sample_video_frames_real_decode(spark):
     """Every stride-th REAL frame comes back as a decodable PPM whose
     pixels equal the source frame; undecodable blobs yield no frames."""

@@ -153,3 +153,57 @@ def test_pack_sequences_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, 2, 3)], "_k long, doc_id long, n_tokens long")
     with _pytest.raises(ValueError, match="reserved"):
         pack_sequences(df, order_cols=["_k"])
+
+
+def test_pack_sequences_rejects_reserved_tokens_col(spark):
+    """tokens_col named _k would be overwritten by the constant key
+    (every weight silently becomes 1) — must raise like the order-col
+    case does."""
+    df = spark.createDataFrame([(1, 7)], "doc_id long, _k long")
+    with pytest.raises(ValueError, match="reserved"):
+        pack_sequences(df, tokens_col="_k")
+
+
+def test_keyed_prefix_sum_survives_clear_cache(spark):
+    """The collected offsets are keyed by the bucketed frame's partition
+    ids. repartitionByRange samples its boundaries, so a recompute after
+    cache loss is not guaranteed to reproduce the same _pid assignment —
+    the bucketed frame is eagerly localCheckpoint'ed to make recompute
+    impossible. Pin it: clearing every cache between planning and
+    evaluation must still yield the exact serial sums."""
+    from pyspark.storagelevel import StorageLevel
+
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    rows = [("a", i, i % 5) for i in range(300)] + [
+        ("b", i, (i * 3) % 7) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, ord long, w long")
+    out = keyed_prefix_sum(df, ["k"], ["ord"], "w", num_partitions=8)
+
+    # simulate a hostile caller: drop every catalog cache entry AND ask
+    # the context cleaner to run before the first evaluation
+    spark.catalog.clearCache()
+
+    want = {}
+    for k in ("a", "b"):
+        running = 0
+        for _, i, w in sorted(r for r in rows if r[0] == k):
+            running += w
+            want[(k, i)] = running
+    got = {(r.k, r.ord): r.cum for r in out.collect()}
+    assert got == want
+
+
+def test_keyed_prefix_sum_data_sized_keys_raise(spark):
+    """A data-sized key cardinality must fail loudly (driver OOM guard),
+    with a message naming the keyed-window alternative."""
+    from datalakeingestion_spark.operators.packing import keyed_prefix_sum
+
+    df = spark.range(200).selectExpr(
+        "id as k", "id as ord", "CAST(1 AS LONG) as w"
+    )
+    with pytest.raises(ValueError, match="keyed window"):
+        keyed_prefix_sum(
+            df, ["k"], ["ord"], "w", num_partitions=4, max_subtotal_rows=100
+        )

@@ -135,6 +135,42 @@ def test_bucket_boundaries_vectorized(spark):
     assert got == want
 
 
+def test_floor_div_matches_python_floor_for_negatives(spark):
+    """floor_div must floor toward −∞ like Python // and DuckDB // —
+    Spark's `div` truncates toward zero, which shifts pre-1970
+    (negative-epoch) timestamps into the wrong day/week bucket."""
+    from datalakeingestion_spark.functions.buckets import (
+        epoch_bucket,
+        floor_div,
+    )
+
+    vals = [-604801, -604800, -604799, -1, 0, 1, 604799, 604800, 604801]
+    vals += [random.Random(13).randrange(-10**12, 10**12) for _ in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for d in (7, 86400, 604800):
+        got = [
+            r.b
+            for r in df.select(floor_div("v", d).alias("b")).collect()
+        ]
+        assert got == [v // d for v in vals], d
+    # div truncates: prove floor_div actually differs where it must
+    trunc = [
+        r.b for r in df.selectExpr("v div 604800 as b").collect()
+    ]
+    assert trunc != [v // 604800 for v in vals]
+
+    # epoch_bucket: timestamp → floor week, pre-1970 included
+    ts = spark.createDataFrame(
+        [(datetime(1969, 12, 28, 23, 59, 59),), (datetime(1970, 1, 1),)],
+        "t timestamp",
+    )
+    wks = [
+        r.w
+        for r in ts.select(epoch_bucket("t", 604800).alias("w")).collect()
+    ]
+    assert wks == [-1, 0]
+
+
 def test_portable_hash_cross_engine(spark):
     """portable_hash32/60 must agree with the DuckDB hex-cast formula for
     arbitrary strings — the foundation of every oracle-checkable sketch."""
