@@ -35,7 +35,9 @@ from datalakeingestion_spark.config.partition_spec import PartitionSpec
 from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
 from datalakeingestion_spark.ingest.watermark import (
     STATUS_LOADED,
+    STATUS_STARTED,
     STATUS_SUCCESS,
+    STATUS_VALIDATION_FAILURE,
     ExecutionLog,
 )
 from datalakeingestion_spark.sources.fixtures import load_table
@@ -194,3 +196,127 @@ def test_mid_move_leaves_recoverable_split(spark, tmp_path):
     # the half-moved originals were cleaned, then re-pulled fresh
     lake = spark.read.parquet(str(tmp_path / "lake" / "events"))
     assert lake.count() == events.filter(F.col("ts") <= MID).count()
+
+
+def _id_job(spark, source, tmp_path, ingestion_id, target="events"):
+    return IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=ingestion_id,
+        source=source,
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / target),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+        partition_spec=PartitionSpec("ts", "time-based", "YYYYMMDD"),
+        end_value_cap=MID,
+    )
+
+
+def test_concurrent_writers_shared_log_both_commit(spark, tmp_path):
+    """Two pipelines with distinct ingestion ids appending SIMULTANEOUSLY
+    through one shared execution log (the reference shape: one log, many
+    tables): unique per-append batch dirs must yield both commits with no
+    lost or duplicated log entries, and each id's watermark resolves
+    independently afterwards."""
+    import threading
+
+    from datalakeingestion_spark.ingest.watermark import resolve_watermark
+
+    events = load_table(spark, SF_SMALL, "events")
+    a = _id_job(spark, events, tmp_path, 1, target="ev_a")
+    b = _id_job(spark, events, tmp_path, 2, target="ev_b")
+
+    results, errors = {}, {}
+
+    def run(tag, job):
+        try:
+            results[tag] = job.run()
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors[tag] = exc
+
+    ts = [
+        threading.Thread(target=run, args=("a", a)),
+        threading.Thread(target=run, args=("b", b)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert results["a"].status == STATUS_SUCCESS
+    assert results["b"].status == STATUS_SUCCESS
+
+    n = events.filter(F.col("ts") <= MID).count()
+    assert spark.read.parquet(a.target_location).count() == n
+    assert spark.read.parquet(b.target_location).count() == n
+
+    # log integrity: exactly one STARTED/LOADED/SUCCESS row per id, no
+    # interleaving corruption, and per-id watermarks advance independently
+    log = ExecutionLog(spark, str(tmp_path / "log")).read().collect()
+    for ing_id in (1, 2):
+        by_status = {}
+        for r in log:
+            if r["lake_ingestion_id"] == ing_id:
+                by_status.setdefault(r["execution_status"], []).append(r)
+        assert len(by_status[STATUS_STARTED]) == 1
+        assert len(by_status[STATUS_LOADED]) == 1
+        assert len(by_status[STATUS_SUCCESS]) == 1
+    # each id resolves to ITS OWN committed end (bumped +1µs), never the
+    # other id's row and never the cold-start default
+    wm_a = resolve_watermark(a.log, 1, False)
+    wm_b = resolve_watermark(b.log, 2, False)
+    assert wm_a == wm_b
+    assert wm_a > results["a"].end_value
+    assert wm_a[:19] == results["a"].end_value[:19]
+
+
+def test_concurrent_writers_one_target_conflict_detected(spark, tmp_path):
+    """Two writers racing on ONE target with overlapping delta ranges is
+    a duplicate-producing misconfiguration — the commit protocol must
+    refuse it, not corrupt the lake. Deterministic interleaving: writer B
+    commits fully inside writer A's move-to-validate window. B's count
+    validation then sees A's already-moved rows (target > source), so B
+    rolls back ITS OWN files and closes its batch as a validation
+    failure; A's commit lands intact. Lake afterwards == exactly one
+    writer's rows — never a merge of both, never a torn state."""
+    events = load_table(spark, SF_SMALL, "events")
+    a = _id_job(spark, events, tmp_path, 1)
+    b = _id_job(spark, events, tmp_path, 2)
+
+    state = {"fired": False}
+    real_move = pipeline_mod._move_files
+
+    def hijack(sp, moves):
+        real_move(sp, moves)
+        if not state["fired"]:
+            state["fired"] = True
+            state["b_result"] = b.run()
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(pipeline_mod, "_move_files", hijack)
+        r_a = a.run()
+
+    r_b = state["b_result"]
+    assert r_a.status == STATUS_SUCCESS
+    assert r_b.status == STATUS_VALIDATION_FAILURE
+
+    # lake holds exactly A's batch: B's rollback removed every B file
+    lake = spark.read.parquet(a.target_location)
+    n = events.filter(F.col("ts") <= MID).count()
+    assert lake.count() == n
+    assert lake.select("event_id").distinct().count() == n
+    for f in r_b.files:
+        assert not os.path.exists(f.removeprefix("file:")), f
+    for f in r_a.files:
+        assert os.path.exists(f.removeprefix("file:")), f
+    # no staging debris from either writer
+    strays = [
+        d
+        for d in os.listdir(a.target_location)
+        if d.startswith(".staging-")
+    ]
+    assert strays == []
+    # B's batch is CLOSED (validation-failure row) — a later B run must
+    # not treat it as an orphan and delete A's files
+    assert (
+        b.log.latest_entry(2, STATUS_VALIDATION_FAILURE) is not None
+    )
