@@ -82,15 +82,55 @@ def decode_image(blob: bytes | None):
     Returns ``(fmt, width, height, pixels)`` with ``pixels`` an
     (H, W, 3) uint8 RGB array (grayscale replicated across channels),
     or ``None`` for a null blob. Raises ``NotImplementedError`` for any
-    other format — the exact seam where PIL/opencv would plug in — and
-    ``ValueError`` for a recognized-but-truncated/corrupt file (a real
-    pipeline routes those to a quarantine sink, not the codec seam).
+    other format — unless PIL is importable, in which case the
+    package-gated codec seam (:func:`_pil_decode`, mirroring the avro
+    gating in sources/files.py) decodes compressed formats to the SAME
+    output contract, so the quarantine path is optional rather than
+    terminal. Raises ``ValueError`` for a recognized-but-truncated/
+    corrupt file (a real pipeline routes those to a quarantine sink,
+    not the codec seam).
     """
-    import numpy as np
-
     if blob is None:
         return None
     b = bytes(blob)
+    try:
+        return _decode_image_pure(b)
+    except NotImplementedError:
+        decoded = _pil_decode(b)
+        if decoded is not None:
+            return decoded
+        raise
+
+
+def _pil_decode(b: bytes):
+    """OPTIONAL real-codec seam: when PIL ships (clusters), compressed
+    formats (JPEG/PNG/...) decode to the same (fmt, w, h, RGB uint8)
+    tuple; when it doesn't (this container), return None so the pure
+    parser's NotImplementedError quarantine stands. PIL failures on
+    corrupt input also return None — the quarantine class a blob gets
+    must not depend on which packages happen to be installed."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(b)) as img:
+            fmt = (img.format or "unknown").lower()
+            px = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            return (fmt, px.shape[1], px.shape[0], px)
+    except Exception:
+        return None
+
+
+def _decode_image_pure(b: bytes):
+    """Pure-parser branch of :func:`decode_image` (NetPBM + 24-bit
+    BMP); raises NotImplementedError at the codec seam."""
+    import numpy as np
+
     if b[:2] in (b"P6", b"P5"):
         fmt = "ppm" if b[:2] == b"P6" else "pgm"
         # header = magic + 3 ints separated by whitespace/comments, then
@@ -309,16 +349,63 @@ def decode_video(blob: bytes | None):
     BI_RGB, bottom-up rows with 4-byte padding), the same frame layout
     as the BMP branch of :func:`decode_image`.
 
-    Returns ``("avi", width, height, micros_per_frame, frames)`` with
+    Returns ``(fmt, width, height, micros_per_frame, frames)`` with
     ``frames`` a list of (H, W, 3) uint8 RGB arrays, or ``None`` for a
     null blob. Raises ``NotImplementedError`` for any compressed codec
-    (the ffmpeg seam) and ``ValueError`` for recognized-but-corrupt
-    files (quarantine, not the codec seam)."""
-    import numpy as np
-
+    — unless PyAV is importable, in which case the package-gated seam
+    (:func:`_av_decode`, same gating pattern as :func:`_pil_decode`)
+    decodes it to the same contract. Raises ``ValueError`` for
+    recognized-but-corrupt files (quarantine, not the codec seam)."""
     if blob is None:
         return None
     b = bytes(blob)
+    try:
+        return _decode_avi_pure(b)
+    except NotImplementedError:
+        decoded = _av_decode(b)
+        if decoded is not None:
+            return decoded
+        raise
+
+
+def _av_decode(b: bytes):
+    """OPTIONAL real-codec seam for video: PyAV/ffmpeg when installed,
+    None otherwise (and None on av-side failure — package presence must
+    not change a corrupt blob's quarantine class)."""
+    try:
+        import av
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with av.open(io.BytesIO(b)) as container:
+            vstreams = [
+                s for s in container.streams if s.type == "video"
+            ]
+            if not vstreams:
+                return None
+            vs = vstreams[0]
+            frames = [
+                f.to_ndarray(format="rgb24")
+                for f in container.decode(vs)
+            ]
+            if not frames:
+                return None
+            rate = vs.average_rate
+            micros = int(1_000_000 / rate) if rate else 0
+            h, w = frames[0].shape[:2]
+            fmt = container.format.name.split(",")[0]
+            return (fmt, w, h, micros, frames)
+    except Exception:
+        return None
+
+
+def _decode_avi_pure(b: bytes):
+    """Pure-parser branch of :func:`decode_video` (uncompressed AVI);
+    raises NotImplementedError at the codec seam."""
+    import numpy as np
+
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise NotImplementedError(
             "unrecognized video container (only uncompressed AVI decodes "

@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
         round4,
         round5,
         round6,
+        round7,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

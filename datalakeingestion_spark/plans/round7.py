@@ -1,0 +1,104 @@
+"""Round-7 queries: quantile-SKETCH drift monitoring.
+
+`ks_drift_windowed_grid` bounds its error by the reference's largest
+bin mass — a GRID choice made at deployment time. The bottom-k sample
+sketch (streaming/drift.py::reference_sample / windowed_ks_sample)
+bounds error by SKETCH SIZE instead: a deterministic, mergeable uniform
+row sample (k smallest md5-prefix hashes of the row id) whose empirical
+CDF carries the DKW guarantee ~sqrt(ln(2/δ)/2k). Bottom-k is chosen
+over GK/KLL deliberately: those sketches' outputs depend on merge
+order, which no cross-engine value-hash oracle can pin; bottom-k is
+exactly reproducible in ANSI SQL (md5 + ROW_NUMBER) at the cost of
+k = O(1/ε²) instead of O(1/ε).
+
+The batch query here IS the streaming monitor's code path (same
+function, one stateful aggregation + stateless array tail), so the
+oracle-checked rows double as the stream/batch agreement contract
+(tests/test_streaming.py pins the streaming half).
+
+Reference pendant: none — greenfield training-pipeline operator
+(SURVEY.md §2 beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+_K = 64
+_CAP = 1 << 58  # ~25% of the 2^60 hash space survives into window state
+
+_KS_SAMPLED_ORACLE = f"""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             CAST(value AS DOUBLE) AS v,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events WHERE value IS NOT NULL),
+    wc AS (SELECT wk, COUNT(*) AS n_events FROM pts GROUP BY 1),
+    surv AS (SELECT wk, v,
+                    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY h, v) AS rn
+             FROM pts WHERE h < {_CAP}),
+    ws AS (SELECT wk, v FROM surv WHERE rn <= {_K}),
+    m AS (SELECT wk, COUNT(*) AS m FROM ws GROUP BY 1),
+    w0 AS (SELECT MIN(wk) AS w0 FROM pts),
+    rs AS (SELECT v FROM (
+             SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
+             FROM pts, w0 WHERE wk < w0.w0 + 2) WHERE rn <= {_K}),
+    rcnt AS (SELECT COUNT(*) AS r FROM rs),
+    up AS (
+      SELECT wk, v, 1 AS is_s, 0 AS is_r FROM ws
+      UNION ALL
+      SELECT wc.wk, rs.v, 0, 1 FROM wc CROSS JOIN rs),
+    cum AS (SELECT wk, v,
+              SUM(is_s) OVER (PARTITION BY wk ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+              SUM(is_r) OVER (PARTITION BY wk ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+            FROM up),
+    ks AS (SELECT cum.wk,
+                  MAX(round(abs(cum.cs / CAST(m.m AS DOUBLE)
+                              - cum.cr / CAST(rcnt.r AS DOUBLE)), 6))
+                    AS ks_sample
+           FROM cum JOIN m ON m.wk = cum.wk CROSS JOIN rcnt
+           GROUP BY 1)
+    SELECT (wc.wk * 604800)::BIGINT AS window_start_s,
+           wc.n_events::BIGINT AS n_events,
+           COALESCE(m.m, 0)::BIGINT AS n_sample,
+           ks.ks_sample AS ks_sample
+    FROM wc
+    LEFT JOIN m ON m.wk = wc.wk
+    LEFT JOIN ks ON ks.wk = wc.wk
+"""
+
+
+@register(
+    "ks_drift_sampled",
+    oracle=_KS_SAMPLED_ORACLE,
+    doc="Per-epoch-week two-sample KS distance of the event value "
+    "distribution vs a first-two-weeks reference, both as bottom-k "
+    "hash samples (k=64, cap 2^58) — the quantile-sketch monitor whose "
+    "error is bounded by sketch size (DKW), not by a histogram grid. "
+    "One stateful aggregation + stateless array tail, so the identical "
+    "code runs on a stream (agreement pinned in tests/test_streaming).",
+)
+def ks_drift_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import reference_sample, windowed_ks_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wk = F.expr(
+        "cast((cast(ts as long) - pmod(cast(ts as long), 604800))"
+        " / 604800 as long)"
+    )
+    w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_sample(
+        ev.filter(wk < F.lit((w0 or 0) + 2)), "value", "event_id", k=_K
+    )
+    return windowed_ks_sample(
+        ev, ref, "value", "ts", "event_id", k=_K, hash_cap=_CAP
+    )

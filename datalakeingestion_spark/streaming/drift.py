@@ -221,3 +221,126 @@ def windowed_ks_grid(
         F.col("_t_win").alias("n_events"),
         F.array_max(diffs).alias("ks_grid"),
     )
+
+
+def reference_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "event_id",
+    k: int = 64,
+) -> DataFrame:
+    """Bottom-k uniform row sample of ``value_col`` — the quantile-sketch
+    reference :func:`windowed_ks_sample` compares live windows against.
+
+    The sketch is the k rows with the SMALLEST ``portable_hash60(id)``:
+    a deterministic, MERGEABLE uniform sample (the bottom-k of a union
+    is the bottom-k of the parts' bottom-k's — the same merge law as
+    KMV, applied to row identity instead of value identity, so
+    duplicates of a value are sampled at their true multiplicity). Its
+    empirical CDF approximates the true CDF within the DKW bound
+    ~sqrt(ln(2/δ)/(2k)) — error set by SKETCH SIZE, not by any grid
+    choice (the bound `windowed_ks_grid` cannot escape). Deterministic
+    and identically computable in ANSI SQL (md5-prefix hash +
+    ROW_NUMBER), unlike GK/KLL sketches whose output depends on merge
+    order — cross-engine hash-checkability is why bottom-k is the
+    right sketch HERE, at the cost of k = O(1/ε²) vs KLL's O(1/ε).
+
+    Plan shape: global sort-limit = TakeOrderedAndProject (per-partition
+    top-k, then k·#partitions rows to one reducer) — no full sort, no
+    full shuffle, at any scale. Output: (h, v) rows, h ascending.
+    """
+    from ..functions.hashing import portable_hash60
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            portable_hash60(F.col(id_col).cast("string")).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def windowed_ks_sample(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    k: int = 64,
+    hash_cap: int | None = 1 << 58,
+    window: str = "7 days",
+) -> DataFrame:
+    """Per-time-window two-sample KS distance against a STATIC reference
+    SAMPLE (from :func:`reference_sample`) — the quantile-sketch drift
+    monitor. Where `windowed_ks_grid`'s error is bounded by the
+    reference's largest bin mass (a grid choice), this one's error is
+    the two samples' DKW bound ~sqrt(ln(2/δ)/2)·(1/√k + 1/√m) — bounded
+    by SKETCH SIZE, tunable per deployment without re-binning.
+
+    Same one-stateful-aggregation shape as the other monitors, so the
+    SAME code runs streaming and batch: rows under ``hash_cap`` carry a
+    (hash, value) struct into ONE ``collect_list`` per window (nulls —
+    rows over the cap — are skipped by collect_list, so per-window
+    state is ~n_win·hash_cap/2^60 structs, the knob that bounds
+    streaming state); the stateless tail array-sorts the candidates,
+    keeps the k smallest = EXACTLY the window's bottom-k whenever ≥ k
+    survive (the k smallest hashes all lie under any cap that admits k
+    rows), and evaluates the exact two-sample KS sup at every union
+    point (both CDFs are right-continuous steps, so the sup over union
+    points inclusively is the true sup). O((k+m)²) per window of
+    higher-order-function arithmetic — JVM, no window functions, legal
+    post-aggregation on a stream.
+
+    Output: (window_start_s, n_events, n_sample, ks_sample), ks 6-dp
+    rounded per edge before the max. A window whose every row hashes
+    over the cap emits NULL ks (m = 0 — raise the cap); an empty
+    reference raises up front like `windowed_ks_grid`.
+    """
+    from ..functions.hashing import portable_hash60
+
+    if ref.limit(1).isEmpty():
+        raise ValueError("windowed_ks_sample needs a nonempty reference")
+    h = portable_hash60(F.col(id_col).cast("string"))
+    v = F.col(value_col).cast("double")
+    struct = F.struct(h.alias("h"), v.alias("v"))
+    cand = (
+        struct
+        if hash_cap is None
+        else F.when(h < F.lit(int(hash_cap)), struct)
+    )
+    base = (
+        df.filter(v.isNotNull())
+        .withColumn("_c", cand)
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_list("_c").alias("_cand"),
+        )
+    )
+    ref_row = ref.groupBy().agg(
+        F.sort_array(F.collect_list(F.col("v").cast("double"))).alias("_rv")
+    )
+    joined = (
+        base.crossJoin(F.broadcast(ref_row))
+        .withColumn(
+            "_sv",
+            F.expr(f"transform(slice(array_sort(_cand), 1, {int(k)}), s -> s.v)"),
+        )
+        .withColumn("_m", F.size("_sv"))
+    )
+    ks = F.expr(
+        "array_max(transform(concat(_sv, _rv), u -> "
+        "round(abs(size(filter(_sv, x -> x <= u)) / cast(_m as double) "
+        "- size(filter(_rv, y -> y <= u)) / cast(size(_rv) as double)"
+        "), 6)))"
+    )
+    return joined.select(
+        F.col("_w.start").cast("long").alias("window_start_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_m").cast("long").alias("n_sample"),
+        # the when() guards the ANSI divide-by-zero when no row survived
+        # the cap (m = 0 → NULL ks, never an exception mid-stream)
+        F.when(F.col("_m") > 0, ks).alias("ks_sample"),
+    )

@@ -462,3 +462,107 @@ def test_pushdown_golden_partitioned_derived_table():
     _assert_parses(
         f"SELECT * FROM {opts['dbtable']} WHERE id >= 1 AND id < 12501"
     )
+
+
+def test_pushdown_executes_on_independent_engine():
+    """EXECUTED-not-just-parsed evidence for every pushed-query shape:
+    build the reference's table in DuckDB (an independent engine that
+    enforces a real SQL grammar on execution, not merely a parse), run
+    the generated text VERBATIM, and check the row sets against a
+    Python reference of the intended semantics — the open-ended
+    catch-up, the windowed BETWEEN, the coalesce→OR rewrite
+    (over-selection contract + exact residual), and the partitioned
+    derived-table composition Spark sends per range. Combined with the
+    MySQL-8 lexical-subset golden tests above, this is the strongest
+    offline evidence available (no MySQL-grammar engine ships in this
+    environment; the text stays inside the dialect-neutral subset both
+    engines accept verbatim)."""
+    from datetime import datetime
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA lendingstream")
+    con.execute(
+        "CREATE TABLE lendingstream.application ("
+        "id BIGINT, created_datetime TIMESTAMP, "
+        "modified_datetime TIMESTAMP, status VARCHAR)"
+    )
+    # 300 rows over three days; every third row modified LATER than
+    # created (the coalesce case), every fifth never modified (NULL)
+    rows = []
+    for i in range(300):
+        created = datetime(2024, 1, 1 + i % 3, i % 24, (7 * i) % 60)
+        modified = (
+            None
+            if i % 5 == 0
+            else datetime(2024, 1, 1 + (i % 3 + i % 2) % 3, (i + 3) % 24, 0)
+        )
+        rows.append((i, created, modified, f"s{i % 4}"))
+    con.executemany(
+        "INSERT INTO lendingstream.application VALUES (?, ?, ?, ?)", rows
+    )
+
+    def run(sql):
+        return {r[0] for r in con.execute(sql).fetchall()}
+
+    lo, hi = "2024-01-02 00:00:00", "2024-01-03 00:00:00"
+    lo_dt, hi_dt = datetime(2024, 1, 2), datetime(2024, 1, 3)
+
+    # open-ended catch-up
+    got = run(_src().delta_query(lo))
+    assert got == {i for i, c, m, s in rows if c >= lo_dt}
+
+    # windowed BETWEEN (inclusive both ends, the SQL contract)
+    got = run(_src().delta_query(lo, hi))
+    want_window = {i for i, c, m, s in rows if lo_dt <= c <= hi_dt}
+    assert got == want_window and 0 < len(got) < len(rows)
+
+    # coalesce→OR rewrite: executed OR == Python OR reference; it must
+    # over-select a documented SUPERSET of the exact coalesce window,
+    # and the exact residual applied to the returned rows must recover
+    # precisely the coalesce semantics (sources/jdbc.py contract)
+    src = _src(delta_expr_cols=("modified_datetime", "created_datetime"))
+    got_or = run(src.delta_query(lo, hi))
+    want_or = {
+        i
+        for i, c, m, s in rows
+        if (m is not None and lo_dt <= m <= hi_dt) or lo_dt <= c <= hi_dt
+    }
+    want_exact = {
+        i for i, c, m, s in rows if lo_dt <= (m if m is not None else c) <= hi_dt
+    }
+    assert got_or == want_or
+    assert want_exact <= got_or
+    assert want_exact < want_or  # the fixture genuinely exercises it
+    by_id = {i: (c, m) for i, c, m, s in rows}
+    residual = {
+        i
+        for i in got_or
+        if lo_dt <= (by_id[i][1] if by_id[i][1] is not None else by_id[i][0]) <= hi_dt
+    }
+    assert residual == want_exact
+
+    # partitioned derived-table composition: Spark sends one query per
+    # range — first/last partitions are open-ended, middles half-open.
+    # Executed union must equal the serial result with zero overlap.
+    psrc = _src(
+        delta_expr_cols=("modified_datetime", "created_datetime"),
+        partition_column="id",
+        lower_bound="0",
+        upper_bound="300",
+        num_partitions=4,
+    )
+    dbtable = psrc.reader_options(lo, hi)["dbtable"]
+    bounds = [75, 150, 225]
+    parts = (
+        [f"SELECT * FROM {dbtable} WHERE id < {bounds[0]} OR id IS NULL"]
+        + [
+            f"SELECT * FROM {dbtable} WHERE id >= {a} AND id < {b}"
+            for a, b in zip(bounds, bounds[1:])
+        ]
+        + [f"SELECT * FROM {dbtable} WHERE id >= {bounds[-1]}"]
+    )
+    per_part = [run(p) for p in parts]
+    assert set().union(*per_part) == got_or
+    assert sum(len(p) for p in per_part) == len(got_or)  # disjoint

@@ -464,3 +464,57 @@ def test_sample_video_frames_real_decode(spark):
         fmt, w, h, px = decode_image(got[(1, no)])
         assert (fmt, w, h) == ("ppm", 4, 2)
         assert np.array_equal(px, frames[no])
+
+
+def test_codec_seam_gated_on_optional_packages():
+    """The compressed-format seam mirrors the avro gating: WITH PIL/av
+    installed the blob decodes to the same output contract; WITHOUT
+    them (this container) the pure parser's quarantine class stands.
+    Each half runs only in its environment — together they pin that
+    package presence changes capability, never the contract."""
+    import importlib.util
+
+    import numpy as np
+
+    from datalakeingestion_spark.operators.multimodal import (
+        decode_image,
+        decode_video,
+    )
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    has_av = importlib.util.find_spec("av") is not None
+
+    if has_pil:
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(px).save(buf, format="PNG")
+        fmt, w, h, out = decode_image(buf.getvalue())
+        assert (fmt, w, h) == ("png", 6, 4)
+        assert np.array_equal(out, px)  # PNG is lossless
+    else:
+        # PNG magic, structurally plausible, no codec → quarantine seam
+        fake_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+        with pytest.raises(NotImplementedError):
+            decode_image(fake_png)
+
+    if not has_av:
+        with pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+
+    # in EVERY environment: corrupt-but-recognized stays ValueError and
+    # the uncompressed pure paths still decode — the gate adds, never
+    # changes
+    from datalakeingestion_spark.operators.multimodal import (
+        encode_avi_rgb24,
+    )
+
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)]
+    blob = encode_avi_rgb24(frames)
+    assert decode_video(blob)[0] == "avi"
+    with pytest.raises(ValueError):
+        decode_video(blob[:40])

@@ -116,3 +116,115 @@ def test_ks_time_sliced_plan_has_no_per_type_window(spark):
     assert specs, plan
     assert all("_pid" in ln for ln in specs), specs
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ks_sample_matches_numpy_two_sample_ks(spark):
+    """The array-tail sup formula (evaluate |F_S - F_R| at every union
+    point, inclusive) must equal an independent numpy two-sample KS on
+    the SAME sample sets — the oracle alone can't catch a shared
+    derivation error in the sup. Heavy ties included."""
+    import numpy as np
+
+    from datalakeingestion_spark.streaming.drift import (
+        reference_sample,
+        windowed_ks_sample,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    eid = 0
+    # three weeks with different distributions, coarse-quantized values
+    # so ties are common (the hard case for CDF sup formulas)
+    for w, (mu, sd) in enumerate([(50, 10), (50, 10), (80, 25)]):
+        for _ in range(400):
+            v = float(np.round(rng.normal(mu, sd) / 5) * 5)
+            rows.append((eid, w * 604800 + int(rng.integers(0, 604800)), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, es long, value double"
+    ).select(
+        "event_id",
+        F.col("es").cast("timestamp").alias("ts"),
+        "value",
+    )
+    ref = reference_sample(
+        df.filter(F.col("es") < 2 * 604800), "value", "event_id", k=64
+    )
+    ref_vals = np.sort([r["v"] for r in ref.collect()])
+    out = {
+        r["window_start_s"]: r
+        for r in windowed_ks_sample(
+            df, ref, "value", "ts", "event_id", k=64, hash_cap=1 << 58
+        ).collect()
+    }
+    assert len(out) == 3
+
+    # reproduce each window's bottom-k sample independently and take the
+    # numpy sup over a dense union grid
+    import hashlib
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    for w in (0, 1, 2):
+        in_w = [
+            (h60(e), v)
+            for (e, es, v) in rows
+            if w * 604800 <= es < (w + 1) * 604800 and h60(e) < (1 << 58)
+        ]
+        samp = np.sort([v for _, v in sorted(in_w)[:64]])
+        grid = np.union1d(samp, ref_vals)
+        fs = np.searchsorted(samp, grid, side="right") / len(samp)
+        fr = np.searchsorted(ref_vals, grid, side="right") / len(ref_vals)
+        want = np.max(np.round(np.abs(fs - fr), 6))
+        got = out[w * 604800]
+        assert got["n_sample"] == len(samp)
+        assert abs(got["ks_sample"] - want) < 1e-9, (w, got, want)
+    # drift sanity: week 2's shifted distribution scores highest
+    ks = {w: out[w * 604800]["ks_sample"] for w in (0, 1, 2)}
+    assert ks[2] == max(ks.values()) and ks[2] > 0.2
+
+
+def test_ks_sample_cap_edge_cases(spark):
+    """m = 0 (every row hashes over the cap) must emit NULL ks — never
+    an ANSI divide-by-zero — and a cap admitting ≥ k rows must produce
+    EXACTLY the uncapped bottom-k result (the k smallest hashes all lie
+    under any cap that admits k rows)."""
+    import pytest as _pytest
+
+    from datalakeingestion_spark.streaming.drift import (
+        reference_sample,
+        windowed_ks_sample,
+    )
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 600 + 10).cast("timestamp").alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+    )
+    ref = reference_sample(df, "value", "event_id", k=32)
+
+    capped = windowed_ks_sample(
+        df, ref, "value", "ts", "event_id", k=32, hash_cap=1 << 58
+    ).collect()
+    uncapped = windowed_ks_sample(
+        df, ref, "value", "ts", "event_id", k=32, hash_cap=None
+    ).collect()
+    as_map = lambda rows: {
+        r["window_start_s"]: (r["n_events"], r["n_sample"], r["ks_sample"])
+        for r in rows
+    }
+    assert as_map(capped) == as_map(uncapped)
+    assert all(r["n_sample"] == 32 for r in capped)
+
+    zero = windowed_ks_sample(
+        df, ref, "value", "ts", "event_id", k=32, hash_cap=1
+    ).collect()
+    assert all(r["ks_sample"] is None and r["n_sample"] == 0 for r in zero)
+    assert all(r["n_events"] > 0 for r in zero)
+
+    with _pytest.raises(ValueError, match="nonempty reference"):
+        windowed_ks_sample(df.limit(0), ref.limit(0), "value")

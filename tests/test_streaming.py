@@ -1085,3 +1085,70 @@ def test_windowed_ks_grid_streaming_matches_batch(spark, tmp_path):
     assert expected.items() <= got.items()
     for k in set(got) - set(expected):
         assert k + 7 * 86400 >= wm_s, k
+
+
+def test_windowed_ks_sample_streaming_matches_batch(spark, tmp_path):
+    """The quantile-sketch monitor is one stateful aggregation + a
+    stateless array tail precisely so the SAME code runs on a stream:
+    every watermark-closed window must emit exactly the batch rows."""
+    from datalakeingestion_spark.streaming.drift import (
+        reference_sample,
+        windowed_ks_sample,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = str(tmp_path / "ks_samp_src")
+    events.coalesce(1).write.parquet(src)
+
+    wk = F.expr(
+        "cast((cast(ts as long) - pmod(cast(ts as long), 604800))"
+        " / 604800 as long)"
+    )
+    w0 = events.agg(F.min(wk).alias("w")).first()["w"]
+    ref = reference_sample(
+        events.filter(wk < F.lit(w0 + 2)), "value", "event_id", k=64
+    )
+    batch = {
+        r["window_start_s"]: (r["n_events"], r["n_sample"], r["ks_sample"])
+        for r in windowed_ks_sample(
+            events, ref, "value", "ts", "event_id", k=64, hash_cap=1 << 58
+        ).collect()
+    }
+    assert len(batch) >= 3
+    # the reference weeks themselves must score low
+    assert min(v[2] for v in batch.values()) < 0.25
+
+    max_s = events.agg(F.max(F.col("ts").cast("long")).alias("m")).first()[
+        "m"
+    ]
+    wm_s = max_s - 3600
+    expected = {k: v for k, v in batch.items() if k + 7 * 86400 < wm_s}
+    assert expected and len(expected) < len(batch)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_ks_sample(
+        stream.withWatermark("ts", "1 hour"),
+        ref,
+        "value",
+        "ts",
+        "event_id",
+        k=64,
+        hash_cap=1 << 58,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ks_sample_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start_s"]: (r["n_events"], r["n_sample"], r["ks_sample"])
+        for r in spark.sql("SELECT * FROM ks_sample_out").collect()
+    }
+    assert expected.items() <= got.items()
+    for k in set(got) - set(expected):
+        assert k + 7 * 86400 >= wm_s, k
