@@ -584,10 +584,12 @@ def test_runtime_bloom_filter_fires_on_fact_dim_shape(spark):
 # boundaries) or the deliberately-broadcast query set joined on a
 # non-equi condition (ANN's query_id != neighbor_id). Audited round 4.
 _BNLJ_WHITELIST = {
-    # psi_drift_windowed / ks_drift_windowed_grid: the 1-row reference
-    # frame broadcast onto the window rows (metadata-sized, audited)
+    # psi_drift_windowed / ks_drift_windowed_grid / ks_drift_sampled:
+    # the 1-row reference frame (histogram or bottom-k sample —
+    # metadata-sized, audited) broadcast onto the window rows
     "psi_drift_windowed",
     "ks_drift_windowed_grid",
+    "ks_drift_sampled",
     "ann_lsh_bucketed",
     "bm25_rank",
     "source_js_divergence",
