@@ -27,7 +27,13 @@ over-selection + exact re-filter, and a complete ingest job — runs
 against a LIVE embedded Derby database (ships in Spark's jars) in
 tests/test_jdbc.py. Derby folds unquoted identifiers to upper case, so
 the integration fixtures use uppercase names; MySQL deployments are
-case-preserving and unaffected.
+case-preserving and unaffected. The generated text itself is covered
+three ways in tests/test_jdbc.py: golden strings pinned against the
+MySQL-8 lexical subset, parsed by DuckDB's grammar, and EXECUTED
+verbatim on DuckDB against a populated replica of the reference table
+(every pushed shape incl. the coalesce→OR over-selection contract and
+the per-range derived-table composition) — the strongest offline
+evidence available given no MySQL-grammar engine ships here.
 """
 
 from __future__ import annotations
