@@ -1057,15 +1057,37 @@ def _cap_band_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
     mass-duplication flood, not a near-dup neighborhood). Implemented as
     a window so a scan already clustered on band_sig (the stored index's
     bucket key) satisfies the window's distribution without an Exchange
-    — the lake side stays shuffle-free under the cap."""
+    — the lake side stays shuffle-free under the cap. Partition keys in
+    (band_sig, band_id) order ON PURPOSE: it matches the stored index's
+    sort spec, so the bucketed scan also satisfies the window's required
+    SORT and the cap adds no per-batch re-sort of the index."""
     from pyspark.sql.window import Window
 
-    bw = Window.partitionBy("band_id", "band_sig")
+    bw = Window.partitionBy("band_sig", "band_id")
     return (
         bands.withColumn("_bsz", F.count(F.lit(1)).over(bw))
         .filter(F.col("_bsz") <= max_bucket)
         .drop("_bsz")
     )
+
+
+def _prune_and_cap_old_bands(
+    bands_old: DataFrame, bands_new: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Flood-cap the INDEXED side at per-batch cost: first semi-join the
+    lake bands down to the (band_id, band_sig) buckets the batch
+    actually probes — a broadcast filter of batch-bounded signatures,
+    and exact for capping because a semi join on the FULL bucket key
+    keeps whole buckets or drops them (never partial counts) — then
+    window-count only within the probed buckets. Without the prune the
+    cap window counts every lake bucket, re-introducing an O(lake)
+    per-batch term (measured 3x the uncapped probe at a 200k-doc lake,
+    tools/scale_probe_r7.py)."""
+    probe_sigs = bands_new.select("band_id", "band_sig").distinct()
+    hit = bands_old.join(
+        F.broadcast(probe_sigs), ["band_id", "band_sig"], "leftsemi"
+    )
+    return _cap_band_buckets(hit, max_bucket)
 
 
 def dedup_against_index(
@@ -1118,7 +1140,9 @@ def dedup_against_index(
     bands_old = _lsh_bands(_signatures_from_shingles(sh_old))
     if max_bucket is not None:
         bands_new = _cap_band_buckets(bands_new, max_bucket)
-        bands_old = _cap_band_buckets(bands_old, max_bucket)
+        bands_old = _prune_and_cap_old_bands(
+            bands_old, bands_new, max_bucket
+        )
     cand = (
         bands_new.alias("a")
         .join(
@@ -1276,7 +1300,9 @@ def dedup_against_stored_index(
     bands_new = _lsh_bands(_signatures_from_shingles(sh_new))
     if max_bucket is not None:
         bands_new = _cap_band_buckets(bands_new, max_bucket)
-        bands_old = _cap_band_buckets(bands_old, max_bucket)
+        bands_old = _prune_and_cap_old_bands(
+            bands_old, bands_new, max_bucket
+        )
     cand = (
         bands_new.alias("a")
         .join(

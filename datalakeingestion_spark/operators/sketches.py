@@ -358,3 +358,48 @@ def kmv_set_relation(
         F.col("exact_union").cast("long").alias("exact_union"),
         F.col("exact_intersection").cast("long").alias("exact_intersection"),
     )
+
+
+def bottomk_rows(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_col: Column,
+    value_col: Column,
+    k: int,
+) -> DataFrame:
+    """Per-key bottom-k rows by a deterministic hash — the mergeable
+    uniform row sample behind the quantile sketches (see
+    streaming/drift.py::reference_sample for the single-group form and
+    the merge law). Returns one row per key with ``sample`` =
+    array<struct<h,v>> of the k smallest (hash, value) pairs, sorted.
+
+    Scale shape: TWO-LEVEL aggregation, never a per-key window (a
+    window ``PARTITION BY key`` puts one whole key — data-sized when
+    keys are few — into a single task). Level 1 reduces each (key,
+    input-partition) cell to its local bottom-k (collect_list bounded
+    by the partition's rows); level 2 merges ≤ #partitions × k structs
+    per key. Both levels are ordinary shuffles on the key.
+    """
+    from pyspark.sql import functions as F
+
+    lvl1 = (
+        df.select(
+            *key_cols,
+            F.spark_partition_id().alias("_pid"),
+            F.struct(hash_col.alias("h"), value_col.alias("v")).alias("_s"),
+        )
+        .groupBy(*key_cols, "_pid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("_s")), 1, int(k)
+            ).alias("_part")
+        )
+    )
+    return (
+        lvl1.groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_part"))), 1, int(k)
+            ).alias("sample")
+        )
+    )

@@ -69,6 +69,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_variety",
     "q20_half_volume_suppliers",
     "q11_important_stock",
+    # round-7 additions — never had a chance to be checked before
+    "ks_drift_sampled",
+    "price_quantiles_sketched",
     "f3_predicate_string_filter",
     "f5_key_lookup",
     "c3_parse_truncate",

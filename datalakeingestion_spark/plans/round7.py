@@ -102,3 +102,86 @@ def ks_drift_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_ks_sample(
         ev, ref, "value", "ts", "event_id", k=_K, hash_cap=_CAP
     )
+
+
+_QUANTILES_ORACLE = """
+    WITH pts AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT returnflag, COUNT(*) AS n FROM pts GROUP BY 1),
+    ts AS (SELECT t FROM range(1, 10) AS r(t)),
+    srt AS (SELECT returnflag, v,
+                   ROW_NUMBER() OVER (PARTITION BY returnflag ORDER BY v)
+                     AS rs
+            FROM pts),
+    exact AS (SELECT s.returnflag, ts.t, MIN(s.v) AS exact_price
+              FROM srt s JOIN n USING (returnflag) CROSS JOIN ts
+              WHERE s.rs = (ts.t * n.n + 9) // 10
+              GROUP BY 1, 2),
+    samp AS (SELECT returnflag, v,
+                    ROW_NUMBER() OVER (PARTITION BY returnflag
+                                       ORDER BY h, v) AS rn
+             FROM pts),
+    ws AS (SELECT returnflag, v FROM samp WHERE rn <= 256),
+    m AS (SELECT returnflag, COUNT(*) AS m FROM ws GROUP BY 1),
+    ssrt AS (SELECT returnflag, v,
+                    ROW_NUMBER() OVER (PARTITION BY returnflag ORDER BY v)
+                      AS rs
+             FROM ws),
+    est AS (SELECT s.returnflag, ts.t, MIN(s.v) AS est_price
+            FROM ssrt s JOIN m USING (returnflag) CROSS JOIN ts
+            WHERE s.rs = GREATEST(1, (ts.t * m.m + 9) // 10)
+            GROUP BY 1, 2)
+    SELECT e.returnflag AS returnflag,
+           e.t / 10.0 AS q,
+           est.est_price AS est_price,
+           e.exact_price AS exact_price,
+           round(abs(est.est_price - e.exact_price), 6) AS abs_err
+    FROM exact e
+    JOIN est ON est.returnflag = e.returnflag AND est.t = e.t
+"""
+
+
+@register(
+    "price_quantiles_sketched",
+    oracle=_QUANTILES_ORACLE,
+    doc="Per-return-flag decile order statistics of l_extendedprice, "
+    "EXACT (rank-selection over the distinct-value histogram through "
+    "keyed_prefix_sum — no per-key window task) beside the bottom-k "
+    "sketch estimate (k=256, DKW rank error), with the measured "
+    "absolute error in the same row. Integer rank arithmetic "
+    "((t*n+9) div 10) on both engines — float ceil(q*n) disagrees "
+    "at exact multiples.",
+)
+def price_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash60
+    from ..operators.quantiles import (
+        exact_quantiles_by_key,
+        sampled_quantiles_by_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    h = portable_hash60(
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    exact = exact_quantiles_by_key(li, ["returnflag"], "price")
+    est = sampled_quantiles_by_key(li, ["returnflag"], h, "price", k=256)
+    return est.join(exact, ["returnflag", "q"]).select(
+        "returnflag",
+        "q",
+        F.col("est").alias("est_price"),
+        F.col("value").alias("exact_price"),
+        F.round(F.abs(F.col("est") - F.col("value")), 6).alias("abs_err"),
+    )

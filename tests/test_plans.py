@@ -590,6 +590,8 @@ _BNLJ_WHITELIST = {
     "psi_drift_windowed",
     "ks_drift_windowed_grid",
     "ks_drift_sampled",
+    # 9-row decile grid broadcast onto per-key counts/samples (audited)
+    "price_quantiles_sketched",
     "ann_lsh_bucketed",
     "bm25_rank",
     "source_js_divergence",

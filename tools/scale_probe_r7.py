@@ -95,11 +95,18 @@ def probe_stored_index_flood(spark) -> None:
     # flood: 5k near-identical clones of ONE lake doc (distinct short
     # tails, so exact dedup upstream would NOT collapse them) + 1k
     # ordinary near-dups of distinct lake docs
+    # NB: the first xxhash64 arg must be LONG — lake bodies hash the
+    # long id column, and xxhash64(int 77) != xxhash64(long 77)
     seed_body = F.concat_ws(
         " ",
         *[
-            F.conv(F.abs(F.xxhash64(F.lit(77), F.lit(j))).cast("string"),
-                   10, 36)
+            F.conv(
+                F.abs(
+                    F.xxhash64(F.lit(77).cast("long"), F.lit(j))
+                ).cast("string"),
+                10,
+                36,
+            )
             for j in range(12)
         ],
     )
