@@ -48,10 +48,24 @@ def floor_div(col: Column | str, divisor: int) -> Column:
     ``d`` ≤ x, so the division is an exact integer — IEEE double
     division of exactly-representable operands with an integer result
     is exact, and every Spark-representable epoch quantity (|seconds|
-    ≤ 9.2e12 for the full ±292k-year micros range) is far below 2^53."""
+    ≤ 9.2e12 for the full ±292k-year micros range) is far below the
+    2^53 double-exactness bound. Inputs PAST that bound (60-bit
+    hashes, snowflake ids) raise at runtime instead of returning a
+    silently-off-by-one bucket — use ``div``-based math there, where
+    truncation semantics are usually what those ids want anyway."""
     c = F.col(col) if isinstance(col, str) else col
     d = F.lit(int(divisor))
-    return ((c - F.pmod(c, d)) / d).cast("long")
+    exact = ((c - F.pmod(c, d)) / d).cast("long")
+    bound = (1 << 53) - int(divisor)
+    return F.when(F.abs(c) <= F.lit(bound), exact).otherwise(
+        F.raise_error(
+            F.lit(
+                f"floor_div: |value| exceeds {bound} (2^53 - divisor); "
+                "double-exact division no longer holds — this helper is "
+                "for epoch-sized quantities"
+            )
+        )
+    )
 
 
 def epoch_bucket(col: Column | str, seconds: int) -> Column:

@@ -40,6 +40,19 @@ def _tenths_frame(spark, tenths: list[int]) -> DataFrame:
     return spark.createDataFrame([(t,) for t in tenths], "t int")
 
 
+def _check_reserved(key_cols: list[str], reserved: set[str]) -> None:
+    """Same fail-fast contract as keyed_prefix_sum/pack_sequences: a key
+    column sharing a name with an internal or output column would turn
+    into an ambiguous reference (or a silently wrong join) deep in the
+    plan — raise up front instead."""
+    clash = reserved.intersection(key_cols)
+    if clash:
+        raise ValueError(
+            f"key column(s) {sorted(clash)} collide with reserved "
+            f"internal/output names {sorted(reserved)}"
+        )
+
+
 def exact_quantiles_by_key(
     df: DataFrame,
     key_cols: list[str],
@@ -54,6 +67,9 @@ def exact_quantiles_by_key(
     spark = df.sparkSession
     from .packing import keyed_prefix_sum
 
+    _check_reserved(
+        list(key_cols), {"t", "q", "value", "_v", "_c", "_cum", "_n", "_r"}
+    )
     v = F.col(value_col)
     vc = (
         df.filter(v.isNotNull())
@@ -103,6 +119,11 @@ def sampled_quantiles_by_key(
     from .sketches import bottomk_rows
 
     spark = df.sparkSession
+    _check_reserved(
+        list(key_cols),
+        {"t", "q", "est", "n_sample", "sample", "_vals", "_m", "_s",
+         "_part", "_pid"},
+    )
     v = F.col(value_col)
     samp = bottomk_rows(
         df.filter(v.isNotNull()),

@@ -56,10 +56,12 @@ def register(
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
 # position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 + r06
-# (207 distinct queries externally green; this tuple leads with the final
-# 8 never-checked queries — external coverage reaches 215/215 once they
-# land green — followed by long-unchecked green queries for re-validation,
-# via tools/rotate_priority.py).
+# (207 distinct queries externally green; this tuple leads with the 8
+# never-checked queries plus round-7's 2 new ones — external coverage
+# reaches 217/217 once they land green — followed by long-unchecked
+# green queries for re-validation, via tools/rotate_priority.py.
+# EXACTLY 50 entries: the driver checks positions 0-49 and
+# test_parity.py pins the tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "ks_drift_time_sliced",
     "price_percentile_rank",
@@ -112,8 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "multimodal_feature_extract",
     "curation_pipeline",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine_blocked",
 )
 
 

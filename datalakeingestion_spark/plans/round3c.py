@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.buckets import epoch_bucket, floor_div
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -48,15 +49,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         "user_id",
         "event_type",
-        F.expr(f"cast((cast(ts as long) - pmod(cast(ts as long), {_DAY})) / {_DAY} as long)").alias("day"),
+        epoch_bucket("ts", _DAY).alias("day"),
     )
     cohort = (
         d.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.expr("cast((min(day) - pmod(min(day), 7)) / 7 as long)").alias("cohort_wk"))
+        .agg(floor_div(F.min("day"), 7).alias("cohort_wk"))
     )
     activity = d.select(
-        "user_id", F.expr("cast((day - pmod(day, 7)) / 7 as long)").alias("wk")
+        "user_id", floor_div("day", 7).alias("wk")
     ).distinct()
     j = activity.join(cohort, "user_id").filter(
         F.col("wk") >= F.col("cohort_wk")
@@ -874,7 +875,7 @@ def anomalous_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         ev.select(
             "event_type",
-            F.expr("cast((cast(ts as long) - pmod(cast(ts as long), 86400)) / 86400 as long)").alias("day"),
+            epoch_bucket("ts", 86400).alias("day"),
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.buckets import epoch_bucket, floor_div
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -108,7 +109,7 @@ def cumulative_distinct_users_daily(
 ) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
-        "user_id", F.expr(f"cast((cast(ts as long) - pmod(cast(ts as long), {_DAY})) / {_DAY} as long)").alias("day")
+        "user_id", epoch_bucket("ts", _DAY).alias("day")
     )
     ft = d.groupBy("user_id").agg(F.min("day").alias("day"))
     nu = ft.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
@@ -680,7 +681,7 @@ def funnel_signup_click_purchase(
 def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
-        "user_id", F.expr(f"cast((cast(ts as long) - pmod(cast(ts as long), {_DAY})) / {_DAY} as long)").alias("day")
+        "user_id", epoch_bucket("ts", _DAY).alias("day")
     ).distinct()
     days = ud.select(F.col("day").alias("obs_day")).distinct()
     # no distinct on the exploded frame: a user active on consecutive
@@ -1452,15 +1453,15 @@ def retention_cohort_revenue(
         "user_id",
         "event_type",
         "value",
-        F.expr(f"cast((cast(ts as long) - pmod(cast(ts as long), {_DAY})) / {_DAY} as long)").alias("day"),
+        epoch_bucket("ts", _DAY).alias("day"),
     )
     cohort = (
         d.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.expr("cast((min(day) - pmod(min(day), 7)) / 7 as long)").alias("cohort_wk"))
+        .agg(floor_div(F.min("day"), 7).alias("cohort_wk"))
     )
     pur = d.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.expr("cast((day - pmod(day, 7)) / 7 as long)").alias("wk"), "value"
+        "user_id", floor_div("day", 7).alias("wk"), "value"
     )
     j = pur.join(cohort, "user_id").filter(
         F.col("wk") >= F.col("cohort_wk")

@@ -30,17 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.buckets import epoch_bucket
 from ..operators.packing import keyed_prefix_sum
 from ..sources.fixtures import load_table
 from .registry import register
 
-# floor-division week bucket (NOT `div`, which truncates toward zero
-# and would disagree with the oracle's `//` floor for pre-1970
-# negative-epoch timestamps); floor(floor(x/86400)/7) == floor(x/604800)
-_WEEK_EXPR = (
-    "cast((cast(ts as long) - pmod(cast(ts as long), 604800)) / 604800"
-    " as long)"
-)
+# floor-division week bucket via functions.buckets.epoch_bucket (NOT
+# `div`, which truncates toward zero and would disagree with the
+# oracle's `//` floor for pre-1970 negative-epoch timestamps);
+# floor(floor(x/86400)/7) == floor(x/604800)
 _WEEK_SQL = "CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7"
 _WEEK_SECONDS = 604800
 
@@ -95,7 +93,7 @@ def ks_drift_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = ev.select(
         "event_type",
-        F.expr(_WEEK_EXPR).alias("wk"),
+        epoch_bucket("ts", _WEEK_SECONDS).alias("wk"),
         F.col("value").alias("v"),
     )
     sh = pts.groupBy("event_type", "wk", "v").agg(
@@ -205,8 +203,6 @@ def _events_with_first2wk_reference(spark: SparkSession, sf_dir: str):
         F.col("value").isNotNull()
     )
     # floor division (pre-1970-safe), matching the oracle's `//`
-    from ..functions.buckets import epoch_bucket
-
     wk = epoch_bucket("ts", _WEEK_SECONDS)
     w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
     ref = reference_histogram(

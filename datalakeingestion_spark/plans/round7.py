@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.buckets import epoch_bucket
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -91,10 +92,7 @@ def ks_drift_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    wk = F.expr(
-        "cast((cast(ts as long) - pmod(cast(ts as long), 604800))"
-        " / 604800 as long)"
-    )
+    wk = epoch_bucket("ts", 604800)
     w0 = ev.agg(F.min(wk).alias("w")).first()["w"]
     ref = reference_sample(
         ev.filter(wk < F.lit((w0 or 0) + 2)), "value", "event_id", k=_K

@@ -760,3 +760,21 @@ def test_decode_video_total_on_garbage_and_mutations(data, mutations):
         fmt, w, h, micros, frames = out
         assert fmt == "avi" and w >= 1 and h >= 1 and frames
         assert all(f.shape == (h, w, 3) for f in frames)
+
+
+def test_floor_div_raises_past_double_exact_bound(spark):
+    """floor_div's exactness proof relies on IEEE-double division below
+    2^53; a 60-bit hash fed through it must raise loudly, never return
+    a silently-off bucket."""
+    import pytest as _pytest
+
+    from datalakeingestion_spark.functions.buckets import floor_div
+
+    df = spark.createDataFrame([((1 << 60) - 2,)], "v long")
+    with _pytest.raises(Exception, match="floor_div"):
+        df.select(floor_div("v", 3).alias("b")).collect()
+    # just inside the bound still works
+    ok = spark.createDataFrame([((1 << 53) - 7,)], "v long")
+    assert ok.select(floor_div("v", 7).alias("b")).first()["b"] == (
+        ((1 << 53) - 7) // 7
+    )

@@ -108,3 +108,14 @@ def test_quantiles_rejects_bad_tenths(spark):
         exact_quantiles_by_key(df, ["k"], "v", tenths=[0])
     with pytest.raises(ValueError):
         exact_quantiles_by_key(df, ["k"], "v", tenths=[])
+
+
+def test_quantiles_reject_reserved_key_columns(spark):
+    """A key column named like an internal/output column must raise up
+    front (same contract as keyed_prefix_sum/pack_sequences), not turn
+    into an ambiguous reference deep in the plan."""
+    df = spark.createDataFrame([("a", 1.0)], "t string, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        exact_quantiles_by_key(df, ["t"], "v")
+    with pytest.raises(ValueError, match="reserved"):
+        sampled_quantiles_by_key(df, ["t"], F.lit(1), "v")

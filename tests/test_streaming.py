@@ -1102,10 +1102,9 @@ def test_windowed_ks_sample_streaming_matches_batch(spark, tmp_path):
     src = str(tmp_path / "ks_samp_src")
     events.coalesce(1).write.parquet(src)
 
-    wk = F.expr(
-        "cast((cast(ts as long) - pmod(cast(ts as long), 604800))"
-        " / 604800 as long)"
-    )
+    from datalakeingestion_spark.functions.buckets import epoch_bucket
+
+    wk = epoch_bucket("ts", 604800)
     w0 = events.agg(F.min(wk).alias("w")).first()["w"]
     ref = reference_sample(
         events.filter(wk < F.lit(w0 + 2)), "value", "event_id", k=64
