@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-7 additions — never had a chance to be checked before
     "ks_drift_sampled",
     "price_quantiles_sketched",
+    "event_value_quantiles_windowed",
     "f3_predicate_string_filter",
     "f5_key_lookup",
     "c3_parse_truncate",
@@ -113,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_length_filter_percentile",
     "doc_fingerprint",
     "multimodal_feature_extract",
-    "curation_pipeline",
 )
 
 

@@ -183,3 +183,58 @@ def price_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("exact_price"),
         F.round(F.abs(F.col("est") - F.col("value")), 6).alias("abs_err"),
     )
+
+
+_WQ_ORACLE = f"""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             CAST(value AS DOUBLE) AS v,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events WHERE value IS NOT NULL),
+    wc AS (SELECT wk, COUNT(*) AS n_events FROM pts GROUP BY 1),
+    surv AS (SELECT wk, v,
+                    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY h, v) AS rn
+             FROM pts WHERE h < {_CAP}),
+    ws AS (SELECT wk, v FROM surv WHERE rn <= {_K}),
+    m AS (SELECT wk, COUNT(*) AS m FROM ws GROUP BY 1),
+    ssrt AS (SELECT wk, v,
+                    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY v) AS rs
+             FROM ws),
+    ts AS (SELECT t FROM range(1, 10) AS r(t)),
+    est AS (SELECT s.wk, ts.t, MIN(s.v) AS est
+            FROM ssrt s JOIN m ON m.wk = s.wk CROSS JOIN ts
+            WHERE s.rs = GREATEST(1, (ts.t * m.m + 9) // 10)
+            GROUP BY 1, 2)
+    SELECT (wc.wk * 604800)::BIGINT AS window_start_s,
+           wc.n_events::BIGINT AS n_events,
+           COALESCE(m.m, 0)::BIGINT AS n_sample,
+           ts.t / 10.0 AS q,
+           est.est AS est
+    FROM wc
+    CROSS JOIN ts
+    LEFT JOIN m ON m.wk = wc.wk
+    LEFT JOIN est ON est.wk = wc.wk AND est.t = ts.t
+"""
+
+
+@register(
+    "event_value_quantiles_windowed",
+    oracle=_WQ_ORACLE,
+    doc="Per-epoch-week decile ESTIMATES of the event value from the "
+    "bottom-k sample sketch — the streaming 'track p10..p90 of a live "
+    "metric' monitor (streaming/drift.py::windowed_quantile_sample). "
+    "Same one-stateful-aggregation + array-tail shape as "
+    "ks_drift_sampled, so the identical code runs on a watermarked "
+    "stream; integer rank arithmetic matches "
+    "operators/quantiles.sampled_quantiles_by_key exactly.",
+)
+def event_value_quantiles_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.drift import windowed_quantile_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_quantile_sample(
+        ev, "value", "ts", "event_id", k=_K, hash_cap=_CAP
+    )

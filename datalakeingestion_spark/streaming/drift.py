@@ -298,38 +298,15 @@ def windowed_ks_sample(
     over the cap emits NULL ks (m = 0 — raise the cap); an empty
     reference raises up front like `windowed_ks_grid`.
     """
-    from ..functions.hashing import portable_hash60
-
     if ref.limit(1).isEmpty():
         raise ValueError("windowed_ks_sample needs a nonempty reference")
-    h = portable_hash60(F.col(id_col).cast("string"))
-    v = F.col(value_col).cast("double")
-    struct = F.struct(h.alias("h"), v.alias("v"))
-    cand = (
-        struct
-        if hash_cap is None
-        else F.when(h < F.lit(int(hash_cap)), struct)
-    )
-    base = (
-        df.filter(v.isNotNull())
-        .withColumn("_c", cand)
-        .groupBy(F.window(ts_col, window).alias("_w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.collect_list("_c").alias("_cand"),
-        )
+    base = _windowed_bottomk_sample(
+        df, value_col, ts_col, id_col, k, hash_cap, window
     )
     ref_row = ref.groupBy().agg(
         F.sort_array(F.collect_list(F.col("v").cast("double"))).alias("_rv")
     )
-    joined = (
-        base.crossJoin(F.broadcast(ref_row))
-        .withColumn(
-            "_sv",
-            F.expr(f"transform(slice(array_sort(_cand), 1, {int(k)}), s -> s.v)"),
-        )
-        .withColumn("_m", F.size("_sv"))
-    )
+    joined = base.crossJoin(F.broadcast(ref_row))
     ks = F.expr(
         "array_max(transform(concat(_sv, _rv), u -> "
         "round(abs(size(filter(_sv, x -> x <= u)) / cast(_m as double) "
@@ -343,4 +320,113 @@ def windowed_ks_sample(
         # the when() guards the ANSI divide-by-zero when no row survived
         # the cap (m = 0 → NULL ks, never an exception mid-stream)
         F.when(F.col("_m") > 0, ks).alias("ks_sample"),
+    )
+
+
+def _windowed_bottomk_sample(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    k: int,
+    hash_cap: int | None,
+    window: str,
+) -> DataFrame:
+    """The ONE stateful aggregation the sample-sketch monitors share:
+    per time window, total row count plus the bottom-k (hash, value)
+    candidates. Rows under ``hash_cap`` carry a struct into a single
+    ``collect_list`` (nulls — rows over the cap — are skipped, so
+    per-window state is ~n_win·hash_cap/2^60 structs, the streaming
+    state knob); the stateless tail keeps the k smallest, which is
+    EXACTLY the window's bottom-k whenever ≥ k rows survive (the k
+    smallest hashes all lie under any cap that admits k rows). Returns
+    (_w window, n_events, _sv sorted sample values asc, _m = |sample|).
+    """
+    from ..functions.hashing import portable_hash60
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    v = F.col(value_col).cast("double")
+    struct = F.struct(h.alias("h"), v.alias("v"))
+    cand = (
+        struct
+        if hash_cap is None
+        else F.when(h < F.lit(int(hash_cap)), struct)
+    )
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("_c", cand)
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_list("_c").alias("_cand"),
+        )
+        .withColumn(
+            "_sv",
+            F.expr(
+                f"array_sort(transform(slice(array_sort(_cand), 1, "
+                f"{int(k)}), s -> s.v))"
+            ),
+        )
+        .withColumn("_m", F.size("_sv"))
+        .drop("_cand")
+    )
+
+
+def windowed_quantile_sample(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    k: int = 64,
+    hash_cap: int | None = 1 << 58,
+    tenths: list[int] | None = None,
+    window: str = "7 days",
+) -> DataFrame:
+    """Per-time-window decile ESTIMATES from the bottom-k sample — the
+    streaming "track p10..p90 of a live metric" monitor. Same sketch,
+    same DKW rank-error bound (~sqrt(ln(2/δ)/2k)), same
+    one-stateful-aggregation + stateless-array-tail shape as
+    :func:`windowed_ks_sample`, so the identical code runs on a batch
+    frame (the oracle-checked twin) and on a watermarked stream.
+
+    estimate(t) = sorted_sample[(t·m + 9) div 10] (1-based, INTEGER
+    rank arithmetic — float ceil(q·m) picks the wrong order statistic
+    at exact multiples), matching
+    ``operators/quantiles.sampled_quantiles_by_key`` exactly. The
+    per-window decile explode happens AFTER the aggregation, which
+    append-mode streaming allows.
+
+    Output: one row per (window, t): (window_start_s, n_events,
+    n_sample, q double, est). Windows where no row survived the cap
+    emit NULL est (never an ANSI divide error).
+    """
+    tenths = list(range(1, 10)) if tenths is None else list(tenths)
+    if not tenths or any(not 1 <= t <= 9 for t in tenths):
+        raise ValueError("tenths must be decile indices in 1..9")
+    base = _windowed_bottomk_sample(
+        df, value_col, ts_col, id_col, k, hash_cap, window
+    )
+    ts_arr = F.array(*[F.lit(int(t)) for t in tenths])
+    return (
+        base.select(
+            F.col("_w.start").cast("long").alias("window_start_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_m").cast("long").alias("n_sample"),
+            "_sv",
+            "_m",
+            F.explode(ts_arr).alias("t"),
+        )
+        .select(
+            "window_start_s",
+            "n_events",
+            "n_sample",
+            (F.col("t") / 10.0).alias("q"),
+            F.when(
+                F.col("_m") > 0,
+                F.expr(
+                    "element_at(_sv, cast(greatest(1L, "
+                    "(t * _m + 9) div 10) as int))"
+                ),
+            ).alias("est"),
+        )
     )

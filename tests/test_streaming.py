@@ -1151,3 +1151,83 @@ def test_windowed_ks_sample_streaming_matches_batch(spark, tmp_path):
     assert expected.items() <= got.items()
     for k in set(got) - set(expected):
         assert k + 7 * 86400 >= wm_s, k
+
+
+def test_windowed_quantile_sample_streaming_matches_batch(spark, tmp_path):
+    """The windowed decile monitor shares the sample-sketch aggregation
+    with windowed_ks_sample; every watermark-closed window's 9 decile
+    rows must match the batch run exactly, and a window where no row
+    survives the cap emits NULL estimates (not an error)."""
+    from datalakeingestion_spark.streaming.drift import (
+        windowed_quantile_sample,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("value").isNotNull()
+    )
+    src = str(tmp_path / "wq_src")
+    events.coalesce(1).write.parquet(src)
+
+    batch = {
+        (r["window_start_s"], r["q"]): (
+            r["n_events"],
+            r["n_sample"],
+            r["est"],
+        )
+        for r in windowed_quantile_sample(
+            events, "value", "ts", "event_id", k=64, hash_cap=1 << 58
+        ).collect()
+    }
+    assert len(batch) >= 27  # >= 3 windows x 9 deciles
+    # deciles are monotone within a window
+    by_w = {}
+    for (w, q), (_, _, est) in batch.items():
+        by_w.setdefault(w, []).append((q, est))
+    for w, qs in by_w.items():
+        ests = [e for _, e in sorted(qs)]
+        assert ests == sorted(ests), (w, ests)
+
+    max_s = events.agg(F.max(F.col("ts").cast("long")).alias("m")).first()[
+        "m"
+    ]
+    wm_s = max_s - 3600
+    expected = {
+        kq: v for kq, v in batch.items() if kq[0] + 7 * 86400 < wm_s
+    }
+    assert expected and len(expected) < len(batch)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_quantile_sample(
+        stream.withWatermark("ts", "1 hour"),
+        "value",
+        "ts",
+        "event_id",
+        k=64,
+        hash_cap=1 << 58,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wq_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start_s"], r["q"]): (
+            r["n_events"],
+            r["n_sample"],
+            r["est"],
+        )
+        for r in spark.sql("SELECT * FROM wq_out").collect()
+    }
+    assert expected.items() <= got.items()
+    for kq in set(got) - set(expected):
+        assert kq[0] + 7 * 86400 >= wm_s, kq
+
+    # m = 0: everything over the cap -> NULL estimates, n_events intact
+    zero = windowed_quantile_sample(
+        events, "value", "ts", "event_id", k=64, hash_cap=1
+    ).collect()
+    assert all(r["est"] is None and r["n_sample"] == 0 for r in zero)
+    assert all(r["n_events"] > 0 for r in zero)
