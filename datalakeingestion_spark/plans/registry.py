@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ks_drift_sampled",
     "price_quantiles_sketched",
     "event_value_quantiles_windowed",
+    "weekly_active_users_sampled",
     "f3_predicate_string_filter",
     "f5_key_lookup",
     "c3_parse_truncate",
@@ -113,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_topk",
     "text_length_filter_percentile",
     "doc_fingerprint",
-    "multimodal_feature_extract",
 )
 
 

@@ -238,3 +238,44 @@ def event_value_quantiles_windowed(
     return windowed_quantile_sample(
         ev, "value", "ts", "event_id", k=_K, hash_cap=_CAP
     )
+
+
+_WAU_ORACLE = f"""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events WHERE user_id IS NOT NULL),
+    wc AS (SELECT wk, COUNT(*) AS n_events FROM pts GROUP BY 1),
+    surv AS (SELECT wk, COUNT(DISTINCT h) AS c
+             FROM pts WHERE h < {_CAP} GROUP BY 1)
+    SELECT (wc.wk * 604800)::BIGINT AS window_start_s,
+           wc.n_events::BIGINT AS n_events,
+           COALESCE(surv.c, 0)::BIGINT AS n_under_cap,
+           round(COALESCE(surv.c, 0) * {float((1 << 60) / _CAP)}, 4)
+             AS est_distinct
+    FROM wc LEFT JOIN surv ON surv.wk = wc.wk
+"""
+
+
+@register(
+    "weekly_active_users_sampled",
+    oracle=_WAU_ORACLE,
+    doc="Per-epoch-week distinct-user ESTIMATE with bounded streaming "
+    "state (streaming/drift.py::windowed_distinct_sample): keep only "
+    "the distinct user-id hashes under a fixed threshold (Gibbons "
+    "distinct sampling / fixed-theta KMV), estimate D = survivors x "
+    "2^60/cap — relative error ~1/sqrt(survivors), state bounded by "
+    "the cap knob where exact windowed count-distinct is unbounded. "
+    "Same one-stateful-aggregation shape as the sample monitors; "
+    "identical code runs on a watermarked stream.",
+)
+def weekly_active_users_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.drift import windowed_distinct_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_distinct_sample(
+        ev, "user_id", "ts", hash_cap=_CAP
+    )

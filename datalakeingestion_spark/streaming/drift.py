@@ -430,3 +430,55 @@ def windowed_quantile_sample(
             ).alias("est"),
         )
     )
+
+
+def windowed_distinct_sample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    hash_cap: int = 1 << 55,
+    window: str = "7 days",
+) -> DataFrame:
+    """Per-time-window DISTINCT-COUNT estimate with BOUNDED streaming
+    state — the live daily/weekly-active-users monitor. Exact windowed
+    count-distinct needs per-window state proportional to the distinct
+    count (unbounded on a 100 TB stream); this keeps only the distinct
+    key hashes UNDER a fixed threshold (Gibbons' distinct sampling /
+    fixed-θ KMV): E[survivors] = D·cap/2^60, so the estimator
+    D̂ = |survivors| · 2^60/cap is unbiased with relative error
+    ~1/sqrt(survivors) — the cap is the state/accuracy knob, exactly
+    like the sample monitors' ``hash_cap``.
+
+    Same streaming-legal shape as the other monitors: ONE
+    ``groupBy(window)`` whose ``collect_set`` dedups the surviving
+    hashes (set size is the bounded state), a stateless arithmetic
+    tail, identical code batch and stream. Deterministic and
+    ANSI-reproducible (md5-prefix hash), so the batch twin is
+    hash-checkable against DuckDB.
+
+    Output: (window_start_s, n_events, n_under_cap, est_distinct) with
+    est_distinct = n_under_cap · 2^60/cap, 4-dp rounded. Exact-twin
+    error is pinned in pytest (the oracle replicates the ESTIMATOR;
+    the test replicates the TRUTH).
+    """
+    from ..functions.hashing import portable_hash60
+
+    if not 0 < int(hash_cap) <= 1 << 60:
+        raise ValueError("hash_cap must be in (0, 2^60]")
+    h = portable_hash60(F.col(key_col).cast("string"))
+    base = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_h", F.when(h < F.lit(int(hash_cap)), h))
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_set("_h").alias("_hs"),
+        )
+    )
+    scale = float((1 << 60) / int(hash_cap))
+    return base.select(
+        F.col("_w.start").cast("long").alias("window_start_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.size("_hs").cast("long").alias("n_under_cap"),
+        F.round(F.size("_hs") * F.lit(scale), 4).alias("est_distinct"),
+    )

@@ -1231,3 +1231,93 @@ def test_windowed_quantile_sample_streaming_matches_batch(spark, tmp_path):
     ).collect()
     assert all(r["est"] is None and r["n_sample"] == 0 for r in zero)
     assert all(r["n_events"] > 0 for r in zero)
+
+
+def test_windowed_distinct_sample_streaming_matches_batch(spark, tmp_path):
+    """Distinct-sampling monitor: watermark-closed windows agree exactly
+    with the batch run; the estimate sits within the ~1/sqrt(survivors)
+    band of the true windowed distinct count; state is the survivor set
+    (bounded by the cap), never the full distinct set."""
+    from datalakeingestion_spark.streaming.drift import (
+        windowed_distinct_sample,
+    )
+
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    src = str(tmp_path / "wds_src")
+    events.coalesce(1).write.parquet(src)
+
+    cap = 1 << 58
+    batch = {
+        r["window_start_s"]: (
+            r["n_events"],
+            r["n_under_cap"],
+            r["est_distinct"],
+        )
+        for r in windowed_distinct_sample(
+            events, "user_id", "ts", hash_cap=cap
+        ).collect()
+    }
+    assert len(batch) >= 3
+
+    # estimator accuracy vs the exact truth: within 4 sigma of the
+    # binomial band (deterministic fixture — no flake)
+    from datalakeingestion_spark.functions.buckets import epoch_bucket
+
+    exact = {
+        r["w"] * 604800: r["d"]
+        for r in events.groupBy(
+            epoch_bucket("ts", 604800).alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for w, (_, c, est) in batch.items():
+        assert c > 0, "cap too low for the fixture"
+        rel_sigma = 1.0 / (c ** 0.5)
+        assert abs(est - exact[w]) / exact[w] < 4 * rel_sigma, (
+            w,
+            est,
+            exact[w],
+        )
+
+    max_s = events.agg(F.max(F.col("ts").cast("long")).alias("m")).first()[
+        "m"
+    ]
+    wm_s = max_s - 3600
+    expected = {w: v for w, v in batch.items() if w + 7 * 86400 < wm_s}
+    assert expected and len(expected) < len(batch)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_distinct_sample(
+        stream.withWatermark("ts", "1 hour"),
+        "user_id",
+        "ts",
+        hash_cap=cap,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start_s"]: (
+            r["n_events"],
+            r["n_under_cap"],
+            r["est_distinct"],
+        )
+        for r in spark.sql("SELECT * FROM wds_out").collect()
+    }
+    assert expected.items() <= got.items()
+    for w in set(got) - set(expected):
+        assert w + 7 * 86400 >= wm_s, w
+
+    # invalid cap rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_cap"):
+        windowed_distinct_sample(events, "user_id", hash_cap=0)
