@@ -339,7 +339,116 @@ def main() -> None:
         probe_monitor_state_20m(spark, td)
         probe_dedup_1m(spark)
         probe_stored_vs_inline_1m(spark)
+        probe_quantiles_20m(spark)
+        probe_distinct_sample_20m(spark, td)
 
 
 if __name__ == "__main__":
     main()
+
+
+def probe_quantiles_20m(spark) -> None:
+    """exact_quantiles_by_key at 20M rows / 3 keys vs the window form
+    (percentile_disc shape), plus the sketch estimate and the windowed
+    distinct monitor — the round-7 operators' scale check."""
+    from pyspark.sql import Window
+
+    from datalakeingestion_spark.functions.hashing import portable_hash60
+    from datalakeingestion_spark.operators.quantiles import (
+        exact_quantiles_by_key,
+        sampled_quantiles_by_key,
+    )
+
+    n = 20_000_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            F.col("id").alias("rid"),
+            (F.abs(F.xxhash64("id")) % 100_000).cast("double").alias("v"),
+        )
+        .persist()
+    )
+    df.count()
+
+    t0 = time.time()
+    got = exact_quantiles_by_key(df, ["k"], "v")
+    n_exact = got.count()
+    t_exact = time.time() - t0
+
+    t0 = time.time()
+    h = portable_hash60(F.col("rid").cast("string"))
+    est = sampled_quantiles_by_key(df, ["k"], h, "v", k=256)
+    n_est = est.count()
+    t_est = time.time() - t0
+
+    # window reference: value at rank r via cume over a per-key sort —
+    # the single-task-per-key shape this operator exists to avoid
+    t0 = time.time()
+    w = Window.partitionBy("k").orderBy("v")
+    ref = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .groupBy("k")
+        .agg(F.max(F.when(F.col("_rn") == 1, F.col("v"))).alias("x"))
+    )
+    ref.count()
+    t_window = time.time() - t0
+
+    print(
+        f"quantiles20m n={n} keys=3: exact {n_exact} rows {t_exact:.1f}s, "
+        f"sketch {n_est} rows {t_est:.1f}s, per-key window sort "
+        f"{t_window:.1f}s (the shape avoided)"
+    )
+    spark.catalog.clearCache()
+
+
+def probe_distinct_sample_20m(spark, tmp_dir) -> None:
+    from datalakeingestion_spark.streaming.drift import (
+        windowed_distinct_sample,
+    )
+
+    n, weeks = 20_000_000, 60
+    src = os.path.join(tmp_dir, "wds20m")
+    events = spark.range(n).select(
+        (F.abs(F.xxhash64("id", F.lit(3))) % 2_000_000).alias("user_id"),
+        (
+            (F.col("id") % weeks) * 604800
+            + F.abs(F.xxhash64("id")) % 604800
+        )
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    events.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    cap = 1 << 52  # ~1/256 of the hash space -> ~few hundred survivors/wk
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = windowed_distinct_sample(
+        stream.withWatermark("ts", "1 hour"), "user_id", "ts", hash_cap=cap
+    )
+    t0 = time.time()
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds20m")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    dt = time.time() - t0
+    state_rows = max(
+        (
+            so["numRowsTotal"]
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ),
+        default=-1,
+    )
+    rows = spark.sql(
+        "SELECT min(n_under_cap) mn, max(n_under_cap) mx FROM wds20m"
+    ).first()
+    print(
+        f"distinct_sample20m: stream {dt:.1f}s, peak state rows "
+        f"{state_rows} (windows={weeks}), survivors/window "
+        f"{rows['mn']}-{rows['mx']}, cap=2^52"
+    )
+    spark.catalog.clearCache()
