@@ -53,6 +53,11 @@ def floor_div(col: Column | str, divisor: int) -> Column:
     hashes, snowflake ids) raise at runtime instead of returning a
     silently-off-by-one bucket — use ``div``-based math there, where
     truncation semantics are usually what those ids want anyway."""
+    if int(divisor) < 1:
+        # pmod's x - pmod(x,d) identity and the 2^53 bound both assume
+        # d >= 1; d=0 would otherwise surface as an ANSI divide-by-zero
+        # deep in execution and d<0 would silently return wrong buckets
+        raise ValueError(f"floor_div: divisor must be >= 1, got {divisor}")
     c = F.col(col) if isinstance(col, str) else col
     d = F.lit(int(divisor))
     exact = ((c - F.pmod(c, d)) / d).cast("long")

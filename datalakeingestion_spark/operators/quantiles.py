@@ -67,8 +67,13 @@ def exact_quantiles_by_key(
     spark = df.sparkSession
     from .packing import keyed_prefix_sum
 
+    # includes keyed_prefix_sum's internals (_pid/_local/_off) so the
+    # clash fails HERE with this operator's contract in the message, not
+    # deep inside the prefix-sum machinery
     _check_reserved(
-        list(key_cols), {"t", "q", "value", "_v", "_c", "_cum", "_n", "_r"}
+        list(key_cols),
+        {"t", "q", "value", "_v", "_c", "_cum", "_n", "_r",
+         "_pid", "_local", "_off"},
     )
     v = F.col(value_col)
     vc = (

@@ -55,11 +55,12 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01 + r02 + r04 + r05 + r06
-# (207 distinct queries externally green; this tuple leads with the 8
-# never-checked queries plus round-7's 2 new ones — external coverage
-# reaches 217/217 once they land green — followed by long-unchecked
-# green queries for re-validation, via tools/rotate_priority.py.
+# position. Checked-green history: CORRECTNESS_r01–r07 — r7 landed 50/50
+# (the 8 previously-never-checked queries + round-7's 4 new ones), so
+# every one of the 219 registered queries' LATEST external check is
+# green. The tuple leads with this round's new queries (never checked)
+# followed by the STALEST green checks (r1/r2/r4 vintage) for
+# re-validation, via tools/rotate_priority.py.
 # EXACTLY 50 entries: the driver checks positions 0-49 and
 # test_parity.py pins the tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (

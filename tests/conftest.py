@@ -24,11 +24,28 @@ FIXTURE_TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     from datalakeingestion_spark.session import get_spark
 
-    return get_spark(app_name="dli-tests", cpus=8)
+    # Point the session warehouse (saveAsTable targets) and Derby's
+    # system home at a per-session tmp dir: no test may depend on — or
+    # leave behind — checkout state (a stale spark-warehouse/ from an
+    # earlier run previously broke bucketed-table rebuilds with
+    # LOCATION_ALREADY_EXISTS). Static confs, so they must be set
+    # before the first session is built.
+    scratch = tmp_path_factory.mktemp("spark-scratch")
+    return get_spark(
+        app_name="dli-tests",
+        cpus=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(scratch / "warehouse"),
+            "spark.driver.extraJavaOptions": (
+                f"-Dderby.system.home={scratch / 'derby'}"
+                f" -Dderby.stream.error.file={scratch / 'derby' / 'derby.log'}"
+            ),
+        },
+    )
 
 
 def make_duck(sf_dir: str):
