@@ -61,7 +61,16 @@ def compact(
     unchanged. Without a log, all history goes stale (every snapshot
     raises) — the pre-existing documented behavior.
     """
+    from .delta_sink import is_delta_table, optimize_delta
     from .merge import _publish_swap, _recover_swap
+
+    if is_delta_table(spark, path):
+        # production path: OPTIMIZE compacts inside the transaction log —
+        # history survives, concurrent readers never see a half-swap
+        # (ingest/delta_sink.py; never taken in a package-less env)
+        n = spark.read.format("delta").load(path).count()
+        optimize_delta(spark, path)
+        return n
 
     # a compaction that crashed mid-swap left the lake in the .__old__
     # backup — restore it before reading (else the read fails outright)
@@ -157,6 +166,14 @@ def vacuum(
     import time as _time
 
     from pyspark.sql import functions as F  # noqa: F811
+
+    from .delta_sink import is_delta_table, vacuum_delta
+
+    if is_delta_table(spark, path):
+        # production path: Delta's own VACUUM (transaction-log-aware,
+        # same default retention); it does not report the deleted list
+        vacuum_delta(spark, path, retention_hours=retention_seconds / 3600)
+        return []
 
     jvm, fs, p = _fs(spark, path)
     if not fs.exists(p):

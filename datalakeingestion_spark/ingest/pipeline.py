@@ -156,6 +156,11 @@ class IncrementalIngestJob:
     # the SOURCE schema is validated before anything is written — additive
     # columns evolve the pinned contract, drops/type changes abort the run
     schema_registry: "SchemaRegistry | None" = None
+    # "parquet" (default): staged commit + log rollback, self-contained.
+    # "delta": the production ACID path — atomic append, RESTORE-based
+    # validation rollback, MERGE-maintained latest zone. Package-gated on
+    # delta-spark (ingest/delta_sink.py); raises loudly when absent.
+    sink_format: str = "parquet"
 
     def _delta_col(self) -> Column:
         if self.delta_expr_cols:
@@ -300,12 +305,21 @@ class IncrementalIngestJob:
         )
 
     def run(self) -> IngestResult:
+        if self.sink_format not in ("parquet", "delta"):
+            raise ValueError(f"unsupported sink_format {self.sink_format!r}")
         if self.schema_registry is not None:
             # fail BEFORE the watermark/staging machinery touches anything:
             # schema drift must not burn a STARTED log row per retry
             self.schema_registry.check_and_evolve(
                 self.ingestion_id, self.source.schema
             )
+        if self.sink_format == "delta":
+            from .delta_sink import require_delta
+
+            # loud before any log row burns: a misconfigured deployment
+            # must not leave STARTED orphans per retry
+            require_delta("IncrementalIngestJob(sink_format='delta')")
+            return self._run_delta()
         self._cleanup_orphans()
         start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
         staging = self._staging_dir(uuid.uuid4().hex)
@@ -424,6 +438,143 @@ class IncrementalIngestJob:
         )
         self._maintain_latest(written)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n, written)
+
+    def _run_delta(self) -> IngestResult:
+        """Delta-sink variant of :meth:`run` — same watermark/log/
+        validation contract, but the commit machinery collapses onto
+        Delta's transaction log:
+
+        - no staging dir / file moves / orphan cleanup — ``append_delta``
+          is atomic (a crash mid-write leaves NO visible commit);
+        - the LOADED row records the Delta commit VERSION instead of a
+          file list;
+        - validation rollback is ``RESTORE TO VERSION AS OF pre`` (or
+          dropping the table when this batch created it) instead of
+          deleting listed files;
+        - the latest zone is maintained by ``MERGE INTO`` over the
+          commit's change feed instead of a directory swap.
+
+        All Delta IO goes through module-level functions in
+        ``ingest.delta_sink`` so the orchestration (log-row ordering,
+        validation, watermark advancement) is testable by substituting
+        that seam — tests/test_delta_sink.py runs this method end-to-end
+        against a parquet-backed fake of the seam."""
+        from . import delta_sink as dsink
+
+        start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
+        self.log.append(
+            self.ingestion_id,
+            STATUS_STARTED,
+            start_value=start,
+            reason_code="delta-sink",
+        )
+
+        delta = self._delta_frame(start)
+        if self.partition_spec is not None:
+            delta = self.partition_spec.derive(delta)
+
+        mn, mx, n = self._bounds(delta)
+        if n == 0:
+            self.log.append(self.ingestion_id, STATUS_NO_DATA, start_value=start)
+            return IngestResult(STATUS_NO_DATA, start)
+
+        # same two-scan watermark cap as the parquet path (see run())
+        delta = delta.filter(self._delta_col() <= self._wm_lit(mx))
+        if self.delta_expr_cols:
+            n = delta.count()
+            if n == 0:
+                self.log.append(
+                    self.ingestion_id, STATUS_NO_DATA, start_value=start
+                )
+                return IngestResult(STATUS_NO_DATA, start)
+
+        target = self.target_location.rstrip("/")
+        pre = dsink.table_version(self.spark, target)  # None: first commit
+        dsink.append_delta(
+            delta,
+            target,
+            self.partition_spec.partition_column_name
+            if self.partition_spec is not None
+            else None,
+        )
+        post = dsink.table_version(self.spark, target)
+        self.log.append(
+            self.ingestion_id,
+            STATUS_LOADED,
+            start_value=mn,
+            end_value=mx,
+            source_count=n,
+            reason_code=json.dumps({"delta_commit": post}),
+        )
+
+        if self.delta_expr_cols:
+            self.log.append(
+                self.ingestion_id,
+                STATUS_SUCCESS,
+                start_value=mn,
+                end_value=mx,
+                source_count=n,
+                reason_code="validation-skipped",
+            )
+            self._maintain_latest_delta(post)
+            return IngestResult(STATUS_SUCCESS, mn, mx, n)
+
+        lake = dsink.read_delta(self.spark, target)
+        target_n = lake.filter(
+            (F.col(self.delta_field) >= self._wm_lit(start))
+            & (F.col(self.delta_field) <= self._wm_lit(mx))
+        ).count()
+        if target_n != n:
+            if pre is None:
+                _delete_dir(self.spark, target)  # batch created the table
+            else:
+                dsink.restore_version(self.spark, target, pre)
+            self.log.append(
+                self.ingestion_id,
+                STATUS_VALIDATION_FAILURE,
+                start_value=mn,
+                end_value=mx,
+                source_count=n,
+                target_count=target_n,
+                reason_code="count-mismatch-restored",
+            )
+            return IngestResult(
+                STATUS_VALIDATION_FAILURE, mn, mx, n, target_n
+            )
+        self.log.append(
+            self.ingestion_id,
+            STATUS_SUCCESS,
+            start_value=mn,
+            end_value=mx,
+            source_count=n,
+            target_count=target_n,
+        )
+        self._maintain_latest_delta(post)
+        return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n)
+
+    def _maintain_latest_delta(self, commit_version: int) -> None:
+        """Delta-path latest zone: MERGE the committed batch (re-read from
+        the table's change feed, never the lazy source frame — same
+        live-source argument as :meth:`_maintain_latest`) into
+        ``{target}__latest``."""
+        if not self.maintain_latest:
+            return
+        if not self.primary_key:
+            raise ValueError("maintain_latest requires a primary_key")
+        from . import delta_sink as dsink
+
+        target = self.target_location.rstrip("/")
+        batch = dsink.read_changes_delta(
+            self.spark, target, commit_version - 1
+        ).drop("_change_type", "_commit_version", "_commit_timestamp")
+        dsink.merge_latest_delta(
+            self.spark,
+            target + "__latest",
+            batch,
+            list(self.primary_key),
+            self._latest_order_col(),
+            list(self.latest_tie_breaks),
+        )
 
     def run_windows(self, until: str, window_hours: int = 24) -> list[IngestResult]:
         """Voluminous-table mode: pull in serial time windows until caught

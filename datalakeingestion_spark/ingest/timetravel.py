@@ -190,7 +190,16 @@ def read_version(
 
     ``base_path`` is the lake root; it restores Hive partition columns
     (``ts_part=...`` directory names) on the explicit-file read.
-    """
+
+    When ``base_path`` is a Delta table (delta-spark installed and the
+    lake written with sink_format="delta"), the read delegates to
+    Delta's own time travel — versions are then DELTA commit versions,
+    which survive compaction (OPTIMIZE) where the log-based snapshots
+    cannot."""
+    from .delta_sink import is_delta_table, read_delta
+
+    if is_delta_table(spark, base_path):
+        return read_delta(spark, base_path, version=version)
     files = _snapshot_files(spark, log, ingestion_id, version=version)
     return spark.read.option("basePath", base_path).parquet(*files)
 
@@ -210,6 +219,11 @@ def read_changes(
     ``since_version=last`` to get exactly the new rows, each tagged with
     a ``_commit_version`` column.
 
+    Delta delegation: when ``base_path`` is a Delta table and
+    ``since_version`` is given, returns Delta's change data feed from
+    version ``since_version + 1`` (the CDF also carries update/delete
+    rows from MERGE, which this append-only feed cannot express).
+
     With neither ``since_version`` nor ``after``, every live commit's rows
     are returned (a full CDF replay — from the latest compaction
     re-baseline onward, since that commit's list IS the full table). An
@@ -223,6 +237,10 @@ def read_changes(
     append-only lake means every change is an INSERT; update/delete
     feeds only exist under the latest-zone MERGE (Delta CDF territory).
     """
+    from .delta_sink import is_delta_table, read_changes_delta
+
+    if since_version is not None and is_delta_table(spark, base_path):
+        return read_changes_delta(spark, base_path, since_version)
     hist = history(log, ingestion_id)
     incremental = since_version is not None or after is not None
     if since_version is not None:
@@ -307,10 +325,17 @@ def read_as_of(
     base_path: str,
 ) -> DataFrame:
     """The lake as of wall-clock instant ``as_of`` (inclusive of any commit
-    whose SUCCESS row landed at or before it)."""
+    whose SUCCESS row landed at or before it). Delegates to Delta's
+    ``timestampAsOf`` when ``base_path`` is a Delta table."""
+    from .delta_sink import is_delta_table, read_delta
+
     if isinstance(as_of, str):
         fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in as_of else "%Y-%m-%d %H:%M:%S"
         as_of = datetime.strptime(as_of, fmt)
+    if is_delta_table(spark, base_path):
+        return read_delta(
+            spark, base_path, as_of=as_of.strftime("%Y-%m-%d %H:%M:%S.%f")
+        )
     files = _snapshot_files(spark, log, ingestion_id, as_of=as_of)
     return spark.read.option("basePath", base_path).parquet(*files)
 

@@ -161,13 +161,16 @@ def a4_count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS session_id
           FROM g)
     SELECT user_id,
-           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM s GROUP BY user_id
     """,
     doc="Sessionization: lag-gap (30 min) + running sum session ids — the "
     "batch twin of streaming session_window. Gap arithmetic in integral "
-    "epoch-microseconds on both engines for exactness.",
+    "epoch-microseconds on both engines for exactness. Session count is "
+    "max(session_id)+1, NOT count(distinct): running-sum ids are dense "
+    "from 0, so the max carries the distinct count without a distinct "
+    "aggregate — one Exchange total, agg reuses the window partitioning.",
 )
 def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -180,7 +183,7 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_session").over(run))
         .groupBy("user_id")
         .agg(
-            F.countDistinct("session_id").alias("n_sessions"),
+            (F.max("session_id") + F.lit(1)).cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

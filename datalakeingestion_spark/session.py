@@ -32,6 +32,8 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    from .ingest.delta_sink import DELTA_SESSION_CONFS, delta_available
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -45,6 +47,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if delta_available():
+        # production ACID sink (ingest/delta_sink.py): enable the Delta
+        # SQL extension + catalog when the package ships; a no-op here
+        for k, v in DELTA_SESSION_CONFS.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -43,7 +43,46 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
-def or_rewrite_between(cols: tuple[str, ...], lo: str, hi: str) -> str:
+@dataclass(frozen=True)
+class SqlDialect:
+    """Identifier-quoting + literal profile of the pushed query text.
+
+    The reference emits bare identifiers and ``'...'`` string literals
+    (ingest_mysql_data.py:250-267) — that is the BARE profile and the
+    default, so the pushed text is byte-identical to the reference's on
+    clean schemas. Real deployments need quoting the moment a column is
+    a reserved word (``order``, ``group`` — common in order-management
+    schemas): MYSQL backtick-quotes, ANSI double-quotes. Literals are
+    always single-quoted with embedded quotes doubled (both grammars),
+    which the reference never does — one less injection-shaped foot-gun
+    when watermark values come from a control table.
+    """
+
+    name: str
+    ident_quote: str = ""  # "" → bare identifiers (reference parity)
+
+    def ident(self, name: str) -> str:
+        """Quote a possibly dot-qualified identifier part by part
+        (``db.table`` → ``{q}db{q}.{q}table{q}``)."""
+        if not self.ident_quote:
+            return name
+        q = self.ident_quote
+        return ".".join(
+            f"{q}{part.replace(q, q + q)}{q}" for part in name.split(".")
+        )
+
+    def literal(self, value: str) -> str:
+        return "'" + str(value).replace("'", "''") + "'"
+
+
+BARE = SqlDialect("bare")  # reference-parity text (unquoted identifiers)
+MYSQL = SqlDialect("mysql", "`")  # MySQL backtick quoting
+ANSI = SqlDialect("ansi", '"')  # ANSI/Derby/DuckDB double-quote quoting
+
+
+def or_rewrite_between(
+    cols: tuple[str, ...], lo: str, hi: str, dialect: SqlDialect = BARE
+) -> str:
     """coalesce(a,b,...) BETWEEN lo AND hi → (a BETWEEN ... OR b BETWEEN ...).
 
     Over-selects (a row where a is outside but b inside and a non-null
@@ -51,7 +90,8 @@ def or_rewrite_between(cols: tuple[str, ...], lo: str, hi: str) -> str:
     after the scan. The rewrite exists so the source database can use
     per-column indexes (reference: ingest_mysql_data.py:256-262).
     """
-    clauses = [f"{c} BETWEEN '{lo}' AND '{hi}'" for c in cols]
+    lo_l, hi_l = dialect.literal(lo), dialect.literal(hi)
+    clauses = [f"{dialect.ident(c)} BETWEEN {lo_l} AND {hi_l}" for c in cols]
     return "(" + " OR ".join(clauses) + ")"
 
 
@@ -69,20 +109,30 @@ class JdbcIncrementalSource:
     lower_bound: str | None = None
     upper_bound: str | None = None
     num_partitions: int | None = None
+    # quoting/literal profile of the generated text; BARE (default) is
+    # byte-identical to the reference's, MYSQL adds backtick quoting
+    dialect: SqlDialect = BARE
 
     def projection(self) -> str:
-        return ", ".join(self.columns) if self.columns else "*"
+        if not self.columns:
+            return "*"
+        return ", ".join(self.dialect.ident(c) for c in self.columns)
 
     def delta_query(self, start: str, end: str | None = None) -> str:
         """The pushed-down incremental query text (reference
         ingest_mysql_data.py:250-267,306-318)."""
+        d = self.dialect
+        delta = d.ident(self.delta_field)
         if self.delta_expr_cols and end is not None:
-            pred = or_rewrite_between(self.delta_expr_cols, start, end)
+            pred = or_rewrite_between(self.delta_expr_cols, start, end, d)
         elif end is not None:
-            pred = f"{self.delta_field} BETWEEN '{start}' AND '{end}'"
+            pred = f"{delta} BETWEEN {d.literal(start)} AND {d.literal(end)}"
         else:
-            pred = f"{self.delta_field} >= '{start}'"
-        return f"SELECT {self.projection()} FROM {self.table} WHERE {pred}"
+            pred = f"{delta} >= {d.literal(start)}"
+        return (
+            f"SELECT {self.projection()} FROM {d.ident(self.table)} "
+            f"WHERE {pred}"
+        )
 
     def reader_options(self, start: str, end: str | None = None) -> dict[str, str]:
         opts = {

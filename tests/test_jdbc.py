@@ -7,6 +7,9 @@ from __future__ import annotations
 import pytest
 
 from datalakeingestion_spark.sources.jdbc import (
+    ANSI,
+    BARE,
+    MYSQL,
     JdbcIncrementalSource,
     or_rewrite_between,
 )
@@ -77,6 +80,85 @@ def test_partitioned_read_options():
 def test_partitioned_read_requires_bounds():
     with pytest.raises(ValueError, match="requires"):
         _src(partition_column="id").reader_options("1")
+
+
+# ---------------------------------------------------------------------------
+# Dialect profiles — codegen parity with the reference's only real source
+# (MySQL, ingest_mysql_data.py:250-267). No live MySQL ships here; these
+# pin the generated TEXT under each quoting/literal profile (the same way
+# the BARE golden strings are pinned against the MySQL-8 lexical subset),
+# and the ANSI profile additionally EXECUTES on DuckDB's grammar below.
+# ---------------------------------------------------------------------------
+
+
+def test_mysql_dialect_backtick_quoting():
+    q = _src(dialect=MYSQL).delta_query("2024-01-01 00:00:00")
+    assert q == (
+        "SELECT `id`, `created_datetime`, `status` "
+        "FROM `lendingstream`.`application` "
+        "WHERE `created_datetime` >= '2024-01-01 00:00:00'"
+    )
+
+
+def test_mysql_dialect_windowed_and_or_rewrite():
+    q = _src(
+        dialect=MYSQL,
+        delta_expr_cols=("modified_datetime", "created_datetime"),
+    ).delta_query("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert q == (
+        "SELECT `id`, `created_datetime`, `status` "
+        "FROM `lendingstream`.`application` "
+        "WHERE (`modified_datetime` BETWEEN '2024-01-01 00:00:00' AND "
+        "'2024-01-02 00:00:00' OR `created_datetime` BETWEEN "
+        "'2024-01-01 00:00:00' AND '2024-01-02 00:00:00')"
+    )
+
+
+def test_mysql_dialect_reserved_word_column_is_usable():
+    # the whole point of quoting: a column named `order` (reserved) works
+    q = _src(dialect=MYSQL, columns=("id", "order")).delta_query("1")
+    assert "SELECT `id`, `order` FROM" in q
+
+
+def test_dialect_literal_escaping_everywhere():
+    # watermark values come from a control table; an embedded quote must
+    # never break (or widen!) the predicate — both profiles double it
+    for d in (BARE, MYSQL, ANSI):
+        assert d.literal("o'clock") == "'o''clock'"
+    q = _src().delta_query("2024-01-01 00:00:00' OR '1'='1")
+    assert ">= '2024-01-01 00:00:00'' OR ''1''=''1'" in q
+
+
+def test_mysql_dialect_ident_escapes_embedded_backtick():
+    assert MYSQL.ident("we`ird") == "`we``ird`"
+    assert ANSI.ident('we"ird') == '"we""ird"'
+
+
+def test_bare_dialect_is_reference_parity():
+    # BARE is the default and must keep emitting the reference's exact
+    # text shape — the golden strings above already pin this; double-check
+    # the dialect plumbing didn't alter the default path
+    assert _src().delta_query("1") == _src(dialect=BARE).delta_query("1")
+
+
+def test_ansi_dialect_executes_on_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        'CREATE SCHEMA lendingstream; CREATE TABLE lendingstream.application '
+        '(id INT, created_datetime TIMESTAMP, status VARCHAR, "order" INT)'
+    )
+    con.execute(
+        "INSERT INTO lendingstream.application VALUES "
+        "(1, TIMESTAMP '2024-01-02 00:00:00', 'a', 7), "
+        "(2, TIMESTAMP '2023-12-31 00:00:00', 'b', 8)"
+    )
+    q = _src(dialect=ANSI, columns=("id", "status", "order")).delta_query(
+        "2024-01-01 00:00:00"
+    )
+    rows = con.execute(q).fetchall()
+    assert rows == [(1, "a", 7)]
 
 
 # ---------------------------------------------------------------------------

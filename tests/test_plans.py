@@ -83,6 +83,20 @@ def test_w1_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) WindowGroupLimit\b", plan)) == 2, plan
 
 
+def test_w3_single_shuffle_no_distinct_expand(spark):
+    import re
+
+    plan = formatted_plan(run(spark, "w3_sessionize"))
+    # sessionize = ONE exchange (hash on user_id); both windows and the
+    # per-user aggregate reuse that partitioning. The session count is
+    # max(session_id)+1, so no distinct aggregate (no Expand, no second
+    # shuffle) may ever appear — the r5→r7 creep watch item.
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
 def test_dedup_queries_avoid_cartesian(spark):
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"):
         plan = formatted_plan(run(spark, name))
