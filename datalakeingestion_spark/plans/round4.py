@@ -507,80 +507,86 @@ def conversion_attribution_last_touch(
     oracle="""
     WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c
                FROM documents GROUP BY 1, 2),
-    vals AS (SELECT DISTINCT v FROM h),
-    srcs AS (SELECT source, SUM(c) AS n_s FROM h GROUP BY source),
-    grid AS (SELECT s.source, s.n_s, vals.v, COALESCE(hh.c, 0) AS c
-             FROM srcs s CROSS JOIN vals
-             LEFT JOIN h hh ON hh.source = s.source AND hh.v = vals.v),
-    cum AS (SELECT source, n_s, v,
-                   SUM(c) OVER (PARTITION BY source ORDER BY v
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum
-            FROM grid),
-    gh AS (SELECT v, SUM(c) AS c FROM h GROUP BY v),
-    gcum AS (SELECT v, SUM(c) OVER (ORDER BY v
+    scum AS (SELECT source, v, c,
+                    SUM(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS scum
+             FROM h),
+    gh AS (SELECT v, SUM(c) AS gc FROM h GROUP BY v),
+    gcum AS (SELECT v, gc, SUM(gc) OVER (ORDER BY v
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS gcum
              FROM gh),
+    ns AS (SELECT source, SUM(c) AS n_s FROM h GROUP BY source),
     n AS (SELECT SUM(c)::DOUBLE AS n_tot FROM h)
-    SELECT cum.source,
-           MAX(cum.n_s)::BIGINT AS n_docs,
-           MAX(round(abs(cum.cum / cum.n_s::DOUBLE
-                         - gcum.gcum / n.n_tot), 6)) AS ks_distance
-    FROM cum JOIN gcum USING (v) CROSS JOIN n
-    GROUP BY cum.source
+    SELECT s.source,
+           MAX(ns.n_s)::BIGINT AS n_docs,
+           MAX(round(GREATEST(
+               abs(s.scum / ns.n_s::DOUBLE - g.gcum / n.n_tot),
+               abs((s.scum - s.c) / ns.n_s::DOUBLE
+                   - (g.gcum - g.gc) / n.n_tot)
+           ), 6)) AS ks_distance
+    FROM scum s
+    JOIN gcum g USING (v)
+    JOIN ns USING (source)
+    CROSS JOIN n
+    GROUP BY s.source
     """,
     doc="EXACT two-sample Kolmogorov-Smirnov distance of each source's "
     "doc-length distribution vs the whole corpus — the distribution-"
-    "drift screen that PSI's fixed binning smooths over. Computed on "
-    "the VALUE DOMAIN, never by sorting rows: per-(source, value) "
-    "counts, cumulative windows over distinct values (|domain| rows "
-    "per source), and the sup over the union grid. The grid is "
-    "|sources| x |domain| — metadata-sized at any corpus scale. CDF "
+    "drift screen that PSI's fixed binning smooths over. Every "
+    "source's points are a SUBSET of the corpus's, so the sup is "
+    "attained at the source's own observed values, checked at each "
+    "jump (inclusive CDFs) and just before it (exclusive CDFs) — the "
+    "same subset trick as ks_drift_time_sliced. O(n) rows end to end: "
+    "two keyed prefix sums + one equi-join on value, NO |sources| x "
+    "|domain| grid (the r4 form's cross join was data-sized on a "
+    "continuous domain). Both cumsums run through keyed_prefix_sum, "
+    "never a per-source window (one source = one task at scale). CDF "
     "ratios divide exact bigints; the sup takes MAX of 6-dp-rounded "
     "identical doubles.",
 )
 def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import keyed_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     h = docs.groupBy(
         "source", F.col("n_chars").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
     # Intentional session-lifetime persist (lazy result; LRU-evictable)
-    # — see dedup.lsh_candidate_report for the policy.
+    # — see dedup.lsh_candidate_report for the policy. h feeds both
+    # prefix sums and both size frames.
     h = h.persist()
-    vals = h.select("v").distinct()
-    srcs = h.groupBy("source").agg(F.sum("c").alias("n_s"))
-    grid = (
-        srcs.crossJoin(vals)
-        .join(h, ["source", "v"], "left")
-        .select(
-            "source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c")
-        )
-    )
-    wsrc = Window.partitionBy("source").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = grid.withColumn("cum", F.sum("c").over(wsrc))
-    gh = h.groupBy("v").agg(F.sum("c").alias("c"))
-    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    gcum = gh.withColumn("gcum", F.sum("c").over(wg)).select("v", "gcum")
+    scum = keyed_prefix_sum(h, ["source"], ["v"], "c", out_col="scum")
+    gh = h.groupBy("v").agg(F.sum("c").alias("gc"))
+    # corpus-wide cumsum: constant key → range-bucketed two-pass form,
+    # never a single-task global window
+    gcum = keyed_prefix_sum(
+        gh.withColumn("g", F.lit(0)), ["g"], ["v"], "gc", out_col="gcum"
+    ).drop("g")
+    ns = h.groupBy("source").agg(F.sum("c").alias("n_s"))
     n_tot = h.agg(F.sum("c").cast("double").alias("n_tot"))
-    return (
-        cum.join(gcum, "v")
-        .crossJoin(n_tot)
-        .groupBy("source")
-        .agg(
-            F.max("n_s").cast("long").alias("n_docs"),
-            F.max(
-                F.round(
-                    F.abs(
-                        F.col("cum") / F.col("n_s").cast("double")
-                        - F.col("gcum") / F.col("n_tot")
-                    ),
-                    6,
-                )
-            ).alias("ks_distance"),
-        )
+    j = (
+        scum.join(gcum.select("v", "gc", "gcum"), "v")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    d = F.round(
+        F.greatest(
+            F.abs(
+                F.col("scum") / F.col("n_s").cast("double")
+                - F.col("gcum") / F.col("n_tot")
+            ),
+            F.abs(
+                (F.col("scum") - F.col("c")) / F.col("n_s").cast("double")
+                - (F.col("gcum") - F.col("gc")) / F.col("n_tot")
+            ),
+        ),
+        6,
+    )
+    return j.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_docs"),
+        F.max(d).alias("ks_distance"),
     )
 
 
