@@ -223,6 +223,125 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_salvaged(
+    sig: DataFrame, max_bucket: int, salt_target: int | None = None
+) -> DataFrame:
+    """Hot-band SALVAGE — the opt-in alternative to the flood cap's
+    drop. Where ``lsh_candidate_pairs(max_bucket=...)`` excludes
+    over-full band buckets outright (bounded cost, recall lost inside
+    the flood), this keeps them at bounded cost:
+
+    - band buckets with ≤ ``max_bucket`` docs pair exhaustively as
+      before;
+    - a HOT bucket (size s > max_bucket) is split into
+      ``ceil(s / salt_target)`` deterministic salt groups
+      (md5-portable hash of doc_id, so the split is reproducible and
+      ANSI-expressible), pairs are generated WITHIN each salt group,
+      and the groups are CHAINED through their min-doc representatives
+      (rep of salt g pairs with rep of salt g+1).
+
+    Cost: a hot bucket costs ~(s/salt_target)·C(salt_target, 2) + s/
+    salt_target chain pairs — LINEAR in s instead of C(s, 2), and no
+    single task ever holds more than ~salt_target docs of one bucket
+    (the same per-task bound salting gives skewed joins,
+    operators/skew.py). Recall: pairwise recall inside a hot bucket is
+    partial BY DESIGN (within-group ∪ chain), but every doc of a true
+    near-identical flood stays connected through its group and the rep
+    chain, so the CLUSTER a downstream connected-components resolution
+    sees is intact — verified pairs still pass the exact Jaccard gate
+    individually, so a poisoned bucket (unrelated docs colliding)
+    chains only where docs genuinely match. The planted-adversarial
+    test (tests/test_dedup.py) pins: one component under salvage,
+    shattered under drop, candidates a fraction of the uncapped count.
+    """
+    from pyspark.sql.window import Window
+
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
+    salt_target = int(salt_target or max_bucket)
+    if salt_target < 2:
+        raise ValueError("salt_target must be >= 2")
+    bands = _lsh_bands(sig)
+    bw = Window.partitionBy("band_id", "band_sig")
+    # five consumers reference this subtree (both sides of the cold and
+    # hot self-joins + the rep chain) — persist so the band explode and
+    # the sizing window run once, not five times (same session-lifetime
+    # persist policy as minhash_near_duplicates' shingle/sig tables)
+    sized = bands.withColumn("_bsz", F.count(F.lit(1)).over(bw)).persist()
+
+    def _self_pairs(side: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = side.alias("b1"), side.alias("b2")
+        cond = F.col("b1.doc_id") < F.col("b2.doc_id")
+        for k in keys:
+            cond = cond & (F.col(f"b1.{k}") == F.col(f"b2.{k}"))
+        return a.join(b, cond).select(
+            F.col("b1.doc_id").alias("doc_id_a"),
+            F.col("b2.doc_id").alias("doc_id_b"),
+        )
+
+    cold = sized.filter(F.col("_bsz") <= max_bucket).select(
+        "doc_id", "band_id", "band_sig"
+    )
+    cold_pairs = _self_pairs(cold, ["band_id", "band_sig"])
+
+    hot = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .withColumn(
+            # INTEGER ceil — float ceil(s/t) misranks at exact multiples
+            # (the 0.3*10 → 3.0000000000000004 class of bug); div on
+            # positives is floor, so (s + t - 1) div t is exact
+            "_nsalt",
+            F.expr(f"(_bsz + {salt_target} - 1) div {salt_target}"),
+        )
+        .withColumn(
+            "_salt",
+            F.pmod(
+                portable_hash60(F.col("doc_id").cast("string")),
+                F.col("_nsalt"),
+            ),
+        )
+        .select("doc_id", "band_id", "band_sig", "_salt")
+    )
+    within = _self_pairs(hot, ["band_id", "band_sig", "_salt"])
+    # chain the salt groups: one representative per group, consecutive
+    # reps pair up — ≤ s/salt_target rows per bucket, so the per-bucket
+    # window is metadata-sized even for a monster flood
+    reps = hot.groupBy("band_id", "band_sig", "_salt").agg(
+        F.min("doc_id").alias("_rep")
+    )
+    rw = Window.partitionBy("band_id", "band_sig").orderBy("_salt")
+    chain = (
+        reps.withColumn("_prev", F.lag("_rep").over(rw))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "_rep").alias("doc_id_a"),
+            F.greatest("_prev", "_rep").alias("doc_id_b"),
+        )
+    )
+    return (
+        cold_pairs.unionByName(within).unionByName(chain).distinct()
+    )
+
+
+def minhash_near_duplicates_salvaged(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    salt_target: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the hot-band salvage path (see
+    :func:`lsh_candidate_pairs_salvaged`): flood buckets are salted and
+    chained instead of dropped, every surviving pair exact-Jaccard
+    verified as usual."""
+    shingles = _shingle_table(docs, text_col, id_col, n).persist()
+    sig = _signatures_from_shingles(shingles).persist()
+    pairs = lsh_candidate_pairs_salvaged(sig, max_bucket, salt_target)
+    return _jaccard_verify(pairs, shingles, threshold)
+
+
 def _jaccard_verify(
     pairs: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:

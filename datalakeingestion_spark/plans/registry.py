@@ -165,6 +165,7 @@ def _ensure_loaded() -> None:
         round5,
         round6,
         round7,
+        round8,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -1,0 +1,121 @@
+"""Round-8 plans: hot-band LSH salvage.
+
+``dedup_minhash_lsh``'s flood cap (``max_bucket``) bounds a hot band
+bucket's cost by DROPPING it — recall inside the flood is lost. The
+salvage path (``operators/dedup.py::lsh_candidate_pairs_salvaged``)
+keeps the bound AND the flood's cluster: the hot bucket splits into
+deterministic md5-salt groups of ~``salt_target`` docs, pairs generate
+within groups, and the groups chain through their min-doc
+representatives — linear in bucket size instead of quadratic, every
+pair still exact-Jaccard verified.
+
+The oracle replicates the salting byte-for-byte (md5-prefix hash,
+integer-ceil group count, window LAG chain), so the probabilistic-
+looking stage compares deterministically, like every other dedup
+oracle. At the fixture scale the size-3 band buckets exceed
+``max_bucket=2`` and exercise the hot path end to end; the adversarial
+flood behavior (one component retained, cost a fraction of uncapped)
+is pinned in tests/test_dedup.py.
+
+Reference pendant: none — greenfield scale operator (SURVEY.md §2
+beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as dd
+from ..sources.fixtures import load_table
+from .llm import _h32_sql, _h60_sql, _shingles_sql
+from .registry import register
+
+_MAX_BUCKET = 2
+_SALT_TARGET = 2
+_THRESHOLD = 0.5
+
+
+def _salvaged_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+    )
+    band_rows = []
+    for j in range(dd.LSH_BANDS):
+        cols = [f"mh{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
+        sig = " || ',' || ".join(cols)
+        band_rows.append(
+            f"SELECT doc_id, {j} AS band_id, {sig} AS band_sig FROM sig"
+        )
+    bands = "\n         UNION ALL ".join(band_rows)
+    mb, st = _MAX_BUCKET, _SALT_TARGET
+    return f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+                FROM documents),
+    th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins}
+            FROM th GROUP BY doc_id),
+    bands AS ({bands}),
+    bsz AS (SELECT band_id, band_sig, COUNT(*) AS bs
+            FROM bands GROUP BY 1, 2),
+    bb AS (SELECT b.doc_id, b.band_id, b.band_sig, z.bs
+           FROM bands b JOIN bsz z USING (band_id, band_sig)),
+    cold AS (SELECT doc_id, band_id, band_sig FROM bb WHERE bs <= {mb}),
+    coldp AS (SELECT b1.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
+              FROM cold b1 JOIN cold b2
+                ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+               AND b1.doc_id < b2.doc_id),
+    hot AS (SELECT doc_id, band_id, band_sig,
+                   {_h60_sql('CAST(doc_id AS VARCHAR)')}
+                     % ((bs + {st} - 1) // {st}) AS salt
+            FROM bb WHERE bs > {mb}),
+    withinp AS (SELECT b1.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
+                FROM hot b1 JOIN hot b2
+                  ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+                 AND b1.salt = b2.salt AND b1.doc_id < b2.doc_id),
+    reps AS (SELECT band_id, band_sig, salt, MIN(doc_id) AS rep
+             FROM hot GROUP BY 1, 2, 3),
+    lagged AS (SELECT rep, LAG(rep) OVER (
+                   PARTITION BY band_id, band_sig ORDER BY salt) AS prev
+               FROM reps),
+    chain AS (SELECT LEAST(prev, rep) AS doc_id_a,
+                     GREATEST(prev, rep) AS doc_id_b
+              FROM lagged WHERE prev IS NOT NULL),
+    cand AS (SELECT DISTINCT doc_id_a, doc_id_b FROM
+             (SELECT * FROM coldp UNION ALL
+              SELECT * FROM withinp UNION ALL
+              SELECT * FROM chain)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh t1 ON t1.doc_id = c.doc_id_a
+              JOIN sh t2 ON t2.doc_id = c.doc_id_b AND t2.s = t1.s
+              GROUP BY c.doc_id_a, c.doc_id_b)
+    SELECT inter.doc_id_a, inter.doc_id_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_id_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_id_b
+    WHERE round(i / (sa.sz + sb.sz - i), 6) >= {_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_lsh_salvaged",
+    oracle=_salvaged_oracle(),
+    doc="MinHash-LSH near-dup pairs with hot-band SALVAGE instead of the "
+    "flood cap's drop: over-full band buckets split into md5-salt groups "
+    "(pairs within groups + a min-doc representative chain), bounding a "
+    "hot bucket's cost LINEARLY in its size while keeping every true "
+    "flood one connected component for cluster resolution. The oracle "
+    "replicates the salting exactly (md5 hash, integer-ceil group count, "
+    "LAG chain), so the comparison is deterministic.",
+)
+def dedup_lsh_salvaged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates_salvaged(
+        docs,
+        threshold=_THRESHOLD,
+        max_bucket=_MAX_BUCKET,
+        salt_target=_SALT_TARGET,
+    )

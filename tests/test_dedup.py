@@ -413,6 +413,91 @@ def test_lsh_max_bucket_cap(spark):
     assert all(a >= 500 for a, _ in got), got
 
 
+def test_lsh_hot_band_salvage_retains_cluster_recall(spark):
+    """Planted adversarial band flood: 48 near-identical docs (38 of 39
+    shingles shared → one giant band bucket per matching band). The
+    DROP cap loses the flood entirely; the SALVAGE path (salt groups +
+    rep chain) must (a) keep every flood doc in ONE connected component
+    of the verified pairs, (b) generate a small fraction of the
+    uncapped candidates (bounded cost), (c) leave cold-bucket behavior
+    byte-identical to the uncapped path."""
+    from datalakeingestion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_salvaged,
+        minhash_near_duplicates,
+        minhash_near_duplicates_salvaged,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    flood = [(i, f"{base} tail{i}") for i in range(48)]
+    pair = [
+        (500, "a genuinely near duplicate document body one"),
+        (501, "a genuinely near duplicate document body one"),
+    ]
+    lone = [(600, "completely unrelated text about something else here")]
+    docs = spark.createDataFrame(
+        flood + pair + lone, "doc_id long, text string"
+    )
+    sig = minhash_signatures(docs).persist()
+
+    n_uncapped = lsh_candidate_pairs(sig).count()
+    assert n_uncapped >= 48 * 47 // 2  # the flood is all-pairs uncapped
+
+    salvaged_cand = lsh_candidate_pairs_salvaged(sig, max_bucket=8)
+    n_salvaged = salvaged_cand.count()
+    # bounded cost: ~6 groups of ~8 → 6·C(8,2)+5 chain ≈ 170 ≪ 1128
+    assert n_salvaged < 0.4 * n_uncapped, (n_salvaged, n_uncapped)
+
+    def components(pairs_df):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs_df.collect():
+            a, b = find(r["doc_id_a"]), find(r["doc_id_b"])
+            if a != b:
+                parent[a] = b
+        return parent, find
+
+    # salvage: flood docs form ONE component of the VERIFIED pairs
+    verified = minhash_near_duplicates_salvaged(
+        docs, threshold=0.5, max_bucket=8
+    )
+    parent, find = components(verified)
+    roots = {find(i) for i in range(48)}
+    assert len(roots) == 1, f"flood shattered into {len(roots)} components"
+    # the cold-bucket near-dup pair still surfaces, exact-verified
+    got = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in verified.collect()}
+    assert (500, 501) in got and got[(500, 501)] == 1.0
+    # the unrelated doc never chains into anything
+    assert all(600 not in p for p in got)
+
+    # drop cap: the flood does NOT survive as one component (salvage
+    # adds real recall, not just cost)
+    dropped = dd._jaccard_verify(
+        lsh_candidate_pairs(sig, max_bucket=8),
+        dd._shingle_table(docs, "text", "doc_id", 3),
+        0.5,
+    )
+    parent_d, find_d = components(dropped)
+    seen = {i for i in range(48) if i in parent_d}
+    roots_d = {find_d(i) for i in seen} if seen else set()
+    assert len(seen) < 48 or len(roots_d) > 1, (
+        "drop cap unexpectedly kept the flood connected"
+    )
+
+    # guard rails
+    with pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs_salvaged(sig, max_bucket=1)
+    sig.unpersist()
+
+
 def test_stored_dedup_index_matches_inline_and_skips_lake_shuffle(
     spark, tmp_path
 ):

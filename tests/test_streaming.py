@@ -1321,3 +1321,134 @@ def test_windowed_distinct_sample_streaming_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hash_cap"):
         windowed_distinct_sample(events, "user_id", hash_cap=0)
+
+
+# ---------------------------------------------------------------------------
+# State size in BYTES (r8): the monitors' streaming state must be bounded
+# by their knob (fixed grid / theta cap / bottom-k hash_cap), not by input
+# volume. numRowsTotal counts window rows, but one ks_sample window row can
+# hold ~1k structs — only memoryUsedBytes sees that, so pin bytes directly.
+# ---------------------------------------------------------------------------
+
+
+def _mk_stream_events(spark, n, weeks=8, n_keys=None):
+    """Deterministic synthetic stream: n rows spread uniformly over
+    `weeks` weekly windows; `n_keys` distinct keys (default: all ids)."""
+    base = 1704067200  # 2024-01-01 UTC
+    span = weeks * 604800
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("id") * span / n).cast("long")
+        ).alias("ts"),
+        F.pmod(F.col("id"), F.lit(n_keys or n)).cast("string").alias("key"),
+        F.pmod(F.col("id") * 37, F.lit(1000)).cast("double").alias("value"),
+    )
+
+
+def _state_metrics(spark, tmp_path, tag, df, build):
+    """Run `build(watermarked stream)` to completion (availableNow) and
+    return the max (memoryUsedBytes, numRowsTotal) across progresses."""
+    src = str(tmp_path / f"src_{tag}")
+    df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = build(stream.withWatermark("ts", "1 hour"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ops = [so for p in q.recentProgress for so in p["stateOperators"]]
+    assert ops, "no stateOperators progress recorded"
+    return (
+        max(so["memoryUsedBytes"] for so in ops),
+        max(so["numRowsTotal"] for so in ops),
+    )
+
+
+def test_monitor_state_bytes_bounded_by_knob_not_rows(spark, tmp_path):
+    """4x the input rows into the SAME windows: state BYTES must stay
+    ~flat for each bounded-state mechanism — fixed grid (ks_grid),
+    theta cap (distinct_sample), bottom-k hash_cap (quantile/ks sample,
+    cap scaled 1/4 per the tuning law E[survivors] = n*cap/2^60). A
+    deliberately UNBOUNDED exact-distinct twin on the same 4x data must
+    grow, proving the probe can see growth (negative control)."""
+    from datalakeingestion_spark.streaming.drift import (
+        reference_histogram,
+        windowed_distinct_sample,
+        windowed_quantile_sample,
+    )
+    from datalakeingestion_spark.streaming.drift import windowed_ks_grid
+
+    WEEKS = 8
+    small = _mk_stream_events(spark, 20_000, WEEKS, n_keys=5_000)
+    big = _mk_stream_events(spark, 80_000, WEEKS, n_keys=20_000)
+    ref = reference_histogram(small, "value", lo=0.0, hi=1000.0)
+
+    # window count is the same at both scales (state ROWS == windows)
+    def _win_rows(metrics):
+        return metrics[1]
+
+    # 1) fixed grid
+    grid = lambda s, d: windowed_ks_grid(  # noqa: E731
+        d, ref, "value", lo=0.0, hi=1000.0, window="7 days"
+    )
+    b_small = _state_metrics(spark, tmp_path, "grid_s", small,
+                             lambda s: grid(s, s))
+    b_big = _state_metrics(spark, tmp_path, "grid_b", big,
+                           lambda s: grid(s, s))
+    assert _win_rows(b_small) == _win_rows(b_big) <= WEEKS + 1
+    assert b_big[0] <= 1.5 * b_small[0] + 4096, (b_small, b_big)
+
+    # 2) theta cap (distinct sampling): same cap, 4x rows AND 4x keys
+    cap = (1 << 60) // 16
+    d_small = _state_metrics(
+        spark, tmp_path, "dist_s", small,
+        lambda s: windowed_distinct_sample(s, "key", "ts", hash_cap=cap),
+    )
+    d_big = _state_metrics(
+        spark, tmp_path, "dist_b", big,
+        lambda s: windowed_distinct_sample(s, "key", "ts", hash_cap=cap),
+    )
+    # survivors grow with DISTINCTS under a fixed theta (5k->20k keys:
+    # ~4x of a small number); the point is bytes track survivors, not
+    # the 4x event volume — and retuning theta restores the budget
+    d_tuned = _state_metrics(
+        spark, tmp_path, "dist_t", big,
+        lambda s: windowed_distinct_sample(s, "key", "ts", hash_cap=cap // 4),
+    )
+    assert d_tuned[0] <= 1.5 * d_small[0] + 4096, (d_small, d_tuned, d_big)
+
+    # 3) bottom-k hash_cap: 4x rows with cap/4 -> same expected survivors
+    cap_bk = (1 << 60) // 8
+    q_small = _state_metrics(
+        spark, tmp_path, "bk_s", small,
+        lambda s: windowed_quantile_sample(
+            s, "value", "ts", "event_id", k=64, hash_cap=cap_bk
+        ),
+    )
+    q_big = _state_metrics(
+        spark, tmp_path, "bk_b", big,
+        lambda s: windowed_quantile_sample(
+            s, "value", "ts", "event_id", k=64, hash_cap=cap_bk // 4
+        ),
+    )
+    assert q_big[0] <= 1.5 * q_small[0] + 4096, (q_small, q_big)
+
+    # negative control: exact windowed count-distinct (no cap) holds
+    # every distinct key in state — the SAME 4x data must grow bytes,
+    # proving memoryUsedBytes is sensitive to what we claim to bound
+    exact = lambda s: (  # noqa: E731
+        s.groupBy(F.window("ts", "7 days").alias("_w"))
+        .agg(F.collect_set("key").alias("_ks"))
+        .select(
+            F.col("_w.start").cast("long").alias("window_start_s"),
+            F.size("_ks").alias("n_distinct"),
+        )
+    )
+    e_small = _state_metrics(spark, tmp_path, "ex_s", small, exact)
+    e_big = _state_metrics(spark, tmp_path, "ex_b", big, exact)
+    assert e_big[0] > 2.0 * e_small[0], (e_small, e_big)
