@@ -60,16 +60,38 @@ def main() -> None:
 
     # Contention bursts on this box last seconds and hit CONSECUTIVE
     # samples, so even a median-of-5 block can be swallowed whole by one
-    # burst. Run every query's block THREE times — each pass starts only
+    # burst. Run every query's block FOUR times — each pass starts only
     # after the previous pass finishes, so a query's blocks are minutes
     # apart — and report the lowest median. A genuine plan regression
-    # slows EVERY block; a burst almost never spans all three (observed:
+    # slows EVERY block; a burst almost never spans all four (observed:
     # a single burst still poisoned one query's both blocks under the
     # old two-pass form — q4 read 2.0 s in one full run, 0.50 s in the
-    # next).
+    # next; r8 measured two full SOLO runs 30 min apart at 5.87 s vs
+    # 7.19 s total — ±20% host-level swings the runner cannot control).
     bench_set = {n: qd for n, qd in sorted(REGISTRY.items()) if qd.bench}
     medians: dict[str, list[float]] = {n: [] for n in bench_set}
-    for _pass in range(3):
+    floors: list[float] = []
+
+    def floor_block() -> float:
+        # per-job scheduling/launch overhead floor: a 1-row noop write
+        # (32 empty tasks, no IO, no shuffle). Every query timing below
+        # includes one of these by construction; reporting it makes
+        # cross-round comparisons interpretable when the shared host
+        # slows down (r8: the floor alone measured 0.29 s median — above
+        # some r1-era FULL-query baselines, so per-query "creep" at that
+        # magnitude is the box, not the plan).
+        df = spark.range(1)
+        df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(5):
+            df = spark.range(1)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
+    for _pass in range(4):
+        floors.append(floor_block())
         for name, qd in bench_set.items():
             medians[name].append(run_block(qd))
     timings = {n: round(min(ms), 4) for n, ms in medians.items()}
@@ -83,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "overhead_floor_sec": round(min(floors), 4),
             }
         )
     )

@@ -461,6 +461,7 @@ class IncrementalIngestJob:
         against a parquet-backed fake of the seam."""
         from . import delta_sink as dsink
 
+        self._cleanup_orphans_delta()
         start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
         self.log.append(
             self.ingestion_id,
@@ -551,6 +552,74 @@ class IncrementalIngestJob:
         )
         self._maintain_latest_delta(post)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n)
+
+    def _cleanup_orphans_delta(self) -> None:
+        """Delta twin of :meth:`_cleanup_orphans` — the T5 crash window
+        that remains under an atomic sink: a crash AFTER the append
+        commit but BEFORE the SUCCESS row. The watermark then still
+        points before the batch, so the next run would re-pull the same
+        range and append it AGAIN (duplicates the atomic commit cannot
+        prevent — it already landed). Recovery mirrors the parquet
+        path's file-list delete: the LOADED row records the orphaned
+        commit's VERSION; if the table is still at exactly that version
+        we RESTORE to the version before it (or drop the table when the
+        orphan was its first commit). If the table has moved past the
+        orphaned version, someone else committed on top — restoring
+        would destroy their data, so fail loudly for manual repair
+        (single-writer-per-target is the supported deployment, same as
+        the parquet path's concurrent-writer contract)."""
+        from . import delta_sink as dsink
+
+        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
+        if started is None or started["reason_code"] != "delta-sink":
+            return
+        batch = (
+            self.log.read()
+            .filter(F.col("lake_ingestion_id") == self.ingestion_id)
+            .filter(F.col("insert_datetime") >= started["insert_datetime"])
+            .collect()
+        )
+        closed = {STATUS_SUCCESS, STATUS_VALIDATION_FAILURE, STATUS_NO_DATA}
+        for r in batch:
+            if r["execution_status"] in closed:
+                return
+            if (
+                r["execution_status"] == STATUS_FAILED
+                and (r["reason_code"] or "") == "orphaned-delta-commit-restored"
+            ):
+                return
+        loaded = max(
+            (r for r in batch if r["execution_status"] == STATUS_LOADED),
+            key=lambda r: r["insert_datetime"],
+            default=None,
+        )
+        if loaded is None:
+            return  # crash before the append: the atomic sink shows nothing
+        try:
+            commit = json.loads(loaded["reason_code"] or "{}").get("delta_commit")
+        except ValueError:
+            commit = None
+        if commit is None:
+            return
+        target = self.target_location.rstrip("/")
+        cur = dsink.table_version(self.spark, target)
+        if cur != commit:
+            raise RuntimeError(
+                f"orphaned delta commit {commit} for id {self.ingestion_id} "
+                f"but table {target} is at version {cur}: later commits "
+                "exist — restore manually, then close the batch in the log"
+            )
+        if commit == 0:
+            _delete_dir(self.spark, target)
+        else:
+            dsink.restore_version(self.spark, target, commit - 1)
+        self.log.append(
+            self.ingestion_id,
+            STATUS_FAILED,
+            start_value=loaded["start_value"] or "",
+            end_value=loaded["end_value"] or "",
+            reason_code="orphaned-delta-commit-restored",
+        )
 
     def _maintain_latest_delta(self, commit_version: int) -> None:
         """Delta-path latest zone: MERGE the committed batch (re-read from

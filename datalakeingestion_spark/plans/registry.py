@@ -64,57 +64,60 @@ def register(
 # EXACTLY 50 entries: the driver checks positions 0-49 and
 # test_parity.py pins the tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ks_drift_time_sliced",
-    "price_percentile_rank",
-    "psi_drift_windowed",
-    "video_avi_channel_stats",
-    "ks_drift_windowed_grid",
-    "q16_supplier_part_variety",
-    "q20_half_volume_suppliers",
-    "q11_important_stock",
-    # round-7 additions — never had a chance to be checked before
-    "ks_drift_sampled",
-    "price_quantiles_sketched",
-    "event_value_quantiles_windowed",
-    "weekly_active_users_sampled",
-    "f3_predicate_string_filter",
-    "f5_key_lookup",
-    "c3_parse_truncate",
-    "c6_regex_extract",
-    "c7_concat_case",
-    "a4_count_with_predicate",
-    "w3_sessionize",
-    "w4_running_total",
-    "g1_rollup_counts",
-    "g2_pivot_status",
-    "g3_percentiles",
-    "asof_latest_order_per_event",
-    "sketch_kmv_distinct",
-    "t7_windowed_counts",
-    "zorder_clustering_key",
-    "g4_cube_counts",
-    "w5_latest_composite_key",
-    "t8_session_window_counts",
-    "profile_orders",
-    "d3_grouped_zscore",
-    "g5_unpivot_balances",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_cluster_assign",
-    "decontaminate_ngram_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "token_count",
-    "text_repetition_filter",
-    "text_redact_pii",
-    "vocab_topk",
-    "text_length_filter_percentile",
-    "doc_fingerprint",
+    # round-8 addition — never externally checked
+    "dedup_lsh_salvaged",
+    # stalest green checks: r1 vintage (5+ rounds of churn ago)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "w1_latest_event_per_user",
+    "w2_top3_events_per_user",
+    "f1_watermark_range_scan",
+    "f2_coalesce_range_filter",
+    "f6_in_list_filter",
+    "f8_null_fill_group",
+    # r2 vintage
+    "multimodal_feature_extract",
+    "curation_pipeline",
+    "dedup_embedding_cosine_blocked",
+    "text_token_entropy",
+    "sample_documents_deterministic",
+    "stratified_sample_exact",
+    "split_train_val",
+    "mix_corpora_weighted",
+    "pack_sequences_512",
+    "chunk_documents_128",
+    "shuffle_rank_deterministic",
+    # r4 vintage (registration order)
+    "ann_ivf_topk",
+    "embedding_quantize_int8",
+    "range_join_error_context_5min",
+    "range_join_signup_followups_1h",
+    "cms_term_frequency",
+    "g6_grouping_sets",
+    "w7_event_gap_stats",
+    "d4_price_quantity_correlation",
+    "sketch_kmv_by_returnflag",
+    "countsketch_term_frequency",
+    "a8_approx_distinct_parts",
+    "g7_approx_percentiles",
+    "sample_quality_weighted",
+    "budget_cap_per_source",
+    "assemble_sequences_512",
+    "u3_intersect_click_purchase_days",
+    "unigram_logprob_score",
+    "tfidf_top_terms",
+    "text_repetition_filter_auto",
+    "dedup_keep_best",
+    "knn_graph_topk",
+    "funnel_conversion_1h",
+    "bm25_rank",
+    "dedup_semantic_clusters",
+    "w6_rolling_1h_range",
+    "decontaminate_embedding_cosine",
+    "salted_join_segment_counts",
+    "boilerplate_span_flag",
 )
 
 

@@ -271,6 +271,7 @@ def test_delta_two_run_incremental_equals_full_load(
         json.loads(r["reason_code"])
         for r in job.log.read()
         .filter(F.col("execution_status") == STATUS_LOADED)
+        .orderBy("insert_datetime")
         .collect()
     ]
     assert [d["delta_commit"] for d in loaded] == [0, 1]
@@ -349,6 +350,95 @@ def test_delta_maintain_latest_merges_commit_changes(
         ).collect()
     }
     assert got == want
+
+
+def test_delta_crash_after_commit_before_success_heals(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """The T5 window an atomic sink can't close: crash AFTER the append
+    commit, BEFORE the SUCCESS row. The watermark still points before
+    the batch, so an unhealed retry re-pulls the range as duplicates.
+    _cleanup_orphans_delta must RESTORE the orphaned commit, then the
+    retry lands exactly once."""
+    events = load_table(spark, SF_SMALL, "events")
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    assert job.run().status == STATUS_SUCCESS
+
+    # batch 2 crashes inside validation (after append, after LOADED row)
+    real_read = fake_delta.read_delta
+
+    def _boom(spark, path, **kw):
+        raise RuntimeError("crash between commit and SUCCESS")
+
+    monkeypatch.setattr(dsink, "read_delta", _boom)
+    with pytest.raises(RuntimeError, match="crash between"):
+        _delta_job(spark, tmp_path, log=job.log).run()
+    # the orphaned commit IS visible (atomic commit already landed)
+    assert len(fake_delta.commits[job.target_location]) == 2
+    monkeypatch.setattr(dsink, "read_delta", real_read)
+
+    # retry: cleanup restores the orphan, then the batch lands once
+    r = _delta_job(spark, tmp_path, log=job.log).run()
+    assert r.status == STATUS_SUCCESS
+    lake = spark.read.parquet(job.target_location)
+    assert lake.count() == events.count()  # no duplicates
+    markers = [
+        r["reason_code"]
+        for r in job.log.read().collect()
+        if r["reason_code"] == "orphaned-delta-commit-restored"
+    ]
+    assert len(markers) == 1
+    assert fake_delta.restored[-1] == (job.target_location, 0)
+
+
+def test_delta_crash_on_first_commit_drops_table(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """Same crash window on the FIRST commit: there is no version to
+    restore to — the orphan heals by dropping the table."""
+    import os
+
+    def _boom(spark, path, **kw):
+        raise RuntimeError("crash between commit and SUCCESS")
+
+    real_read = fake_delta.read_delta
+    monkeypatch.setattr(dsink, "read_delta", _boom)
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    with pytest.raises(RuntimeError, match="crash between"):
+        job.run()
+    monkeypatch.setattr(dsink, "read_delta", real_read)
+    # heal + land: cleanup sees the table at exactly the orphaned
+    # version 0 and deletes the table dir (no prior version to restore)
+    r = _delta_job(spark, tmp_path, log=job.log, end_value_cap=MID).run()
+    assert r.status == STATUS_SUCCESS
+    events = load_table(spark, SF_SMALL, "events")
+    assert spark.read.parquet(job.target_location).count() == events.filter(
+        F.col("ts") <= MID
+    ).count()
+
+
+def test_delta_orphan_with_later_commits_fails_loudly(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """If the table moved PAST the orphaned version (another writer
+    committed on top), auto-restore would destroy their data — the
+    cleanup must raise for manual repair instead."""
+    def _boom(spark, path, **kw):
+        raise RuntimeError("crash between commit and SUCCESS")
+
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    assert job.run().status == STATUS_SUCCESS
+    real_read = fake_delta.read_delta
+    monkeypatch.setattr(dsink, "read_delta", _boom)
+    with pytest.raises(RuntimeError, match="crash between"):
+        _delta_job(spark, tmp_path, log=job.log).run()
+    monkeypatch.setattr(dsink, "read_delta", real_read)
+    # a foreign commit lands on top of the orphan
+    fake_delta.append_delta(
+        spark.range(1).select(F.lit(1).alias("x")), job.target_location
+    )
+    with pytest.raises(RuntimeError, match="later commits"):
+        _delta_job(spark, tmp_path, log=job.log).run()
 
 
 def test_delta_log_row_ordering(spark, tmp_path, fake_delta):
