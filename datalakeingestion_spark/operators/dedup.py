@@ -377,6 +377,100 @@ def _jaccard_verify(
     )
 
 
+def substring_dup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-document substring duplication audit (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    span-dedup measurement, at token n-gram granularity): for every doc,
+    how many of its token positions start an n-gram that appears
+    VERBATIM in at least one OTHER doc, and what fraction of its tokens
+    lies inside such a span (overlapping spans merged by interval
+    union — the removable-duplication measure span-dedup acts on).
+
+    Scale shape: one shuffle groups the positional n-grams ("a gram
+    appears in ≥2 distinct docs" is ``min(doc_id) != max(doc_id)`` —
+    two cheap aggregates, no distinct machinery), one semi-join back
+    tags duplicated positions, and the interval union is a per-doc
+    window (bounded by DOC length, never corpus-sized — the legal
+    window shape). Grams are grouped by their exact text, so the audit
+    is collision-free by construction; a 100 TB deployment would group
+    by a 128-bit hash first and verify equality within buckets (same
+    exactness, ~n× less shuffle payload).
+
+    Output: (doc_id, n_tokens, dup_spans, covered_tokens, dup_fraction)
+    for EVERY doc — docs shorter than ``n`` tokens or with no duplicated
+    span report zeros. dup_fraction = covered_tokens / n_tokens, 6 dp.
+    """
+    from ..functions.text import tokens, word_shingles
+    from pyspark.sql.window import Window
+
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
+    ).persist()
+    sizes = tk.select("doc_id", F.size("_tk").alias("n_tokens"))
+    sp = tk.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g")
+    dup = (
+        sp.groupBy("g")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("g")
+    )
+    hits = sp.join(dup, "g", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("_end")
+    )
+    # interval union per doc: tokens covered by ≥1 duplicated span.
+    # Window is per-doc (bounded by doc length) — gaps-and-islands via
+    # running max of span ends over PRECEDING rows.
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_end")
+        - F.greatest(
+            F.col("pos") - 1, F.coalesce(F.max("_end").over(w), F.lit(0))
+        ),
+    )
+    per_doc = (
+        hits.withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("_c").alias("covered_tokens"),
+        )
+    )
+    out = (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            # NULL for an empty doc, never an ANSI divide-by-zero
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+        )
+    )
+    return out
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,

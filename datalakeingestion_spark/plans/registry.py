@@ -64,8 +64,9 @@ def register(
 # EXACTLY 50 entries: the driver checks positions 0-49 and
 # test_parity.py pins the tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 addition — never externally checked
+    # round-8 additions — never externally checked
     "dedup_lsh_salvaged",
+    "dedup_substring_spans",
     # stalest green checks: r1 vintage (5+ rounds of churn ago)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w6_rolling_1h_range",
     "decontaminate_embedding_cosine",
     "salted_join_segment_counts",
-    "boilerplate_span_flag",
 )
 
 

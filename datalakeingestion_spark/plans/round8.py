@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup as dd
 from ..sources.fixtures import load_table
-from .llm import _h32_sql, _h60_sql, _shingles_sql
+from .llm import TOKS_SQL, _h32_sql, _h60_sql, _shingles_sql
 from .registry import register
 
 _MAX_BUCKET = 2
@@ -119,3 +119,55 @@ def dedup_lsh_salvaged(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=_MAX_BUCKET,
         salt_target=_SALT_TARGET,
     )
+
+
+_SUBSTR_N = 8
+
+# DuckDB twin of operators/dedup.py::substring_dup_stats — positional
+# n-grams via unnest(range(...)), "≥2 distinct docs" as min!=max, and
+# the same per-doc gaps-and-islands interval union.
+_SUBSTR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk
+               FROM documents),
+    sizes AS (SELECT doc_id, len(tk) AS n_tokens FROM t),
+    sp AS (SELECT doc_id, u.i AS pos,
+                  array_to_string(list_slice(tk, u.i, u.i + {_SUBSTR_N - 1}),
+                                  ' ') AS g
+           FROM t, unnest(range(1, len(tk) - {_SUBSTR_N - 2})) u(i)),
+    dup AS (SELECT g FROM sp GROUP BY g
+            HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT sp.doc_id, sp.pos, sp.pos + {_SUBSTR_N - 1} AS e
+             FROM sp JOIN dup USING (g)),
+    isl AS (SELECT doc_id, pos, e,
+                   GREATEST(0, e - GREATEST(pos - 1, COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0))) AS c
+            FROM hits),
+    per_doc AS (SELECT doc_id, COUNT(*) AS dup_spans,
+                       SUM(c) AS covered_tokens
+                FROM isl GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_tokens::BIGINT AS n_tokens,
+           COALESCE(p.dup_spans, 0)::BIGINT AS dup_spans,
+           COALESCE(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+           CASE WHEN s.n_tokens > 0 THEN
+               round(COALESCE(p.covered_tokens, 0) / s.n_tokens::DOUBLE, 6)
+           END AS dup_fraction
+    FROM sizes s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_SUBSTR_ORACLE,
+    doc="Exact cross-doc substring duplication audit (Lee et al. 2022 "
+    "span dedup, token 8-gram granularity): per doc, the duplicated "
+    "span starts and the interval-union fraction of tokens inside a "
+    "span appearing verbatim in another doc. One shuffle on the gram "
+    "text (min!=max doc test — no distinct aggregate), one semi-join "
+    "back, per-DOC gaps-and-islands window (bounded by doc length).",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dup_stats(docs, n=_SUBSTR_N)

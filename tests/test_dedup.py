@@ -413,6 +413,38 @@ def test_lsh_max_bucket_cap(spark):
     assert all(a >= 500 for a, _ in got), got
 
 
+def test_substring_dup_stats_interval_union(spark):
+    """Planted spans pin the Lee-et-al span-dedup math: a shared 8-gram
+    covers exactly its 8 tokens; two OVERLAPPING shared 8-grams merge
+    into one 9-token island (interval union, not 16); short and empty
+    docs report zeros / NULL fraction."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # shares a b..h with doc 2
+            (2, "a b c d e f g h x y"),
+            (3, "only six tokens right here now"),  # < 8 tokens
+            (4, "p q r s t u v w k m n"),      # shares 9-gram with doc 5
+            (5, "p q r s t u v w k zz"),
+            (6, ""),                            # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["dup_spans"], r["covered_tokens"],
+            r["dup_fraction"],
+        )
+        for r in dd.substring_dup_stats(docs, n=8).collect()
+    }
+    assert got[1] == (10, 1, 8, 0.8)
+    assert got[2] == (10, 1, 8, 0.8)
+    assert got[3] == (6, 0, 0, 0.0)
+    # two overlapping dup spans -> ONE 9-token island, not 16 tokens
+    assert got[4] == (11, 2, 9, round(9 / 11, 6))
+    assert got[5] == (10, 2, 9, 0.9)
+    assert got[6] == (0, 0, 0, None)
+
+
 def test_lsh_hot_band_salvage_retains_cluster_recall(spark):
     """Planted adversarial band flood: 48 near-identical docs (38 of 39
     shingles shared → one giant band bucket per matching band). The
