@@ -96,9 +96,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(docs)
 
 
-def _minhash_pairs_ctes(threshold: float, source: str = "documents") -> str:
-    """CTE chain ending in ``pairs(doc_id_a, doc_id_b, jaccard)`` — shared
-    by the pair query and the connected-components oracle."""
+def _sig_bands_ctes(source: str = "documents") -> str:
+    """CTE fragment ``sh → th → sig → bands`` — the shared MinHash
+    signature + LSH banding replica (same constants as the Spark
+    implementation), reused by every minhash-family oracle (here and
+    plans/round8.py's salvaged variant)."""
     mins = ",\n           ".join(
         f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
         for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
@@ -115,7 +117,13 @@ def _minhash_pairs_ctes(threshold: float, source: str = "documents") -> str:
     th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
     sig AS (SELECT doc_id, {mins}
             FROM th GROUP BY doc_id),
-    bands AS ({bands}),
+    bands AS ({bands})"""
+
+
+def _minhash_pairs_ctes(threshold: float, source: str = "documents") -> str:
+    """CTE chain ending in ``pairs(doc_id_a, doc_id_b, jaccard)`` — shared
+    by the pair query and the connected-components oracle."""
+    return f"""{_sig_bands_ctes(source)},
     cand AS (SELECT DISTINCT b1.doc_id AS doc_id_a, b2.doc_id AS doc_id_b
              FROM bands b1 JOIN bands b2
                ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig

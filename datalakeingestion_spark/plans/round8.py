@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup as dd
 from ..sources.fixtures import load_table
-from .llm import TOKS_SQL, _h32_sql, _h60_sql, _shingles_sql
+from .llm import TOKS_SQL, _h60_sql, _sig_bands_ctes
 from .registry import register
 
 _MAX_BUCKET = 2
@@ -36,26 +36,9 @@ _THRESHOLD = 0.5
 
 
 def _salvaged_oracle() -> str:
-    mins = ",\n           ".join(
-        f"MIN(({a} * h + {b}) % {dd.MERSENNE_P}) AS mh{i}"
-        for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
-    )
-    band_rows = []
-    for j in range(dd.LSH_BANDS):
-        cols = [f"mh{j * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS)]
-        sig = " || ',' || ".join(cols)
-        band_rows.append(
-            f"SELECT doc_id, {j} AS band_id, {sig} AS band_sig FROM sig"
-        )
-    bands = "\n         UNION ALL ".join(band_rows)
     mb, st = _MAX_BUCKET, _SALT_TARGET
     return f"""
-    WITH sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s
-                FROM documents),
-    th AS (SELECT doc_id, {_h32_sql('s')} AS h FROM sh),
-    sig AS (SELECT doc_id, {mins}
-            FROM th GROUP BY doc_id),
-    bands AS ({bands}),
+    WITH {_sig_bands_ctes()},
     bsz AS (SELECT band_id, band_sig, COUNT(*) AS bs
             FROM bands GROUP BY 1, 2),
     bb AS (SELECT b.doc_id, b.band_id, b.band_sig, z.bs
