@@ -406,7 +406,6 @@ def substring_dup_stats(
     span report zeros. dup_fraction = covered_tokens / n_tokens, 6 dp.
     """
     from ..functions.text import tokens, word_shingles
-    from pyspark.sql.window import Window
 
     tk = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
@@ -425,9 +424,17 @@ def substring_dup_stats(
     hits = sp.join(dup, "g", "left_semi").select(
         "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("_end")
     )
-    # interval union per doc: tokens covered by ≥1 duplicated span.
-    # Window is per-doc (bounded by doc length) — gaps-and-islands via
-    # running max of span ends over PRECEDING rows.
+    return _covered_span_stats(sizes, hits)
+
+
+def _covered_span_stats(sizes: DataFrame, hits: DataFrame) -> DataFrame:
+    """Shared tail of the substring-dedup family: interval-union token
+    coverage per doc. ``hits`` carries (doc_id, pos, _end) duplicated
+    spans; ``sizes`` carries (doc_id, n_tokens) for EVERY doc. The
+    window is per-doc (bounded by DOC length, never corpus-sized) —
+    gaps-and-islands via running max of span ends over PRECEDING rows."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -448,7 +455,7 @@ def substring_dup_stats(
             F.sum("_c").alias("covered_tokens"),
         )
     )
-    out = (
+    return (
         sizes.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -468,7 +475,62 @@ def substring_dup_stats(
             ).alias("dup_fraction"),
         )
     )
-    return out
+
+
+def substring_dup_vs_lake(
+    batch: DataFrame,
+    lake: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring dedup AT THE DOOR: for each INCOMING doc, the fraction
+    of its tokens covered by n-gram spans that already exist in the
+    lake — or verbatim in at least one OTHER batch doc (the batch can
+    duplicate itself). The incremental twin of
+    :func:`substring_dup_stats`, asymmetric like
+    ``dedup_against_index``: only the batch's positional grams carry
+    positions; the lake contributes a DISTINCT gram set, so per-batch
+    cost is O(batch grams) + one join against the lake grams. At scale,
+    persist the lake gram table bucketed by a gram hash (the same
+    stored-index maintenance pattern as ``build_dedup_index`` /
+    ``append_dedup_index``) so the lake side never re-shuffles per
+    batch.
+
+    Output schema identical to :func:`substring_dup_stats`, restricted
+    to the batch docs."""
+    from ..functions.text import tokens, word_shingles
+
+    def _spans(docs):
+        tk = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
+        )
+        return tk.select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
+        ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g")
+
+    b_tk = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
+    ).persist()
+    sizes = b_tk.select("doc_id", F.size("_tk").alias("n_tokens"))
+    sp_b = b_tk.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g").persist()
+
+    lake_grams = _spans(lake).select("g").distinct()
+    within = (
+        sp_b.groupBy("g")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("g")
+    )
+    dup = lake_grams.unionByName(within).distinct()
+    hits = sp_b.join(dup, "g", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("_end")
+    )
+    return _covered_span_stats(sizes, hits)
 
 
 def minhash_near_duplicates(

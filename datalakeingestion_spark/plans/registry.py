@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-8 additions — never externally checked
     "dedup_lsh_salvaged",
     "dedup_substring_spans",
+    "dedup_substring_vs_lake",
     # stalest green checks: r1 vintage (5+ rounds of churn ago)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "w6_rolling_1h_range",
     "decontaminate_embedding_cosine",
-    "salted_join_segment_counts",
 )
 
 

@@ -24,6 +24,7 @@ beyond-reference set).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..sources.fixtures import load_table
@@ -154,3 +155,61 @@ _SUBSTR_ORACLE = f"""
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.substring_dup_stats(docs, n=_SUBSTR_N)
+
+
+_LAKE_SPLIT = 400  # same batch/lake fixture split as dedup_incremental_vs_lake
+
+_SUBSTR_LAKE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    bt AS (SELECT * FROM t WHERE doc_id >= {_LAKE_SPLIT}),
+    sizes AS (SELECT doc_id, len(tk) AS n_tokens FROM bt),
+    sp AS (SELECT doc_id, u.i AS pos,
+                  array_to_string(list_slice(tk, u.i, u.i + {_SUBSTR_N - 1}),
+                                  ' ') AS g
+           FROM t, unnest(range(1, len(tk) - {_SUBSTR_N - 2})) u(i)),
+    sp_b AS (SELECT * FROM sp WHERE doc_id >= {_LAKE_SPLIT}),
+    lake_g AS (SELECT DISTINCT g FROM sp WHERE doc_id < {_LAKE_SPLIT}),
+    within AS (SELECT g FROM sp_b GROUP BY g
+               HAVING MIN(doc_id) <> MAX(doc_id)),
+    dup AS (SELECT g FROM lake_g UNION SELECT g FROM within),
+    hits AS (SELECT sp_b.doc_id, sp_b.pos, sp_b.pos + {_SUBSTR_N - 1} AS e
+             FROM sp_b JOIN dup USING (g)),
+    isl AS (SELECT doc_id, pos, e,
+                   GREATEST(0, e - GREATEST(pos - 1, COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0))) AS c
+            FROM hits),
+    per_doc AS (SELECT doc_id, COUNT(*) AS dup_spans,
+                       SUM(c) AS covered_tokens
+                FROM isl GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_tokens::BIGINT AS n_tokens,
+           COALESCE(p.dup_spans, 0)::BIGINT AS dup_spans,
+           COALESCE(p.covered_tokens, 0)::BIGINT AS covered_tokens,
+           CASE WHEN s.n_tokens > 0 THEN
+               round(COALESCE(p.covered_tokens, 0) / s.n_tokens::DOUBLE, 6)
+           END AS dup_fraction
+    FROM sizes s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register(
+    "dedup_substring_vs_lake",
+    oracle=_SUBSTR_LAKE_ORACLE,
+    doc="Substring dedup AT THE DOOR: for each incoming doc (doc_id >= "
+    "400), the interval-union fraction of its tokens covered by token "
+    "8-grams already present in the lake (doc_id < 400) or verbatim in "
+    "another batch doc. Asymmetric like dedup_incremental_vs_lake: only "
+    "batch grams carry positions, the lake contributes a distinct gram "
+    "set — per-batch cost O(batch grams) + one join; at scale the lake "
+    "gram table persists bucketed (build_dedup_index pattern) so the "
+    "lake side never re-shuffles.",
+)
+def dedup_substring_vs_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dup_vs_lake(
+        docs.filter(F.col("doc_id") >= _LAKE_SPLIT),
+        docs.filter(F.col("doc_id") < _LAKE_SPLIT),
+        n=_SUBSTR_N,
+    )

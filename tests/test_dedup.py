@@ -445,6 +445,43 @@ def test_substring_dup_stats_interval_union(spark):
     assert got[6] == (0, 0, 0, None)
 
 
+def test_substring_dup_vs_lake_asymmetric(spark):
+    """Dedup-at-the-door semantics: a batch doc's span is duplicated iff
+    it exists in the LAKE or in ANOTHER batch doc — lake-internal
+    duplication is not re-reported, and a batch doc sharing only with
+    itself (repeat inside one doc) does not count."""
+    lake = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h lake tail one"),
+            (2, "a b c d e f g h lake tail two"),  # lake-internal dup
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h fresh suffix"),   # dup vs lake
+            (11, "p q r s t u v w batch only x"),   # dup vs batch doc 12
+            (12, "p q r s t u v w batch only y"),
+            (13, "k k k k k k k k k k"),             # self-repeat only
+            (14, "totally new words never seen anywhere at all once"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["covered_tokens"])
+        for r in dd.substring_dup_vs_lake(batch, lake, n=8).collect()
+    }
+    # only batch docs are reported
+    assert set(got) == {10, 11, 12, 13, 14}
+    assert got[10] == (10, 1, 8)   # span "a..h" exists in the lake
+    assert got[11][1] >= 1 and got[11][2] >= 8  # shared with doc 12
+    assert got[12][1] >= 1
+    # doc 13's 8-gram "k k k k k k k k" repeats only WITHIN itself:
+    # min(doc_id) == max(doc_id) and it's not in the lake -> no dup
+    assert got[13] == (10, 0, 0)
+    assert got[14] == (9, 0, 0)
+
+
 def test_lsh_hot_band_salvage_retains_cluster_recall(spark):
     """Planted adversarial band flood: 48 near-identical docs (38 of 39
     shingles shared → one giant band bucket per matching band). The
