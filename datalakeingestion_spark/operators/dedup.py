@@ -519,14 +519,17 @@ def substring_dup_vs_lake(
         F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g").persist()
 
-    lake_grams = _spans(lake).select("g").distinct()
+    # no distinct() anywhere on the right side: LEFT SEMI dedups by
+    # construction, so deduping the lake grams (or the union) first
+    # would only add full-width shuffles of the lake gram set
+    lake_grams = _spans(lake).select("g")
     within = (
         sp_b.groupBy("g")
         .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .select("g")
     )
-    dup = lake_grams.unionByName(within).distinct()
+    dup = lake_grams.unionByName(within)
     hits = sp_b.join(dup, "g", "left_semi").select(
         "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("_end")
     )
