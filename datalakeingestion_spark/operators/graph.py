@@ -94,6 +94,95 @@ def pagerank_fixed_point(
     return rank
 
 
+def hits_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact integer HITS (Kleinberg hubs & authorities) after ``iters``
+    synchronous sweeps — the crawl-frontier quality score (a good HUB
+    links to many good pages; a good AUTHORITY is linked by good hubs),
+    the other classic iterative ranking a training-data pipeline runs
+    beside PageRank. Directed edge list; no out-degree precondition
+    (sinks simply have hub 0).
+
+    Same exactness contract as :func:`pagerank_fixed_point`: scores are
+    fixed-point integers, every step is integer multiply / floor-divide
+    / sum. The usual L2 normalization is irrational, so this uses L1:
+
+        auth_raw(v) = Σ_{u→v} hub(u);   auth(v) = (auth_raw·scale) div Σ auth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v);  hub(u)  = (hub_raw·scale)  div Σ hub_raw
+
+    The ``raw·scale`` product can exceed int64 (indeg·scale² territory),
+    so it is computed in DECIMAL(38,0) — Spark's decimal ``div`` and
+    DuckDB's HUGEINT ``//`` floor identically (verified), keeping the
+    unrolled-CTE oracle bit-exact. Per sweep: two hash joins on the edge
+    key + two map-side-combinable SUMs; the two normalization totals are
+    control-plane scalars (one bigint each, the same status as
+    pagerank's node count). Returns (node, hub, auth).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if e.limit(1).isEmpty():
+        raise ValueError("hits_fixed_point: edge list is empty")
+
+    def _norm(raw_col: str, tot: int) -> "F.Column":
+        return F.expr(
+            f"CAST(CAST(coalesce({raw_col}, 0L) AS DECIMAL(38,0)) "
+            f"* {int(scale)} AS DECIMAL(38,0)) div {int(tot)}"
+        )
+
+    # Each sweep's scores feed the normalization total, the next sweep,
+    # and the final join — left lazy, every extra reference re-expands
+    # the whole upstream subtree (4^iters recompute: measured 165 s vs
+    # 25 s at sf0.01). EAGER localCheckpoint truncates the lineage per
+    # sweep: the checkpointed frames are NODE-sized (scores only), the
+    # normalization totals are control-plane scalars read off the
+    # checkpointed frame (same status as pagerank's node count), and
+    # recompute can never cascade across sweeps.
+    hub = nodes.withColumn(
+        "hub", F.lit(int(scale))
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(int(iters)):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_araw"))
+        )
+        a_tot = int(a_raw.agg(F.sum("_araw")).first()[0])
+        auth = (
+            nodes.join(
+                a_raw.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select("node", _norm("_araw", a_tot).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_hraw"))
+        )
+        h_tot = int(h_raw.agg(F.sum("_hraw")).first()[0])
+        hub = (
+            nodes.join(
+                h_raw.withColumnRenamed("src", "node"), "node", "left"
+            )
+            .select("node", _norm("_hraw", h_tot).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node")
+
+
 def customer_supplier_edges(
     orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:

@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_salvaged",
     "dedup_substring_spans",
     "dedup_substring_vs_lake",
+    "hits_trade_graph_2iter",
     # stalest green checks: r1 vintage (5+ rounds of churn ago)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_rank",
     "dedup_semantic_clusters",
     "w6_rolling_1h_range",
-    "decontaminate_embedding_cosine",
 )
 
 

@@ -213,3 +213,86 @@ def dedup_substring_vs_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < _LAKE_SPLIT),
         n=_SUBSTR_N,
     )
+
+
+_HITS_SCALE = 10**9
+
+
+def _hits_sweep_sql(i: int, prev_hub: str) -> str:
+    s = _HITS_SCALE
+    return f"""ar{i} AS (SELECT e.dst, SUM(h.hub) AS araw
+            FROM e JOIN {prev_hub} h ON h.node = e.src GROUP BY e.dst),
+    at{i} AS (SELECT SUM(araw)::BIGINT AS atot FROM ar{i}),
+    a{i} AS (SELECT nd.node,
+                  CAST(CAST(COALESCE(ar.araw, 0) AS HUGEINT) * {s}
+                       // t.atot AS BIGINT) AS auth
+           FROM nodes nd CROSS JOIN at{i} t
+           LEFT JOIN ar{i} ar ON ar.dst = nd.node),
+    hr{i} AS (SELECT e.src, SUM(a.auth) AS hraw
+            FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+    ht{i} AS (SELECT SUM(hraw)::BIGINT AS htot FROM hr{i}),
+    h{i} AS (SELECT nd.node,
+                  CAST(CAST(COALESCE(hr.hraw, 0) AS HUGEINT) * {s}
+                       // t.htot AS BIGINT) AS hub
+           FROM nodes nd CROSS JOIN ht{i} t
+           LEFT JOIN hr{i} hr ON hr.src = nd.node)"""
+
+
+_HITS_ORACLE = f"""
+    WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, {_HITS_SCALE}::BIGINT AS hub FROM nodes),
+    {_hits_sweep_sql(1, "h0")},
+    {_hits_sweep_sql(2, "h1")},
+    ranked AS (SELECT h2.node, h2.hub, a2.auth,
+                      row_number() OVER (ORDER BY a2.auth DESC, h2.hub DESC,
+                                         h2.node) AS rnk
+               FROM h2 JOIN a2 ON a2.node = h2.node)
+    SELECT node, hub, auth, rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@register(
+    "hits_trade_graph_2iter",
+    oracle=_HITS_ORACLE,
+    doc="Exact fixed-point HITS (Kleinberg hubs & authorities), 2 "
+    "synchronous sweeps over the DIRECTED customer→supplier trade graph "
+    "(operators/graph.py::hits_fixed_point) — the crawl-frontier "
+    "quality score beside PageRank. L1-normalized integer arithmetic "
+    "with the raw·scale product in DECIMAL(38,0) (Spark decimal div == "
+    "DuckDB HUGEINT //, verified), so the unrolled-CTE oracle is "
+    "bit-exact. Per sweep: two edge-key hash joins + two map-side-"
+    "combinable SUMs; scores localCheckpoint per sweep (node-sized, "
+    "lineage-truncating — lazy chaining re-expands 4^iters) and the "
+    "normalization totals are control-plane scalars.",
+)
+def hits_trade_graph_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import hits_fixed_point
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    scored = hits_fixed_point(edges, iters=2, scale=_HITS_SCALE)
+    w = Window.orderBy(
+        F.col("auth").desc(), F.col("hub").desc(), F.col("node")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("node", "hub", "auth", "rnk")
+    )

@@ -268,3 +268,65 @@ def test_personalized_pagerank_empty_seed_raises(spark):
         personalized_pagerank_fixed_point(
             df, seed=SF.col("node") == "nope"
         )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities), exact integer L1-normalized form
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(edges, iters, scale=10**9):
+    """Pure-Python integer twin of hits_fixed_point."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: scale for v in nodes}
+    auth = None
+    for _ in range(iters):
+        araw = {v: 0 for v in nodes}
+        for s, d in edges:
+            araw[d] += hub[s]
+        atot = sum(araw.values())
+        auth = {v: (araw[v] * scale) // atot for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d in edges:
+            hraw[s] += auth[d]
+        htot = sum(hraw.values())
+        hub = {v: (hraw[v] * scale) // htot for v in nodes}
+    return hub, auth
+
+
+HITS_EDGES = [
+    ("u1", "p1"),
+    ("u1", "p2"),
+    ("u2", "p1"),
+    ("u2", "p3"),
+    ("u3", "p1"),
+    ("p3", "p2"),  # a page that is both hub and authority
+]
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_hits_matches_python_reference(spark, iters):
+    from datalakeingestion_spark.operators.graph import hits_fixed_point
+
+    df = spark.createDataFrame(HITS_EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_fixed_point(df, iters=iters).collect()
+    }
+    hub, auth = _py_hits(HITS_EDGES, iters)
+    assert got == {v: (hub[v], auth[v]) for v in hub}
+    # L1 normalization: each score family sums to ~scale (floor leakage
+    # only), and the best authority is the most-linked page
+    assert abs(sum(h for h, _ in got.values()) - 10**9) < len(got)
+    assert max(got, key=lambda v: got[v][1]) == "p1"
+
+
+def test_hits_empty_edges_raises(spark):
+    import pytest as _pytest
+
+    from datalakeingestion_spark.operators.graph import hits_fixed_point
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty"):
+        hits_fixed_point(df, iters=1)
