@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "dedup_substring_vs_lake",
     "hits_trade_graph_2iter",
+    "entity_resolution_customers",
     # stalest green checks: r1 vintage (5+ rounds of churn ago)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_conversion_1h",
     "bm25_rank",
     "dedup_semantic_clusters",
-    "w6_rolling_1h_range",
 )
 
 

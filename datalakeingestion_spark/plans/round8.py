@@ -255,6 +255,35 @@ _HITS_ORACLE = f"""
 
 
 @register(
+    "entity_resolution_customers",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist,
+           a.c_nationkey AS c_nationkey
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Record linkage / entity resolution with BLOCKING "
+    "(operators/linkage.py::blocked_similarity_pairs): candidate pairs "
+    "only WITHIN nation blocks (never all-pairs — Fellegi-Sunter "
+    "blocking practice), then a codegen Levenshtein gate (Spark "
+    "F.levenshtein == DuckDB levenshtein, unit-cost edit distance, so "
+    "the oracle is exact). One shuffle on the block key; a skewed block "
+    "is the LSH hot-bucket problem — cap or salt it the same way.",
+)
+def entity_resolution_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.linkage import blocked_similarity_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_similarity_pairs(
+        cust, "c_custkey", ["c_nationkey"], "c_name", max_edit=2
+    )
+
+
+@register(
     "hits_trade_graph_2iter",
     oracle=_HITS_ORACLE,
     doc="Exact fixed-point HITS (Kleinberg hubs & authorities), 2 "

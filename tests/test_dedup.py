@@ -796,3 +796,36 @@ def test_append_dedup_index_preserves_bucketing_and_results(spark):
     finally:
         for t in ("aix_bands", "aix_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_blocked_similarity_pairs_semantics(spark):
+    """Record-linkage blocking: pairs only form INSIDE a block (same
+    country), the Levenshtein gate is exact, and NULL block keys pair
+    with each other (eqNullSafe) rather than vanishing."""
+    from datalakeingestion_spark.operators.linkage import (
+        blocked_similarity_pairs,
+    )
+
+    rows = [
+        (1, "US", "acme corp"),
+        (2, "US", "acme corq"),      # edit 1, same block -> pair
+        (3, "DE", "acme corp"),      # identical name, OTHER block -> no
+        (4, "US", "zenith widgets"), # far -> no
+        (5, None, "lone star"),
+        (6, None, "lone scar"),      # edit 1, both NULL block -> pair
+    ]
+    df = spark.createDataFrame(rows, "id long, country string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in blocked_similarity_pairs(
+            df, "id", ["country"], "name", max_edit=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (5, 6): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block"):
+        blocked_similarity_pairs(df, "id", [], "name")
+    with _pytest.raises(ValueError, match="max_edit"):
+        blocked_similarity_pairs(df, "id", ["country"], "name", max_edit=-1)
