@@ -14,6 +14,11 @@ Adversarial measurements for this round's claims:
 2. **w3_sessionize creep fix**: the max(session_id)+1 form vs the old
    countDistinct form at 20M events — the r5→r7 bench-creep watch item.
 
+3. **Substring-dedup family** (operators/dedup.py::substring_dup_stats /
+   substring_dup_vs_lake): 100k docs with a planted shared phrase in
+   every 10th doc — the corpus audit and the at-the-door screen, with
+   exact expected counts (the SCALE.md numbers' reproduction).
+
 Run on an otherwise idle box:  python tools/scale_probe_r8.py
 """
 
@@ -124,6 +129,64 @@ def probe_salvage(spark, n=100_000, flood=5_000):
     return out
 
 
+def probe_substring(spark, n=100_000, words=40):
+    """Substring-dedup family at 100k docs: every 10th doc carries a
+    planted 12-token shared phrase (5 duplicated 8-gram positions each).
+    Expected: audit finds exactly n/10 docs with dup, 5 spans each;
+    vs-lake (10% batch) finds the batch's planted docs."""
+    from datalakeingestion_spark.operators.dedup import (
+        substring_dup_stats,
+        substring_dup_vs_lake,
+    )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.conv(
+                    F.abs(F.xxhash64("id", F.lit(j))).cast("string"), 10, 36
+                )
+                for j in range(words)
+            ],
+        ).alias("text"),
+    )
+    phrase = " ".join(f"ph{i}" for i in range(12))
+    docs = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(phrase + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    r = substring_dup_stats(docs, n=8).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("dup_spans").alias("spans"),
+        F.sum(F.when(F.col("dup_fraction") > 0, 1).otherwise(0)).alias("hit"),
+    ).first()
+    print(
+        f"  audit {n} docs: {time.perf_counter() - t0:6.1f}s "
+        f"rows={r['rows']} dup_spans={r['spans']} docs_with_dup={r['hit']}",
+        flush=True,
+    )
+    split = n - n // 10
+    t0 = time.perf_counter()
+    r2 = substring_dup_vs_lake(
+        docs.filter(F.col("doc_id") >= split),
+        docs.filter(F.col("doc_id") < split),
+        n=8,
+    ).agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("dup_spans").alias("spans")
+    ).first()
+    print(
+        f"  vs-lake {n // 10} batch vs {split} lake: "
+        f"{time.perf_counter() - t0:6.1f}s rows={r2['rows']} "
+        f"dup_spans={r2['spans']}",
+        flush=True,
+    )
+
+
 def probe_sessionize(spark, n=20_000_000, users=200_000):
     from pyspark.sql import Window
 
@@ -171,6 +234,8 @@ def main():
     probe_salvage(spark)
     print("probe 2: sessionize aggregate forms (20M events)", flush=True)
     probe_sessionize(spark)
+    print("probe 3: substring-dedup family (100k docs)", flush=True)
+    probe_substring(spark)
 
 
 if __name__ == "__main__":
