@@ -1,23 +1,28 @@
-"""Round-8 plans: hot-band LSH salvage.
+"""Round-8 plans: five curation-surface operators.
 
-``dedup_minhash_lsh``'s flood cap (``max_bucket``) bounds a hot band
-bucket's cost by DROPPING it — recall inside the flood is lost. The
-salvage path (``operators/dedup.py::lsh_candidate_pairs_salvaged``)
-keeps the bound AND the flood's cluster: the hot bucket splits into
-deterministic md5-salt groups of ~``salt_target`` docs, pairs generate
-within groups, and the groups chain through their min-doc
-representatives — linear in bucket size instead of quadratic, every
-pair still exact-Jaccard verified.
+- ``dedup_lsh_salvaged`` — hot-band LSH SALVAGE: the flood cap
+  (``max_bucket``) bounds a hot band bucket's cost by DROPPING it,
+  losing the flood's recall; the salvage path
+  (``operators/dedup.py::lsh_candidate_pairs_salvaged``) splits the hot
+  bucket into deterministic md5-salt groups of ~``salt_target`` docs,
+  pairs within groups, and chains the groups through their min-doc
+  representatives — linear in bucket size, every pair still
+  exact-Jaccard verified, and a true near-identical flood stays ONE
+  connected component. The oracle replicates the salting byte-for-byte
+  (md5-prefix hash, integer-ceil group count, window LAG chain); the
+  fixture's size-3 buckets exceed ``max_bucket=2``, exercising the hot
+  path end to end. Adversarial flood behavior pinned in
+  tests/test_dedup.py.
+- ``dedup_substring_spans`` — Lee-et-al-2022 exact substring (span)
+  duplication audit at token 8-gram granularity.
+- ``dedup_substring_vs_lake`` — the same screen at the ingestion door:
+  incoming docs against the lake's gram set, asymmetric per-batch cost.
+- ``hits_trade_graph_2iter`` — exact integer HITS (hubs & authorities)
+  over the directed customer→supplier graph, unrolled-CTE oracle.
+- ``entity_resolution_customers`` — record linkage with blocking
+  (structured-entity dedup; codegen Levenshtein gate).
 
-The oracle replicates the salting byte-for-byte (md5-prefix hash,
-integer-ceil group count, window LAG chain), so the probabilistic-
-looking stage compares deterministically, like every other dedup
-oracle. At the fixture scale the size-3 band buckets exceed
-``max_bucket=2`` and exercise the hot path end to end; the adversarial
-flood behavior (one component retained, cost a fraction of uncapped)
-is pinned in tests/test_dedup.py.
-
-Reference pendant: none — greenfield scale operator (SURVEY.md §2
+Reference pendant: none — greenfield scale operators (SURVEY.md §2
 beyond-reference set).
 """
 
