@@ -44,6 +44,15 @@ DELTA_SESSION_CONFS: dict[str, str] = {
     "spark.sql.catalog.spark_catalog": (
         "org.apache.spark.sql.delta.catalog.DeltaCatalog"
     ),
+    # read_changes_delta / _maintain_latest_delta consume the change data
+    # feed, which Delta only records when the table property is set —
+    # default it on for every table this session creates so CDF reads
+    # never hit "table does not have change data feed enabled". The
+    # writers below ALSO set the property per-table (belt and braces for
+    # sessions built without these confs).
+    "spark.databricks.delta.properties.defaults.enableChangeDataFeed": (
+        "true"
+    ),
 }
 
 
@@ -133,7 +142,14 @@ def append_delta(
     dir, file-list LOADED row, move, orphan cleanup): Delta's commit
     either fully lands or is invisible."""
     require_delta("append_delta")
-    writer = df.write.format("delta").mode("append")
+    # table property (set on create, harmless on append): the CDF is what
+    # read_changes_delta and the latest-zone MERGE maintenance read — a
+    # table written without it makes every CDF read raise.
+    writer = (
+        df.write.format("delta")
+        .mode("append")
+        .option("delta.enableChangeDataFeed", "true")
+    )
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.save(path)
@@ -233,7 +249,11 @@ def merge_latest_delta(
 
     winners = latest_rows(batch, primary_key, order_col, tie_breaks or [])
     if not DeltaTable.isDeltaTable(spark, path):
-        winners.write.format("delta").save(path)
+        (
+            winners.write.format("delta")
+            .option("delta.enableChangeDataFeed", "true")
+            .save(path)
+        )
         return
     (
         DeltaTable.forPath(spark, path)

@@ -193,13 +193,45 @@ def read_version(
 
     When ``base_path`` is a Delta table (delta-spark installed and the
     lake written with sink_format="delta"), the read delegates to
-    Delta's own time travel — versions are then DELTA commit versions,
-    which survive compaction (OPTIMIZE) where the log-based snapshots
-    cannot."""
+    Delta's own time travel — but ``version`` KEEPS the log's meaning.
+    Delta commit versions also count OPTIMIZE/RESTORE/maintenance
+    commits, so passing the log version straight through would silently
+    read a different snapshot once any maintenance ran; instead the
+    log's LOADED row for data-commit ``version`` recorded the Delta
+    commit it landed as (``reason_code`` → ``delta_commit``,
+    ingest/pipeline.py::_run_delta) and THAT version is what Delta
+    reads. A snapshot with no recorded delta_commit (written before the
+    table became Delta) raises rather than guessing."""
     from .delta_sink import is_delta_table, read_delta
 
     if is_delta_table(spark, base_path):
-        return read_delta(spark, base_path, version=version)
+        row = (
+            history(log, ingestion_id)
+            .filter(F.col("version") == version)
+            .select("files")
+            .first()
+        )
+        if row is None:
+            raise ValueError(
+                f"version {version} does not exist for id {ingestion_id}"
+            )
+        try:
+            payload = json.loads(row["files"] or "{}")
+        except ValueError:
+            payload = None
+        # a parquet-era LOADED row records a file LIST here, not the
+        # {"delta_commit": N} dict the Delta sink writes
+        commit = (
+            payload.get("delta_commit") if isinstance(payload, dict) else None
+        )
+        if commit is None:
+            raise ValueError(
+                f"log version {version} of id {ingestion_id} records no "
+                "delta_commit (written before the Delta sink?) — cannot "
+                "map it to a Delta snapshot; read via the parquet log "
+                "path or pass a Delta commit version to read_delta"
+            )
+        return read_delta(spark, base_path, version=int(commit))
     files = _snapshot_files(spark, log, ingestion_id, version=version)
     return spark.read.option("basePath", base_path).parquet(*files)
 

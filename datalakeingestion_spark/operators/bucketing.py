@@ -29,17 +29,32 @@ def _managed_location(spark: SparkSession, table_name: str) -> str:
 
 
 def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
-    """Drop ``table_name`` AND clear its default managed location.
+    """Drop ``table_name`` AND clear its default managed location —
+    but ONLY when that location genuinely belongs to this table.
 
     ``DROP TABLE`` alone is not enough: if the warehouse directory
     survives a metastore loss (in-memory session catalog restarted,
     metastore rebuilt, crash between the two), the next
     ``saveAsTable`` fails with ``LOCATION_ALREADY_EXISTS`` and every
     index rebuild is bricked until someone hand-deletes the orphan.
-    So after the catalog drop (which removes a *registered* managed
-    table's files) we also delete the default location path itself,
-    covering the orphaned-directory case."""
+    So after the catalog drop we also delete the default location path
+    — restricted to the cases where it is safe:
+
+    - no table registered → the directory is the orphan this exists for;
+    - a MANAGED table was registered → DROP already removed its files,
+      clearing any leftover at the default path is cleanup of our own
+      data.
+
+    If the registered table is EXTERNAL, its data is NOT ours to delete
+    (and a directory at the default managed path would belong to
+    someone else) — drop only the catalog entry and leave every file
+    alone."""
+    external = False
+    if spark.catalog.tableExists(table_name):
+        external = spark.catalog.getTable(table_name).tableType == "EXTERNAL"
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if external:
+        return
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -62,19 +77,36 @@ def write_bucketed(
     per-batch maintenance path for persisted indexes (each bucket just
     accumulates files; joins still skip the shuffle).
 
-    ``mode="overwrite"`` is rebuild: it drops the existing table and
-    clears the managed location first, so a rebuild succeeds even when
-    the warehouse directory is an orphan the catalog no longer knows
-    about (see :func:`drop_table_and_location`)."""
+    ``mode="overwrite"`` is rebuild, and it is STAGED: the new table is
+    fully written under ``{table}__staging`` first, and only then is the
+    old table dropped and the staging table renamed into place. A failed
+    or crashed rebuild therefore leaves the OLD table intact (the old
+    behavior — drop first, write second — left neither on a write
+    failure); leftover staging junk is cleared by the next rebuild. The
+    drop also clears an orphaned warehouse directory so a rebuild
+    succeeds after a metastore loss, without touching EXTERNAL tables'
+    data (see :func:`drop_table_and_location`)."""
     if mode == "overwrite":
-        drop_table_and_location(df.sparkSession, table_name)
-    writer = (
+        spark = df.sparkSession
+        staging = f"{table_name}__staging"
+        drop_table_and_location(spark, staging)
+        _bucketed_writer(df, "errorifexists", bucket_col, n_buckets, sort_cols
+                         ).saveAsTable(staging)
+        drop_table_and_location(spark, table_name)
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+        return
+    _bucketed_writer(df, mode, bucket_col, n_buckets, sort_cols).saveAsTable(
+        table_name
+    )
+
+
+def _bucketed_writer(df, mode, bucket_col, n_buckets, sort_cols):
+    return (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)
         .sortBy(*(sort_cols or [bucket_col]))
         .option("compression", "snappy")
     )
-    writer.saveAsTable(table_name)
 
 
 def bucketed_join(

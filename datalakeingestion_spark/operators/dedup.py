@@ -536,6 +536,109 @@ def substring_dup_vs_lake(
     return _covered_span_stats(sizes, hits)
 
 
+def build_substring_index(
+    docs: DataFrame,
+    index_name: str,
+    n: int = 8,
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> None:
+    """Persist the lake-side state `substring_dup_vs_stored_index`
+    probes: ``{index_name}_grams`` (g) — the DISTINCT token n-gram set
+    of the lake, BUCKETED by ``g``. This is the stored-index twin of
+    :func:`substring_dup_vs_lake`'s inline lake side, same maintenance
+    pattern as ``build_dedup_index``: the inline form re-tokenizes,
+    re-explodes and re-shuffles the WHOLE lake's grams on every batch —
+    at a 100 TB lake that per-batch lake-side term dominates; the
+    stored table is built once (the distinct is paid at build, where
+    it also shrinks the table by the corpus' gram repetition factor),
+    appended per batch, and every probe's semi-join lands on the
+    bucket key so the lake side never exchanges again (plan-pinned in
+    tests/test_dedup.py; measured in tools/scale_probe_r9.py).
+
+    Grams are stored as TEXT (collision-free, oracle-exact — same
+    decision as the inline form); a 100 TB deployment would store a
+    128-bit hash beside it and bucket on that (same exactness after an
+    in-bucket equality check, ~n× less storage). Bucket-count guidance
+    as in operators/bucketing.py."""
+    _write_substring_index(docs, index_name, n, text_col, n_buckets, "overwrite")
+
+
+def append_substring_index(
+    docs: DataFrame,
+    index_name: str,
+    n: int = 8,
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> None:
+    """Per-batch maintenance: append an ingested batch's (batch-
+    distinct) grams with the SAME bucket spec — the bucketing metadata
+    stays valid and later probes still skip the lake-side shuffle.
+    Cross-batch repeats of a gram are tolerated by construction (the
+    probe is a LEFT SEMI, which dedups the right side); compact on the
+    lake's cadence to fold them. ``n_buckets`` must match the build."""
+    _write_substring_index(docs, index_name, n, text_col, n_buckets, "append")
+
+
+def _write_substring_index(docs, index_name, n, text_col, n_buckets, mode):
+    from ..functions.text import tokens, word_shingles
+    from .bucketing import write_bucketed
+
+    grams = docs.select(
+        F.explode(word_shingles(tokens(text_col), n)).alias("g")
+    ).distinct()
+    write_bucketed(grams, f"{index_name}_grams", "g", n_buckets, mode=mode)
+
+
+def substring_dup_vs_stored_index(
+    batch: DataFrame,
+    index_name: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`substring_dup_vs_lake` against the PERSISTED bucketed gram
+    index — the production per-batch door screen. Identical output
+    contract (``substring_dup_stats`` schema, batch docs only).
+
+    Plan shape this buys (pinned in tests/test_dedup.py): the lake gram
+    semi-join lands on the stored table's bucket key, so the lake side
+    is a bucketed scan with NO Exchange — only the batch's positional
+    grams shuffle, making per-batch shuffle volume O(batch) regardless
+    of lake size. The lake and within-batch semi-joins stay SEPARATE
+    (unioning the stored scan with the batch-derived dup grams first
+    would discard the bucketed distribution); their hit sets overlap,
+    so positions are deduped batch-side before the span union."""
+    from ..functions.text import tokens, word_shingles
+
+    spark = batch.sparkSession
+    stored = spark.table(f"{index_name}_grams")
+
+    b_tk = batch.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
+    ).persist()
+    sizes = b_tk.select("doc_id", F.size("_tk").alias("n_tokens"))
+    sp_b = b_tk.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g").persist()
+
+    within = (
+        sp_b.groupBy("g")
+        .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("g")
+    )
+    hits = (
+        sp_b.join(stored, "g", "left_semi")
+        .unionByName(sp_b.join(within, "g", "left_semi"))
+        .select("doc_id", "pos")
+        .distinct()  # batch-sized: a position hit by both sources
+        .select("doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("_end"))
+    )
+    return _covered_span_stats(sizes, hits)
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -8,14 +8,28 @@ BLOCKING (Fellegi-Sunter practice): never all-pairs — candidates are
 generated only WITHIN blocks keyed by cheap deterministic functions of
 the record (exact country, name prefix, zip, phonetic code), then each
 candidate pair pays the expensive per-field similarity. Cost is
-Σ C(|block|, 2); block keys are chosen so blocks stay bounded, and a
-skewed block is the same hot-bucket problem LSH bands have — cap or
-salt it (``operators/dedup.py::lsh_candidate_pairs_salvaged`` is the
-pattern).
+Σ C(|block|, 2), so a flooded block is the same hot-bucket problem LSH
+bands have; both entry points take ``max_block``/``salt_target`` to
+bound it with the salvage pattern
+(``operators/dedup.py::lsh_candidate_pairs_salvaged``): an over-full
+block is split into deterministic salt groups of ~``salt_target``
+records, pairs are generated within groups, and the groups are chained
+through their min-id representatives — linear in block size instead of
+quadratic, with a true duplicate flood kept ONE connected component
+for downstream cluster resolution.
+
+NULL block keys are a flood in disguise (every key-less record lands
+in one giant "block"), so the default policy ``null_blocks="drop"``
+excludes records with any NULL block-key column from pairing — the
+same semantics as a SQL equi-join. ``null_blocks="match"`` opts into
+NULL-as-a-value blocking (eqNullSafe); combine it with ``max_block``
+or the NULL block is unbounded.
 
 Similarity here is Levenshtein edit distance — built into both Spark
 (`F.levenshtein`, JVM codegen) and DuckDB (`levenshtein`), with
-identical unit-cost semantics, so the oracle comparison is exact.
+identical unit-cost semantics, so the oracle comparison is exact. The
+weighted scorer uses INTEGER field weights (Fellegi-Sunter log-odds,
+pre-scaled by the caller) so scores are exact across engines.
 
 Reference pendant: none — greenfield curation operator (SURVEY.md §2
 beyond-reference set).
@@ -24,9 +38,185 @@ beyond-reference set).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash60
+
+_NULL_POLICIES = ("drop", "match")
+
+
+@dataclass(frozen=True)
+class FieldWeight:
+    """One compared field of the weighted (Fellegi-Sunter-style) score.
+
+    ``max_edit=0`` means exact equality; ``max_edit>0`` means agreement
+    is ``levenshtein <= max_edit``. ``agree``/``disagree`` are the
+    integer weights added to the pair score on field agreement /
+    disagreement (classically ``log2(m/u)`` and ``log2((1-m)/(1-u))``
+    scaled to integers by the caller — integer arithmetic keeps the
+    score exact and engine-portable). A NULL on either side contributes
+    0: a missing field carries no evidence either way.
+    """
+
+    col: str
+    max_edit: int = 0
+    agree: int = 1
+    disagree: int = -1
+
+
+def _prepare_blocks(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    null_blocks: str,
+    max_block: int | None,
+    salt_target: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """Apply the NULL policy and (when ``max_block`` is set) the hot-
+    block salting: returns the records extended with the effective join
+    key columns (block cols, plus ``_salt`` for bounded mode) and the
+    list of those key column names. Bounded mode also returns records
+    tagged with ``_nsalt`` so the caller can build the representative
+    chain."""
+    if not block_cols:
+        raise ValueError("blocking requires at least one block column")
+    if null_blocks not in _NULL_POLICIES:
+        raise ValueError(f"null_blocks must be one of {_NULL_POLICIES}")
+    if null_blocks == "drop":
+        for c in block_cols:
+            df = df.filter(F.col(c).isNotNull())
+    keys = list(block_cols)
+    if max_block is None:
+        return df, keys
+    if max_block < 2:
+        raise ValueError("max_block must be >= 2")
+    st = int(salt_target or max_block)
+    if st < 2:
+        raise ValueError("salt_target must be >= 2")
+    from pyspark.sql.window import Window
+
+    bw = Window.partitionBy(*block_cols)
+    sized = df.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+    # cold blocks: one salt group (salt 0). Hot blocks: integer-ceil
+    # group count, md5-portable split by id — deterministic and
+    # ANSI-replicable (same arithmetic as the LSH salvage).
+    salted = (
+        sized.withColumn(
+            "_nsalt",
+            F.when(F.col("_bsz") <= max_block, F.lit(1)).otherwise(
+                F.expr(f"(_bsz + {st} - 1) div {st}")
+            ),
+        )
+        .withColumn(
+            "_salt",
+            F.when(F.col("_nsalt") == 1, F.lit(0)).otherwise(
+                F.pmod(
+                    portable_hash60(F.col(id_col).cast("string")),
+                    F.col("_nsalt"),
+                )
+            ),
+        )
+        .drop("_bsz")
+    )
+    return salted, keys + ["_salt"]
+
+
+def _pair_condition(
+    id_col: str, keys: Sequence[str], null_blocks: str
+) -> Column:
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        if null_blocks == "match" and not c.startswith("_"):
+            cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        else:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return cond
+
+
+def _chain_pairs(
+    prepared: DataFrame, id_col: str, block_cols: Sequence[str]
+) -> DataFrame:
+    """Min-id representative per (block, salt), consecutive reps paired
+    — ≤ s/salt_target rows per block, so the per-block window is
+    metadata-sized even for a monster flood. Keeps a salted flood one
+    connected component (pairs still pass the caller's similarity gate
+    individually, so unrelated records sharing a block chain only where
+    they genuinely match)."""
+    from pyspark.sql.window import Window
+
+    reps = (
+        prepared.filter(F.col("_nsalt") > 1)
+        .groupBy(*block_cols, "_salt")
+        .agg(F.min(id_col).alias("_rep"))
+    )
+    rw = Window.partitionBy(*block_cols).orderBy("_salt")
+    return (
+        reps.withColumn("_prev", F.lag("_rep").over(rw))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            *block_cols,
+            F.least("_prev", "_rep").alias("_id_a"),
+            F.greatest("_prev", "_rep").alias("_id_b"),
+        )
+    )
+
+
+def _candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    null_blocks: str,
+    max_block: int | None,
+    salt_target: int | None,
+) -> DataFrame:
+    """Candidate pairs within (possibly salted) blocks, carrying both
+    sides' payload columns as ``a_{col}`` / ``b_{col}`` plus the block
+    values. One shuffle on the block key; the join is an ordinary equi
+    hash join AQE can skew-split."""
+    prepared, keys = _prepare_blocks(
+        df, id_col, block_cols, null_blocks, max_block, salt_target
+    )
+    cols = [id_col, *dict.fromkeys([*block_cols, *payload_cols])]
+    slim = prepared.select(*cols, *[k for k in keys if k.startswith("_")],
+                           *(["_nsalt"] if max_block is not None else []))
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = a.join(b, _pair_condition(id_col, keys, null_blocks)).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in payload_cols],
+    )
+    if max_block is None:
+        return pairs
+    chain = _chain_pairs(prepared, id_col, block_cols)
+    ca = slim.select(
+        F.col(id_col).alias("_id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in payload_cols],
+    )
+    cb = slim.select(
+        F.col(id_col).alias("_id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+    )
+    chain_full = (
+        chain.join(ca, "_id_a")
+        .join(cb, "_id_b")
+        .select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            *block_cols,
+            *[f"a_{c}" for c in payload_cols],
+            *[f"b_{c}" for c in payload_cols],
+        )
+    )
+    # a chain pair can coincide with a within-group pair only if the two
+    # reps share a salt group, which they never do — but keep the union
+    # distinct-free cheap by construction rather than assumption:
+    return pairs.unionByName(chain_full).distinct()
 
 
 def blocked_similarity_pairs(
@@ -35,33 +225,81 @@ def blocked_similarity_pairs(
     block_cols: Sequence[str],
     string_col: str,
     max_edit: int = 2,
+    max_block: int | None = None,
+    salt_target: int | None = None,
+    null_blocks: str = "drop",
 ) -> DataFrame:
     """Entity-resolution candidate pairs: records sharing every
     ``block_cols`` value, paired within the block (id_a < id_b), kept
     when ``levenshtein(string_col)`` ≤ ``max_edit``.
 
-    One shuffle on the block key; the join is an ordinary equi hash
-    join AQE can skew-split, and the Levenshtein gate runs in codegen
-    on the joined pairs. Returns (id_a, id_b, edit_dist, block values).
+    ``max_block`` bounds a flooded block's cost: blocks larger than it
+    are salted into ~``salt_target``-record groups (pairs within groups
+    + a min-id representative chain) — linear in block size instead of
+    C(s, 2), with a true-duplicate flood kept one connected component.
+    ``null_blocks`` (default ``"drop"``) excludes NULL-keyed records;
+    ``"match"`` blocks them together (flood risk — pair with
+    ``max_block``). The Levenshtein gate runs in codegen on the joined
+    pairs. Returns (id_a, id_b, edit_dist, block values).
     """
-    if not block_cols:
-        raise ValueError("blocking requires at least one block column")
     if max_edit < 0:
         raise ValueError("max_edit must be >= 0")
-    a, b = df.alias("a"), df.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for c in block_cols:
-        cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-    dist = F.levenshtein(
-        F.col(f"a.{string_col}"), F.col(f"b.{string_col}")
+    pairs = _candidate_pairs(
+        df, id_col, block_cols, [string_col],
+        null_blocks, max_block, salt_target,
     )
+    dist = F.levenshtein(F.col(f"a_{string_col}"), F.col(f"b_{string_col}"))
     return (
-        a.join(b, cond)
-        .filter(dist <= max_edit)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("edit_dist"),
-            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+        pairs.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "edit_dist", *block_cols)
+    )
+
+
+def weighted_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[FieldWeight],
+    min_score: int,
+    max_block: int | None = None,
+    salt_target: int | None = None,
+    null_blocks: str = "drop",
+) -> DataFrame:
+    """Fellegi-Sunter-style weighted record linkage: candidate pairs
+    within (multi-column) blocks, scored by summing integer per-field
+    agreement/disagreement weights, kept at ``score >= min_score``.
+
+    Each :class:`FieldWeight` contributes ``agree`` when the field
+    matches (exact for ``max_edit=0``, else ``levenshtein <= max_edit``),
+    ``disagree`` when it doesn't, and 0 when either side is NULL
+    (missing data is no evidence). Integer weights keep the score exact
+    — the DuckDB oracle computes the identical CASE sum. Blocking,
+    ``max_block`` salting and the NULL policy are shared with
+    :func:`blocked_similarity_pairs`. Returns
+    (id_a, id_b, score, block values).
+    """
+    if not fields:
+        raise ValueError("weighted linkage requires at least one field")
+    pairs = _candidate_pairs(
+        df, id_col, block_cols, [f.col for f in fields],
+        null_blocks, max_block, salt_target,
+    )
+    score: Column = F.lit(0)
+    for fld in fields:
+        an, bn = F.col(f"a_{fld.col}"), F.col(f"b_{fld.col}")
+        if fld.max_edit > 0:
+            agree = F.levenshtein(an, bn) <= fld.max_edit
+        else:
+            agree = an == bn
+        term = (
+            F.when(an.isNull() | bn.isNull(), F.lit(0))
+            .when(agree, F.lit(fld.agree))
+            .otherwise(F.lit(fld.disagree))
         )
+        score = score + term
+    return (
+        pairs.withColumn("score", score)
+        .filter(F.col("score") >= min_score)
+        .select("id_a", "id_b", "score", *block_cols)
     )

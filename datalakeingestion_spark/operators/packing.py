@@ -179,6 +179,98 @@ def tokenize_to_ids(
     )
 
 
+#: Symbol separator inside the BPE word encoding — U+001F (unit
+#: separator), chosen because whitespace tokenization can never emit it
+#: inside a word of ordinary text; words containing it are excluded
+#: defensively (identically in the SQL oracle) rather than corrupted.
+BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative byte-pair-encoding merge TRAINER — the actual BPE loop
+    (count adjacent symbol pairs, merge the most frequent, repeat ``k``
+    times), the tokenizer-prep step between ``bpe_pair_stats`` (which
+    computes only the FIRST merge's statistics) and a trained
+    vocabulary. Classic word-frequency BPE (Sennrich et al. 2016): the
+    corpus is reduced ONCE to its word-frequency table, and every merge
+    iteration runs over that vocab-sized table — corpus-sized work never
+    repeats.
+
+    Representation: each word is its symbol sequence joined by
+    :data:`BPE_SEP`, so applying merge (a, b) is ONE codegen
+    ``replace(syms, a‖SEP‖b, a‖b)`` — left-to-right non-overlapping,
+    exactly BPE's greedy application ("aaa" + (a,a) → (aa)(a)), and
+    byte-identical between Spark and DuckDB (the oracle unrolls the
+    same loop as CTEs). Pair counts weight by word frequency; the
+    argmax merge breaks ties by (lhs, rhs) ascending for determinism.
+
+    Scale shape (the HITS pattern for bounded iteration): per merge,
+    one vocab-sized pair explode + groupBy with map-side partials, a
+    TakeOrdered(1) argmax collected as a control-plane scalar, one JVM
+    ``replace`` projection, then an EAGER localCheckpoint so the next
+    iteration's plan starts from materialized vocab rows instead of a
+    k-deep replace/aggregate lineage. Stops early when no pair remains.
+
+    Returns (merge_rank int, lhs, rhs, merged, pair_count long) — the
+    merge table, ``<= k`` rows, already ordered by merge_rank.
+    """
+    from ..functions.text import tokens
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.concat_ws(BPE_SEP, F.split("w", "")).alias("syms"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rank in range(1, k + 1):
+        s = F.split("syms", BPE_SEP)
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(s, 1, F.size(s) - 1),
+                    F.slice(s, 2, F.size(s) - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+            "cnt",
+        ).filter(F.col("p.lhs").isNotNull() & F.col("p.rhs").isNotNull())
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, pc = best[0]["lhs"], best[0]["rhs"], int(best[0]["pc"])
+        merges.append((rank, lhs, rhs, lhs + rhs, pc))
+        if rank < k:
+            words = words.select(
+                F.replace(
+                    F.col("syms"), F.lit(lhs + BPE_SEP + rhs), F.lit(lhs + rhs)
+                ).alias("syms"),
+                "cnt",
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
 #: Upper bound on buckets × keys subtotal rows collected to the driver.
 #: Past this, the key cardinality is data-sized and the two-pass form is
 #: the wrong tool — fail loudly instead of OOMing the driver.

@@ -55,69 +55,70 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01–r07 — r7 landed 50/50
-# (the 8 previously-never-checked queries + round-7's 4 new ones), so
-# every one of the 219 registered queries' LATEST external check is
-# green. The tuple leads with this round's new queries (never checked)
-# followed by the STALEST green checks (r1/r2/r4 vintage) for
-# re-validation, via tools/rotate_priority.py.
+# position. Checked-green history: CORRECTNESS_r01–r08 — every one of
+# the 224 queries registered through round 8 has been externally
+# hash-checked green at least once, and no query's LATEST check is
+# failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
+# remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
+# This tuple = round-9's 2 new queries (never checked) + ALL 25
+# r4-vintage + the 23 oldest r5-vintage, per tools/rotate_priority.py —
+# keeping the policy that no query's latest check ages past ~4 rounds.
 # EXACTLY 50 entries: the driver checks positions 0-49 and
 # test_parity.py pins the tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 additions — never externally checked
-    "dedup_lsh_salvaged",
-    "dedup_substring_spans",
-    "dedup_substring_vs_lake",
-    "hits_trade_graph_2iter",
-    "entity_resolution_customers",
-    # stalest green checks: r1 vintage (5+ rounds of churn ago)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "w1_latest_event_per_user",
-    "w2_top3_events_per_user",
-    "f1_watermark_range_scan",
-    "f2_coalesce_range_filter",
-    "f6_in_list_filter",
-    "f8_null_fill_group",
-    # r2 vintage
-    "multimodal_feature_extract",
-    "curation_pipeline",
-    "dedup_embedding_cosine_blocked",
-    "text_token_entropy",
-    "sample_documents_deterministic",
-    "stratified_sample_exact",
-    "split_train_val",
-    "mix_corpora_weighted",
-    "pack_sequences_512",
-    "chunk_documents_128",
-    "shuffle_rank_deterministic",
-    # r4 vintage (registration order)
-    "ann_ivf_topk",
-    "embedding_quantize_int8",
-    "range_join_error_context_5min",
-    "range_join_signup_followups_1h",
-    "cms_term_frequency",
-    "g6_grouping_sets",
-    "w7_event_gap_stats",
-    "d4_price_quantity_correlation",
-    "sketch_kmv_by_returnflag",
-    "countsketch_term_frequency",
-    "a8_approx_distinct_parts",
-    "g7_approx_percentiles",
-    "sample_quality_weighted",
-    "budget_cap_per_source",
-    "assemble_sequences_512",
-    "u3_intersect_click_purchase_days",
-    "unigram_logprob_score",
-    "tfidf_top_terms",
-    "text_repetition_filter_auto",
-    "dedup_keep_best",
-    "knn_graph_topk",
-    "funnel_conversion_1h",
-    "bm25_rank",
-    "dedup_semantic_clusters",
+    # round-9 additions — never externally checked
+    "entity_resolution_weighted",
+    "bpe_train_merges_k3",
+    # r4 vintage (stalest first — latest external check 5 rounds old)
+    "w6_rolling_1h_range",
+    "decontaminate_embedding_cosine",
+    "salted_join_segment_counts",
+    "boilerplate_span_flag",
+    "a1_watermark_bounds",
+    "c4_next_watermark",
+    "a3_scalar_max",
+    "a5_distinct_event_types",
+    "a6_argmax_latest_event",
+    "a2_group_count_validation",
+    "c1_date_bucket_monthly",
+    "c2_int_bucket",
+    "c9_json_extract",
+    "p3_timestamp_clamp",
+    "o1_sort_topk",
+    "u1_union_append",
+    "u2_anti_join_new_tables",
+    "v1_count_reconciliation",
+    "scd2_user_history",
+    "t9_stream_dedup",
+    "source_js_divergence",
+    "fuzzy_match_customer_names",
+    "profile_price_histogram",
+    "quality_rank_normalize",
+    "dedup_cluster_assign_star",
+    # r5 vintage, oldest 23 (registration order within the vintage)
+    "dedup_jaccard_prefix_join",
+    "bigram_logprob_score",
+    "pmi_collocations_top50",
+    "kmeans_cluster_profile",
+    "source_ngram_overlap_matrix",
+    "dedup_incremental_vs_lake",
+    "cdc_shared_chunk_fraction",
+    "pca_embedding_contract",
+    "ann_pca_rerank_topk",
+    "zipf_alpha_fit",
+    "embedding_centroid_outliers",
+    "containment_quote_pairs",
+    "quality_logistic_score",
+    "curation_pipeline_v2",
+    "tokenize_to_ids",
+    "quality_by_source_rollup",
+    "sample_negatives_contrastive",
+    "label_centroid_similarity",
+    "winnowing_fingerprint_pairs",
+    "bpe_pair_stats_top50",
+    "psi_price_drift",
+    "dedup_ratio_by_source",
+    "audio_pcm_clip_stats",
 )
 
 
@@ -169,6 +170,7 @@ def _ensure_loaded() -> None:
         round6,
         round7,
         round8,
+        round9,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

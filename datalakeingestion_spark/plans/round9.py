@@ -1,0 +1,174 @@
+"""Round-9 queries — weighted entity resolution and the BPE trainer.
+
+- ``entity_resolution_weighted`` — the Fellegi-Sunter half that
+  ``entity_resolution_customers`` (round 8) left out: MULTI-column
+  blocking (nation × market segment) and a WEIGHTED multi-field score
+  (name + address edit-gated agreement, phone-prefix exact agreement,
+  integer log-odds-style weights summed per pair, NULL fields contribute
+  0) instead of a single-field edit gate
+  (``operators/linkage.py::weighted_linkage_pairs``). Integer weights
+  keep the score exact across engines, so the oracle is the identical
+  CASE sum. The hot-block salting bound (``max_block``) and planted-
+  flood recall behavior are pinned in tests/test_dedup.py.
+- ``bpe_train_merges_k3`` — the iterative BPE merge TRAINER
+  (``operators/packing.py::bpe_train``): ``bpe_pair_stats_top50``
+  computes only the FIRST merge's statistics; this runs the actual loop
+  (count pairs weighted by word frequency, merge the argmax pair,
+  re-count) for k=3 merges over the word-frequency table. The oracle
+  unrolls the same three iterations as CTEs — the separator-join word
+  encoding makes each merge application a ``replace`` with identical
+  left-to-right greedy semantics in Spark and DuckDB.
+
+Reference pendant: none — greenfield curation/tokenizer-prep operators
+(SURVEY.md §2 beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .llm import TOKS_SQL
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# entity_resolution_weighted
+# ---------------------------------------------------------------------------
+
+_W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS = 2, 24, -6
+_W_BAL_AGREE, _W_BAL_DIS = 8, -3
+_W_TAIL_AGREE, _W_TAIL_DIS = 4, -2
+_W_MIN_SCORE = 15
+
+# derived comparison fields (computed identically on both engines):
+# bal_bucket — the account balance's 1000-unit bucket (a numeric field
+# agreeing "approximately" the way real linkage compares incomes/ages);
+# name_tail — the name's last 3 characters (a weak field, the phone-
+# suffix stand-in the fixture schema lacks).
+_WEIGHTED_SCORE_SQL = f"""
+      CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+           WHEN levenshtein(a.c_name, b.c_name) <= {_W_NAME_EDIT}
+           THEN {_W_NAME_AGREE} ELSE {_W_NAME_DIS} END
+    + CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+           WHEN CAST(floor(a.c_acctbal / 1000.0) AS BIGINT)
+              = CAST(floor(b.c_acctbal / 1000.0) AS BIGINT)
+           THEN {_W_BAL_AGREE} ELSE {_W_BAL_DIS} END
+    + CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+           WHEN right(a.c_name, 3) = right(b.c_name, 3)
+           THEN {_W_TAIL_AGREE} ELSE {_W_TAIL_DIS} END
+"""
+
+
+@register(
+    "entity_resolution_weighted",
+    oracle=f"""
+    SELECT id_a, id_b, score, c_nationkey, c_mktsegment FROM (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             ({_WEIGHTED_SCORE_SQL}) AS score,
+             a.c_nationkey AS c_nationkey,
+             a.c_mktsegment AS c_mktsegment
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+    ) WHERE score >= {_W_MIN_SCORE}
+    """,
+    doc="Weighted (Fellegi-Sunter-style) record linkage "
+    "(operators/linkage.py::weighted_linkage_pairs): candidate pairs "
+    "only within MULTI-column blocks (nation x market segment — finer "
+    "blocks, quadratically fewer pairs), scored by summing INTEGER "
+    "per-field agreement/disagreement weights (name edit<=2: +24/-6, "
+    "acctbal 1000-bucket exact: +8/-3, name 3-char tail exact: +4/-2; "
+    "NULL fields contribute 0 — missing data is no evidence), kept at "
+    "score >= 15. Integer weights make the score exact, so the oracle "
+    "is the identical CASE sum. One shuffle on the block key; hot "
+    "blocks are boundable via max_block salting (planted-flood test in "
+    "tests/test_dedup.py).",
+)
+def entity_resolution_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.linkage import FieldWeight, weighted_linkage_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn(
+            "bal_bucket",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+        )
+        .withColumn("name_tail", F.expr("right(c_name, 3)"))
+    )
+    fields = [
+        FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
+        FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
+        FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
+    ]
+    return weighted_linkage_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        fields,
+        min_score=_W_MIN_SCORE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges_k3
+# ---------------------------------------------------------------------------
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE merge iteration: adjacent symbol pairs of m{i-1}
+    weighted by word frequency, argmax with (pc DESC, lhs, rhs) ties,
+    greedy left-to-right replace — byte-identical to the Spark loop."""
+    prev = f"m{i - 1}"
+    return f"""
+    p{i} AS (SELECT list_extract(s, j) AS lhs, list_extract(s, j + 1) AS rhs,
+                    cnt
+             FROM (SELECT s, cnt, unnest(range(1, len(s))) AS j
+                   FROM (SELECT string_split(syms, chr(31)) AS s, cnt
+                         FROM {prev}))),
+    b{i} AS (SELECT lhs, rhs, SUM(cnt)::BIGINT AS pc FROM p{i}
+             GROUP BY 1, 2 ORDER BY pc DESC, lhs, rhs LIMIT 1),
+    m{i} AS (SELECT replace(syms, b.lhs || chr(31) || b.rhs,
+                            b.lhs || b.rhs) AS syms, cnt
+             FROM {prev}, b{i} b)"""
+
+
+_BPE_ORACLE = f"""
+    WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
+    wf AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w
+           WHERE NOT contains(word, chr(31)) GROUP BY 1),
+    m0 AS (SELECT array_to_string(list_transform(
+               range(1, length(word) + 1), i -> substr(word, i, 1)),
+               chr(31)) AS syms, cnt FROM wf),
+    {_bpe_iter_sql(1)},
+    {_bpe_iter_sql(2)},
+    {_bpe_iter_sql(3)}
+    SELECT CAST(1 AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+           pc AS pair_count FROM b1
+    UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pc FROM b2
+    UNION ALL SELECT CAST(3 AS INT), lhs, rhs, lhs || rhs, pc FROM b3
+"""
+
+
+@register(
+    "bpe_train_merges_k3",
+    oracle=_BPE_ORACLE,
+    doc="Iterative BPE merge trainer, k=3 merges "
+    "(operators/packing.py::bpe_train): the actual BPE loop — count "
+    "adjacent symbol pairs weighted by word frequency, merge the argmax "
+    "pair (ties by lhs, rhs), re-count — over the word-frequency table "
+    "(vocab-sized: corpus work happens ONCE). Each merge application is "
+    "a single codegen replace on the separator-joined symbol encoding "
+    "(left-to-right greedy, identical in Spark and DuckDB); per "
+    "iteration one vocab-sized pair groupBy + TakeOrdered(1) argmax + "
+    "eager localCheckpoint (the HITS bounded-iteration pattern). The "
+    "oracle unrolls the same three iterations as CTEs.",
+)
+def bpe_train_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, k=3)

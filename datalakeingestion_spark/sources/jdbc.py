@@ -54,12 +54,23 @@ class SqlDialect:
     a reserved word (``order``, ``group`` — common in order-management
     schemas): MYSQL backtick-quotes, ANSI double-quotes. Literals are
     always single-quoted with embedded quotes doubled (both grammars),
-    which the reference never does — one less injection-shaped foot-gun
-    when watermark values come from a control table.
+    and the MYSQL profile additionally doubles backslashes (MySQL's
+    default sql_mode treats ``\\`` as an escape inside literals, so a
+    value ending in a backslash would otherwise swallow the closing
+    quote) — the reference does neither, so this closes an
+    injection-shaped foot-gun when watermark values come from a control
+    table.
     """
 
     name: str
     ident_quote: str = ""  # "" → bare identifiers (reference parity)
+    # MySQL's default sql_mode treats backslash as an escape inside
+    # string literals, so '...\' is malformed (the \' escapes the closing
+    # quote) and quote-doubling alone is not injection-safe; the MYSQL
+    # profile doubles backslashes too. ANSI/BARE leave backslashes alone
+    # (standard SQL has no backslash escapes; doubling them there would
+    # CORRUPT the value).
+    backslash_escapes: bool = False
 
     def ident(self, name: str) -> str:
         """Quote a possibly dot-qualified identifier part by part
@@ -72,11 +83,14 @@ class SqlDialect:
         )
 
     def literal(self, value: str) -> str:
-        return "'" + str(value).replace("'", "''") + "'"
+        s = str(value)
+        if self.backslash_escapes:
+            s = s.replace("\\", "\\\\")
+        return "'" + s.replace("'", "''") + "'"
 
 
 BARE = SqlDialect("bare")  # reference-parity text (unquoted identifiers)
-MYSQL = SqlDialect("mysql", "`")  # MySQL backtick quoting
+MYSQL = SqlDialect("mysql", "`", True)  # backticks + backslash escapes
 ANSI = SqlDialect("ansi", '"')  # ANSI/Derby/DuckDB double-quote quoting
 
 

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalakeingestion_spark.operators.asof import asof_join
@@ -13,6 +15,7 @@ def _ts(spark, rows, cols):
     return df
 
 
+@pytest.mark.smoke
 def test_asof_edges(spark):
     left = _ts(
         spark,

@@ -23,6 +23,7 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+@pytest.mark.smoke
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     # tables land in the session warehouse (a per-session tmp dir set in
     # conftest); warehouse.dir is a static conf and cannot move per-test
@@ -264,3 +265,78 @@ def test_merge_latest_recovers_crashed_swap(spark, tmp_path):
         for r in b1.select("user_id").distinct().collect()
     } - {r["user_id"] for r in b2.select("user_id").distinct().collect()}
     assert b1_only <= keys  # pre-crash-only keys were not discarded
+
+
+def test_drop_table_and_location_spares_external_table_data(
+    spark, tmp_path
+):
+    """An EXTERNAL table's data is not ours to delete (ADVICE r8): the
+    drop must remove only the catalog entry — both the external
+    directory and any unrelated directory sitting at the DEFAULT
+    managed location must survive."""
+    import os
+
+    from datalakeingestion_spark.operators.bucketing import (
+        _managed_location,
+        drop_table_and_location,
+    )
+
+    table = "ext_guard_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ext_dir = str(tmp_path / "external_data")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(ext_dir)
+    spark.sql(
+        f"CREATE TABLE {table} (k BIGINT) USING parquet LOCATION '{ext_dir}'"
+    )
+    # unrelated directory at the default managed path (coincidental)
+    default_loc = _managed_location(spark, table)[len("file:"):]
+    os.makedirs(default_loc, exist_ok=True)
+    with open(os.path.join(default_loc, "not-ours"), "w") as fh:
+        fh.write("someone else's data")
+    try:
+        drop_table_and_location(spark, table)
+        assert not spark.catalog.tableExists(table)
+        # external data intact and still readable
+        assert spark.read.parquet(ext_dir).count() == 5
+        # the coincidental directory was NOT deleted
+        assert os.path.exists(os.path.join(default_loc, "not-ours"))
+    finally:
+        import shutil
+
+        shutil.rmtree(default_loc, ignore_errors=True)
+
+
+def test_write_bucketed_failed_rebuild_keeps_old_table(spark):
+    """Overwrite rebuilds are STAGED: a write that fails mid-rebuild
+    must leave the previous table intact (the old drop-first order left
+    neither old nor new — ADVICE r8), and the next successful rebuild
+    must clear the staging leftovers and land."""
+    table = "staged_rebuild_t"
+    for t in (table, f"{table}__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    write_bucketed(df, table, "k", 4)
+    assert spark.table(table).count() == 50
+
+    poison = df.withColumn(
+        "v", F.when(F.col("k") < 49, F.col("v")).otherwise(
+            F.assert_true(F.lit(False)).cast("long")
+        )
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    with _pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException, Exception)
+    ):
+        write_bucketed(poison, table, "k", 4)
+    # old table fully intact after the failed rebuild
+    assert spark.table(table).count() == 50
+    # and the next good rebuild succeeds despite staging leftovers
+    write_bucketed(df.filter("k < 20"), table, "k", 4)
+    assert spark.table(table).count() == 20
+    for t in (table, f"{table}__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -123,6 +123,7 @@ def _inject(mp, step):
         "before-success",
     ],
 )
+@pytest.mark.smoke
 def test_crash_then_retry_converges(spark, tmp_path, step):
     events = load_table(spark, SF_SMALL, "events")
 

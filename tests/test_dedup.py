@@ -13,6 +13,7 @@ def docs(spark):
     return load_table(spark, SF_SMALL, "documents").cache()
 
 
+@pytest.mark.smoke
 def test_exact_duplicates_groups(spark):
     rows = [(1, "same text"), (2, "same text"), (3, "other")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
@@ -800,8 +801,10 @@ def test_append_dedup_index_preserves_bucketing_and_results(spark):
 
 def test_blocked_similarity_pairs_semantics(spark):
     """Record-linkage blocking: pairs only form INSIDE a block (same
-    country), the Levenshtein gate is exact, and NULL block keys pair
-    with each other (eqNullSafe) rather than vanishing."""
+    country), the Levenshtein gate is exact, and NULL block keys are
+    governed by an explicit policy — dropped by default (a key-less
+    record is an unbounded flood in disguise), paired together under
+    null_blocks='match'."""
     from datalakeingestion_spark.operators.linkage import (
         blocked_similarity_pairs,
     )
@@ -812,16 +815,20 @@ def test_blocked_similarity_pairs_semantics(spark):
         (3, "DE", "acme corp"),      # identical name, OTHER block -> no
         (4, "US", "zenith widgets"), # far -> no
         (5, None, "lone star"),
-        (6, None, "lone scar"),      # edit 1, both NULL block -> pair
+        (6, None, "lone scar"),      # edit 1, both NULL block
     ]
     df = spark.createDataFrame(rows, "id long, country string, name string")
-    got = {
-        (r["id_a"], r["id_b"]): r["edit_dist"]
-        for r in blocked_similarity_pairs(
-            df, "id", ["country"], "name", max_edit=2
-        ).collect()
-    }
-    assert got == {(1, 2): 1, (5, 6): 1}
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"]): r["edit_dist"]
+            for r in blocked_similarity_pairs(
+                df, "id", ["country"], "name", max_edit=2, **kw
+            ).collect()
+        }
+
+    assert pairs() == {(1, 2): 1}  # default: NULL-keyed records excluded
+    assert pairs(null_blocks="match") == {(1, 2): 1, (5, 6): 1}
 
     import pytest as _pytest
 
@@ -829,3 +836,198 @@ def test_blocked_similarity_pairs_semantics(spark):
         blocked_similarity_pairs(df, "id", [], "name")
     with _pytest.raises(ValueError, match="max_edit"):
         blocked_similarity_pairs(df, "id", ["country"], "name", max_edit=-1)
+    with _pytest.raises(ValueError, match="null_blocks"):
+        blocked_similarity_pairs(
+            df, "id", ["country"], "name", null_blocks="ignore"
+        )
+    with _pytest.raises(ValueError, match="max_block"):
+        blocked_similarity_pairs(
+            df, "id", ["country"], "name", max_block=1
+        )
+
+
+def _components(pairs):
+    """Union-find over (id_a, id_b) pairs — tiny test helper."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return len({find(x) for x in parent})
+
+
+def test_blocked_similarity_pairs_flood_bounded_and_connected(spark):
+    """Planted hot block: one country holds 50% of the records, all
+    near-identical. Unbounded cost is C(60,2)=1770 pairs; with
+    max_block/salt_target the candidate count collapses to ~linear in
+    the flood size, yet the flood still resolves to ONE connected
+    component (within-group pairs + the representative chain), and cold
+    blocks are untouched."""
+    from datalakeingestion_spark.operators.linkage import (
+        blocked_similarity_pairs,
+    )
+
+    flood = [(i, "US", f"acme corp {i % 10}") for i in range(60)]
+    cold = [(100, "DE", "zen gmbh"), (101, "DE", "zen gmbi"),
+            (102, "FR", "solo sarl")]
+    df = spark.createDataFrame(
+        flood + cold, "id long, country string, name string"
+    )
+    unbounded = blocked_similarity_pairs(
+        df, "id", ["country"], "name", max_edit=3
+    ).collect()
+    bounded = blocked_similarity_pairs(
+        df, "id", ["country"], "name", max_edit=3,
+        max_block=8, salt_target=8,
+    ).collect()
+    n_unbounded = sum(1 for r in unbounded if r["country"] == "US")
+    n_bounded = sum(1 for r in bounded if r["country"] == "US")
+    assert n_unbounded == 1770  # C(60, 2): every flood pair matches
+    # cost: ceil(60/8)=8 groups of ~7-8 -> ~8*C(8,2)+7 chain = ~231 max
+    assert n_bounded <= 8 * 28 + 7
+    assert n_bounded >= 59  # at least spanning the flood
+    # recall shape: the flood is ONE component under salvage
+    assert _components(
+        [(r["id_a"], r["id_b"]) for r in bounded if r["country"] == "US"]
+    ) == 1
+    # cold blocks identical under both modes
+    assert {
+        (r["id_a"], r["id_b"]) for r in unbounded if r["country"] != "US"
+    } == {(r["id_a"], r["id_b"]) for r in bounded if r["country"] != "US"}
+
+
+def test_weighted_linkage_pairs_score_and_null_field(spark):
+    """Fellegi-Sunter-style weighted multi-field score: integer
+    agreement/disagreement weights summed per pair, NULL fields
+    contribute 0 (no evidence), threshold gates the output."""
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        weighted_linkage_pairs,
+    )
+
+    rows = [
+        # id, country, seg, name, phone
+        (1, "US", "A", "acme corp", "555-123"),
+        (2, "US", "A", "acme corq", "555-123"),  # name~ +24, phone= +5
+        (3, "US", "A", "acme corp", None),       # name= +24, phone NULL 0
+        (4, "US", "A", "widgets ltd", "999-000"),
+        (5, "US", "B", "acme corp", "555-123"),  # other seg: no pair w/ 1
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, country string, seg string, name string, phone string"
+    )
+    fields = [
+        FieldWeight("name", max_edit=2, agree=24, disagree=-6),
+        FieldWeight("phone", max_edit=0, agree=5, disagree=-1),
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in weighted_linkage_pairs(
+            df, "id", ["country", "seg"], fields, min_score=20
+        ).collect()
+    }
+    # (1,2): 24+5=29; (1,3): 24+0=24; (2,3): 24+0=24;
+    # (1,4)/(2,4)/(3,4): -6 + (-1 or 0) < 20; 5 blocked away from 1.
+    assert got == {(1, 2): 29, (1, 3): 24, (2, 3): 24}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="field"):
+        weighted_linkage_pairs(df, "id", ["country"], [], 0)
+
+
+def test_substring_stored_index_matches_inline_and_skips_lake_shuffle(
+    spark,
+):
+    """substring_dup_vs_stored_index must (a) return exactly the inline
+    substring_dup_vs_lake result, (b) read the persisted gram table off
+    its bucketed scan (no lake-side Exchange on the semi-join), and
+    (c) keep matching after a per-batch append extends the index."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.dedup import (
+        append_substring_index,
+        build_substring_index,
+        substring_dup_vs_lake,
+        substring_dup_vs_stored_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lake = docs.filter(F.col("doc_id") % 3 == 1)
+    lake2 = docs.filter(F.col("doc_id") % 3 == 2)  # later-appended batch
+    # batch: fresh ids; half verbatim copies of lake docs (guaranteed
+    # span hits), half reversed token order (gram misses)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", F.reverse(F.split("text", " "))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n = 8
+    spark.sql("DROP TABLE IF EXISTS gix_grams")
+    build_substring_index(lake, "gix", n=n, n_buckets=4)
+    try:
+        def rows(df):
+            return {
+                (
+                    r["doc_id"], r["n_tokens"], r["dup_spans"],
+                    r["covered_tokens"], r["dup_fraction"],
+                )
+                for r in df.collect()
+            }
+
+        want = rows(substring_dup_vs_lake(batch, lake, n=n))
+        got_df = substring_dup_vs_stored_index(batch, "gix", n=n)
+        got = rows(got_df)
+        assert got == want
+        assert any(r[2] > 0 for r in got)  # real span hits present
+
+        # plan: stored gram scan is bucketed and never exchanges — with
+        # broadcast disabled the only Exchanges are batch-derived
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                substring_dup_vs_stored_index(batch, "gix", n=n)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", threshold
+            )
+        assert "Bucketed: true" in plan, plan
+        # the scan of gix_grams must not sit under an Exchange: every
+        # Exchange's subtree must be free of the stored-table scan
+        import re
+
+        for m in re.finditer(r"Exchange", plan):
+            subtree = plan[m.start() : m.start() + 2000]
+            first_scan = subtree.find("gix_grams")
+            assert first_scan == -1 or "Scan" not in subtree[:first_scan], (
+                plan
+            )
+
+        # append path: batch-2 grams extend the index; probe equals the
+        # inline form against the UNION lake
+        append_substring_index(lake2, "gix", n=n, n_buckets=4)
+        want2 = rows(
+            substring_dup_vs_lake(batch, lake.unionByName(lake2), n=n)
+        )
+        got2 = rows(substring_dup_vs_stored_index(batch, "gix", n=n))
+        assert got2 == want2
+        assert got2 != got  # the appended lake half changed coverage
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gix_grams")

@@ -35,6 +35,7 @@ MID = "2024-01-15 00:00:00"
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.smoke
 def test_delta_not_available_here():
     # this container ships no delta-spark: the fallback paths below are
     # the tested ones, and is_delta_table must short-circuit False
@@ -449,3 +450,77 @@ def test_delta_log_row_ordering(spark, tmp_path, fake_delta):
         for r in job.log.read().orderBy("insert_datetime").collect()
     ]
     assert statuses == [STATUS_STARTED, STATUS_LOADED, STATUS_SUCCESS]
+
+
+def test_delta_session_confs_default_cdf_on():
+    """read_changes_delta / _maintain_latest_delta consume the change
+    data feed, which Delta records only when the table property is set —
+    the session defaults must switch it on for created tables (ADVICE
+    r8: without it every CDF read on a real deployment raises)."""
+    assert (
+        dsink.DELTA_SESSION_CONFS[
+            "spark.databricks.delta.properties.defaults."
+            "enableChangeDataFeed"
+        ]
+        == "true"
+    )
+
+
+def test_read_version_maps_log_versions_to_recorded_delta_commits(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """Delta commit versions also count maintenance commits (OPTIMIZE/
+    RESTORE), so timetravel.read_version must NOT pass the log's dense
+    data-commit version straight through — it reads the Delta commit the
+    LOADED row recorded. Here a maintenance append lands between two
+    ingests: log version 1 is Delta commit 2."""
+    from datalakeingestion_spark.ingest import timetravel as tt
+
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    job.run()  # log version 0 == delta commit 0
+    # maintenance commit with no log row (e.g. OPTIMIZE) -> delta commit 1
+    fake_delta.append_delta(
+        spark.range(0).select(
+            F.lit(None).cast("timestamp").alias("ts"),
+        ),
+        job.target_location,
+    )
+    _delta_job(spark, tmp_path, log=job.log).run()  # log v1 == delta c2
+
+    asked = []
+    monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
+    monkeypatch.setattr(
+        dsink,
+        "read_delta",
+        lambda s, p, version=None, as_of=None: asked.append(version)
+        or spark.range(1),
+    )
+    tt.read_version(spark, job.log, 1, 0, job.target_location)
+    tt.read_version(spark, job.log, 1, 1, job.target_location)
+    assert asked == [0, 2]  # NOT [0, 1]: the maintenance commit is skipped
+
+    with pytest.raises(ValueError, match="does not exist"):
+        tt.read_version(spark, job.log, 1, 9, job.target_location)
+
+
+def test_read_version_refuses_unmapped_parquet_era_versions(
+    spark, tmp_path, monkeypatch
+):
+    """A log written by the PARQUET sink records file lists, not delta
+    commits; if the path later becomes a Delta table, reading an old log
+    version must raise rather than guess a Delta snapshot."""
+    from datalakeingestion_spark.ingest import timetravel as tt
+    from datalakeingestion_spark.ingest.pipeline import IncrementalIngestJob
+
+    job = IncrementalIngestJob(
+        spark=spark,
+        ingestion_id=1,
+        source=load_table(spark, SF_SMALL, "events"),
+        delta_field="ts",
+        target_location=str(tmp_path / "lake" / "events"),
+        log=ExecutionLog(spark, str(tmp_path / "log")),
+    )
+    job.run()
+    monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
+    with pytest.raises(ValueError, match="no.*delta_commit"):
+        tt.read_version(spark, job.log, 1, 0, job.target_location)

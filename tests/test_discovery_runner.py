@@ -45,6 +45,7 @@ def existing(spark):
     return spark.createDataFrame([row], CONTROL_SCHEMA)
 
 
+@pytest.mark.smoke
 def test_discovery_rules(spark, info_schema, existing):
     new = discover_tables(spark, info_schema, existing, "db1").collect()
     by_name = {r["tablename"]: r for r in new}

@@ -10,6 +10,7 @@ from datalakeingestion_spark.operators.expectations import (
 )
 
 
+@pytest.mark.smoke
 def test_null_hostile_predicates_and_uniqueness(spark):
     df = spark.createDataFrame(
         [

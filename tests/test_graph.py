@@ -42,6 +42,7 @@ EDGES = [
 ]
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("iters", [1, 3, 5])
 def test_matches_python_reference(spark, iters):
     df = spark.createDataFrame(EDGES, "src string, dst string")

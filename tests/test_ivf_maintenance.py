@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalakeingestion_spark.config.partition_spec import PartitionSpec
@@ -11,6 +13,7 @@ from datalakeingestion_spark.sources.fixtures import load_table
 from .conftest import SF_SMALL
 
 
+@pytest.mark.smoke
 def test_ivf_centroids_deterministic(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     c1 = train_centroids(emb, k=8, iters=2)

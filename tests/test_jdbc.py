@@ -26,6 +26,7 @@ def _src(**kw):
     return JdbcIncrementalSource(**defaults)
 
 
+@pytest.mark.smoke
 def test_open_ended_delta_query():
     q = _src().delta_query("2024-01-01 00:00:00")
     assert q == (

@@ -22,6 +22,7 @@ def _py_morton(x: int, y: int, bits: int) -> int:
     return out
 
 
+@pytest.mark.smoke
 def test_morton_matches_python_and_sql(spark):
     pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
     df = spark.createDataFrame(pts, "x long, y long")

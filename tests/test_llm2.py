@@ -21,6 +21,7 @@ from .conftest import SF_SMALL
 from .test_plans import formatted_plan, run
 
 
+@pytest.mark.smoke
 def test_tfidf_two_exchanges_one_scan(spark):
     plan = formatted_plan(run(spark, "tfidf_top_terms"))
     # linear pipeline: hash(tok) exchange feeds BOTH the tf aggregate and

@@ -21,6 +21,7 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+@pytest.mark.smoke
 def test_extract_features_deterministic(spark, media):
     out = extract_features(media, decoder="fake")
     rows = {r["media_id"]: r["feature"] for r in out.collect()}

@@ -20,6 +20,7 @@ def _meas():
     return {"sum_v": F.col("v")}
 
 
+@pytest.mark.smoke
 def test_insert_then_delete_cancels_key(spark):
     a = _mk(spark, [("x", 1.0), ("x", 2.0), ("y", 5.0)])
     dead = _mk(spark, [("x", 1.0), ("x", 2.0)])

@@ -16,6 +16,7 @@ def _local_pack(rows, budget):
     return out
 
 
+@pytest.mark.smoke
 def test_pack_matches_serial_reference_across_partitions(spark):
     # token counts chosen to straddle budget boundaries; 7 range
     # partitions force offsets to matter (any wrong offset shifts seq_ids)
@@ -207,3 +208,89 @@ def test_keyed_prefix_sum_data_sized_keys_raise(spark):
         keyed_prefix_sum(
             df, ["k"], ["ord"], "w", num_partitions=4, max_subtotal_rows=100
         )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train — iterative BPE merge trainer
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe(words: dict[str, int], k: int):
+    """Pure-Python reference BPE: word-frequency table, argmax pair
+    (ties by (lhs, rhs)), greedy left-to-right merge application."""
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (lhs, rhs), pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, pc))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_pure_python_on_fixture_corpus(spark):
+    """The distributed trainer must produce the exact merge table a
+    serial reference BPE produces on the same word-frequency input —
+    same pairs, same order, same counts, for several merges deep (each
+    merge depends on all previous applications)."""
+    from datalakeingestion_spark.functions.text import tokens
+    from datalakeingestion_spark.operators.packing import bpe_train
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    words: dict[str, int] = {}
+    for r in docs.select(F.explode(tokens("text")).alias("w")).collect():
+        words[r["w"]] = words.get(r["w"], 0) + 1
+    want = _python_bpe(words, 6)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, k=6).collect()
+    ]
+    assert got == want
+    assert len(got) == 6  # the fixture corpus has >= 6 distinct merges
+
+
+def test_bpe_train_greedy_overlap_and_early_stop(spark):
+    """Greedy left-to-right application ("aaaa" + merge (a,a) gives two
+    'aa' symbols, not three overlapping ones) and early stop when no
+    pair remains."""
+    from datalakeingestion_spark.operators.packing import bpe_train
+
+    docs = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, k=10).collect()
+    ]
+    # merge 1: (a,a) seen 3x per word x 2 words = 6; application leaves
+    # each word as (aa)(aa) -> merge 2: (aa,aa) count 2; then one symbol
+    # per word, no pairs left: early stop at 2 merges.
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_train(docs, k=0)

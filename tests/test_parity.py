@@ -28,6 +28,7 @@ def duck():
     return make_duck(SF_DIR)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     qd = REGISTRY[name]

@@ -18,6 +18,7 @@ REF_INT = (
 )
 
 
+@pytest.mark.smoke
 def test_parse_reference_shapes():
     spec = parse_partition_config(REF_TIME)
     assert spec == PartitionSpec("created_datetime", "time-based", "YYYYMMDD")

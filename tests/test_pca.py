@@ -14,6 +14,7 @@ def emb(spark):
     return load_table(spark, SF_SMALL, "embeddings").cache()
 
 
+@pytest.mark.smoke
 def test_pca_recovers_planted_dominant_direction(spark):
     """A corpus with one dominant variance direction: the first component
     must align with it and capture most of the variance."""

@@ -50,6 +50,7 @@ def _job(spark, events, tmp_path, **kw):
     return IncrementalIngestJob(**defaults)
 
 
+@pytest.mark.smoke
 def test_two_run_incremental_equals_full_load(spark, events, tmp_path):
     job = _job(spark, events, tmp_path, end_value_cap=MID)
     r1 = job.run()

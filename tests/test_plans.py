@@ -31,6 +31,7 @@ def run(spark, name):
     return REGISTRY[name].fn(spark, SF_SMALL)
 
 
+@pytest.mark.smoke
 def test_q6_filters_pushed_and_columns_pruned(spark):
     plan = formatted_plan(run(spark, "q6_revenue_forecast"))
     assert "PushedFilters" in plan

@@ -8,6 +8,7 @@ import pytest
 from datalakeingestion_spark.operators.profiling import groupwise_ols
 
 
+@pytest.mark.smoke
 def test_ols_matches_numpy_per_group(spark):
     rng = np.random.default_rng(7)
     rows = []

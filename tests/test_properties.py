@@ -26,6 +26,7 @@ _TS = st.datetimes(
 )
 
 
+@pytest.mark.smoke
 @given(_TS)
 @settings(max_examples=200, deadline=None)
 def test_bump_is_strictly_later_seconds(ts):

@@ -20,6 +20,7 @@ def _order_stat(vals, t):
     return s[r - 1]
 
 
+@pytest.mark.smoke
 def test_exact_quantiles_match_bruteforce_with_ties(spark):
     """Rank selection over the distinct-value histogram must equal the
     r-th order statistic from a full sort — including heavy ties (the

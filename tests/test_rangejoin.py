@@ -29,6 +29,7 @@ def _pairs(spark, points, intervals, width, keys=()):
     return sorted((row["lid"], row["rid"]) for row in out.collect())
 
 
+@pytest.mark.smoke
 def test_interval_join_boundary_semantics(spark):
     # half-open [s, e): start inclusive, end exclusive; matches that cross
     # a bucket boundary are found; bucket-aligned ends don't over-explode.

@@ -15,6 +15,7 @@ def _tbl(spark, rows):
     return spark.createDataFrame(rows, "id long, v string")
 
 
+@pytest.mark.smoke
 def test_identical_tables_have_zero_diff_blocks(spark):
     rows = [(i, f"v{i}") for i in range(500)]
     a, b = _tbl(spark, rows), _tbl(spark, list(reversed(rows)))

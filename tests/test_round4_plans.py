@@ -5,6 +5,8 @@ for every registered query in tests/test_parity.py.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -22,6 +24,7 @@ def _write_events(spark, tmp_path, rows):
     return str(tmp_path)
 
 
+@pytest.mark.smoke
 def test_last_touch_tie_breaks_deterministically(spark, tmp_path):
     """Two clicks at the IDENTICAL timestamp before one purchase: the
     higher event_id must take the credit, on both engines (the fixture

@@ -29,6 +29,7 @@ def _brute_ks(slice_vals: np.ndarray, ref_vals: np.ndarray) -> float:
     return float(np.max(np.abs(fs - fr)))
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_ks_time_sliced_matches_brute_force(spark, seed):
     """The slice-points-only evaluation (at and just before each slice

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -9,6 +11,7 @@ from pyspark.sql import functions as F
 from datalakeingestion_spark.operators.sampling import mix_corpora_temperature
 
 
+@pytest.mark.smoke
 def test_temperature_mix_rates_and_determinism(spark):
     rows = [
         (i, "big" if i < 900 else ("mid" if i < 990 else "small"))

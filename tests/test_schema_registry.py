@@ -36,6 +36,7 @@ def _job(spark, source, tmp_path, registry, **kw):
     return IncrementalIngestJob(**defaults)
 
 
+@pytest.mark.smoke
 def test_contract_pins_evolves_and_rejects(spark, tmp_path):
     events = load_table(spark, SF_SMALL, "events")
     reg = SchemaRegistry(spark, str(tmp_path / "schemas"))

@@ -14,6 +14,7 @@ def emb(spark):
     return load_table(spark, SF_SMALL, "embeddings").cache()
 
 
+@pytest.mark.smoke
 def test_knn_graph_block_pair_count(spark, emb):
     """The documented O((n/B)²) cost model, pinned as an observable: the
     block-pair frame behind knn_graph has exactly nb² rows (nb = number of

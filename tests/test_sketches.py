@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
 
+
+@pytest.mark.smoke
 def test_kmv_set_relation_exact_under_k(spark):
     from pyspark.sql import functions as F
 

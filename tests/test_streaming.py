@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -15,6 +17,7 @@ from datalakeingestion_spark.streaming.incremental import (
 from .conftest import SF_SMALL
 
 
+@pytest.mark.smoke
 def test_available_now_ingest_and_restart(spark, tmp_path):
     events = load_table(spark, SF_SMALL, "events")
     src = str(tmp_path / "landing")

@@ -27,6 +27,7 @@ def _df(rows):
     return _SPARK.createDataFrame(rows, ["doc_id", "text", "lang"])
 
 
+@pytest.mark.smoke
 def test_quality_metrics_known_values(docs):
     out = {r.doc_id: r for r in ta.quality_metrics(docs).collect()}
     r1 = out[1]  # "the cat and the dog sat" → 6 tokens, 5 distinct

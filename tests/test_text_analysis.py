@@ -1,5 +1,7 @@
+import pytest
 
 
+@pytest.mark.smoke
 def test_trigram_backoff_matches_python_reference(spark):
     import math
     from decimal import Decimal, ROUND_HALF_UP

@@ -49,6 +49,7 @@ def _job(spark, events, tmp_path, **kw):
     return IncrementalIngestJob(**defaults)
 
 
+@pytest.mark.smoke
 def test_snapshot_reads_across_three_commits(spark, events, tmp_path):
     r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
     r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()

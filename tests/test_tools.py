@@ -2,13 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import sys
 
 
-def test_load_green_requires_all_three_checks(tmp_path):
+@pytest.mark.smoke
+def test_load_latest_green_tracks_round_and_requires_all_three(tmp_path):
     sys.path.insert(0, "/root/repo/tools")
-    from rotate_priority import load_green
+    from rotate_priority import load_latest_green
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
         "good": {"rows_match": True, "schema_match": True,
@@ -25,5 +28,35 @@ def test_load_green_requires_all_three_checks(tmp_path):
         "errored": {"rows_match": True, "schema_match": True,
                     "hash_match": True},
     }))
-    got = load_green(str(tmp_path))
-    assert got == {"good", "good2", "errored"}
+    got = load_latest_green(str(tmp_path))
+    # rows-only never counts as green; the vintage is the LATEST green
+    # round, which is what the staleness rotation sorts by (the r8
+    # ledger drift came from narrating this instead of recomputing it)
+    assert got == {"good": 1, "good2": 2, "errored": 2}
+
+
+def test_registry_priority_is_exactly_the_recomputed_stalest_50():
+    """The DRIVER_PRIORITY tuple must equal the tool's recomputation
+    from the CORRECTNESS files: never-checked queries first, then
+    checked ones by (latest green round, registration order). Keeping
+    this pinned prevents the ledger from drifting from reality again."""
+    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, "/root/repo")
+    from rotate_priority import load_latest_green
+
+    from datalakeingestion_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    names = list(REGISTRY)
+    order = {n: i for i, n in enumerate(names)}
+    latest = load_latest_green("/root/repo")
+    never = [n for n in names if n not in latest]
+    done = sorted(
+        (n for n in names if n in latest),
+        key=lambda n: (latest[n], order[n]),
+    )
+    assert DRIVER_PRIORITY == tuple((never + done)[:50])

@@ -3,6 +3,8 @@ each checked against its algebraic / expression-based scale twin."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -17,6 +19,7 @@ from datalakeingestion_spark.sources.fixtures import load_table
 from .conftest import SF_SMALL
 
 
+@pytest.mark.smoke
 def test_geometric_mean_udaf_matches_algebraic_form(spark):
     orders = load_table(spark, SF_SMALL, "orders")
     geomean = geometric_mean_udaf()

@@ -18,6 +18,7 @@ def log(spark, tmp_path):
     return ExecutionLog(spark, str(tmp_path / "execution_log"))
 
 
+@pytest.mark.smoke
 def test_first_run_epoch_defaults(log):
     assert resolve_watermark(log, 1, integer_watermark=False) == DATETIME_EPOCH
     assert resolve_watermark(log, 1, integer_watermark=True) == INTEGER_EPOCH

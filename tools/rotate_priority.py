@@ -20,9 +20,11 @@ import os
 import sys
 
 
-def load_green(repo: str) -> set[str]:
-    green: set[str] = set()
+def load_latest_green(repo: str) -> dict[str, int]:
+    """name -> round of the LATEST green external check (hash match)."""
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as fh:
             data = json.load(fh)
         for name, row in data.items():
@@ -33,8 +35,8 @@ def load_green(repo: str) -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def main(repo: str) -> int:
@@ -46,11 +48,23 @@ def main(repo: str) -> int:
 
     _ensure_loaded()
     names = list(REGISTRY)
-    green = load_green(repo)
-    never = [n for n in names if n not in green]
-    done = [n for n in names if n in green]
+    order = {n: i for i, n in enumerate(names)}
+    latest = load_latest_green(repo)
+    never = [n for n in names if n not in latest]
+    # stalest first: sort the checked queries by (latest green round,
+    # registration order) — narrating vintage from memory instead of
+    # recomputing it is exactly the r8 ledger-drift bug
+    done = sorted(
+        (n for n in names if n in latest),
+        key=lambda n: (latest[n], order[n]),
+    )
     print(f"registry: {len(names)}  driver-green ever: {len(done)}  "
           f"never-checked: {len(never)}")
+    hist: dict[int, int] = {}
+    for n in done:
+        hist[latest[n]] = hist.get(latest[n], 0) + 1
+    print("vintage histogram (latest green round -> queries): "
+          + ", ".join(f"r{r}: {c}" for r, c in sorted(hist.items())))
     print("\n# never driver-checked (rotation candidates, registration order):")
     for n in never:
         print(f"  {n}")
@@ -58,7 +72,9 @@ def main(repo: str) -> int:
     print("\n# suggested DRIVER_PRIORITY (paste into plans/registry.py):")
     print("DRIVER_PRIORITY: tuple[str, ...] = (")
     for n in pick:
-        print(f'    "{n}",')
+        print(f'    "{n}",  # ' + (
+            f"last green r{latest[n]}" if n in latest else "never checked"
+        ))
     print(")")
     return 0
 
