@@ -123,7 +123,6 @@ def _inject(mp, step):
         "before-success",
     ],
 )
-@pytest.mark.smoke
 def test_crash_then_retry_converges(spark, tmp_path, step):
     events = load_table(spark, SF_SMALL, "events")
 
@@ -212,6 +211,7 @@ def _id_job(spark, source, tmp_path, ingestion_id, target="events"):
     )
 
 
+@pytest.mark.smoke
 def test_concurrent_writers_shared_log_both_commit(spark, tmp_path):
     """Two pipelines with distinct ingestion ids appending SIMULTANEOUSLY
     through one shared execution log (the reference shape: one log, many

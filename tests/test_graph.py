@@ -42,7 +42,6 @@ EDGES = [
 ]
 
 
-@pytest.mark.smoke
 @pytest.mark.parametrize("iters", [1, 3, 5])
 def test_matches_python_reference(spark, iters):
     df = spark.createDataFrame(EDGES, "src string, dst string")
@@ -53,6 +52,7 @@ def test_matches_python_reference(spark, iters):
     assert got == _py_pagerank(EDGES, iters)
 
 
+@pytest.mark.smoke
 def test_duplicate_edges_collapse(spark):
     df = spark.createDataFrame(EDGES + EDGES[:4], "src string, dst string")
     got = {

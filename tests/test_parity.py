@@ -28,7 +28,6 @@ def duck():
     return make_duck(SF_DIR)
 
 
-@pytest.mark.smoke
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     qd = REGISTRY[name]
@@ -44,6 +43,7 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.smoke
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -29,7 +29,6 @@ def _brute_ks(slice_vals: np.ndarray, ref_vals: np.ndarray) -> float:
     return float(np.max(np.abs(fs - fr)))
 
 
-@pytest.mark.smoke
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_ks_time_sliced_matches_brute_force(spark, seed):
     """The slice-points-only evaluation (at and just before each slice
@@ -98,6 +97,7 @@ def test_ks_time_sliced_matches_brute_force(spark, seed):
             ), (t, w)
 
 
+@pytest.mark.smoke
 def test_ks_time_sliced_plan_has_no_per_type_window(spark):
     """ks_drift_time_sliced's scale contract: every window in its plan
     is keyed_prefix_sum's per-(range-bucket, key) form (_pid in the

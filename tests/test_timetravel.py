@@ -49,7 +49,6 @@ def _job(spark, events, tmp_path, **kw):
     return IncrementalIngestJob(**defaults)
 
 
-@pytest.mark.smoke
 def test_snapshot_reads_across_three_commits(spark, events, tmp_path):
     r1 = _job(spark, events, tmp_path, end_value_cap=CAP1).run()
     r2 = _job(spark, events, tmp_path, end_value_cap=CAP2).run()
@@ -86,6 +85,7 @@ def test_snapshot_reads_across_three_commits(spark, events, tmp_path):
         read_version(spark, log, 1, 3, target)
 
 
+@pytest.mark.smoke
 def test_rolled_back_batch_absent_from_history(spark, events, tmp_path):
     # commit 0 normally, then force a validation failure on the next range
     # by pre-seeding extra rows inside it (same trick as the rollback test)
