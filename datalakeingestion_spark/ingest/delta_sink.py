@@ -144,7 +144,12 @@ def append_delta(
     require_delta("append_delta")
     # table property (set on create, harmless on append): the CDF is what
     # read_changes_delta and the latest-zone MERGE maintenance read — a
-    # table written without it makes every CDF read raise.
+    # table written without it makes every CDF read raise. NOTE: whether
+    # a delta.*-prefixed WRITER option becomes a table property at
+    # creation is Delta-version-dependent and unverifiable in this
+    # container (no delta-spark); the session default in
+    # DELTA_SESSION_CONFS is the reliable mechanism — sessions built
+    # without those confs must verify CDF is actually on.
     writer = (
         df.write.format("delta")
         .mode("append")

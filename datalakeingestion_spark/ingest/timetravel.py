@@ -205,35 +205,45 @@ def read_version(
     from .delta_sink import is_delta_table, read_delta
 
     if is_delta_table(spark, base_path):
-        row = (
-            history(log, ingestion_id)
-            .filter(F.col("version") == version)
-            .select("files")
-            .first()
-        )
-        if row is None:
-            raise ValueError(
-                f"version {version} does not exist for id {ingestion_id}"
-            )
-        try:
-            payload = json.loads(row["files"] or "{}")
-        except ValueError:
-            payload = None
-        # a parquet-era LOADED row records a file LIST here, not the
-        # {"delta_commit": N} dict the Delta sink writes
-        commit = (
-            payload.get("delta_commit") if isinstance(payload, dict) else None
-        )
-        if commit is None:
-            raise ValueError(
-                f"log version {version} of id {ingestion_id} records no "
-                "delta_commit (written before the Delta sink?) — cannot "
-                "map it to a Delta snapshot; read via the parquet log "
-                "path or pass a Delta commit version to read_delta"
-            )
-        return read_delta(spark, base_path, version=int(commit))
+        commit = _delta_commit_of(log, ingestion_id, version)
+        return read_delta(spark, base_path, version=commit)
     files = _snapshot_files(spark, log, ingestion_id, version=version)
     return spark.read.option("basePath", base_path).parquet(*files)
+
+
+def _delta_commit_of(log: ExecutionLog, ingestion_id: int, version: int) -> int:
+    """Map a dense 0-based LOG version to the DELTA commit version its
+    LOADED row recorded (``reason_code`` → ``delta_commit``,
+    ingest/pipeline.py::_run_delta). Raises for a nonexistent version or
+    one written by the parquet sink (whose reason_code is a file LIST,
+    not the {"delta_commit": N} dict) — guessing would silently read a
+    different snapshot once any OPTIMIZE/RESTORE commit shifted the
+    numbering."""
+    row = (
+        history(log, ingestion_id)
+        .filter(F.col("version") == version)
+        .select("files")
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"version {version} does not exist for id {ingestion_id}"
+        )
+    try:
+        payload = json.loads(row["files"] or "{}")
+    except ValueError:
+        payload = None
+    commit = (
+        payload.get("delta_commit") if isinstance(payload, dict) else None
+    )
+    if commit is None:
+        raise ValueError(
+            f"log version {version} of id {ingestion_id} records no "
+            "delta_commit (written before the Delta sink?) — cannot "
+            "map it to a Delta snapshot; read via the parquet log "
+            "path or pass a Delta commit version to read_delta"
+        )
+    return int(commit)
 
 
 def read_changes(
@@ -252,9 +262,16 @@ def read_changes(
     a ``_commit_version`` column.
 
     Delta delegation: when ``base_path`` is a Delta table and
-    ``since_version`` is given, returns Delta's change data feed from
-    version ``since_version + 1`` (the CDF also carries update/delete
-    rows from MERGE, which this append-only feed cannot express).
+    ``since_version`` is given, returns Delta's change data feed
+    starting AFTER the Delta commit that log version ``since_version``
+    landed as (the LOADED row's recorded ``delta_commit`` — same
+    version-domain mapping as :func:`read_version`: Delta commit
+    numbers also count OPTIMIZE/RESTORE commits, so passing the dense
+    log version straight through would re-deliver or skip batches the
+    moment any maintenance ran). The CDF also carries update/delete
+    rows from MERGE, which this append-only feed cannot express. A
+    ``since_version`` with no recorded delta_commit raises rather than
+    guessing.
 
     With neither ``since_version`` nor ``after``, every live commit's rows
     are returned (a full CDF replay — from the latest compaction
@@ -272,7 +289,11 @@ def read_changes(
     from .delta_sink import is_delta_table, read_changes_delta
 
     if since_version is not None and is_delta_table(spark, base_path):
-        return read_changes_delta(spark, base_path, since_version)
+        return read_changes_delta(
+            spark,
+            base_path,
+            _delta_commit_of(log, ingestion_id, since_version),
+        )
     hist = history(log, ingestion_id)
     incremental = since_version is not None or after is not None
     if since_version is not None:

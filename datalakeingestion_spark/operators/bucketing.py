@@ -80,15 +80,25 @@ def write_bucketed(
     ``mode="overwrite"`` is rebuild, and it is STAGED: the new table is
     fully written under ``{table}__staging`` first, and only then is the
     old table dropped and the staging table renamed into place. A failed
-    or crashed rebuild therefore leaves the OLD table intact (the old
+    rebuild WRITE therefore leaves the OLD table intact (the old
     behavior — drop first, write second — left neither on a write
     failure); leftover staging junk is cleared by the next rebuild. The
-    drop also clears an orphaned warehouse directory so a rebuild
-    succeeds after a metastore loss, without touching EXTERNAL tables'
-    data (see :func:`drop_table_and_location`)."""
+    remaining exposure is a process crash inside the drop→rename window
+    itself: the old table is then gone from the catalog but the new
+    data sits complete under ``{table}__staging`` — recover by
+    re-issuing ``ALTER TABLE {table}__staging RENAME TO {table}`` (or
+    just rerunning the rebuild). The drop also clears an orphaned
+    warehouse directory so a rebuild succeeds after a metastore loss,
+    without touching EXTERNAL tables' data (see
+    :func:`drop_table_and_location`); when the existing table is
+    EXTERNAL *and* a foreign directory occupies the default managed
+    location, the rebuild fails loudly BEFORE dropping anything (the
+    rename into that location could not succeed and we refuse to
+    delete data that is not ours)."""
     if mode == "overwrite":
         spark = df.sparkSession
         staging = f"{table_name}__staging"
+        _check_rename_target_free(spark, table_name)
         drop_table_and_location(spark, staging)
         _bucketed_writer(df, "errorifexists", bucket_col, n_buckets, sort_cols
                          ).saveAsTable(staging)
@@ -98,6 +108,28 @@ def write_bucketed(
     _bucketed_writer(df, mode, bucket_col, n_buckets, sort_cols).saveAsTable(
         table_name
     )
+
+
+def _check_rename_target_free(spark: SparkSession, table_name: str) -> None:
+    """Refuse the rebuild up front when the final RENAME is doomed: the
+    registered table is EXTERNAL (so dropping it clears nothing) and a
+    directory already occupies the default managed location the renamed
+    table must move into. Failing HERE keeps the old table registered;
+    failing at the rename would have already dropped it."""
+    if not spark.catalog.tableExists(table_name):
+        return
+    if spark.catalog.getTable(table_name).tableType != "EXTERNAL":
+        return
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        raise RuntimeError(
+            f"cannot rebuild {table_name} as a managed bucketed table: it "
+            f"is EXTERNAL and a foreign directory occupies the default "
+            f"managed location {path} — move that directory (or drop the "
+            "external table yourself) and rerun"
+        )
 
 
 def _bucketed_writer(df, mode, bucket_col, n_buckets, sort_cols):

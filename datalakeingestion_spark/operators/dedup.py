@@ -614,14 +614,21 @@ def substring_dup_vs_stored_index(
     spark = batch.sparkSession
     stored = spark.table(f"{index_name}_grams")
 
+    # localCheckpoint, NOT persist: this runs once per ingested batch
+    # forever — persisted entries would accumulate one session-lifetime
+    # cache entry per batch (the same argument as
+    # dedup_against_stored_index's shingle table); checkpoint blocks are
+    # released when the frame is GC'd
     b_tk = batch.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_tk")
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = b_tk.select("doc_id", F.size("_tk").alias("n_tokens"))
     sp_b = b_tk.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("_tk"), n)).alias("_p0", "g"),
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "g").persist()
+    ).select(
+        "doc_id", (F.col("_p0") + 1).alias("pos"), "g"
+    ).localCheckpoint(eager=False)
 
     within = (
         sp_b.groupBy("g")

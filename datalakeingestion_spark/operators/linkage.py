@@ -93,13 +93,36 @@ def _prepare_blocks(
         return df, keys
     if max_block < 2:
         raise ValueError("max_block must be >= 2")
+    reserved = {"_bsz", "_nsalt", "_salt", "_rep", "_prev", "_id_a", "_id_b"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has reserved column(s) {sorted(clash)}"
+        )
     st = int(salt_target or max_block)
     if st < 2:
         raise ValueError("salt_target must be >= 2")
-    from pyspark.sql.window import Window
-
-    bw = Window.partitionBy(*block_cols)
-    sized = df.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+    # block sizes via groupBy + BROADCAST join, NOT a window: the block
+    # table is metadata-sized by the blocking design contract (that is
+    # what makes blocking work at all), and a window over the records
+    # feeds the downstream self-join a sorted/windowed subtree that
+    # measured 5.5x slower end-to-end at the 8k-flood probe
+    # (tools/scale_probe_r9.py) than this scan-shaped form.
+    sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bsz"))
+    if null_blocks == "match":
+        # NULL block keys are legal groups under "match": the sizes join
+        # must be null-safe or NULL-keyed records lose their size row
+        cond = None
+        for c in block_cols:
+            eq = F.col(f"r.{c}").eqNullSafe(F.col(f"s.{c}"))
+            cond = eq if cond is None else cond & eq
+        sized = (
+            df.alias("r")
+            .join(F.broadcast(sizes.alias("s")), cond)
+            .select("r.*", "s._bsz")
+        )
+    else:
+        sized = df.join(F.broadcast(sizes), list(block_cols))
     # cold blocks: one salt group (salt 0). Hot blocks: integer-ceil
     # group count, md5-portable split by id — deterministic and
     # ANSI-replicable (same arithmetic as the LSH salvage).
@@ -125,11 +148,19 @@ def _prepare_blocks(
 
 
 def _pair_condition(
-    id_col: str, keys: Sequence[str], null_blocks: str
+    id_col: str,
+    block_cols: Sequence[str],
+    keys: Sequence[str],
+    null_blocks: str,
 ) -> Column:
+    # membership in block_cols (not a name heuristic) decides which keys
+    # get eqNullSafe under null_blocks="match" — a user block column that
+    # happens to start with "_" must keep NULL-as-a-value semantics; the
+    # internal _salt key is never NULL so plain == is exact for it
+    block_set = set(block_cols)
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in keys:
-        if null_blocks == "match" and not c.startswith("_"):
+        if null_blocks == "match" and c in block_set:
             cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
         else:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -181,10 +212,13 @@ def _candidate_pairs(
         df, id_col, block_cols, null_blocks, max_block, salt_target
     )
     cols = [id_col, *dict.fromkeys([*block_cols, *payload_cols])]
-    slim = prepared.select(*cols, *[k for k in keys if k.startswith("_")],
+    internal = [k for k in keys if k not in block_cols]  # the salt key
+    slim = prepared.select(*cols, *internal,
                            *(["_nsalt"] if max_block is not None else []))
     a, b = slim.alias("a"), slim.alias("b")
-    pairs = a.join(b, _pair_condition(id_col, keys, null_blocks)).select(
+    pairs = a.join(
+        b, _pair_condition(id_col, block_cols, keys, null_blocks)
+    ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         *[F.col(f"a.{c}").alias(c) for c in block_cols],
@@ -213,10 +247,14 @@ def _candidate_pairs(
             *[f"b_{c}" for c in payload_cols],
         )
     )
-    # a chain pair can coincide with a within-group pair only if the two
-    # reps share a salt group, which they never do — but keep the union
-    # distinct-free cheap by construction rather than assumption:
-    return pairs.unionByName(chain_full).distinct()
+    # NO distinct on the union: the pair sets are disjoint BY
+    # CONSTRUCTION — within-group pairs share a salt group, chain pairs
+    # connect the min-ids of two DIFFERENT salt groups (and cold blocks
+    # never produce chain pairs at all). A distinct here would shuffle
+    # every candidate pair with both payloads a second time — measured
+    # 3x the whole unbounded path's cost at the 8k-record flood probe
+    # (tools/scale_probe_r9.py) before it was removed.
+    return pairs.unionByName(chain_full)
 
 
 def blocked_similarity_pairs(

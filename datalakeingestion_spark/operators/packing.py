@@ -271,6 +271,57 @@ def bpe_train(
     )
 
 
+#: Word separator in the whole-document BPE encoding (U+001E, record
+#: separator): words joined by it can be merge-replaced in one pass —
+#: a merge pattern ``a␟b`` can never straddle a ``␞`` word boundary.
+BPE_WORD_SEP = "\x1e"
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table (:func:`bpe_train` output rows, in
+    merge_rank order) to documents — the ENCODE half of tokenizer prep.
+
+    The whole document is rewritten as one string: words joined by
+    :data:`BPE_WORD_SEP`, each word's symbols joined by
+    :data:`BPE_SEP`, then every merge is one codegen ``replace`` folded
+    left-to-right in rank order (word boundaries are safe by
+    construction — a merge pattern can never straddle the word
+    separator). ONE projection over the corpus, zero shuffles, lineage
+    depth = number of merges (driver-side fold of scalar patterns, the
+    merge table is control-plane sized).
+
+    Returns (doc_id, n_pieces long, encoded string) — ``encoded`` is
+    the piece sequence space-joined (pieces contain no spaces: words
+    are whitespace tokens). Empty docs encode to 0 pieces / ''.
+    """
+    from ..functions.text import tokens
+
+    clean = F.filter(
+        tokens(text_col),
+        lambda w: ~w.contains(BPE_SEP) & ~w.contains(BPE_WORD_SEP),
+    )  # same defensive exclusion as bpe_train's word table
+    syms = F.array_join(
+        F.transform(clean, lambda w: F.array_join(F.split(w, ""), BPE_SEP)),
+        BPE_WORD_SEP,
+    )
+    for row in merges:
+        lhs, rhs = row[1], row[2]
+        syms = F.replace(syms, F.lit(lhs + BPE_SEP + rhs), F.lit(lhs + rhs))
+    n_pieces = F.when(syms == "", F.lit(0)).otherwise(
+        F.size(F.split(syms, f"[{BPE_SEP}{BPE_WORD_SEP}]"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_pieces.cast("long").alias("n_pieces"),
+        F.translate(syms, BPE_SEP + BPE_WORD_SEP, "  ").alias("encoded"),
+    )
+
+
 #: Upper bound on buckets × keys subtotal rows collected to the driver.
 #: Past this, the key cardinality is data-sized and the two-pass form is
 #: the wrong tool — fail loudly instead of OOMing the driver.

@@ -18,6 +18,11 @@
   unrolls the same three iterations as CTEs — the separator-join word
   encoding makes each merge application a ``replace`` with identical
   left-to-right greedy semantics in Spark and DuckDB.
+- ``bpe_encode_k3`` — the ENCODE half
+  (``operators/packing.py::bpe_encode``): the learned merges applied to
+  every document as a fold of codegen ``replace``s over a
+  separator-joined whole-document symbol string — one zero-shuffle
+  projection over the corpus regardless of merge count.
 
 Reference pendant: none — greenfield curation/tokenizer-prep operators
 (SURVEY.md §2 beyond-reference set).
@@ -113,6 +118,66 @@ def entity_resolution_weighted(
     )
 
 
+@register(
+    "entity_resolution_clusters",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE ({_WEIGHTED_SCORE_SQL}) >= {_W_MIN_SCORE}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM scored
+              UNION ALL
+              SELECT id_b, id_a FROM scored),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Entity-resolution CAPSTONE: the weighted Fellegi-Sunter pair "
+    "graph (entity_resolution_weighted's score >= 15 matches) resolved "
+    "into ENTITIES via connected components — the step that turns "
+    "pairwise match decisions into deduplicated customer identities "
+    "(pairwise keep-one over-merges/over-deletes when A~B~C but A!~C). "
+    "Spark: min-label propagation over the match edges "
+    "(operators/dedup.py::connected_components); oracle: recursive "
+    "transitive closure over the identical scored pair set.",
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators.linkage import FieldWeight, weighted_linkage_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn(
+            "bal_bucket",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+        )
+        .withColumn("name_tail", F.expr("right(c_name, 3)"))
+    )
+    fields = [
+        FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
+        FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
+        FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
+    ]
+    pairs = weighted_linkage_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        fields,
+        min_score=_W_MIN_SCORE,
+    ).select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+    )
+    return dd.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # bpe_train_merges_k3
 # ---------------------------------------------------------------------------
@@ -151,6 +216,80 @@ _BPE_ORACLE = f"""
     UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pc FROM b2
     UNION ALL SELECT CAST(3 AS INT), lhs, rhs, lhs || rhs, pc FROM b3
 """
+
+
+# applying the learned merges to the corpus: words joined by chr(30),
+# symbols by chr(31); each merge is one left-to-right replace in rank
+# order (merge patterns cannot straddle the word separator), then the
+# separators become spaces. Identical fold on both engines.
+_BPE_ENCODE_TAIL = f"""
+    d0 AS (SELECT doc_id,
+                  array_to_string(list_transform(
+                      list_filter({TOKS_SQL},
+                          w -> NOT contains(w, chr(31))
+                           AND NOT contains(w, chr(30))),
+                      w -> array_to_string(list_transform(
+                          range(1, length(w) + 1), i -> substr(w, i, 1)),
+                          chr(31))),
+                  chr(30)) AS syms
+           FROM documents),
+    d1 AS (SELECT doc_id,
+                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
+                    AS syms
+           FROM d0, b1 b),
+    d2 AS (SELECT doc_id,
+                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
+                    AS syms
+           FROM d1, b2 b),
+    d3 AS (SELECT doc_id,
+                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
+                    AS syms
+           FROM d2, b3 b)
+    SELECT doc_id,
+           CASE WHEN syms = '' THEN 0
+                ELSE CAST(len(regexp_split_to_array(
+                    syms, chr(30) || '|' || chr(31))) AS BIGINT) END
+             AS n_pieces,
+           translate(syms, chr(31) || chr(30), '  ') AS encoded
+    FROM d3
+"""
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
+    wf AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w
+           WHERE NOT contains(word, chr(31)) GROUP BY 1),
+    m0 AS (SELECT array_to_string(list_transform(
+               range(1, length(word) + 1), i -> substr(word, i, 1)),
+               chr(31)) AS syms, cnt FROM wf),
+    {_bpe_iter_sql(1)},
+    {_bpe_iter_sql(2)},
+    {_bpe_iter_sql(3)},
+    {_BPE_ENCODE_TAIL}
+"""
+
+
+@register(
+    "bpe_encode_k3",
+    oracle=_BPE_ENCODE_ORACLE,
+    doc="BPE ENCODE — apply the k=3 merges bpe_train learned to every "
+    "document (operators/packing.py::bpe_encode): the whole doc is "
+    "rewritten once as a separator-joined symbol string and each merge "
+    "is ONE codegen replace folded in rank order (merge patterns cannot "
+    "straddle the chr(30) word boundary), so encoding is a single "
+    "zero-shuffle projection over the corpus regardless of merge count. "
+    "Returns per-doc piece count + the space-joined piece sequence; the "
+    "oracle re-derives the same merges (unrolled CTEs) and applies the "
+    "identical replace fold.",
+)
+def bpe_encode_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, k=3).collect()
+    ]
+    return bpe_encode(docs, merges)
 
 
 @register(

@@ -340,3 +340,41 @@ def test_write_bucketed_failed_rebuild_keeps_old_table(spark):
     assert spark.table(table).count() == 20
     for t in (table, f"{table}__staging"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_write_bucketed_refuses_doomed_external_rebuild(spark, tmp_path):
+    """EXTERNAL table + a foreign directory at the default managed
+    location: the final RENAME could never land there and the external
+    data must not be deleted — the rebuild must fail BEFORE dropping
+    the old table, leaving it registered and readable."""
+    import os
+
+    from datalakeingestion_spark.operators.bucketing import (
+        _managed_location,
+    )
+
+    table = "ext_doomed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ext_dir = str(tmp_path / "ext_data")
+    spark.range(7).select(F.col("id").alias("k")).write.parquet(ext_dir)
+    spark.sql(
+        f"CREATE TABLE {table} (k BIGINT) USING parquet LOCATION '{ext_dir}'"
+    )
+    default_loc = _managed_location(spark, table)[len("file:"):]
+    os.makedirs(default_loc, exist_ok=True)
+    with open(os.path.join(default_loc, "foreign"), "w") as fh:
+        fh.write("not ours")
+    try:
+        df = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(RuntimeError, match="EXTERNAL"):
+            write_bucketed(df, table, "k", 2)
+        # nothing was dropped or deleted
+        assert spark.catalog.tableExists(table)
+        assert spark.table(table).count() == 7
+        assert os.path.exists(os.path.join(default_loc, "foreign"))
+    finally:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+        shutil.rmtree(default_loc, ignore_errors=True)

@@ -1009,16 +1009,35 @@ def test_substring_stored_index_matches_inline_and_skips_lake_shuffle(
                 "spark.sql.autoBroadcastJoinThreshold", threshold
             )
         assert "Bucketed: true" in plan, plan
-        # the scan of gix_grams must not sit under an Exchange: every
-        # Exchange's subtree must be free of the stored-table scan
+        # the stored gram scan must feed its semi-join WITHOUT an
+        # Exchange: walk up the plan tree from the FileScan through its
+        # strictly shallower-indented ancestor lines and require no
+        # Exchange BEFORE the first Join ancestor (everything above the
+        # join is batch-sized downstream work that may shuffle freely —
+        # a per-bucket Sort below the join is fine and expected)
         import re
 
-        for m in re.finditer(r"Exchange", plan):
-            subtree = plan[m.start() : m.start() + 2000]
-            first_scan = subtree.find("gix_grams")
-            assert first_scan == -1 or "Scan" not in subtree[:first_scan], (
-                plan
-            )
+        lines = plan.split("\n")
+
+        def depth(line):
+            m = re.search(r"[A-Za-z*]", line)
+            return m.start() if m else len(line)
+
+        scan_idx = next(
+            i
+            for i, l in enumerate(lines)
+            if "gix_grams" in l and "FileScan" in l
+        )
+        cur = depth(lines[scan_idx])
+        for l in reversed(lines[:scan_idx]):
+            d = depth(l)
+            if d < cur:
+                cur = d
+                if "Join" in l:
+                    break
+                assert "Exchange" not in l, plan
+        else:  # pragma: no cover - the scan must sit under a join
+            raise AssertionError(plan)
 
         # append path: batch-2 grams extend the index; probe equals the
         # inline form against the UNION lake

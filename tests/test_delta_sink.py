@@ -524,3 +524,38 @@ def test_read_version_refuses_unmapped_parquet_era_versions(
     monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
     with pytest.raises(ValueError, match="no.*delta_commit"):
         tt.read_version(spark, job.log, 1, 0, job.target_location)
+
+
+def test_read_changes_maps_log_versions_to_recorded_delta_commits(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """read_changes has the same version-domain trap as read_version:
+    a consumer's since_version is a LOG version, but the CDF wants the
+    DELTA commit to start after. With a maintenance commit between two
+    ingests (log v0 = delta c0, log v1 = delta c2), since_version=1
+    must start the CDF after delta commit 2 — passing the log version
+    through would re-deliver batch v1's rows as new."""
+    from datalakeingestion_spark.ingest import timetravel as tt
+
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    job.run()
+    fake_delta.append_delta(  # maintenance commit, no log row
+        spark.range(0).select(F.lit(None).cast("timestamp").alias("ts")),
+        job.target_location,
+    )
+    _delta_job(spark, tmp_path, log=job.log).run()
+
+    asked = []
+    monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
+    monkeypatch.setattr(
+        dsink,
+        "read_changes_delta",
+        lambda s, p, since: asked.append(since) or spark.range(1),
+    )
+    tt.read_changes(
+        spark, job.log, 1, job.target_location, since_version=0
+    )
+    tt.read_changes(
+        spark, job.log, 1, job.target_location, since_version=1
+    )
+    assert asked == [0, 2]  # NOT [0, 1]

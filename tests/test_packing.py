@@ -294,3 +294,77 @@ def test_bpe_train_greedy_overlap_and_early_stop(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         bpe_train(docs, k=0)
+
+
+def test_bpe_encode_matches_pure_python_application(spark):
+    """Encoding with a trained merge table must equal the serial
+    reference: per word, apply each merge greedily left-to-right in
+    rank order; the doc's pieces are the concatenation in token order."""
+    from datalakeingestion_spark.functions.text import tokens
+    from datalakeingestion_spark.operators.packing import (
+        bpe_encode,
+        bpe_train,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(60)
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, k=4).collect()
+    ]
+
+    def apply_merges(word: str) -> list[str]:
+        syms = list(word)
+        for _, lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    want = {}
+    for doc_id, words in toks.items():
+        pieces = [p for w in words for p in apply_merges(w)]
+        want[doc_id] = (len(pieces), " ".join(pieces))
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == want
+    assert any(n > 0 for n, _ in got.values())
+
+
+def test_bpe_encode_empty_doc_and_boundaries(spark):
+    """Empty docs encode to 0 pieces / ''; a merge never crosses a word
+    boundary (pair ('a','b') must not merge across 'xa' | 'by')."""
+    from datalakeingestion_spark.operators.packing import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "xa by ab"), (3, "ab ab")],
+        "doc_id long, text string",
+    )
+    merges = [(1, "a", "b")]
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == {
+        1: (0, ""),
+        2: (5, "x a b y ab"),  # xa -> x a, by -> b y, ab -> ab
+        3: (2, "ab ab"),
+    }

@@ -8,9 +8,14 @@ import json
 import sys
 
 
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 @pytest.mark.smoke
 def test_load_latest_green_tracks_round_and_requires_all_three(tmp_path):
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
     from rotate_priority import load_latest_green
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
@@ -40,8 +45,8 @@ def test_registry_priority_is_exactly_the_recomputed_stalest_50():
     from the CORRECTNESS files: never-checked queries first, then
     checked ones by (latest green round, registration order). Keeping
     this pinned prevents the ledger from drifting from reality again."""
-    sys.path.insert(0, "/root/repo/tools")
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    sys.path.insert(0, REPO)
     from rotate_priority import load_latest_green
 
     from datalakeingestion_spark.plans.registry import (
@@ -53,7 +58,7 @@ def test_registry_priority_is_exactly_the_recomputed_stalest_50():
     _ensure_loaded()
     names = list(REGISTRY)
     order = {n: i for i, n in enumerate(names)}
-    latest = load_latest_green("/root/repo")
+    latest = load_latest_green(REPO)
     never = [n for n in names if n not in latest]
     done = sorted(
         (n for n in names if n in latest),

@@ -68,22 +68,44 @@ def probe_stored_gram_index(spark, lake_sizes=(500_000, 1_000_000),
 
     batch = _docs(spark, batch_n, id_offset=50_000_000).persist()
     batch.count()
+    # WARMUP (untimed): first execution pays whole-stage-codegen JIT +
+    # shuffle-service spin-up — the initial r9 run misread that as
+    # "inline cost shrinks with a bigger lake" (6.0s at 500k measured
+    # cold, 0.8s at 1M measured warm)
+    warm = _docs(spark, 50_000)
+    substring_dup_vs_lake(batch, warm, n=8).agg(F.count(F.lit(1))).first()
+    spark.sql("DROP TABLE IF EXISTS r9gix_grams")
+    build_substring_index(warm, "r9gix", n=8, n_buckets=32)
+    substring_dup_vs_stored_index(batch, "r9gix", n=8).agg(
+        F.count(F.lit(1))
+    ).first()
+    spark.sql("DROP TABLE IF EXISTS r9gix_grams")
+
+    def timed(fn, runs=2):
+        best, out = None, None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, out
+
     for lake_n in lake_sizes:
         lake = _docs(spark, lake_n)
-        t0 = time.perf_counter()
-        r = substring_dup_vs_lake(batch, lake, n=8).agg(
-            F.count(F.lit(1)).alias("rows")
-        ).first()
-        t_inline = time.perf_counter() - t0
+        t_inline, r = timed(
+            lambda: substring_dup_vs_lake(batch, lake, n=8)
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .first()
+        )
         spark.sql("DROP TABLE IF EXISTS r9gix_grams")
         t0 = time.perf_counter()
         build_substring_index(lake, "r9gix", n=8, n_buckets=32)
         t_build = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        r2 = substring_dup_vs_stored_index(batch, "r9gix", n=8).agg(
-            F.count(F.lit(1)).alias("rows")
-        ).first()
-        t_stored = time.perf_counter() - t0
+        t_stored, r2 = timed(
+            lambda: substring_dup_vs_stored_index(batch, "r9gix", n=8)
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .first()
+        )
         print(
             f"  lake={lake_n:>9,}: inline/batch {t_inline:6.1f}s | "
             f"build(once) {t_build:6.1f}s probe/batch {t_stored:6.1f}s | "
@@ -115,6 +137,10 @@ def probe_linkage_flood(spark, n=100_000, flood=8_000):
     )
     df = cold.unionByName(hot).persist()
     df.count()
+    # warmup: codegen for the join + levenshtein pipeline, untimed
+    blocked_similarity_pairs(
+        df.limit(2_000), "rid", ["blk"], "name", max_edit=2
+    ).count()
     for label, kw in [
         ("unbounded", {}),
         ("max_block=512/salt=256", {"max_block": 512, "salt_target": 256}),
