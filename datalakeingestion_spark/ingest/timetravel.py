@@ -280,6 +280,14 @@ def read_changes(
     delta no longer exists, and silently returning the baseline would
     re-deliver every old row as "new".
 
+    On a Delta table ALL three modes delegate to the CDF (not just
+    ``since_version`` — the parquet fallback would misread the Delta
+    sink's ``{"delta_commit": N}`` payloads as file lists): ``after``
+    maps to the delta commit of the latest log version at or before the
+    cutoff (everything strictly after it is new, exactly the parquet
+    path's ``committed_at > after`` row set), and no-arg replays the
+    feed from commit 0.
+
     Scale shape: the commit→files map is metadata-sized; the data is ONE
     explicit-file parquet scan plus a broadcast join of that map on the
     scan's ``_metadata.file_path`` — no per-commit read, no union. The
@@ -288,22 +296,35 @@ def read_changes(
     """
     from .delta_sink import is_delta_table, read_changes_delta
 
-    if since_version is not None and is_delta_table(spark, base_path):
-        return read_changes_delta(
-            spark,
-            base_path,
-            _delta_commit_of(log, ingestion_id, since_version),
+    if after is not None and isinstance(after, str):
+        fmt = (
+            "%Y-%m-%d %H:%M:%S.%f" if "." in after else "%Y-%m-%d %H:%M:%S"
         )
+        after = datetime.strptime(after, fmt)
+    if is_delta_table(spark, base_path):
+        if since_version is not None:
+            since_commit = _delta_commit_of(log, ingestion_id, since_version)
+        elif after is not None:
+            row = (  # latest log version already consumed at the cutoff
+                history(log, ingestion_id)
+                .filter(F.col("committed_at") <= F.lit(after))
+                .orderBy(F.col("version").desc())
+                .select("version")
+                .first()
+            )
+            since_commit = (
+                -1  # whole feed: every log commit is after the cutoff
+                if row is None
+                else _delta_commit_of(log, ingestion_id, row["version"])
+            )
+        else:
+            since_commit = -1  # full CDF replay from commit 0
+        return read_changes_delta(spark, base_path, since_commit)
     hist = history(log, ingestion_id)
     incremental = since_version is not None or after is not None
     if since_version is not None:
         picked = hist.filter(F.col("version") > since_version)
     elif after is not None:
-        if isinstance(after, str):
-            fmt = (
-                "%Y-%m-%d %H:%M:%S.%f" if "." in after else "%Y-%m-%d %H:%M:%S"
-            )
-            after = datetime.strptime(after, fmt)
         picked = hist.filter(F.col("committed_at") > F.lit(after))
     else:
         picked = hist

@@ -55,11 +55,19 @@ def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     if external:
         return
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, path = _managed_fs_path(spark, table_name)
     if fs.exists(path):
         fs.delete(path, True)
+
+
+def _managed_fs_path(spark: SparkSession, table_name: str):
+    """(Hadoop FileSystem, Path) for the table's default managed
+    location — the py4j plumbing shared by the orphan cleanup and the
+    doomed-rebuild check."""
+    path = spark._jvm.org.apache.hadoop.fs.Path(
+        _managed_location(spark, table_name)
+    )
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
 
 
 def write_bucketed(
@@ -120,9 +128,7 @@ def _check_rename_target_free(spark: SparkSession, table_name: str) -> None:
         return
     if spark.catalog.getTable(table_name).tableType != "EXTERNAL":
         return
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(_managed_location(spark, table_name))
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, path = _managed_fs_path(spark, table_name)
     if fs.exists(path):
         raise RuntimeError(
             f"cannot rebuild {table_name} as a managed bucketed table: it "

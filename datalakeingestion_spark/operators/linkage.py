@@ -90,6 +90,10 @@ def _prepare_blocks(
             df = df.filter(F.col(c).isNotNull())
     keys = list(block_cols)
     if max_block is None:
+        if salt_target is not None:
+            # silently ignoring it would leave the caller believing the
+            # flood bound is active while the unbounded quadratic runs
+            raise ValueError("salt_target requires max_block")
         return df, keys
     if max_block < 2:
         raise ValueError("max_block must be >= 2")
@@ -213,8 +217,7 @@ def _candidate_pairs(
     )
     cols = [id_col, *dict.fromkeys([*block_cols, *payload_cols])]
     internal = [k for k in keys if k not in block_cols]  # the salt key
-    slim = prepared.select(*cols, *internal,
-                           *(["_nsalt"] if max_block is not None else []))
+    slim = prepared.select(*cols, *internal)
     a, b = slim.alias("a"), slim.alias("b")
     pairs = a.join(
         b, _pair_condition(id_col, block_cols, keys, null_blocks)

@@ -94,6 +94,14 @@ _WEIGHTED_SCORE_SQL = f"""
 def entity_resolution_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _weighted_customer_pairs(spark, sf_dir)
+
+
+def _weighted_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared weighted-linkage pair frame: both the pair query and
+    the clusters capstone MUST score the identical graph (their oracles
+    share _WEIGHTED_SCORE_SQL the same way) — a weight tweak applied to
+    only one copy would silently desynchronize them."""
     from ..operators.linkage import FieldWeight, weighted_linkage_pairs
 
     cust = (
@@ -151,28 +159,8 @@ def entity_resolution_weighted(
 )
 def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
-    from ..operators.linkage import FieldWeight, weighted_linkage_pairs
 
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .withColumn(
-            "bal_bucket",
-            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
-        )
-        .withColumn("name_tail", F.expr("right(c_name, 3)"))
-    )
-    fields = [
-        FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
-        FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
-        FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
-    ]
-    pairs = weighted_linkage_pairs(
-        cust,
-        "c_custkey",
-        ["c_nationkey", "c_mktsegment"],
-        fields,
-        min_score=_W_MIN_SCORE,
-    ).select(
+    pairs = _weighted_customer_pairs(spark, sf_dir).select(
         F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
     )
     return dd.connected_components(pairs)
@@ -221,30 +209,40 @@ _BPE_ORACLE = f"""
 # applying the learned merges to the corpus: words joined by chr(30),
 # symbols by chr(31); each merge is one left-to-right replace in rank
 # order (merge patterns cannot straddle the word separator), then the
-# separators become spaces. Identical fold on both engines.
+# separators become spaces. Identical fold on both engines. Each dN
+# LEFT JOINs its merge CTE (which holds 0 or 1 rows): when the corpus
+# admits fewer than k merges the empty bN must pass syms through
+# unchanged — a plain cross join would collapse the WHOLE result to
+# zero rows while the Spark side still returns every document.
 _BPE_ENCODE_TAIL = f"""
     d0 AS (SELECT doc_id,
-                  array_to_string(list_transform(
+                  COALESCE(array_to_string(list_transform(
                       list_filter({TOKS_SQL},
                           w -> NOT contains(w, chr(31))
                            AND NOT contains(w, chr(30))),
                       w -> array_to_string(list_transform(
                           range(1, length(w) + 1), i -> substr(w, i, 1)),
                           chr(31))),
-                  chr(30)) AS syms
+                  chr(30)), '') AS syms
            FROM documents),
+    -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    -- array_join([]) is '' — a token-free doc must encode to (0, ''),
+    -- not (NULL, NULL)
     d1 AS (SELECT doc_id,
-                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
-                    AS syms
-           FROM d0, b1 b),
+                  CASE WHEN b.lhs IS NULL THEN syms
+                       ELSE replace(syms, b.lhs || chr(31) || b.rhs,
+                                    b.lhs || b.rhs) END AS syms
+           FROM d0 LEFT JOIN b1 b ON TRUE),
     d2 AS (SELECT doc_id,
-                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
-                    AS syms
-           FROM d1, b2 b),
+                  CASE WHEN b.lhs IS NULL THEN syms
+                       ELSE replace(syms, b.lhs || chr(31) || b.rhs,
+                                    b.lhs || b.rhs) END AS syms
+           FROM d1 LEFT JOIN b2 b ON TRUE),
     d3 AS (SELECT doc_id,
-                  replace(syms, b.lhs || chr(31) || b.rhs, b.lhs || b.rhs)
-                    AS syms
-           FROM d2, b3 b)
+                  CASE WHEN b.lhs IS NULL THEN syms
+                       ELSE replace(syms, b.lhs || chr(31) || b.rhs,
+                                    b.lhs || b.rhs) END AS syms
+           FROM d2 LEFT JOIN b3 b ON TRUE)
     SELECT doc_id,
            CASE WHEN syms = '' THEN 0
                 ELSE CAST(len(regexp_split_to_array(

@@ -1050,3 +1050,18 @@ def test_substring_stored_index_matches_inline_and_skips_lake_shuffle(
         assert got2 != got  # the appended lake half changed coverage
     finally:
         spark.sql("DROP TABLE IF EXISTS gix_grams")
+
+
+def test_linkage_salt_target_without_max_block_raises(spark):
+    """salt_target with no max_block must raise, not silently run the
+    unbounded quadratic path while the caller believes the flood bound
+    is active."""
+    from datalakeingestion_spark.operators.linkage import (
+        blocked_similarity_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "a")], "rid long, blk string, name string"
+    )
+    with pytest.raises(ValueError, match="salt_target requires max_block"):
+        blocked_similarity_pairs(df, "rid", ["blk"], "name", salt_target=8)

@@ -559,3 +559,48 @@ def test_read_changes_maps_log_versions_to_recorded_delta_commits(
         spark, job.log, 1, job.target_location, since_version=1
     )
     assert asked == [0, 2]  # NOT [0, 1]
+
+
+def test_read_changes_after_and_full_replay_delegate_to_cdf(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """after= and no-arg reads on a Delta lake must ALSO go through the
+    CDF: the parquet fallback would misread the Delta sink's
+    '{"delta_commit": N}' payloads as file lists and raise a misleading
+    'compaction has rewritten history' error. after= maps to the delta
+    commit of the latest log version at or before the cutoff; a cutoff
+    before everything (and the no-arg full replay) starts from commit
+    0, i.e. since=-1 into read_changes_delta's since+1."""
+    from datalakeingestion_spark.ingest import timetravel as tt
+
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    job.run()
+    fake_delta.append_delta(  # maintenance commit, no log row
+        spark.range(0).select(F.lit(None).cast("timestamp").alias("ts")),
+        job.target_location,
+    )
+    _delta_job(spark, tmp_path, log=job.log).run()
+    ts = {
+        r["version"]: r["committed_at"]
+        for r in tt.history(job.log, 1)
+        .select("version", "committed_at")
+        .collect()
+    }
+    assert ts[1] > ts[0], "two real runs cannot share a microsecond"
+
+    asked = []
+    monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
+    monkeypatch.setattr(
+        dsink,
+        "read_changes_delta",
+        lambda s, p, since: asked.append(since) or spark.range(1),
+    )
+    tt.read_changes(
+        spark, job.log, 1, job.target_location,
+        after="2000-01-01 00:00:00",  # before everything -> whole feed
+    )
+    tt.read_changes(  # cutoff AT v0 -> CDF after v0's delta commit (0)
+        spark, job.log, 1, job.target_location, after=ts[0]
+    )
+    tt.read_changes(spark, job.log, 1, job.target_location)  # full replay
+    assert asked == [-1, 0, -1]

@@ -368,3 +368,43 @@ def test_bpe_encode_empty_doc_and_boundaries(spark):
         2: (5, "x a b y ab"),  # xa -> x a, by -> b y, ab -> ab
         3: (2, "ab ab"),
     }
+
+
+def test_bpe_encode_oracle_survives_fewer_than_k_merges(spark):
+    """The k=3 encode oracle must not collapse to zero rows when the
+    corpus only admits ONE merge (empty b2/b3 CTEs pass syms through
+    via LEFT JOIN, mirroring Spark's shorter merge list) — both engines
+    must return one row per document with identical encodings."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from datalakeingestion_spark.operators.packing import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, k=3).collect()
+    ]
+    assert len(merges) == 1  # the corpus really admits only one merge
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab'), (2, 'ab'), (3, '')) t(doc_id, text)"
+    )
+    oracle = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            entry.oracle_sql()["bpe_encode_k3"]
+        ).fetchall()
+    }
+    assert oracle == got == {1: (2, "ab ab"), 2: (1, "ab"), 3: (0, "")}
