@@ -23,6 +23,11 @@
   every document as a fold of codegen ``replace``s over a
   separator-joined whole-document symbol string — one zero-shuffle
   projection over the corpus regardless of merge count.
+- ``dsir_weights_en_target`` / ``dsir_select_en_top100`` — DSIR
+  importance weights (Xie et al. 2023, ``operators/dsir.py``): every
+  doc scored by ``ln p_en - ln p_raw`` under two add-1-smoothed
+  hashed-unigram+bigram models (4096 md5-portable buckets), and the
+  deterministic top-k selection over that weight.
 
 Reference pendant: none — greenfield curation/tokenizer-prep operators
 (SURVEY.md §2 beyond-reference set).
@@ -309,3 +314,95 @@ def bpe_train_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+# weights for every doc: target = English docs, raw = the rest. The
+# bucket model, smoothing, 6-dp rounding and exact-decimal summation
+# mirror operators/dsir.py line for line; the md5-prefix hash is the
+# documented DuckDB equivalent of portable_hash32.
+_DSIR_WEIGHTS_SQL = f"""
+    WITH d AS (SELECT doc_id, lang = 'en' AS tgt, {TOKS_SQL} AS toks
+               FROM documents),
+    u AS (SELECT doc_id, tgt, unnest(toks) AS f FROM d),
+    bg AS (SELECT doc_id, tgt,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                      AS f
+           FROM d),
+    feats AS (SELECT doc_id, tgt,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B}
+                         AS bucket
+              FROM (SELECT * FROM u UNION ALL SELECT * FROM bg)),
+    cnt AS (SELECT bucket,
+                   SUM(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS cp,
+                   SUM(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cq
+            FROM feats GROUP BY 1),
+    tot AS (SELECT SUM(cp)::DOUBLE AS tp, SUM(cq)::DOUBLE AS tq FROM cnt),
+    ratio AS (SELECT bucket,
+                     CAST(round(ln((cp + 1) / (tp + {_DSIR_B}))
+                                - ln((cq + 1) / (tq + {_DSIR_B})), 6)
+                          AS DECIMAL(27,6)) AS lr
+              FROM cnt CROSS JOIN tot),
+    w AS (SELECT doc_id, COUNT(*)::BIGINT AS n_feats, SUM(lr) AS ws
+          FROM feats JOIN ratio USING (bucket) GROUP BY 1)
+    SELECT documents.doc_id,
+           COALESCE(w.n_feats, 0)::BIGINT AS n_feats,
+           COALESCE(CAST(w.ws AS DOUBLE), 0.0) AS weight
+    FROM documents LEFT JOIN w USING (doc_id)
+"""
+
+
+def _dsir_docs(spark: SparkSession, sf_dir: str):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dsir_weights_en_target",
+    oracle=_DSIR_WEIGHTS_SQL,
+    doc="DSIR importance weight per document (Xie et al. 2023, "
+    "arXiv:2302.03169; operators/dsir.py::dsir_logratio_weights): "
+    "ln p_target - ln p_raw under two add-1-smoothed bag-of-hashed-"
+    "ngram models (unigrams + bigrams, 4096 md5-portable buckets; "
+    "target = lang='en' docs, raw = the rest) — the published "
+    "cross-corpus data-selection score the self-LM quality scores "
+    "can't express. ONE groupBy builds both models (conditional sums), "
+    "the 4096-row log-ratio table broadcasts, one per-doc groupBy sums "
+    "6-dp-rounded ratios as exact decimals (partitioning-independent). "
+    "Docs with no features keep a (0, 0.0) row.",
+)
+def dsir_weights_en_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_logratio_weights
+
+    docs = _dsir_docs(spark, sf_dir)
+    return dsir_logratio_weights(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "dsir_select_en_top100",
+    oracle=f"""
+    SELECT * FROM ({_DSIR_WEIGHTS_SQL})
+    ORDER BY weight DESC, doc_id LIMIT 100
+    """,
+    doc="The selection half of DSIR (operators/dsir.py::"
+    "dsir_select_topk): top-100 most-English-like docs by the "
+    "importance weight, ties by doc_id — compiles to "
+    "TakeOrderedAndProject (per-partition heaps + 100-row driver "
+    "merge), never a single-partition global sort. The paper's "
+    "Gumbel-noise resampling is a seeded weighted sample over the "
+    "same weights; the deterministic top-k is the engine primitive.",
+)
+def dsir_select_en_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_select_topk
+
+    docs = _dsir_docs(spark, sf_dir)
+    return dsir_select_topk(
+        docs, F.col("lang") == "en", k=100, n_buckets=_DSIR_B
+    )

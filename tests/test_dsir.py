@@ -1,0 +1,124 @@
+"""DSIR importance-weight tests (operators/dsir.py).
+
+The weight is ln p_target - ln p_raw summed over hashed unigram+bigram
+feature occurrences — pinned against a pure-Python replica (same md5
+bucketing, same add-1 smoothing, same 6-dp HALF_UP per-feature
+rounding), plus direction, empty-doc, validation and plan-shape pins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakeingestion_spark.operators.dsir import (
+    dsir_logratio_weights,
+    dsir_select_topk,
+)
+
+B = 64  # small bucket count so collisions actually occur in the test
+
+
+def _py_weights(rows, n_buckets):
+    """(doc_id -> (n_feats, weight)) exactly as the operator defines it."""
+
+    def feats(text):
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+                if t]
+        fs = list(toks)
+        fs += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+            for f in fs
+        ]
+
+    per_doc = {doc_id: feats(text) for doc_id, text, _ in rows}
+    cp, cq = [0] * n_buckets, [0] * n_buckets
+    for doc_id, _, tgt in rows:
+        for b in per_doc[doc_id]:
+            (cp if tgt else cq)[b] += 1
+    tp, tq = float(sum(cp)), float(sum(cq))
+    lr = [
+        Decimal(
+            repr(
+                math.log((cp[b] + 1) / (tp + n_buckets))
+                - math.log((cq[b] + 1) / (tq + n_buckets))
+            )
+        ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        for b in range(n_buckets)
+    ]
+    return {
+        doc_id: (
+            len(per_doc[doc_id]),
+            float(sum((lr[b] for b in per_doc[doc_id]), Decimal(0))),
+        )
+        for doc_id, _, _ in rows
+    }
+
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog", True),
+    (2, "the dog sleeps while the fox runs", True),
+    (3, "der schnelle braune fuchs springt hoch", False),
+    (4, "le renard brun saute par dessus le chien", False),
+    (5, "the brown fox and the lazy dog again", False),  # en-like raw doc
+    (6, "", False),  # no features at all
+]
+
+
+@pytest.mark.smoke
+def test_dsir_weights_match_pure_python(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in ROWS], "doc_id long, text string"
+    )
+    tgt = F.col("doc_id").isin([i for i, _, f in ROWS if f])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_logratio_weights(docs, tgt, n_buckets=B).collect()
+    }
+    want = _py_weights(ROWS, B)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        assert got[doc_id][1] == pytest.approx(
+            want[doc_id][1], abs=1e-9
+        ), doc_id
+    # direction: the en-vocabulary raw doc must outscore the de/fr ones,
+    # and the empty doc keeps its row with zero evidence
+    assert got[5][1] > got[3][1] and got[5][1] > got[4][1]
+    assert got[6] == (0, 0.0)
+
+
+def test_dsir_topk_selection_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in ROWS], "doc_id long, text string"
+    )
+    tgt = F.col("doc_id").isin([i for i, _, f in ROWS if f])
+    top = dsir_select_topk(docs, tgt, k=3, n_buckets=B)
+    ids = [r["doc_id"] for r in top.collect()]
+    allw = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_logratio_weights(docs, tgt, n_buckets=B).collect()
+    }
+    want = sorted(allw, key=lambda d: (-allw[d], d))[:3]
+    assert ids == want
+
+    # the global order-by-limit must be TakeOrderedAndProject (per-
+    # partition heaps), never a range-partitioned full sort; the 4096-
+    # row ratio table must reach its join as a broadcast
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_logratio_weights(docs, tgt, n_buckets=1)
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select_topk(docs, tgt, k=0)

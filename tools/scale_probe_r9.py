@@ -179,6 +179,40 @@ def probe_bpe(spark, n=1_000_000, vocab=1_000, k=5):
     docs.unpersist()
 
 
+def probe_dsir(spark, sizes=(500_000, 1_000_000), vocab=1_000):
+    """DSIR weights over a growing corpus (operators/dsir.py): cost must
+    be two linear corpus passes (model build + scoring) with a
+    4096-row broadcast in between — doubling the corpus should roughly
+    double wall time, never worse."""
+    from datalakeingestion_spark.operators.dsir import dsir_logratio_weights
+
+    # warmup (untimed): codegen + shuffle spin-up
+    warm = _docs(spark, 50_000, vocab=vocab)
+    dsir_logratio_weights(
+        warm, F.col("doc_id") % 3 == 0
+    ).agg(F.count(F.lit(1))).first()
+    for n in sizes:
+        docs = _docs(spark, n, vocab=vocab)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = dsir_logratio_weights(
+                docs, F.col("doc_id") % 3 == 0
+            ).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("weight") > 0, 1).otherwise(0)).alias(
+                    "pos"
+                ),
+            ).first()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(
+            f"  docs={n:>9,}: {best:5.1f}s  rows={r['rows']:,} "
+            f"positive-weight={r['pos']:,}",
+            flush=True,
+        )
+
+
 def main():
     from datalakeingestion_spark.session import get_spark
 
@@ -191,6 +225,9 @@ def main():
     probe_linkage_flood(spark)
     print("probe 3: BPE trainer (1M docs, 1k vocab, 5 merges)", flush=True)
     probe_bpe(spark)
+    print("probe 4: DSIR weights, corpus-linear check (500k vs 1M docs)",
+          flush=True)
+    probe_dsir(spark)
 
 
 if __name__ == "__main__":
