@@ -26,10 +26,10 @@ Spark-first shape, built for the 100 TB case:
    and byte-comparable against the ANSI oracle.
 
 Two corpus passes over the token stream, zero all-pairs, zero
-data-sized state on the driver. The paper resamples with Gumbel noise;
-the deterministic engine primitive here is the weight itself plus
-top-k selection (``TakeOrderedAndProject``-shaped) — a seeded
-resampler composes from ``operators/sampling.py`` if needed.
+data-sized state on the driver. Selection comes in both flavors: the
+deterministic top-k (:func:`dsir_select_topk`) and the paper's actual
+Gumbel-top-k resampling (:func:`dsir_resample_gumbel`) with SEEDED
+md5-portable noise — both ``TakeOrderedAndProject``-shaped.
 
 Reference pendant: none — greenfield curation operator (SURVEY.md §2
 beyond-reference set).
@@ -157,5 +157,56 @@ def dsir_select_topk(
             docs, is_target, text_col, id_col, n_buckets
         )
         .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+#: Denominator mapping the 32-bit portable hash onto (0, 1): with
+#: u = (h + 1) / 2^32+1 and h in [0, 2^32), u is strictly inside the
+#: open interval, so -ln(-ln(u)) is always finite.
+_GUMBEL_DEN = float(2**32 + 1)
+
+
+def dsir_resample_gumbel(
+    docs: DataFrame,
+    is_target: Column,
+    k: int,
+    seed: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The paper's actual selection rule: sample ``k`` docs WITHOUT
+    replacement with probability proportional to ``exp(weight)`` via
+    the Gumbel-top-k trick — ``key = weight + Gumbel(0,1)``, take the
+    k largest keys. Unlike :func:`dsir_select_topk` this keeps a
+    diversity tail (low-weight docs still win occasionally), which is
+    why DSIR resamples instead of hard-thresholding.
+
+    The Gumbel noise is SEEDED and engine-portable: ``u`` derives from
+    the md5-portable hash of ``seed || ':' || doc_id`` mapped into the
+    open unit interval, ``g = -ln(-ln(u))`` rounded to 6 dp — the same
+    determinism discipline as every hash-threshold sampler in
+    ``operators/sampling.py`` (reruns and engines agree row-for-row;
+    vary ``seed`` for a fresh draw). Returns
+    (doc_id, n_feats, weight, gumbel_key) for the k selected docs;
+    global order-by-limit compiles to ``TakeOrderedAndProject``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if ":" in seed:
+        # 'a:1' + doc 2 must never collide with 'a' + doc 12
+        raise ValueError("seed must not contain ':'")
+    w = dsir_logratio_weights(docs, is_target, text_col, id_col, n_buckets)
+    u = (
+        portable_hash32(
+            F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ) / F.lit(_GUMBEL_DEN)
+    g = F.round(-F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("gumbel_key", F.round(F.col("weight") + g, 6))
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(k)
     )

@@ -406,3 +406,36 @@ def dsir_select_en_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select_topk(
         docs, F.col("lang") == "en", k=100, n_buckets=_DSIR_B
     )
+
+
+@register(
+    "dsir_resample_gumbel_top100",
+    oracle=f"""
+    SELECT doc_id, n_feats, weight, gumbel_key FROM (
+      SELECT *,
+             round(weight + round(-ln(-ln(
+                 (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))
+                      ::BIGINT + 1) / 4294967297.0)), 6), 6) AS gumbel_key
+      FROM ({_DSIR_WEIGHTS_SQL})
+    ) ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR's actual selection rule (operators/dsir.py::"
+    "dsir_resample_gumbel): Gumbel-top-k — sample 100 docs without "
+    "replacement with probability proportional to exp(weight) by "
+    "ranking weight + Gumbel(0,1) noise. The noise is SEEDED and "
+    "engine-portable (u from the md5-portable hash of seed:doc_id "
+    "mapped into the open unit interval, g = -ln(-ln(u)) rounded to "
+    "6 dp), so the draw is reproducible row-for-row across engines "
+    "and reruns — vary the seed for a fresh draw. Keeps the diversity "
+    "tail hard-thresholding loses; plans as TakeOrderedAndProject "
+    "like the deterministic top-k.",
+)
+def dsir_resample_gumbel_top100(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dsir import dsir_resample_gumbel
+
+    docs = _dsir_docs(spark, sf_dir)
+    return dsir_resample_gumbel(
+        docs, F.col("lang") == "en", k=100, seed="dsir", n_buckets=_DSIR_B
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from datalakeingestion_spark.operators.dsir import (
     dsir_logratio_weights,
+    dsir_resample_gumbel,
     dsir_select_topk,
 )
 
@@ -122,3 +123,62 @@ def test_dsir_topk_selection_and_validation(spark):
         dsir_logratio_weights(docs, tgt, n_buckets=1)
     with pytest.raises(ValueError, match="k must be"):
         dsir_select_topk(docs, tgt, k=0)
+
+
+def test_dsir_gumbel_resample_seeded_and_portable(spark):
+    """Gumbel-top-k: key = weight + g(seed, doc_id) with g replicated
+    exactly in pure Python (md5 -> open unit interval -> -ln(-ln(u)),
+    6-dp HALF_UP); same seed = same draw, different seed = a different
+    draw over the same weights; ':' in the seed is rejected."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in ROWS], "doc_id long, text string"
+    )
+    tgt = F.col("doc_id").isin([i for i, _, f in ROWS if f])
+    allw = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_logratio_weights(docs, tgt, n_buckets=B).collect()
+    }
+
+    def key(doc_id, seed):
+        h = int(
+            hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 4294967297.0
+        g = float(
+            Decimal(repr(-math.log(-math.log(u)))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        return float(
+            Decimal(repr(allw[doc_id] + g)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+
+    got = [
+        (r["doc_id"], r["gumbel_key"])
+        for r in dsir_resample_gumbel(
+            docs, tgt, k=4, seed="s1", n_buckets=B
+        ).collect()
+    ]
+    want = sorted(
+        ((d, key(d, "s1")) for d in allw), key=lambda x: (-x[1], x[0])
+    )[:4]
+    assert [(d, pytest.approx(k_, abs=1e-9)) for d, k_ in want] == got
+
+    again = [
+        r["doc_id"]
+        for r in dsir_resample_gumbel(
+            docs, tgt, k=4, seed="s1", n_buckets=B
+        ).collect()
+    ]
+    assert again == [d for d, _ in got]  # same seed, same draw
+    other = [
+        r["doc_id"]
+        for r in dsir_resample_gumbel(
+            docs, tgt, k=4, seed="s2", n_buckets=B
+        ).collect()
+    ]
+    assert set(other) <= set(allw)
+    with pytest.raises(ValueError, match="seed"):
+        dsir_resample_gumbel(docs, tgt, k=4, seed="a:b")
