@@ -637,6 +637,12 @@ _BNLJ_WHITELIST = {
     "embedding_drift_halves",
     # 1-row total-revenue scalar join
     "revenue_pareto_deciles",
+    # 1-row (tp, tq) model-totals scalar broadcast onto the 4096-row
+    # bucket-count table (operators/dsir.py — audited round 9; the
+    # corpus-sized streams only ever meet equi broadcast-hash joins)
+    "dsir_weights_en_target",
+    "dsir_select_en_top100",
+    "dsir_resample_gumbel_top100",
 }
 
 
