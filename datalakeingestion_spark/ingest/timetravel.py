@@ -283,10 +283,20 @@ def read_changes(
     On a Delta table ALL three modes delegate to the CDF (not just
     ``since_version`` — the parquet fallback would misread the Delta
     sink's ``{"delta_commit": N}`` payloads as file lists): ``after``
-    maps to the delta commit of the latest log version at or before the
-    cutoff (everything strictly after it is new, exactly the parquet
-    path's ``committed_at > after`` row set), and no-arg replays the
-    feed from commit 0.
+    maps to the delta commit of the latest log version at or before
+    the cutoff, and no-arg replays the feed from commit 0. Two honest
+    deltas from the parquet contract: (a) the CDF window is COMMIT-
+    complete, not log-complete — a data-bearing delta commit with no
+    log row (out-of-band append, MERGE churn) between the mapped
+    commit and the next logged run IS delivered, which is the right
+    change feed for the table even though the log alone would not
+    list it; (b) a full replay needs the CDF for commit 0 still
+    retained — on a lake whose early history was OPTIMIZEd and
+    VACUUMed past retention, real Delta raises its
+    change-data-file-not-found error, and the consumer should
+    re-baseline from a snapshot (:func:`read_version`) exactly as the
+    parquet path demands when an incremental range crosses a
+    compaction.
 
     Scale shape: the commit→files map is metadata-sized; the data is ONE
     explicit-file parquet scan plus a broadcast join of that map on the

@@ -23,11 +23,13 @@
   every document as a fold of codegen ``replace``s over a
   separator-joined whole-document symbol string — one zero-shuffle
   projection over the corpus regardless of merge count.
-- ``dsir_weights_en_target`` / ``dsir_select_en_top100`` — DSIR
-  importance weights (Xie et al. 2023, ``operators/dsir.py``): every
-  doc scored by ``ln p_en - ln p_raw`` under two add-1-smoothed
-  hashed-unigram+bigram models (4096 md5-portable buckets), and the
-  deterministic top-k selection over that weight.
+- ``dsir_weights_en_target`` / ``dsir_select_en_top100`` /
+  ``dsir_resample_gumbel_top100`` — DSIR importance weights (Xie et
+  al. 2023, ``operators/dsir.py``): every doc scored by
+  ``ln p_en - ln p_raw`` under two add-1-smoothed hashed-
+  unigram+bigram models (4096 md5-portable buckets), the
+  deterministic top-k selection over that weight, and the paper's
+  seeded Gumbel-top-k resample (probability ∝ exp(weight)).
 
 Reference pendant: none — greenfield curation/tokenizer-prep operators
 (SURVEY.md §2 beyond-reference set).
@@ -39,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .llm import TOKS_SQL
+from .llm import TOKS_SQL, _h32_sql
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -324,8 +326,10 @@ _DSIR_B = 4096
 
 # weights for every doc: target = English docs, raw = the rest. The
 # bucket model, smoothing, 6-dp rounding and exact-decimal summation
-# mirror operators/dsir.py line for line; the md5-prefix hash is the
-# documented DuckDB equivalent of portable_hash32.
+# mirror operators/dsir.py line for line; _h32_sql is the shared
+# DuckDB twin of portable_hash32 (one place to change the convention).
+_DSIR_GUMBEL_H = _h32_sql("'dsir:' || doc_id::VARCHAR")
+
 _DSIR_WEIGHTS_SQL = f"""
     WITH d AS (SELECT doc_id, lang = 'en' AS tgt, {TOKS_SQL} AS toks
                FROM documents),
@@ -336,8 +340,7 @@ _DSIR_WEIGHTS_SQL = f"""
                       AS f
            FROM d),
     feats AS (SELECT doc_id, tgt,
-                     ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B}
-                         AS bucket
+                     {_h32_sql('f')} % {_DSIR_B} AS bucket
               FROM (SELECT * FROM u UNION ALL SELECT * FROM bg)),
     cnt AS (SELECT bucket,
                    SUM(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS cp,
@@ -414,8 +417,8 @@ def dsir_select_en_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_feats, weight, gumbel_key FROM (
       SELECT *,
              round(weight + round(-ln(-ln(
-                 (('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))
-                      ::BIGINT + 1) / 4294967297.0)), 6), 6) AS gumbel_key
+                 ({_DSIR_GUMBEL_H} + 1) / 4294967297.0)), 6), 6)
+                 AS gumbel_key
       FROM ({_DSIR_WEIGHTS_SQL})
     ) ORDER BY gumbel_key DESC, doc_id LIMIT 100
     """,

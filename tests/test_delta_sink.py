@@ -604,3 +604,48 @@ def test_read_changes_after_and_full_replay_delegate_to_cdf(
     )
     tt.read_changes(spark, job.log, 1, job.target_location)  # full replay
     assert asked == [-1, 0, -1]
+
+
+def test_read_changes_after_and_replay_rows_through_fake_cdf(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    """Same three modes, but driven through the REAL read_changes_delta
+    seam (the parquet-backed fake with genuine since+1 slicing) instead
+    of a recording lambda: the -1 sentinel must materialize as a full
+    replay (every commit's rows) and the after=v0 cutoff as exactly the
+    second batch's rows — a regression in the sentinel/startingVersion
+    handoff now changes row COUNTS, not just a recorded argument."""
+    from datalakeingestion_spark.ingest import timetravel as tt
+
+    job = _delta_job(spark, tmp_path, end_value_cap=MID)
+    job.run()
+    _delta_job(spark, tmp_path, log=job.log).run()
+    total = spark.read.parquet(job.target_location).count()
+    batch2 = (
+        spark.read.parquet(job.target_location)
+        .filter(F.col("ts") > MID)
+        .count()
+    )
+    assert 0 < batch2 < total
+
+    monkeypatch.setattr(dsink, "is_delta_table", lambda s, p: True)
+    assert (
+        tt.read_changes(spark, job.log, 1, job.target_location).count()
+        == total
+    )
+    rows = tt.read_changes(
+        spark, job.log, 1, job.target_location, since_version=0
+    )
+    assert rows.count() == batch2
+    ts0 = (
+        tt.history(job.log, 1)
+        .filter(F.col("version") == 0)
+        .select("committed_at")
+        .first()["committed_at"]
+    )
+    assert (
+        tt.read_changes(
+            spark, job.log, 1, job.target_location, after=ts0
+        ).count()
+        == batch2
+    )

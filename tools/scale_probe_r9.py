@@ -25,6 +25,11 @@ Adversarial measurements for this round's claims:
    the vocab-sized table (wall time per merge reported separately from
    the corpus reduction).
 
+4. **DSIR corpus-linearity** (operators/dsir.py::dsir_logratio_weights):
+   full weight computation at 500k and 1M docs (39 hashed features
+   per doc) — cost must be two linear corpus passes around a 4096-row
+   broadcast, so doubling the corpus should roughly double wall time.
+
 Run on an otherwise idle box:  python tools/scale_probe_r9.py
 """
 
