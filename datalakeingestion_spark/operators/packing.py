@@ -299,6 +299,18 @@ def bpe_encode(
     the piece sequence space-joined (pieces contain no spaces: words
     are whitespace tokens). Empty docs encode to 0 pieces / ''.
     """
+    _clean, syms, n_pieces = _encode_exprs(text_col, merges)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_pieces.cast("long").alias("n_pieces"),
+        F.translate(syms, BPE_SEP + BPE_WORD_SEP, "  ").alias("encoded"),
+    )
+
+
+def _encode_exprs(text_col: str, merges: list[tuple]):
+    """(clean word array, folded symbol string, piece count) — the
+    shared encode expressions behind :func:`bpe_encode` and
+    :func:`bpe_fertility`."""
     from ..functions.text import tokens
 
     clean = F.filter(
@@ -315,10 +327,44 @@ def bpe_encode(
     n_pieces = F.when(syms == "", F.lit(0)).otherwise(
         F.size(F.split(syms, f"[{BPE_SEP}{BPE_WORD_SEP}]"))
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_pieces.cast("long").alias("n_pieces"),
-        F.translate(syms, BPE_SEP + BPE_WORD_SEP, "  ").alias("encoded"),
+    return clean, syms, n_pieces
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple],
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY audit: pieces per word under a trained merge
+    table, grouped by ``by_col`` — the standard tokenizer-quality
+    metric per language/source (a tokenizer trained on English text
+    fragments other languages into many more pieces per word; fertility
+    quantifies that tax before a corpus is committed to it).
+
+    One zero-shuffle projection computes each doc's word count and
+    encoded piece count (the :func:`bpe_encode` expressions), then one
+    tiny groupBy on ``by_col`` sums exact integers — the ratio of two
+    exact sums is partitioning-independent. Returns
+    (by_col, n_docs, n_words, n_pieces, fertility) with fertility NULL
+    for a group with zero words (no evidence, not 0.0).
+    """
+    clean, _syms, n_pieces = _encode_exprs(text_col, merges)
+    per = docs.select(
+        F.col(by_col),
+        F.size(clean).cast("long").alias("_nw"),
+        n_pieces.cast("long").alias("_np"),
+    )
+    agg = per.groupBy(by_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("n_words"),
+        F.sum("_np").alias("n_pieces"),
+    )
+    return agg.withColumn(
+        "fertility",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double")).otherwise(
+            F.round(F.col("n_pieces") / F.col("n_words"), 6)
+        ),
     )
 
 

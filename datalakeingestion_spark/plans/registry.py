@@ -60,8 +60,8 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
 # remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# This tuple = round-9's 7 new queries (never checked) + ALL 25
-# r4-vintage + the 18 oldest r5-vintage, per tools/rotate_priority.py —
+# This tuple = round-9's 8 new queries (never checked) + ALL 25
+# r4-vintage + the 17 oldest r5-vintage, per tools/rotate_priority.py —
 # keeping the policy that no query's latest check ages past ~4 rounds.
 # EXACTLY 50 entries: the driver checks positions 0-49 and
 # test_parity.py pins the tuple length to the checked window).
@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_weights_en_target",
     "dsir_select_en_top100",
     "dsir_resample_gumbel_top100",
+    "bpe_fertility_by_lang_k3",
     # r4 vintage (stalest first — latest external check 5 rounds old)
     "w6_rolling_1h_range",
     "decontaminate_embedding_cosine",
@@ -100,7 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_price_histogram",
     "quality_rank_normalize",
     "dedup_cluster_assign_star",
-    # r5 vintage, oldest 18 (registration order within the vintage)
+    # r5 vintage, oldest 17 (registration order within the vintage)
     "dedup_jaccard_prefix_join",
     "bigram_logprob_score",
     "pmi_collocations_top50",
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenize_to_ids",
     "quality_by_source_rollup",
     "sample_negatives_contrastive",
-    "label_centroid_similarity",
 )
 
 

@@ -23,6 +23,9 @@
   every document as a fold of codegen ``replace``s over a
   separator-joined whole-document symbol string — one zero-shuffle
   projection over the corpus regardless of merge count.
+- ``bpe_fertility_by_lang_k3`` — the tokenizer-quality AUDIT over the
+  encoder (``operators/packing.py::bpe_fertility``): pieces per word
+  by language under the trained merges.
 - ``dsir_weights_en_target`` / ``dsir_select_en_top100`` /
   ``dsir_resample_gumbel_top100`` — DSIR importance weights (Xie et
   al. 2023, ``operators/dsir.py``): every doc scored by
@@ -196,7 +199,9 @@ def _bpe_iter_sql(i: int) -> str:
              FROM {prev}, b{i} b)"""
 
 
-_BPE_ORACLE = f"""
+# the k=3 training CTEs (w..b3) — prefix of every oracle that needs
+# the learned merges
+_BPE_TRAIN_CTES = f"""
     WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
     wf AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w
            WHERE NOT contains(word, chr(31)) GROUP BY 1),
@@ -206,6 +211,10 @@ _BPE_ORACLE = f"""
     {_bpe_iter_sql(1)},
     {_bpe_iter_sql(2)},
     {_bpe_iter_sql(3)}
+"""
+
+_BPE_ORACLE = f"""
+    {_BPE_TRAIN_CTES}
     SELECT CAST(1 AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged,
            pc AS pair_count FROM b1
     UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pc FROM b2
@@ -250,26 +259,23 @@ _BPE_ENCODE_TAIL = f"""
                        ELSE replace(syms, b.lhs || chr(31) || b.rhs,
                                     b.lhs || b.rhs) END AS syms
            FROM d2 LEFT JOIN b3 b ON TRUE)
-    SELECT doc_id,
+"""
+
+# per-doc piece count off the folded symbol string — shared by the
+# encode and fertility oracles
+_BPE_N_PIECES_SQL = """
            CASE WHEN syms = '' THEN 0
                 ELSE CAST(len(regexp_split_to_array(
                     syms, chr(30) || '|' || chr(31))) AS BIGINT) END
-             AS n_pieces,
-           translate(syms, chr(31) || chr(30), '  ') AS encoded
-    FROM d3
 """
 
 _BPE_ENCODE_ORACLE = f"""
-    WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
-    wf AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w
-           WHERE NOT contains(word, chr(31)) GROUP BY 1),
-    m0 AS (SELECT array_to_string(list_transform(
-               range(1, length(word) + 1), i -> substr(word, i, 1)),
-               chr(31)) AS syms, cnt FROM wf),
-    {_bpe_iter_sql(1)},
-    {_bpe_iter_sql(2)},
-    {_bpe_iter_sql(3)},
+    {_BPE_TRAIN_CTES},
     {_BPE_ENCODE_TAIL}
+    SELECT doc_id,
+           {_BPE_N_PIECES_SQL} AS n_pieces,
+           translate(syms, chr(31) || chr(30), '  ') AS encoded
+    FROM d3
 """
 
 
@@ -442,3 +448,44 @@ def dsir_resample_gumbel_top100(
     return dsir_resample_gumbel(
         docs, F.col("lang") == "en", k=100, seed="dsir", n_buckets=_DSIR_B
     )
+
+
+@register(
+    "bpe_fertility_by_lang_k3",
+    oracle=f"""
+    {_BPE_TRAIN_CTES},
+    {_BPE_ENCODE_TAIL},
+    enc AS (SELECT doc_id, {_BPE_N_PIECES_SQL} AS n_pieces FROM d3),
+    wd AS (SELECT doc_id, lang,
+                  CAST(len(list_filter({TOKS_SQL},
+                      w -> NOT contains(w, chr(31))
+                       AND NOT contains(w, chr(30)))) AS BIGINT) AS n_words
+           FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_words)::BIGINT AS n_words,
+           SUM(n_pieces)::BIGINT AS n_pieces,
+           CASE WHEN SUM(n_words) = 0 THEN NULL
+                ELSE round(SUM(n_pieces)::DOUBLE / SUM(n_words), 6) END
+               AS fertility
+    FROM wd JOIN enc USING (doc_id)
+    GROUP BY lang
+    """,
+    doc="Tokenizer FERTILITY by language under the k=3 trained merges "
+    "(operators/packing.py::bpe_fertility): pieces per word per lang — "
+    "the standard tokenizer-quality audit (a tokenizer trained on the "
+    "pooled corpus fragments under-represented languages into more "
+    "pieces per word; fertility quantifies that tax before committing "
+    "a corpus to the tokenizer). One zero-shuffle projection computes "
+    "per-doc word and piece counts, one tiny groupBy(lang) sums exact "
+    "integers; the ratio of two exact sums is partitioning-independent "
+    "and rounded to 6 dp on both engines.",
+)
+def bpe_fertility_by_lang_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import bpe_fertility, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, k=3).collect()
+    ]
+    return bpe_fertility(docs, merges, by_col="lang")

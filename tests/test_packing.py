@@ -408,3 +408,53 @@ def test_bpe_encode_oracle_survives_fewer_than_k_merges(spark):
         ).fetchall()
     }
     assert oracle == got == {1: (2, "ab ab"), 2: (1, "ab"), 3: (0, "")}
+
+
+def test_bpe_fertility_matches_per_doc_recount(spark):
+    """Group fertility must equal sum(pieces)/sum(words) recomputed
+    from bpe_encode's per-doc output + the token counts; empty docs
+    count toward n_docs with 0/0 contribution; a group of ONLY empty
+    docs gets NULL fertility, not 0.0."""
+    from datalakeingestion_spark.functions.text import tokens
+    from datalakeingestion_spark.operators.packing import (
+        bpe_encode,
+        bpe_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "ab ab cd"),
+            (2, "en", "ab"),
+            (3, "de", "xy xy xy zz"),
+            (4, "de", ""),
+            (5, "xx", ""),  # a group with zero words overall
+        ],
+        "doc_id long, lang string, text string",
+    )
+    merges = [(1, "a", "b"), (2, "x", "y")]
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_pieces"], r["fertility"])
+        for r in bpe_fertility(docs, merges, by_col="lang").collect()
+    }
+    enc = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    words = {
+        r["doc_id"]: len(r["t"])
+        for r in docs.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    by = {}
+    for doc_id, lang in [(1, "en"), (2, "en"), (3, "de"), (4, "de"),
+                         (5, "xx")]:
+        d = by.setdefault(lang, [0, 0, 0])
+        d[0] += 1
+        d[1] += words[doc_id]
+        d[2] += enc[doc_id]
+    for lang, (nd, nw, np_) in by.items():
+        fert = round(np_ / nw, 6) if nw else None
+        assert got[lang] == (nd, nw, np_, fert), lang
+    # spot values: en = 'ab ab cd' + 'ab' -> pieces ab,ab,c,d + ab = 5
+    # over 4 words; the zero-word group keeps NULL fertility
+    assert got["en"] == (2, 4, 5, round(5 / 4, 6))
+    assert got["xx"] == (1, 0, 0, None)
