@@ -210,3 +210,51 @@ def dsir_resample_gumbel(
         .orderBy(F.col("gumbel_key").desc(), "doc_id")
         .limit(k)
     )
+
+
+def dsir_logratio_weights_vs(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Two-corpus form of :func:`dsir_logratio_weights` — the paper's
+    classic setup: score every ``raw_docs`` document against a SEPARATE
+    curated ``target_docs`` corpus (Wikipedia/books vs the web pool),
+    instead of flagging a slice inside one frame.
+
+    Both models are still built in ONE pass over the tagged union
+    (target rows contribute to p, raw rows to q), and only the raw
+    side's scores are returned — target ids never collide with raw ids
+    because the target rows are tagged out before the final aggregate,
+    so the two frames may even share id values. Same return contract
+    as the one-frame form: (doc_id, n_feats, weight) for every raw
+    doc.
+    """
+    raw = raw_docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        F.lit(False).alias("_dsir_tgt"),
+    )
+    tgt = target_docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        F.lit(True).alias("_dsir_tgt"),
+    )
+    # the per-doc aggregate keys on the id — tag it with the side so a
+    # target id that collides with a raw id cannot merge their rows
+    both = raw.unionByName(tgt).withColumn(
+        id_col, F.struct("_dsir_tgt", id_col)
+    )
+    w = dsir_logratio_weights(
+        both, F.col("_dsir_tgt"), text_col, id_col, n_buckets
+    )
+    return (
+        w.filter(~F.col("doc_id._dsir_tgt"))
+        .select(
+            F.col(f"doc_id.{id_col}").alias("doc_id"),
+            "n_feats",
+            "weight",
+        )
+    )

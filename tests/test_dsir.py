@@ -182,3 +182,35 @@ def test_dsir_gumbel_resample_seeded_and_portable(spark):
     assert set(other) <= set(allw)
     with pytest.raises(ValueError, match="seed"):
         dsir_resample_gumbel(docs, tgt, k=4, seed="a:b")
+
+
+def test_dsir_two_corpus_form_equals_flag_form(spark):
+    """dsir_logratio_weights_vs(raw, target) must equal the one-frame
+    flag form on the union — including when a target id COLLIDES with
+    a raw id (the tagged struct key keeps the rows separate) — and
+    return rows only for the raw side."""
+    from datalakeingestion_spark.operators.dsir import (
+        dsir_logratio_weights_vs,
+    )
+
+    raw_rows = [(i, t) for i, t, f in ROWS if not f]
+    tgt_rows = [(i, t) for i, t, f in ROWS if f]
+    # plant an id collision: target doc reuses raw id 5
+    tgt_rows.append((5, "the quick dog naps"))
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_logratio_weights_vs(raw, tgt, n_buckets=B).collect()
+    }
+    rows = [(i, t, False) for i, t in raw_rows] + [
+        (1000 + j, t, True) for j, (_, t) in enumerate(tgt_rows)
+    ]
+    want = {
+        i: w for i, w in _py_weights(rows, B).items() if i < 1000
+    }
+    assert set(got) == set(want) == {i for i, _ in raw_rows}
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0]
+        assert got[doc_id][1] == pytest.approx(want[doc_id][1], abs=1e-9)
