@@ -1,0 +1,72 @@
+"""Regular-grid time-series repair: gap-filling and forward-fill.
+
+Beyond-reference (SURVEY.md §2 greenfield): the reference lands
+irregular event streams; downstream consumers (dashboards, feature
+stores, drift monitors) want a dense per-key daily grid. This operator
+densifies each key's observed span and forward-fills the metric — the
+standard "last observation carried forward" repair.
+
+Scale shape (100 TB events): one grouped decimal-exact daily aggregate,
+one per-key min/max span (user-dim sized), a ``sequence``+``explode``
+grid generation that is linear in OUTPUT rows (no cross join against a
+calendar table), one left join keyed (key, day), and one per-key ordered
+window for the fill. Nothing driver-side; no global sort. Keys with long
+dormant spans inflate only their own partition (grid rows ≈ span days),
+and the window is rows-unbounded-preceding — a single running state per
+key, no re-scan per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_gapfill_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dec_type: str = "decimal(18,6)",
+) -> DataFrame:
+    """Dense per-key daily grid over each key's observed [min-day, max-day]
+    span, with the daily value total forward-filled across gap days.
+
+    The daily total is summed in exact decimal (order-independent across
+    partitionings) and cast back to double. The first grid day per key is
+    always observed (the span starts at an observation), so the fill never
+    sees a leading NULL.
+
+    Returns (key, day, value_ffill, observed).
+    """
+    daily = (
+        events.select(
+            key_col,
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast(dec_type).alias("v"),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.sum("v").alias("day_total"))
+    )
+    span = daily.groupBy(key_col).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = grid.join(daily, [key_col, "day"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "day",
+        F.last("day_total", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("value_ffill"),
+        F.col("day_total").isNotNull().alias("observed"),
+    )

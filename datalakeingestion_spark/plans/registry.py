@@ -60,11 +60,12 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
 # remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# This tuple = round-9's 8 new queries (never checked) + ALL 25
-# r4-vintage + the 17 oldest r5-vintage, per tools/rotate_priority.py —
-# keeping the policy that no query's latest check ages past ~4 rounds.
-# EXACTLY 50 entries: the driver checks positions 0-49 and
-# test_parity.py pins the tuple length to the checked window).
+# Registry now holds 236 queries: the 12 never-checked round-9 additions
+# (8 early-round + 4 late-round) lead, then ALL 25 r4-vintage + the 13
+# oldest r5-vintage, per tools/rotate_priority.py — keeping the policy
+# that no query's latest check ages past ~4 rounds. EXACTLY 50 entries:
+# the driver checks positions 0-49 and test_parity.py pins the tuple
+# length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # round-9 additions — never externally checked (registration order)
     "entity_resolution_weighted",
@@ -75,6 +76,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_select_en_top100",
     "dsir_resample_gumbel_top100",
     "bpe_fertility_by_lang_k3",
+    "timeseries_gapfill_ffill",
+    "k_anonymity_audit_customers",
+    "quality_classifier_train_k3",
+    "quality_classifier_confusion_k3",
     # r4 vintage (stalest first — latest external check 5 rounds old)
     "w6_rolling_1h_range",
     "decontaminate_embedding_cosine",
@@ -101,7 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_price_histogram",
     "quality_rank_normalize",
     "dedup_cluster_assign_star",
-    # r5 vintage, oldest 17 (registration order within the vintage)
+    # r5 vintage, oldest 13 (registration order within the vintage)
     "dedup_jaccard_prefix_join",
     "bigram_logprob_score",
     "pmi_collocations_top50",
@@ -115,10 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_centroid_outliers",
     "containment_quote_pairs",
     "quality_logistic_score",
-    "curation_pipeline_v2",
-    "tokenize_to_ids",
-    "quality_by_source_rollup",
-    "sample_negatives_contrastive",
 )
 
 
@@ -171,6 +172,7 @@ def _ensure_loaded() -> None:
         round7,
         round8,
         round9,
+        round9b,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -1,0 +1,305 @@
+"""Round-9b queries — time-series repair, privacy audit, and the
+trainable quality classifier.
+
+- ``timeseries_gapfill_ffill`` — dense per-user daily grid with
+  last-observation-carried-forward fill
+  (``operators/timeseries.py::daily_gapfill_ffill``).
+- ``k_anonymity_audit_customers`` — k-anonymity / l-diversity audit
+  (``operators/privacy.py::k_anonymity_audit``) over the customer
+  quasi-identifiers (nation, 1000-unit balance bucket) with market
+  segment as the sensitive attribute.
+- ``quality_classifier_train_k3`` / ``quality_classifier_confusion_k3``
+  — the TRAINABLE quality classifier
+  (``operators/classifier.py``): 3 steps of full-batch hard-sigmoid
+  logistic GD on weak-supervision labels (the CC-Net/RefinedWeb
+  pattern: label by a cheap heuristic rule, train a classifier on cheap
+  features). The hard-sigmoid link keeps every per-row value rational,
+  and gradient sums are per-row-rounded exact decimals — so the oracle
+  UNROLLS the identical three iterations as CTEs and matches the
+  learned weights bit-for-bit. The confusion query scores the corpus
+  under the trained weights and reports the confusion matrix — on the
+  fixtures the rule-labeled classes do separate (the label rule shares
+  signal with x_len/x_the by construction, which is exactly how
+  weak-supervision bootstrap labels behave).
+
+Reference pendant: none — greenfield analytics/curation operators
+(SURVEY.md §2 beyond-reference set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# time-series gap-fill (events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_total
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT s.user_id,
+             CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span s
+    )
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           CAST(last_value(d.day_total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS value_ffill,
+           d.day_total IS NOT NULL AS observed
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    doc="Dense daily grid + forward-fill "
+    "(operators/timeseries.py::daily_gapfill_ffill): per-user span "
+    "densified via sequence+explode (linear in OUTPUT rows — no calendar "
+    "cross join), daily totals summed in exact decimal, fill as one "
+    "rows-unbounded-preceding last(ignorenulls) window per key.",
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import daily_gapfill_ffill
+
+    events = load_table(spark, sf_dir, "events")
+    # ISO-string day: a raw DATE column hashes differently across the
+    # driver's pandas readers (registry-wide convention — no raw DATE
+    # result columns); the OPERATOR keeps the typed date.
+    return daily_gapfill_ffill(events).withColumn(
+        "day", F.col("day").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity (customer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_audit_customers",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_kbucket,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT c_mktsegment) AS l_diversity,
+           COUNT(*) >= 5 AS k_anonymous,
+           COUNT(DISTINCT c_mktsegment) >= 2 AS l_diverse
+    FROM customer GROUP BY 1, 2
+    """,
+    doc="k-anonymity + l-diversity audit "
+    "(operators/privacy.py::k_anonymity_audit): equivalence classes over "
+    "the quasi-identifiers (nation, 1000-unit balance bucket) with market "
+    "segment sensitive; classes failing k>=5 or l>=2 are the suppression "
+    "set. One hash groupBy — partial-aggregatable, no joins.",
+)
+def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_kbucket", F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    )
+    return k_anonymity_audit(
+        cust,
+        ["c_nationkey", "bal_kbucket"],
+        "c_mktsegment",
+        k=5,
+        l_div=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# trainable quality classifier (documents)
+# ---------------------------------------------------------------------------
+
+# Single source of truth for the feature/label expressions: the SAME SQL
+# text runs as Spark selectExpr and inside the DuckDB oracle (length/
+# replace/least/greatest/CASE are identical in both dialects), so the
+# per-row doubles are bit-identical by construction. All features are
+# rational functions of character counts — no transcendentals (see
+# operators/classifier.py module doc for why that makes training exact).
+_CLS_LABEL_SQL = (
+    "CAST(CASE WHEN (length(text) - length(replace(text, ' ', ''))) + 1 >= 60"
+    " AND (length(text) - length(replace(text, ' the ', ''))) >= 5"
+    " THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+)
+_CLS_FEATURE_SQL = {
+    # doc length, clamped + scaled to O(1)
+    "x_len": (
+        "CAST(least(CAST(length(text) AS DOUBLE), 1000.0) / 500.0 AS DOUBLE)"
+    ),
+    # ' the ' occurrences per word (x20 scale): the English-function-word rate
+    "x_the": (
+        "CAST(CAST(length(text) - length(replace(text, ' the ', '')) AS DOUBLE) * 4.0"
+        " / (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) + 1.0)"
+        " AS DOUBLE)"
+    ),
+    # letter-'e' frequency (x10 scale)
+    "x_evowel": (
+        "CAST(CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) * 10.0"
+        " / greatest(CAST(length(text) AS DOUBLE), 1.0) AS DOUBLE)"
+    ),
+    # mean word length (/10 scale)
+    "x_wordlen": (
+        "CAST(CAST(length(text) AS DOUBLE)"
+        " / ((CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) + 1.0)"
+        " * 10.0) AS DOUBLE)"
+    ),
+}
+_CLS_FEATURES = list(_CLS_FEATURE_SQL)
+_CLS_STEPS = 3
+_CLS_LR = "8.0"  # binary-exact float: 8.0 == 2^3
+
+
+def _cls_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        f"{_CLS_LABEL_SQL} AS y",
+        *[f"{sql} AS {name}" for name, sql in _CLS_FEATURE_SQL.items()],
+    )
+
+
+def _cls_feats_cte() -> str:
+    cols = ", ".join(
+        [f"{_CLS_LABEL_SQL} AS y"]
+        + [f"{sql} AS {name}" for name, sql in _CLS_FEATURE_SQL.items()]
+    )
+    return f"SELECT {cols} FROM documents"
+
+
+def _cls_train_ctes(steps: int = _CLS_STEPS) -> str:
+    """Unroll the GD iterations as CTEs — the EXACT arithmetic of
+    operators/classifier.py::logistic_train_hard_sigmoid (association
+    order pinned on both sides; see that module's docstring)."""
+    d = len(_CLS_FEATURES)
+    xs = ["1.0"] + _CLS_FEATURES
+    feat_list = ", ".join(_CLS_FEATURES)
+    parts = [
+        f"feats AS ({_cls_feats_cte()})",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d + 1))
+        + ")",
+    ]
+    for i in range(1, steps + 1):
+        prev = f"w{i - 1}"
+        z = " + ".join(
+            [f"{prev}.w0"]
+            + [f"{prev}.w{j + 1} * {c}" for j, c in enumerate(_CLS_FEATURES)]
+        )
+        sums = ", ".join(
+            "SUM(CAST(round(CASE WHEN z > -2.0 AND z < 2.0"
+            f" THEN (((p - y) * 0.25) * {x}) ELSE 0.0 END, 9)"
+            f" AS DECIMAL(28,9))) AS s{j}"
+            for j, x in enumerate(xs)
+        )
+        parts.append(
+            f"g{i} AS (SELECT COUNT(*) AS n, {sums} FROM ("
+            f"SELECT y, {feat_list}, z,"
+            " greatest(0.0, least(1.0, 0.25 * z + 0.5)) AS p FROM ("
+            f"SELECT y, {feat_list}, ({z}) AS z FROM feats, {prev})))"
+        )
+        upd = ", ".join(
+            f"{prev}.w{j} - {_CLS_LR} * (CAST(g{i}.s{j} AS DOUBLE) / g{i}.n) AS w{j}"
+            for j in range(d + 1)
+        )
+        parts.append(f"w{i} AS (SELECT {upd} FROM g{i}, {prev})")
+    return "WITH " + ",\n".join(parts)
+
+
+def _cls_trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    from ..operators.classifier import logistic_train_hard_sigmoid
+
+    return logistic_train_hard_sigmoid(
+        _cls_feats_df(spark, sf_dir),
+        _CLS_FEATURES,
+        label_col="y",
+        steps=_CLS_STEPS,
+        lr=float(_CLS_LR),
+    )
+
+
+_CLS_WEIGHT_NAMES = ["bias"] + _CLS_FEATURES
+
+
+@register(
+    "quality_classifier_train_k3",
+    oracle=_cls_train_ctes()
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{j}, 9) AS weight FROM w{_CLS_STEPS}"
+        for j, name in enumerate(_CLS_WEIGHT_NAMES)
+    ),
+    doc="Trainable quality classifier, TRAIN half "
+    "(operators/classifier.py::logistic_train_hard_sigmoid): 3 steps of "
+    "full-batch GD with the hard-sigmoid link over weak-supervision "
+    "labels (>=60 words AND contains ' the ') and 4 rational character-"
+    "count features. All-rational arithmetic + per-row-rounded decimal "
+    "gradient sums make the learned weights order-independent AND "
+    "engine-exact — the oracle unrolls the identical 3 iterations as "
+    "CTEs. Each step is one scan with a partial-aggregatable (d+1)-sum; "
+    "the driver holds only d+1 scalars between steps.",
+)
+def quality_classifier_train_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _cls_trained_weights(spark, sf_dir)
+    rows = list(zip(_CLS_WEIGHT_NAMES, w))
+    return spark.createDataFrame(
+        rows, "feature string, weight double"
+    ).withColumn("weight", F.round("weight", 9))
+
+
+@register(
+    "quality_classifier_confusion_k3",
+    oracle=_cls_train_ctes()
+    + f""",
+    scored AS (
+      SELECT y,
+             greatest(0.0, least(1.0, 0.25 * (w{_CLS_STEPS}.w0 + """
+    + " + ".join(
+        f"w{_CLS_STEPS}.w{j + 1} * {c}" for j, c in enumerate(_CLS_FEATURES)
+    )
+    + f""") + 0.5)) AS score
+      FROM feats, w{_CLS_STEPS}
+    )
+    SELECT CAST(y AS INT) AS y_true, score >= 0.5 AS pred,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="Trainable quality classifier, SCORE half "
+    "(operators/classifier.py::score): the corpus scored under the "
+    "3-step trained weights, reported as a confusion matrix (true label "
+    "x thresholded prediction) with per-cell mean score. Scoring is one "
+    "zero-shuffle codegen projection; the trained weights ride as plan "
+    "literals. The oracle re-derives the weights through the same "
+    "unrolled CTEs, so train and score can never desynchronize.",
+)
+def quality_classifier_confusion_k3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classifier import score
+
+    w = _cls_trained_weights(spark, sf_dir)
+    feats = _cls_feats_df(spark, sf_dir)
+    scored = feats.withColumn("score", score(w, _CLS_FEATURES))
+    return (
+        scored.groupBy(
+            F.col("y").cast("int").alias("y_true"),
+            (F.col("score") >= F.lit(0.5)).alias("pred"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.round("score", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
+    )

@@ -1,0 +1,66 @@
+"""Time-series gap-fill tests (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datalakeingestion_spark.operators.timeseries import daily_gapfill_ffill
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+
+
+@pytest.mark.smoke
+def test_gaps_filled_with_last_observation(spark):
+    t = dt.datetime
+    ev = _events(
+        spark,
+        [
+            # user 1: days 1 and 4 observed (two events on day 1 -> summed)
+            (1, t(2024, 1, 1, 8), 10.0),
+            (1, t(2024, 1, 1, 9), 2.5),
+            (1, t(2024, 1, 4, 12), 7.0),
+            # user 2: a single day -> single-row grid, no fill needed
+            (2, t(2024, 2, 10, 1), 3.0),
+        ],
+    )
+    out = {
+        (r["user_id"], str(r["day"])): (r["value_ffill"], r["observed"])
+        for r in daily_gapfill_ffill(ev).collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): (12.5, True),
+        (1, "2024-01-02"): (12.5, False),
+        (1, "2024-01-03"): (12.5, False),
+        (1, "2024-01-04"): (7.0, True),
+        (2, "2024-02-10"): (3.0, True),
+    }
+
+
+def test_grid_is_per_key_span_not_global(spark):
+    # user 2's span must NOT be widened to user 1's calendar
+    t = dt.datetime
+    ev = _events(
+        spark,
+        [
+            (1, t(2024, 1, 1), 1.0),
+            (1, t(2024, 1, 31), 1.0),
+            (2, t(2024, 1, 15), 1.0),
+        ],
+    )
+    df = daily_gapfill_ffill(ev)
+    per_user = {r["user_id"]: r["n"] for r in
+                df.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    assert per_user == {1: 31, 2: 1}
+    # schema contract: typed date + double fill + boolean flag
+    assert dict(df.dtypes) == {
+        "user_id": "bigint",
+        "day": "date",
+        "value_ffill": "double",
+        "observed": "boolean",
+    }
