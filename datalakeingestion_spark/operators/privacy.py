@@ -43,3 +43,75 @@ def k_anonymity_audit(
         (F.count(F.lit(1)) >= k).alias("k_anonymous"),
         (F.countDistinct(sensitive_col) >= l_div).alias("l_diverse"),
     )
+
+
+def generalize_to_k(
+    df: DataFrame,
+    levels: list[dict[str, str]],
+    k: int = 5,
+    level_col: str = "lvl",
+) -> DataFrame:
+    """Local-recoding generalization ladder: records in quasi-identifier
+    classes smaller than ``k`` are coarsened to the next generalization
+    level; records still failing after the last level are SUPPRESSED
+    (all quasi-identifiers NULLed, the implicit final rung).
+
+    ``levels[i]`` maps each output QI name to a PRE-COMPUTED column on
+    ``df`` holding that QI at generalization level i (all levels share
+    the output names and must be type-compatible — e.g. nation-key
+    string → region-name string). Precomputing keeps hierarchy lookups
+    (dimension joins, bucket arithmetic) out of the ladder loop.
+
+    Semantics (deterministic): classes are keyed (level, QI...) — a
+    level-1 class never absorbs rows that already passed at level 0,
+    and its size is counted over promoted rows only (standard local
+    recoding: better utility than full-domain recoding, at the cost of
+    mixed granularity in the output). Every emitted class either has
+    >= k members or is the suppressed class.
+
+    Scale shape: L iterations, each ONE grouped count (class-count
+    sized) broadcast-joined back on the QI key — the record frame never
+    shuffles; NULL QI values never match the size table (plain
+    equality), so NULL-keyed records fail the bound and promote rather
+    than pooling into a fake class.
+    """
+    if not levels:
+        raise ValueError("need at least one generalization level")
+    qi_names = list(levels[0])
+    if any(list(lv) != qi_names for lv in levels):
+        raise ValueError("every level must define the same QI names")
+
+    cur = df.withColumn(level_col, F.lit(0)).withColumns(
+        {q: F.col(levels[0][q]) for q in qi_names}
+    )
+    for i in range(len(levels)):
+        sizes = (
+            cur.filter(F.col(level_col) == i)
+            .groupBy(*qi_names)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        joined = cur.join(F.broadcast(sizes), on=qi_names, how="left")
+        failing = (F.col(level_col) == i) & ~F.coalesce(
+            F.col("__n") >= k, F.lit(False)
+        )
+        if i + 1 < len(levels):
+            nxt = levels[i + 1]
+            new_qi = {
+                q: F.when(failing, F.col(nxt[q])).otherwise(F.col(q))
+                for q in qi_names
+            }
+        else:  # suppression rung
+            new_qi = {
+                q: F.when(failing, F.lit(None).cast(dict(cur.dtypes)[q]))
+                .otherwise(F.col(q))
+                for q in qi_names
+            }
+        cur = (
+            joined.withColumns(new_qi)
+            .withColumn(
+                level_col,
+                F.when(failing, F.lit(i + 1)).otherwise(F.col(level_col)),
+            )
+            .drop("__n")
+        )
+    return cur

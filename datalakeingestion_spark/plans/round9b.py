@@ -115,6 +115,97 @@ def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_anonymity_generalize_customers",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_custkey,
+             CAST(c.c_nationkey AS VARCHAR) AS g0_geo,
+             CAST(CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) AS VARCHAR) AS g0_bal,
+             r.r_name AS g1_geo,
+             CAST(CAST(FLOOR(c.c_acctbal / 5000.0) AS BIGINT) AS VARCHAR) AS g1_bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    l0 AS (SELECT *, 0 AS lvl, g0_geo AS qi_geo, g0_bal AS qi_bal FROM base),
+    s0 AS (SELECT qi_geo, qi_bal, COUNT(*) AS n
+           FROM l0 WHERE lvl = 0 GROUP BY 1, 2),
+    r1 AS (
+      SELECT l0.g1_geo, l0.g1_bal,
+             CASE WHEN l0.lvl = 0 AND NOT COALESCE(s0.n >= 5, FALSE)
+                  THEN 1 ELSE l0.lvl END AS lvl,
+             CASE WHEN l0.lvl = 0 AND NOT COALESCE(s0.n >= 5, FALSE)
+                  THEN l0.g1_geo ELSE l0.qi_geo END AS qi_geo,
+             CASE WHEN l0.lvl = 0 AND NOT COALESCE(s0.n >= 5, FALSE)
+                  THEN l0.g1_bal ELSE l0.qi_bal END AS qi_bal
+      FROM l0 LEFT JOIN s0
+        ON l0.lvl = 0 AND l0.qi_geo = s0.qi_geo AND l0.qi_bal = s0.qi_bal
+    ),
+    s1 AS (SELECT qi_geo, qi_bal, COUNT(*) AS n
+           FROM r1 WHERE lvl = 1 GROUP BY 1, 2),
+    r2 AS (
+      SELECT CASE WHEN r1.lvl = 1 AND NOT COALESCE(s1.n >= 5, FALSE)
+                  THEN 2 ELSE r1.lvl END AS lvl,
+             CASE WHEN r1.lvl = 1 AND NOT COALESCE(s1.n >= 5, FALSE)
+                  THEN NULL ELSE r1.qi_geo END AS qi_geo,
+             CASE WHEN r1.lvl = 1 AND NOT COALESCE(s1.n >= 5, FALSE)
+                  THEN NULL ELSE r1.qi_bal END AS qi_bal
+      FROM r1 LEFT JOIN s1
+        ON r1.lvl = 1 AND r1.qi_geo = s1.qi_geo AND r1.qi_bal = s1.qi_bal
+    )
+    SELECT lvl, qi_geo, qi_bal, COUNT(*) AS class_size
+    FROM r2 GROUP BY 1, 2, 3
+    """,
+    doc="Generalization ladder — the FIXER for the k-anonymity audit "
+    "(operators/privacy.py::generalize_to_k): records in classes < k=5 "
+    "coarsen from (nation, 1000-unit balance bucket) to (region, "
+    "5000-unit bucket); still-failing records are suppressed (the "
+    "all-NULL class, lvl=2). Local recoding: class sizes are keyed "
+    "(level, QI) over promoted rows only, so every emitted class has "
+    ">= k members or is suppressed. Per level: one class-count-sized "
+    "grouped count broadcast-joined back — the record frame never "
+    "shuffles; the oracle unrolls the two rungs + suppression as CTEs.",
+)
+def k_anonymity_generalize_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.privacy import generalize_to_k
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("string").alias("g0_geo"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("string")
+            .alias("g0_bal"),
+            F.col("r_name").alias("g1_geo"),
+            F.floor(F.col("c_acctbal") / F.lit(5000.0))
+            .cast("string")
+            .alias("g1_bal"),
+        )
+    )
+    out = generalize_to_k(
+        base,
+        levels=[
+            {"qi_geo": "g0_geo", "qi_bal": "g0_bal"},
+            {"qi_geo": "g1_geo", "qi_bal": "g1_bal"},
+        ],
+        k=5,
+    )
+    return out.groupBy("lvl", "qi_geo", "qi_bal").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # trainable quality classifier (documents)
 # ---------------------------------------------------------------------------

@@ -47,3 +47,65 @@ def test_suppression_set_is_the_failing_classes(spark):
     failing = audit.filter(~(audit.k_anonymous & audit.l_diverse))
     # rows needing suppression/generalization = members of failing classes
     assert failing.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# generalize_to_k
+# ---------------------------------------------------------------------------
+
+from datalakeingestion_spark.operators.privacy import generalize_to_k  # noqa: E402
+
+
+def _ladder_df(spark):
+    # fine = city, coarse = country; k=2
+    rows = [
+        # city A x2 -> passes at level 0
+        ("A", "X", 1),
+        ("A", "X", 2),
+        # cities B and C are singletons in country X -> together they pass
+        # at level 1
+        ("B", "X", 3),
+        ("C", "X", 4),
+        # city D singleton in country Y, alone after promotion -> suppressed
+        ("D", "Y", 5),
+    ]
+    return spark.createDataFrame(rows, "city string, country string, id int")
+
+
+def test_ladder_promotes_then_suppresses(spark):
+    out = generalize_to_k(
+        _ladder_df(spark), [{"qi": "city"}, {"qi": "country"}], k=2
+    )
+    got = {r["id"]: (r["lvl"], r["qi"]) for r in out.collect()}
+    assert got == {
+        1: (0, "A"),
+        2: (0, "A"),
+        3: (1, "X"),
+        4: (1, "X"),
+        5: (2, None),  # suppressed
+    }
+
+
+def test_every_emitted_class_passes_k_or_is_suppressed(spark):
+    out = generalize_to_k(
+        _ladder_df(spark), [{"qi": "city"}, {"qi": "country"}], k=2
+    )
+    classes = out.groupBy("lvl", "qi").count().collect()
+    for r in classes:
+        assert r["qi"] is None or r["count"] >= 2, r
+
+
+def test_null_qi_rows_promote_not_pool(spark):
+    # two NULL-city rows do NOT form a size-2 class at level 0 (NULL
+    # never matches the size table) — they promote and pass at country
+    rows = [(None, "X", 1), (None, "X", 2)]
+    df = spark.createDataFrame(rows, "city string, country string, id int")
+    out = generalize_to_k(df, [{"qi": "city"}, {"qi": "country"}], k=2)
+    assert {(r["lvl"], r["qi"]) for r in out.collect()} == {(1, "X")}
+
+
+def test_level_name_mismatch_rejected(spark):
+    with pytest.raises(ValueError, match="same QI names"):
+        generalize_to_k(_ladder_df(spark), [{"qi": "city"}, {"other": "country"}])
+    with pytest.raises(ValueError, match="at least one"):
+        generalize_to_k(_ladder_df(spark), [])
