@@ -43,6 +43,11 @@ def hard_sigmoid(z: Column) -> Column:
 def _z_expr(weights: list[float], feature_cols: list[str]) -> Column:
     """w0 + w1·x1 + … left-associated — the oracle writes the identical
     association order, so the doubles match bit-for-bit."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"expected {len(feature_cols) + 1} weights (bias + one per "
+            f"feature), got {len(weights)}"
+        )
     z = F.lit(float(weights[0]))
     for wj, c in zip(weights[1:], feature_cols):
         z = z + F.lit(float(wj)) * F.col(c)

@@ -39,10 +39,19 @@ def daily_gapfill_ffill(
 
     Returns (key, day, value_ffill, observed).
     """
+    # UTC-calendar day via integer epoch math — NOT to_date(), which
+    # buckets in spark.sql.session.timeZone and would shift days on a
+    # bare (driver-style) session in a non-UTC zone (repo invariant:
+    # oracle-checked results are tz-independent; see plans/round3c.py)
+    day = F.date_from_unix_date(
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+            "int"
+        )
+    )
     daily = (
         events.select(
             key_col,
-            F.to_date(ts_col).alias("day"),
+            day.alias("day"),
             F.col(value_col).cast(dec_type).alias("v"),
         )
         .groupBy(key_col, "day")

@@ -304,16 +304,27 @@ def _cls_train_ctes(steps: int = _CLS_STEPS) -> str:
     return "WITH " + ",\n".join(parts)
 
 
+_CLS_WEIGHT_CACHE: dict[str, list[float]] = {}
+
+
 def _cls_trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Training is deterministic in the data alone (exact decimal
+    gradients), so weights memoize per fixture dir — the train and
+    confusion queries would otherwise each run the 3 training scans."""
+    cached = _CLS_WEIGHT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from ..operators.classifier import logistic_train_hard_sigmoid
 
-    return logistic_train_hard_sigmoid(
+    w = logistic_train_hard_sigmoid(
         _cls_feats_df(spark, sf_dir),
         _CLS_FEATURES,
         label_col="y",
         steps=_CLS_STEPS,
         lr=float(_CLS_LR),
     )
+    _CLS_WEIGHT_CACHE[sf_dir] = w
+    return w
 
 
 _CLS_WEIGHT_NAMES = ["bias"] + _CLS_FEATURES

@@ -42,6 +42,20 @@ def test_gaps_filled_with_last_observation(spark):
     }
 
 
+def test_day_buckets_are_session_timezone_independent(spark):
+    # an event at 01:00 UTC must land on the UTC calendar day even when
+    # the session zone would call it the previous day (the driver runs a
+    # bare session in the host zone — to_date() here was a latent bug)
+    ev = _events(spark, [(1, dt.datetime(2024, 1, 2, 1, 0), 5.0)])
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = daily_gapfill_ffill(ev).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert [str(r["day"]) for r in rows] == ["2024-01-02"]
+
+
 def test_grid_is_per_key_span_not_global(spark):
     # user 2's span must NOT be widened to user 1's calendar
     t = dt.datetime
