@@ -405,3 +405,63 @@ def quality_classifier_confusion_k3(
             ).alias("mean_score"),
         )
     )
+
+
+@register(
+    "quality_classifier_calibration_k3",
+    oracle=_cls_train_ctes()
+    + f""",
+    scored AS (
+      SELECT y,
+             greatest(0.0, least(1.0, 0.25 * (w{_CLS_STEPS}.w0 + """
+    + " + ".join(
+        f"w{_CLS_STEPS}.w{j + 1} * {c}" for j, c in enumerate(_CLS_FEATURES)
+    )
+    + f""") + 0.5)) AS score
+      FROM feats, w{_CLS_STEPS}
+    )
+    SELECT CAST(least(FLOOR(score * 10.0), 9.0) AS INT) AS bin,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+    doc="Classifier CALIBRATION (reliability diagram data): scores "
+    "bucketed into 10 bins, each with its mean score and empirical "
+    "positive rate — a calibrated classifier has mean_score ~= frac_pos "
+    "per bin; the gap is the thresholding risk a curation pipeline "
+    "takes when it keeps docs above a score cut. One zero-shuffle "
+    "scoring projection + one 10-key groupBy; weights come from the "
+    "shared per-fixture training cache and the oracle re-derives them "
+    "through the same unrolled CTEs.",
+)
+def quality_classifier_calibration_k3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.classifier import score
+
+    w = _cls_trained_weights(spark, sf_dir)
+    feats = _cls_feats_df(spark, sf_dir)
+    scored = feats.withColumn("score", score(w, _CLS_FEATURES))
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * F.lit(10.0)), F.lit(9).cast("bigint"))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.round("score", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_pos"),
+        )
+    )

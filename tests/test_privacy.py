@@ -104,6 +104,37 @@ def test_null_qi_rows_promote_not_pool(spark):
     assert {(r["lvl"], r["qi"]) for r in out.collect()} == {(1, "X")}
 
 
+def test_randomized_ladder_matches_python_reference(spark):
+    # seeded random batch, one Spark job, record-exact comparison with a
+    # pure-Python local-recoding simulation
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, str(rng.randrange(40)), None) for i in range(200)
+    ]
+    rows = [(i, fine, str(int(fine) // 8)) for i, fine, _ in rows]
+    k = 3
+
+    # python reference: level sizes over (level, qi), promoted rows only
+    from collections import Counter
+
+    lvl = {i: 0 for i, _, _ in rows}
+    qi = {i: fine for i, fine, _ in rows}
+    coarse = {i: c for i, _, c in rows}
+    for level in (0, 1):
+        sizes = Counter(qi[i] for i in lvl if lvl[i] == level)
+        for i in lvl:
+            if lvl[i] == level and sizes[qi[i]] < k:
+                lvl[i] = level + 1
+                qi[i] = coarse[i] if level == 0 else None
+
+    df = spark.createDataFrame(rows, "id int, fine string, coarse string")
+    out = generalize_to_k(df, [{"qi": "fine"}, {"qi": "coarse"}], k=k)
+    got = {r["id"]: (r["lvl"], r["qi"]) for r in out.collect()}
+    assert got == {i: (lvl[i], qi[i]) for i in lvl}
+
+
 def test_level_name_mismatch_rejected(spark):
     with pytest.raises(ValueError, match="same QI names"):
         generalize_to_k(_ladder_df(spark), [{"qi": "city"}, {"other": "country"}])

@@ -56,6 +56,46 @@ def test_day_buckets_are_session_timezone_independent(spark):
     assert [str(r["day"]) for r in rows] == ["2024-01-02"]
 
 
+def test_randomized_batch_matches_python_reference(spark):
+    # seeded random batch, ONE Spark job, full-output comparison against
+    # a pure-Python gap-fill (repo convention for randomized checks:
+    # vectorized batch, not per-example Spark jobs). Integer-valued
+    # doubles keep both engines' sums exact.
+    import random
+
+    rng = random.Random(20240816)
+    rows = []
+    for i in range(300):
+        u = rng.randrange(20)
+        day = rng.randrange(60)
+        rows.append(
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=day,
+             hours=rng.randrange(24)), float(rng.randrange(1, 100)))
+        )
+    # python reference
+    daily: dict[tuple[int, dt.date], float] = {}
+    for u, ts, v in rows:
+        daily[(u, ts.date())] = daily.get((u, ts.date()), 0.0) + v
+    expected = {}
+    for u in {k[0] for k in daily}:
+        days = sorted(d for (uu, d) in daily if uu == u)
+        cur = None
+        d = days[0]
+        while d <= days[-1]:
+            if (u, d) in daily:
+                cur = daily[(u, d)]
+                expected[(u, d)] = (cur, True)
+            else:
+                expected[(u, d)] = (cur, False)
+            d += dt.timedelta(days=1)
+
+    got = {
+        (r["user_id"], r["day"]): (r["value_ffill"], r["observed"])
+        for r in daily_gapfill_ffill(_events(spark, rows)).collect()
+    }
+    assert got == expected
+
+
 def test_grid_is_per_key_span_not_global(spark):
     # user 2's span must NOT be widened to user 1's calendar
     t = dt.datetime
