@@ -207,6 +207,116 @@ def k_anonymity_generalize_customers(
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe train/eval split (documents)
+# ---------------------------------------------------------------------------
+
+_SPLIT_THRESHOLD = int(0.8 * 2**32)  # hash_split's cumulative bound for 80/20
+
+
+def _register_split_by_cluster() -> None:
+    # llm.py owns the shared MinHash pair CTE chain (loaded before this
+    # module by the registry loader)
+    from .llm import _h32_sql, _minhash_pairs_ctes
+
+    @register(
+        "split_by_dedup_cluster",
+        oracle=f"""
+        WITH RECURSIVE {_minhash_pairs_ctes(0.5)},
+        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_id_b, doc_id_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a),
+        allc AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+                 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        labeled AS (
+          SELECT doc_id, cluster_id,
+                 CASE WHEN {_h32_sql("CAST(cluster_id AS VARCHAR) || '#split'")}
+                      < {_SPLIT_THRESHOLD} THEN 'train' ELSE 'eval' END AS split,
+                 CASE WHEN {_h32_sql("CAST(doc_id AS VARCHAR) || '#split'")}
+                      < {_SPLIT_THRESHOLD} THEN 'train' ELSE 'eval' END AS naive_split
+          FROM allc
+        ),
+        per AS (SELECT cluster_id, COUNT(*) AS nd,
+                       COUNT(DISTINCT split) AS ns,
+                       COUNT(DISTINCT naive_split) AS nn,
+                       SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr
+                FROM labeled GROUP BY cluster_id)
+        SELECT CAST(SUM(nd) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(tr) AS BIGINT) AS n_train_docs,
+               CAST(SUM(nd) - SUM(tr) AS BIGINT) AS n_eval_docs,
+               CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS clusters_leaking_naive,
+               CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS clusters_leaking_clustered
+        FROM per
+        """,
+        doc="Leakage-safe train/eval split: hash-split on the MinHash-LSH "
+        "near-dup CLUSTER id (singletons = own doc_id) instead of the doc "
+        "id, so near-duplicates can never straddle the split — "
+        "clusters_leaking_clustered is the CONTRACT column (must be 0) "
+        "and clusters_leaking_naive counts the clusters a doc-keyed split "
+        "WOULD tear apart (the eval-contamination a naive split ships). "
+        "Composes dedup.minhash_near_duplicates + connected_components + "
+        "sampling.hash_split; the split itself is one hash projection and "
+        "the leak audit one cluster-keyed aggregate.",
+    )
+    def split_by_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import dedup as dd
+        from ..operators.sampling import HASH_SPACE_32, _rate_hash, hash_split
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+        cc = dd.connected_components(pairs)
+        allc = (
+            docs.select("doc_id")
+            .join(cc, "doc_id", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            )
+        )
+        labeled = hash_split(
+            allc, "cluster_id", (0.8, 0.2), ("train", "eval"), salt="split"
+        ).withColumn(
+            "naive_split",
+            F.when(
+                _rate_hash("doc_id", "split") < F.lit(_SPLIT_THRESHOLD),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")),
+        )
+        assert _SPLIT_THRESHOLD == int(0.8 * HASH_SPACE_32)
+        per = labeled.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.countDistinct("split").alias("ns"),
+            F.countDistinct("naive_split").alias("nn"),
+            F.sum(
+                F.when(F.col("split") == "train", F.lit(1)).otherwise(F.lit(0))
+            ).alias("tr"),
+        )
+        return per.agg(
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("tr").cast("long").alias("n_train_docs"),
+            (F.sum("nd") - F.sum("tr")).cast("long").alias("n_eval_docs"),
+            F.sum((F.col("nn") > 1).cast("int"))
+            .cast("long")
+            .alias("clusters_leaking_naive"),
+            F.sum((F.col("ns") > 1).cast("int"))
+            .cast("long")
+            .alias("clusters_leaking_clustered"),
+        )
+
+
+_register_split_by_cluster()
+
+
+# ---------------------------------------------------------------------------
 # trainable quality classifier (documents)
 # ---------------------------------------------------------------------------
 
