@@ -923,3 +923,46 @@ def silhouette_by_label(
             "mean_silhouette"
         ),
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of top-k ranked lists (hybrid retrieval:
+    the standard way to combine a sparse/BM25 list with a dense/ANN list
+    without score calibration — Cormack et al. 2009).
+
+    ``ranked`` = [(df, out_rank_col), ...]; each df carries
+    (``id_col``, ``rank``) for ONE query's top-k. Items missing from a
+    list contribute 0 (the top-k cutoff convention). Score =
+    Σ 1/(k_const + rank), rounded to 6 dp; ties break on id.
+
+    Scale shape: inputs are top-k lists (bounded by construction), so
+    the outer-join cascade and the final ordering run over Σk rows —
+    the expensive work is the upstream retrievals, which keep their own
+    scale paths (BM25: scalar corpus stats broadcast; ANN: LSH/IVF).
+    For many-query fusion, fuse per query id and swap the global
+    ordering for a per-query window.
+    """
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    joined = None
+    for df, name in ranked:
+        cur = df.select(F.col(id_col), F.col("rank").alias(name))
+        joined = cur if joined is None else joined.join(cur, id_col, "outer")
+    score = None
+    for _, name in ranked:
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(name)), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    out = joined.withColumn("rrf_score", F.round(score, 6))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )

@@ -317,6 +317,106 @@ _register_split_by_cluster()
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval fusion (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST_K = 50
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0  # doc/vec ids are aligned in the fixtures
+
+
+def _register_hybrid_rrf() -> None:
+    from .llm3 import BM25_B, BM25_K1, BM25_TERMS, _bm25_oracle
+
+    @register(
+        "hybrid_rrf_topk",
+        oracle=f"""
+        WITH bm AS ({_bm25_oracle(BM25_TERMS, _RRF_LIST_K, BM25_K1, BM25_B)}),
+        cosq AS (
+          WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          norms AS (SELECT vec_id, sqrt(s) AS nrm FROM
+                      (SELECT vec_id, SUM(x * x) AS s FROM
+                         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM e)
+                       GROUP BY vec_id)),
+          dots AS (SELECT c_id, SUM(qx * cx) AS dot FROM
+                     (SELECT c.vec_id AS c_id,
+                             unnest(q.embedding)::DOUBLE AS qx,
+                             unnest(c.embedding)::DOUBLE AS cx
+                      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+                      WHERE q.vec_id = {_RRF_QUERY_VEC})
+                   GROUP BY c_id),
+          scored AS (SELECT c_id AS doc_id,
+                            round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+                     FROM dots
+                     JOIN norms nq ON nq.vec_id = {_RRF_QUERY_VEC}
+                     JOIN norms nc ON nc.vec_id = c_id)
+          SELECT doc_id, rn AS cos_rank FROM
+            (SELECT doc_id, row_number() OVER
+                     (ORDER BY cosine DESC, doc_id) AS rn
+             FROM scored)
+          WHERE rn <= {_RRF_LIST_K}
+        ),
+        f AS (
+          SELECT COALESCE(bm.doc_id, cosq.doc_id) AS doc_id,
+                 round(COALESCE(1.0 / ({_RRF_K}.0 + bm."rank"), 0.0)
+                     + COALESCE(1.0 / ({_RRF_K}.0 + cosq.cos_rank), 0.0), 6)
+                   AS rrf_score,
+                 bm."rank" AS bm25_rank,
+                 cosq.cos_rank AS cos_rank
+          FROM bm FULL OUTER JOIN cosq ON bm.doc_id = cosq.doc_id
+        )
+        SELECT doc_id, rrf_score, bm25_rank, cos_rank FROM
+          (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+           FROM f)
+        WHERE rn <= {_RRF_TOPK}
+        """,
+        doc="Hybrid retrieval via reciprocal-rank fusion "
+        "(operators/similarity.py::rrf_fuse): the sparse BM25 top-50 "
+        "(fixed query terms) fused with the dense cosine top-50 for the "
+        "aligned query vector — score = sum of 1/(60+rank) with missing "
+        "ranks contributing 0, the calibration-free way to combine "
+        "keyword and embedding retrieval. Fusion runs over bounded "
+        "top-k lists (outer join of 50+50 rows); each retrieval keeps "
+        "its own scale path (BM25: scalar corpus stats broadcast; "
+        "dense: the ANN/IVF siblings).",
+    )
+    def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..operators.similarity import cosine_topk, rrf_fuse
+        from ..operators.text_analysis import bm25_rank
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        sparse = bm25_rank(
+            docs, BM25_TERMS, k=_RRF_LIST_K, k1=BM25_K1, b=BM25_B
+        ).select("doc_id", "rank")
+        dense = (
+            cosine_topk(
+                emb,
+                emb.filter(F.col("vec_id") == _RRF_QUERY_VEC),
+                k=_RRF_LIST_K,
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+                ),
+            )
+            .select(F.col("neighbor_id").alias("doc_id"), "rank")
+        )
+        return rrf_fuse(
+            [(sparse, "bm25_rank"), (dense, "cos_rank")],
+            k_const=_RRF_K,
+            topk=_RRF_TOPK,
+        )
+
+
+_register_hybrid_rrf()
+
+
+# ---------------------------------------------------------------------------
 # trainable quality classifier (documents)
 # ---------------------------------------------------------------------------
 

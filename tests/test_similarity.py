@@ -279,3 +279,33 @@ def test_truncate_rerank_recall_curve(spark):
     # the fixture really is adversarial for a small budget: C=50 must
     # sit well below the C=150 point, or the knob test is vacuous
     assert curve[50] < curve[150], curve
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (hybrid retrieval fusion)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_missing_ranks_and_ties(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id int, rank int")
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["a_rank"], r["b_rank"])
+        for r in rrf_fuse(
+            [(a, "a_rank"), (b, "b_rank")], k_const=60, topk=10
+        ).collect()
+    }
+    # doc 2 appears in both lists; docs 1 and 3 get a single contribution
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+    assert out[1] == (round(1 / 61, 6), 1, None)
+    assert out[3] == (round(1 / 62, 6), None, 2)
+    # doc 2 outranks 1 (two contributions beat one), 1 beats 3 (rank 1 vs 2)
+    assert out[2][0] > out[1][0] > out[3][0]
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
