@@ -315,3 +315,60 @@ def weighted_sample_aes(
         .orderBy(F.col("aes_key").desc(), F.col(key))
         .limit(k)
     )
+
+
+def match_target_rates(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-group keep rates that reshape the corpus to a TARGET
+    distribution by downsampling only (no upsampling): the kept corpus
+    is the largest one whose group fractions equal ``targets``, i.e.
+    c = min_g(n_g / target_g) and rate_g = c·target_g / n_g (the
+    binding group keeps rate 1.0). Groups absent from ``targets`` get
+    rate 0 (dropped).
+
+    Rates are rounded to 6 dp — the SAME rounded value both engines
+    feed into the hash threshold, so kept sets are reproducible
+    cross-engine. Output: (group, n_docs, rate).
+
+    Scale shape: one grouped count, one scalar min, all broadcast-sized
+    — the corpus itself is only touched by the count (and later by the
+    caller's pure-row-expression filter, which pushes down).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError("target fractions must be positive")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    target = None
+    for g, t in targets.items():
+        cond = F.when(F.col(group_col) == g, F.lit(float(t)))
+        target = cond if target is None else target.when(
+            F.col(group_col) == g, F.lit(float(t))
+        )
+    counts = counts.withColumn("target_frac", target)
+    feas = counts.filter(F.col("target_frac").isNotNull()).agg(
+        F.min(F.col("n_docs").cast("double") / F.col("target_frac")).alias(
+            "c"
+        )
+    )
+    return (
+        counts.join(F.broadcast(feas))
+        .withColumn(
+            "rate",
+            F.when(
+                F.col("target_frac").isNotNull(),
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        (F.col("c") * F.col("target_frac"))
+                        / F.col("n_docs").cast("double"),
+                    ),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(group_col, "n_docs", "rate")
+    )

@@ -317,6 +317,81 @@ _register_split_by_cluster()
 
 
 # ---------------------------------------------------------------------------
+# target-distribution corpus mixing (documents)
+# ---------------------------------------------------------------------------
+
+_TMIX_TARGETS = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+
+
+def _register_mix_match_target() -> None:
+    from .llm import _h32_sql
+
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN {t}" for g, t in _TMIX_TARGETS.items()
+    )
+    h = _h32_sql("CAST(doc_id AS VARCHAR) || '#tmix'")
+
+    @register(
+        "mix_match_target_lang",
+        oracle=f"""
+        WITH counts AS (SELECT lang, COUNT(*) AS n_docs
+                        FROM documents GROUP BY lang),
+        t AS (SELECT lang, n_docs, CASE {case} END AS target_frac
+              FROM counts),
+        c AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_frac) AS c
+              FROM t WHERE target_frac IS NOT NULL),
+        rates AS (SELECT lang,
+                         CASE WHEN target_frac IS NOT NULL
+                              THEN round(least(1.0, (c.c * target_frac)
+                                   / CAST(n_docs AS DOUBLE)), 6)
+                              ELSE 0.0 END AS rate
+                  FROM t, c),
+        labeled AS (SELECT d.doc_id, d.lang, r.rate
+                    FROM documents d JOIN rates r ON d.lang = r.lang)
+        SELECT lang, COUNT(*) AS n_docs, MAX(rate) AS rate,
+               CAST(SUM(CAST({h} < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+                        AS BIGINT)) AS BIGINT) AS n_kept
+        FROM labeled GROUP BY lang
+        """,
+        doc="Target-distribution corpus mixing "
+        "(operators/sampling.py::match_target_rates): per-language keep "
+        "rates reshaping the corpus to a target mix (en 40 / others 15) "
+        "by DOWNSAMPLING only — c = min_g(n_g/target_g), rate_g = "
+        "c*target_g/n_g, binding group keeps everything; applied as the "
+        "deterministic hash filter (sample_by_weight's floor-threshold "
+        "convention), so kept sets reproduce cross-engine. Rate "
+        "computation is one grouped count + a scalar min, all "
+        "broadcast-sized; the keep filter is a pure row expression that "
+        "pushes down.",
+    )
+    def mix_match_target_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.sampling import (
+            HASH_SPACE_32,
+            _rate_hash,
+            match_target_rates,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        rates = match_target_rates(docs, "lang", _TMIX_TARGETS).select(
+            "lang", "rate"
+        )
+        labeled = docs.select("doc_id", "lang").join(
+            F.broadcast(rates), "lang"
+        )
+        kept = _rate_hash("doc_id", "tmix") < F.floor(
+            F.col("rate") * F.lit(float(HASH_SPACE_32))
+        ).cast("long")
+        return labeled.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("rate").alias("rate"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+
+
+_register_mix_match_target()
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval fusion (documents + embeddings)
 # ---------------------------------------------------------------------------
 

@@ -631,12 +631,18 @@ _BNLJ_WHITELIST = {
     "ann_ivf_topk",
     "knn_graph_topk",
     "sample_negatives_contrastive",
+    # 1-row query-vector broadcast on the != self condition (cosine_topk,
+    # same shape as ann_cosine_topk) feeding the RRF fusion — audited r9
+    "hybrid_rrf_topk",
     # four 1-row (orphans x total) scalar joins, one per audited FK
     "referential_integrity_audit",
     # 1-row (stats x counts) scalar join
     "embedding_drift_halves",
     # 1-row total-revenue scalar join
     "revenue_pareto_deciles",
+    # 1-row feasibility-scalar (min n_g/target_g) broadcast onto the
+    # group-count table (operators/sampling.py::match_target_rates)
+    "mix_match_target_lang",
     # 1-row (tp, tq) model-totals scalar broadcast onto the 4096-row
     # bucket-count table (operators/dsir.py — audited round 9; the
     # corpus-sized streams only ever meet equi broadcast-hash joins)

@@ -84,3 +84,36 @@ def test_aes_excludes_nonpositive_weights(spark):
     assert [r["doc_id"] for r in got] == [3]
     with _pytest.raises(ValueError):
         weighted_sample_aes(df, F.col("w"), "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# match_target_rates (target-distribution mixing)
+# ---------------------------------------------------------------------------
+
+
+def test_match_target_rates_binding_group_and_drops(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.sampling import match_target_rates
+
+    # a: 100 docs, b: 300, junk: 10 (not in targets -> dropped)
+    df = spark.range(410).select(
+        F.when(F.col("id") < 100, "a")
+        .when(F.col("id") < 400, "b")
+        .otherwise("junk")
+        .alias("g")
+    )
+    rates = {
+        r["g"]: (r["n_docs"], r["rate"])
+        for r in match_target_rates(df, "g", {"a": 0.5, "b": 0.5}).collect()
+    }
+    # a is binding (100/0.5 = 200 < 300/0.5): keeps all; b keeps 100/300
+    assert rates["a"] == (100, 1.0)
+    assert rates["b"] == (300, round(100 / 300, 6))
+    assert rates["junk"] == (10, 0.0)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        match_target_rates(df, "g", {})
+    with pytest.raises(ValueError, match="positive"):
+        match_target_rates(df, "g", {"a": 0.0})
