@@ -344,3 +344,39 @@ def weighted_linkage_pairs(
         .filter(F.col("score") >= min_score)
         .select("id_a", "id_b", "score", *block_cols)
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    name_col: str,
+    max_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Survivorship: collapse each resolved entity cluster into ONE
+    golden record — the master-data step after pairs → clusters.
+
+    Deterministic rules (engine-portable, no arg_max tie ambiguity):
+    ``golden_<name_col>`` = the lexicographically smallest among the
+    LONGEST names (longest ≈ most complete, the standard completeness
+    heuristic); ``max_cols`` survive as their MAX, ``min_cols`` as their
+    MIN; plus ``n_members``. One row per cluster.
+
+    Scale shape: two grouped aggregates + one join, all keyed on the
+    cluster id (entity-sized frames, never record²).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.length(name_col)).alias("__maxlen"),
+    ]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    agg1 = df.groupBy(cluster_col).agg(*aggs)
+    gold = (
+        df.select(cluster_col, name_col)
+        .join(agg1.select(cluster_col, "__maxlen"), cluster_col)
+        .filter(F.length(name_col) == F.col("__maxlen"))
+        .groupBy(cluster_col)
+        .agg(F.min(name_col).alias(f"golden_{name_col}"))
+    )
+    return agg1.drop("__maxlen").join(gold, cluster_col)

@@ -317,6 +317,101 @@ _register_split_by_cluster()
 
 
 # ---------------------------------------------------------------------------
+# entity resolution: survivorship / golden records (customer)
+# ---------------------------------------------------------------------------
+
+
+def _register_golden_records() -> None:
+    # round9.py owns the shared weighted pair graph (loaded before this
+    # module by the registry loader) — the golden records MUST collapse
+    # the identical clusters entity_resolution_clusters emits
+    from .round9 import _W_MIN_SCORE, _WEIGHTED_SCORE_SQL
+
+    @register(
+        "entity_resolution_golden",
+        oracle=f"""
+        WITH RECURSIVE scored AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+          WHERE ({_WEIGHTED_SCORE_SQL}) >= {_W_MIN_SCORE}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM scored
+                  UNION ALL
+                  SELECT id_b, id_a FROM scored),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                   FROM reach GROUP BY a),
+        members AS (SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                           COALESCE(l.cluster_id, c.c_custkey) AS entity_id
+                    FROM customer c LEFT JOIN labels l ON c.c_custkey = l.doc_id),
+        agg AS (SELECT entity_id, COUNT(*) AS n_members,
+                       MAX(length(c_name)) AS max_len,
+                       MAX(c_acctbal) AS c_acctbal,
+                       MIN(c_nationkey) AS c_nationkey
+                FROM members GROUP BY entity_id),
+        gold AS (SELECT m.entity_id, MIN(m.c_name) AS golden_c_name
+                 FROM members m JOIN agg ON m.entity_id = agg.entity_id
+                 WHERE length(m.c_name) = agg.max_len
+                 GROUP BY m.entity_id)
+        SELECT agg.entity_id, agg.n_members, agg.c_acctbal, agg.c_nationkey,
+               gold.golden_c_name
+        FROM agg JOIN gold ON agg.entity_id = gold.entity_id
+        """,
+        doc="Entity-resolution SURVIVORSHIP (operators/linkage.py::"
+        "golden_records): each resolved customer entity (the identical "
+        "weighted Fellegi-Sunter clusters entity_resolution_clusters "
+        "emits, singletons included) collapses to ONE golden record — "
+        "name survives as the lexicographically smallest among the "
+        "LONGEST (completeness heuristic, deterministic tie-break), "
+        "balance as MAX, nation as MIN. Two grouped aggregates + one "
+        "join, all keyed on the entity id; the oracle re-derives the "
+        "clusters through the same recursive closure so pairs → "
+        "clusters → golden records can never desynchronize.",
+    )
+    def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import dedup as dd
+        from ..operators.linkage import golden_records
+        from .round9 import _weighted_customer_pairs
+
+        pairs = _weighted_customer_pairs(spark, sf_dir).select(
+            F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+        )
+        labels = dd.connected_components(pairs)
+        cust = load_table(spark, sf_dir, "customer")
+        members = (
+            cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+            .join(labels, cust.c_custkey == labels.doc_id, "left")
+            .withColumn(
+                "entity_id", F.coalesce(F.col("cluster_id"), F.col("c_custkey"))
+            )
+            .drop("doc_id", "cluster_id")
+        )
+        return golden_records(
+            members,
+            "entity_id",
+            "c_name",
+            max_cols=("c_acctbal",),
+            min_cols=("c_nationkey",),
+        ).select(
+            "entity_id",
+            "n_members",
+            "c_acctbal",
+            "c_nationkey",
+            "golden_c_name",
+        )
+
+
+_register_golden_records()
+
+
+# ---------------------------------------------------------------------------
 # target-distribution corpus mixing (documents)
 # ---------------------------------------------------------------------------
 

@@ -1065,3 +1065,38 @@ def test_linkage_salt_target_without_max_block_raises(spark):
     )
     with pytest.raises(ValueError, match="salt_target requires max_block"):
         blocked_similarity_pairs(df, "rid", ["blk"], "name", salt_target=8)
+
+
+# ---------------------------------------------------------------------------
+# golden_records (survivorship)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_records_survivorship_rules(spark):
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.linkage import golden_records
+
+    rows = [
+        # entity 1: 'Robert' and 'Roberta' (len 7 ties) -> lexicographic
+        # min 'Robert '? no — 'Robert' is len 6; plant a real tie:
+        (1, "Roberta", 10.0, 5),
+        (1, "Robertz", 99.0, 3),
+        (1, "Bob", 50.0, 4),
+        # entity 2: singleton passes through
+        (2, "Ann", 7.0, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id int, name string, bal double, nk int"
+    )
+    out = {
+        r["entity_id"]: (
+            r["n_members"], r["golden_name"], r["bal"], r["nk"]
+        )
+        for r in golden_records(
+            df, "entity_id", "name", max_cols=("bal",), min_cols=("nk",)
+        ).collect()
+    }
+    # longest names are the 7-char pair; lexicographic min of those wins
+    assert out[1] == (3, "Roberta", 99.0, 3)
+    assert out[2] == (1, "Ann", 7.0, 9)
