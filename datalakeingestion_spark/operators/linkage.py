@@ -326,21 +326,8 @@ def weighted_linkage_pairs(
         df, id_col, block_cols, [f.col for f in fields],
         null_blocks, max_block, salt_target,
     )
-    score: Column = F.lit(0)
-    for fld in fields:
-        an, bn = F.col(f"a_{fld.col}"), F.col(f"b_{fld.col}")
-        if fld.max_edit > 0:
-            agree = F.levenshtein(an, bn) <= fld.max_edit
-        else:
-            agree = an == bn
-        term = (
-            F.when(an.isNull() | bn.isNull(), F.lit(0))
-            .when(agree, F.lit(fld.agree))
-            .otherwise(F.lit(fld.disagree))
-        )
-        score = score + term
     return (
-        pairs.withColumn("score", score)
+        pairs.withColumn("score", _weighted_score(fields))
         .filter(F.col("score") >= min_score)
         .select("id_a", "id_b", "score", *block_cols)
     )
@@ -380,3 +367,66 @@ def golden_records(
         .agg(F.min(name_col).alias(f"golden_{name_col}"))
     )
     return agg1.drop("__maxlen").join(gold, cluster_col)
+
+
+def _weighted_score(fields: Sequence[FieldWeight]) -> Column:
+    """The shared per-pair score over a_/b_-prefixed field columns —
+    weighted_linkage_pairs (self-join) and match_against (two-frame)
+    MUST score identically, so the term logic lives once."""
+    score: Column = F.lit(0)
+    for fld in fields:
+        an, bn = F.col(f"a_{fld.col}"), F.col(f"b_{fld.col}")
+        if fld.max_edit > 0:
+            agree = F.levenshtein(an, bn) <= fld.max_edit
+        else:
+            agree = an == bn
+        score = score + (
+            F.when(an.isNull() | bn.isNull(), F.lit(0))
+            .when(agree, F.lit(fld.agree))
+            .otherwise(F.lit(fld.disagree))
+        )
+    return score
+
+
+def match_against(
+    batch: DataFrame,
+    reference: DataFrame,
+    batch_id: str,
+    ref_id: str,
+    block_cols: Sequence[str],
+    fields: Sequence[FieldWeight],
+    min_score: int,
+) -> DataFrame:
+    """Two-frame weighted linkage — the INCREMENTAL entity-resolution
+    step: score an incoming batch against an existing reference (e.g.
+    the golden-record table) inside shared blocks, instead of
+    re-clustering the whole lake per batch.
+
+    Same field semantics as :func:`weighted_linkage_pairs` (shared
+    ``_weighted_score``). Records whose block key is NULL on either
+    side never pair (equi-join semantics) — they surface as unmatched,
+    which the caller should mint as new entities.
+
+    Scale shape: per batch the reference is entity-sized and the join
+    is a block-keyed equi-join — O(batch × entities-per-block), never
+    lake-sized; the reference side is broadcastable when the entity
+    table fits. Returns (id_a, id_b, score, block values).
+    """
+    if not fields:
+        raise ValueError("weighted linkage requires at least one field")
+    a = batch.select(
+        F.col(batch_id).alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f.col).alias(f"a_{f.col}") for f in fields],
+    )
+    b = reference.select(
+        F.col(ref_id).alias("id_b"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f.col).alias(f"b_{f.col}") for f in fields],
+    )
+    return (
+        a.join(b, list(block_cols))
+        .withColumn("score", _weighted_score(fields))
+        .filter(F.col("score") >= min_score)
+        .select("id_a", "id_b", "score", *block_cols)
+    )

@@ -60,8 +60,8 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
 # remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# Registry now holds 242 queries: the 18 never-checked round-9 additions
-# (8 early-round + 10 late-round) lead, then ALL 25 r4-vintage + the 7
+# Registry now holds 243 queries: the 19 never-checked round-9 additions
+# (8 early-round + 11 late-round) lead, then ALL 25 r4-vintage + the 6
 # oldest r5-vintage, per tools/rotate_priority.py — keeping the policy
 # that no query's latest check ages past ~4 rounds. EXACTLY 50 entries:
 # the driver checks positions 0-49 and test_parity.py pins the tuple
@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_anonymity_generalize_customers",
     "split_by_dedup_cluster",
     "entity_resolution_golden",
+    "entity_resolution_incremental",
     "mix_match_target_lang",
     "hybrid_rrf_topk",
     "quality_classifier_train_k3",
@@ -112,14 +113,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_price_histogram",
     "quality_rank_normalize",
     "dedup_cluster_assign_star",
-    # r5 vintage, oldest 7 (registration order within the vintage)
+    # r5 vintage, oldest 6 (registration order within the vintage)
     "dedup_jaccard_prefix_join",
     "bigram_logprob_score",
     "pmi_collocations_top50",
     "kmeans_cluster_profile",
     "source_ngram_overlap_matrix",
     "dedup_incremental_vs_lake",
-    "cdc_shared_chunk_fraction",
 )
 
 

@@ -411,6 +411,181 @@ def _register_golden_records() -> None:
 _register_golden_records()
 
 
+def _register_incremental_resolution() -> None:
+    from .round9 import _W_MIN_SCORE, _WEIGHTED_SCORE_SQL
+
+    @register(
+        "entity_resolution_incremental",
+        oracle=f"""
+        WITH RECURSIVE lake AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 11 <> 0
+        ),
+        batch AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 11 = 0
+        ),
+        scored AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM lake a JOIN lake b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+          WHERE ({_WEIGHTED_SCORE_SQL}) >= {_W_MIN_SCORE}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM scored
+                  UNION ALL
+                  SELECT id_b, id_a FROM scored),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                   FROM reach GROUP BY a),
+        members AS (SELECT c.*, COALESCE(l.cluster_id, c.c_custkey) AS entity_id
+                    FROM lake c LEFT JOIN labels l ON c.c_custkey = l.doc_id),
+        agg AS (SELECT entity_id, MAX(length(c_name)) AS max_len,
+                       MAX(c_acctbal) AS c_acctbal,
+                       MIN(c_nationkey) AS c_nationkey,
+                       MIN(c_mktsegment) AS c_mktsegment
+                FROM members GROUP BY entity_id),
+        gold AS (SELECT m.entity_id, MIN(m.c_name) AS c_name
+                 FROM members m JOIN agg ON m.entity_id = agg.entity_id
+                 WHERE length(m.c_name) = agg.max_len
+                 GROUP BY m.entity_id),
+        golden AS (SELECT agg.entity_id AS c_custkey, gold.c_name,
+                          agg.c_acctbal, agg.c_nationkey, agg.c_mktsegment
+                   FROM agg JOIN gold ON agg.entity_id = gold.entity_id),
+        cand AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 ({_WEIGHTED_SCORE_SQL}) AS score
+          FROM batch a JOIN golden b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+        ),
+        best AS (SELECT id_a, id_b, score, row_number() OVER (
+                   PARTITION BY id_a ORDER BY score DESC, id_b) AS rn
+                 FROM cand WHERE score >= {_W_MIN_SCORE})
+        SELECT b.c_custkey,
+               COALESCE(best.id_b, b.c_custkey) AS entity_id,
+               best.id_b IS NOT NULL AS matched,
+               best.score
+        FROM batch b LEFT JOIN best
+          ON best.id_a = b.c_custkey AND best.rn = 1
+        """,
+        doc="INCREMENTAL entity resolution — the at-the-door MDM flow "
+        "(operators/linkage.py::match_against): the lake (custkey % 11 "
+        "<> 0) resolves once into golden records; the incoming batch "
+        "(custkey % 11 = 0) then scores ONLY against the entity-sized "
+        "golden table inside shared blocks (same Fellegi-Sunter weights "
+        "via the shared _weighted_score), taking the best match (score "
+        "desc, entity asc) at score >= 15 or minting a new entity. Per "
+        "batch cost is O(batch x entities-per-block) — the lake is "
+        "never re-paired (the linkage sibling of "
+        "dedup_incremental_vs_lake); the oracle re-derives the golden "
+        "table through the same closure + survivorship CTEs.",
+    )
+    def entity_resolution_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        from ..operators import dedup as dd
+        from ..operators.linkage import (
+            FieldWeight,
+            golden_records,
+            match_against,
+            weighted_linkage_pairs,
+        )
+        from .round9 import (
+            _W_BAL_AGREE,
+            _W_BAL_DIS,
+            _W_NAME_AGREE,
+            _W_NAME_DIS,
+            _W_NAME_EDIT,
+            _W_TAIL_AGREE,
+            _W_TAIL_DIS,
+        )
+
+        def derived(df):
+            return df.withColumn(
+                "bal_bucket",
+                F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+            ).withColumn("name_tail", F.expr("right(c_name, 3)"))
+
+        fields = [
+            FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
+            FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
+            FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
+        ]
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+        )
+        lake = cust.filter(F.col("c_custkey") % 11 != 0)
+        batch = cust.filter(F.col("c_custkey") % 11 == 0)
+
+        pairs = weighted_linkage_pairs(
+            derived(lake),
+            "c_custkey",
+            ["c_nationkey", "c_mktsegment"],
+            fields,
+            min_score=_W_MIN_SCORE,
+        ).select(
+            F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+        )
+        labels = dd.connected_components(pairs)
+        members = (
+            lake.join(labels, lake.c_custkey == labels.doc_id, "left")
+            .withColumn(
+                "entity_id",
+                F.coalesce(F.col("cluster_id"), F.col("c_custkey")),
+            )
+            .drop("doc_id", "cluster_id")
+        )
+        golden = golden_records(
+            members,
+            "entity_id",
+            "c_name",
+            max_cols=("c_acctbal",),
+            min_cols=("c_nationkey", "c_mktsegment"),
+        ).select(
+            F.col("entity_id").alias("c_custkey"),
+            F.col("golden_c_name").alias("c_name"),
+            "c_acctbal",
+            "c_nationkey",
+            "c_mktsegment",
+        )
+        cand = match_against(
+            derived(batch),
+            derived(golden),
+            "c_custkey",
+            "c_custkey",
+            ["c_nationkey", "c_mktsegment"],
+            fields,
+            min_score=_W_MIN_SCORE,
+        )
+        w = Window.partitionBy("id_a").orderBy(
+            F.desc("score"), F.asc("id_b")
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id_a", "id_b", "score")
+        )
+        return batch.select("c_custkey").join(
+            best, batch.c_custkey == best.id_a, "left"
+        ).select(
+            "c_custkey",
+            F.coalesce(F.col("id_b"), F.col("c_custkey")).alias("entity_id"),
+            F.col("id_b").isNotNull().alias("matched"),
+            "score",
+        )
+
+
+_register_incremental_resolution()
+
+
 # ---------------------------------------------------------------------------
 # target-distribution corpus mixing (documents)
 # ---------------------------------------------------------------------------

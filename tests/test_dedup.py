@@ -1100,3 +1100,33 @@ def test_golden_records_survivorship_rules(spark):
     # longest names are the 7-char pair; lexicographic min of those wins
     assert out[1] == (3, "Roberta", 99.0, 3)
     assert out[2] == (1, "Ann", 7.0, 9)
+
+
+def test_match_against_blocks_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        match_against,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (100, "B1", "alpha"),   # matches ref 1 (same block, same name)
+            (101, "B1", "zzzzz"),   # same block, name disagrees -> below min
+            (102, "B2", "alpha"),   # different block: never pairs with ref 1
+            (103, None, "alpha"),   # NULL block key -> never pairs
+        ],
+        "id int, blk string, name string",
+    )
+    ref = spark.createDataFrame(
+        [(1, "B1", "alpha"), (2, "B1", "alpho")],
+        "id int, blk string, name string",
+    )
+    out = match_against(
+        batch, ref, "id", "id", ["blk"],
+        [FieldWeight("name", 1, 10, -5)], min_score=10,
+    )
+    got = {(r["id_a"], r["id_b"]): r["score"] for r in out.collect()}
+    # 100 matches BOTH ref 1 (exact) and ref 2 (edit distance 1)
+    assert got == {(100, 1): 10, (100, 2): 10}
