@@ -366,7 +366,10 @@ def golden_records(
         .groupBy(cluster_col)
         .agg(F.min(name_col).alias(f"golden_{name_col}"))
     )
-    return agg1.drop("__maxlen").join(gold, cluster_col)
+    # LEFT join: a cluster whose every name is NULL has no longest-name
+    # row — it must survive with a NULL golden name, not silently vanish
+    # from the entity table
+    return agg1.drop("__maxlen").join(gold, cluster_col, "left")
 
 
 def _weighted_score(fields: Sequence[FieldWeight]) -> Column:
@@ -414,6 +417,8 @@ def match_against(
     """
     if not fields:
         raise ValueError("weighted linkage requires at least one field")
+    if not block_cols:
+        raise ValueError("blocking requires at least one block column")
     a = batch.select(
         F.col(batch_id).alias("id_a"),
         *[F.col(c) for c in block_cols],

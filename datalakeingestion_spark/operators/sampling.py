@@ -342,11 +342,24 @@ def match_target_rates(
     if any(t <= 0 for t in targets.values()):
         raise ValueError("target fractions must be positive")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # a target group with ZERO corpus rows makes the promised mixture
+    # infeasible (c would be 0 → empty corpus); failing loudly beats
+    # shipping a silently mis-mixed dataset
+    present = {
+        r[group_col] for r in counts.select(group_col).collect()
+    }
+    missing = sorted(set(targets) - present)
+    if missing:
+        raise ValueError(
+            f"target groups absent from the corpus: {missing} — the "
+            "target distribution is unreachable by downsampling"
+        )
     target = None
     for g, t in targets.items():
-        cond = F.when(F.col(group_col) == g, F.lit(float(t)))
-        target = cond if target is None else target.when(
-            F.col(group_col) == g, F.lit(float(t))
+        target = (
+            F.when(F.col(group_col) == g, F.lit(float(t)))
+            if target is None
+            else target.when(F.col(group_col) == g, F.lit(float(t)))
         )
     counts = counts.withColumn("target_frac", target)
     feas = counts.filter(F.col("target_frac").isNotNull()).agg(

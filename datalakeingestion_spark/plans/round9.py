@@ -107,31 +107,42 @@ def entity_resolution_weighted(
     return _weighted_customer_pairs(spark, sf_dir)
 
 
+def _customer_derived(df: DataFrame) -> DataFrame:
+    """The derived comparison fields — the SINGLE Spark-side source of
+    the 1000-unit bucket width and 3-char tail (mirrored in
+    _WEIGHTED_SCORE_SQL); every linkage plan (self-join, clusters,
+    golden, incremental) must derive through here or a width tweak
+    silently desynchronizes them."""
+    return df.withColumn(
+        "bal_bucket",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+    ).withColumn("name_tail", F.expr("right(c_name, 3)"))
+
+
+def _customer_linkage_fields():
+    """The shared FieldWeight list (same single-source rationale)."""
+    from ..operators.linkage import FieldWeight
+
+    return [
+        FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
+        FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
+        FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
+    ]
+
+
 def _weighted_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared weighted-linkage pair frame: both the pair query and
     the clusters capstone MUST score the identical graph (their oracles
     share _WEIGHTED_SCORE_SQL the same way) — a weight tweak applied to
     only one copy would silently desynchronize them."""
-    from ..operators.linkage import FieldWeight, weighted_linkage_pairs
+    from ..operators.linkage import weighted_linkage_pairs
 
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .withColumn(
-            "bal_bucket",
-            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
-        )
-        .withColumn("name_tail", F.expr("right(c_name, 3)"))
-    )
-    fields = [
-        FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
-        FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
-        FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
-    ]
+    cust = _customer_derived(load_table(spark, sf_dir, "customer"))
     return weighted_linkage_pairs(
         cust,
         "c_custkey",
         ["c_nationkey", "c_mktsegment"],
-        fields,
+        _customer_linkage_fields(),
         min_score=_W_MIN_SCORE,
     )
 

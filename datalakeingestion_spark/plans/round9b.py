@@ -493,32 +493,14 @@ def _register_incremental_resolution() -> None:
 
         from ..operators import dedup as dd
         from ..operators.linkage import (
-            FieldWeight,
             golden_records,
             match_against,
             weighted_linkage_pairs,
         )
-        from .round9 import (
-            _W_BAL_AGREE,
-            _W_BAL_DIS,
-            _W_NAME_AGREE,
-            _W_NAME_DIS,
-            _W_NAME_EDIT,
-            _W_TAIL_AGREE,
-            _W_TAIL_DIS,
-        )
+        from .round9 import _customer_derived, _customer_linkage_fields
 
-        def derived(df):
-            return df.withColumn(
-                "bal_bucket",
-                F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
-            ).withColumn("name_tail", F.expr("right(c_name, 3)"))
-
-        fields = [
-            FieldWeight("c_name", _W_NAME_EDIT, _W_NAME_AGREE, _W_NAME_DIS),
-            FieldWeight("bal_bucket", 0, _W_BAL_AGREE, _W_BAL_DIS),
-            FieldWeight("name_tail", 0, _W_TAIL_AGREE, _W_TAIL_DIS),
-        ]
+        derived = _customer_derived
+        fields = _customer_linkage_fields()
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
         )

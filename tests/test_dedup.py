@@ -1130,3 +1130,34 @@ def test_match_against_blocks_and_nulls(spark):
     got = {(r["id_a"], r["id_b"]): r["score"] for r in out.collect()}
     # 100 matches BOTH ref 1 (exact) and ref 2 (edit distance 1)
     assert got == {(100, 1): 10, (100, 2): 10}
+
+
+def test_golden_records_keeps_all_null_name_clusters(spark):
+    from datalakeingestion_spark.operators.linkage import golden_records
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (1, None, 7.0), (2, "Ann", 1.0)],
+        "entity_id int, name string, bal double",
+    )
+    out = {
+        r["entity_id"]: (r["n_members"], r["golden_name"], r["bal"])
+        for r in golden_records(
+            df, "entity_id", "name", max_cols=("bal",)
+        ).collect()
+    }
+    # the all-NULL-name entity survives with a NULL golden name
+    assert out[1] == (2, None, 7.0)
+    assert out[2] == (1, "Ann", 1.0)
+
+
+def test_match_against_rejects_empty_blocking(spark):
+    import pytest
+
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        match_against,
+    )
+
+    df = spark.createDataFrame([(1, "a", "x")], "id int, blk string, name string")
+    with pytest.raises(ValueError, match="block column"):
+        match_against(df, df, "id", "id", [], [FieldWeight("name", 0, 1, -1)], 1)

@@ -117,3 +117,14 @@ def test_match_target_rates_binding_group_and_drops(spark):
         match_target_rates(df, "g", {})
     with pytest.raises(ValueError, match="positive"):
         match_target_rates(df, "g", {"a": 0.0})
+
+
+def test_match_target_rates_rejects_absent_target_group(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.sampling import match_target_rates
+
+    df = spark.range(10).select(F.lit("a").alias("g"))
+    with pytest.raises(ValueError, match="absent from the corpus"):
+        match_target_rates(df, "g", {"a": 0.5, "b": 0.5})
