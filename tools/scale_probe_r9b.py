@@ -119,10 +119,44 @@ def probe_generalize(spark):
           f"record-frame Exchanges in plan: {plan.count('Exchange')}")
 
 
+def probe_incremental_linkage(spark):
+    """4. Incremental entity resolution: 10k-record batch matched
+    against a 100k-entity golden table across 1000 blocks — the
+    per-batch cost must be batch x entities-per-block, not lake-sized."""
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        match_against,
+    )
+
+    print("== incremental linkage (10k batch vs 100k golden, 1000 blocks) ==")
+    golden = spark.range(100_000).select(
+        F.col("id").alias("eid"),
+        F.pmod(F.hash("id"), 1000).cast("string").alias("blk"),
+        F.concat(F.lit("name"), (F.col("id") % 5000).cast("string")).alias(
+            "name"
+        ),
+    ).localCheckpoint()
+    batch = spark.range(10_000).select(
+        (F.col("id") + 1_000_000).alias("bid"),
+        F.pmod(F.hash(F.col("id") + 7), 1000).cast("string").alias("blk"),
+        F.concat(F.lit("name"), (F.col("id") % 5000).cast("string")).alias(
+            "name"
+        ),
+    ).localCheckpoint()
+    out = match_against(
+        batch, golden, "bid", "eid", ["blk"],
+        [FieldWeight("name", 1, 10, -5)], min_score=10,
+    )
+    n = out.count()
+    dt = _timeit(lambda: out.count())
+    print(f"  wall {dt:6.2f} s; {n:,} candidate matches at edit<=1")
+
+
 if __name__ == "__main__":
     spark = _spark()
     t0 = time.time()
     probe_classifier(spark)
     probe_gapfill(spark)
     probe_generalize(spark)
+    probe_incremental_linkage(spark)
     print(f"total {time.time() - t0:.1f} s")
