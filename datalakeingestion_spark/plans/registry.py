@@ -60,8 +60,8 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
 # remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# Registry now holds 243 queries: the 19 never-checked round-9 additions
-# (8 early-round + 11 late-round) lead, then ALL 25 r4-vintage + the 6
+# Registry now holds 244 queries: the 20 never-checked round-9 additions
+# (8 early-round + 12 late-round) lead, then ALL 25 r4-vintage + the 5
 # oldest r5-vintage, per tools/rotate_priority.py — keeping the policy
 # that no query's latest check ages past ~4 rounds. EXACTLY 50 entries:
 # the driver checks positions 0-49 and test_parity.py pins the tuple
@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_train_k3",
     "quality_classifier_confusion_k3",
     "quality_classifier_calibration_k3",
+    "curation_pipeline_v3",
     # r4 vintage (stalest first — latest external check 5 rounds old)
     "w6_rolling_1h_range",
     "decontaminate_embedding_cosine",
@@ -113,13 +114,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_price_histogram",
     "quality_rank_normalize",
     "dedup_cluster_assign_star",
-    # r5 vintage, oldest 6 (registration order within the vintage)
+    # r5 vintage, oldest 5 (registration order within the vintage)
     "dedup_jaccard_prefix_join",
     "bigram_logprob_score",
     "pmi_collocations_top50",
     "kmeans_cluster_profile",
     "source_ngram_overlap_matrix",
-    "dedup_incremental_vs_lake",
 )
 
 

@@ -1,26 +1,36 @@
-"""Round-9b queries — time-series repair, privacy audit, and the
-trainable quality classifier.
+"""Round-9b queries (second round-9 session) — time-series repair,
+privacy, entity-resolution completion, retrieval fusion, corpus mixing,
+and the trainable quality classifier.
 
 - ``timeseries_gapfill_ffill`` — dense per-user daily grid with
   last-observation-carried-forward fill
-  (``operators/timeseries.py::daily_gapfill_ffill``).
-- ``k_anonymity_audit_customers`` — k-anonymity / l-diversity audit
-  (``operators/privacy.py::k_anonymity_audit``) over the customer
-  quasi-identifiers (nation, 1000-unit balance bucket) with market
-  segment as the sensitive attribute.
+  (``operators/timeseries.py::daily_gapfill_ffill``); day buckets are
+  tz-independent integer epoch-day math.
+- ``k_anonymity_audit_customers`` / ``k_anonymity_generalize_customers``
+  — re-identification audit and its FIXER, the local-recoding
+  generalization ladder (``operators/privacy.py``).
+- ``curation_pipeline_v3`` — the modern-pipeline capstone: trained
+  classifier gate → MinHash cluster dedup → target-distribution mix,
+  every stage's oracle fragment composed into one statement.
+- ``split_by_dedup_cluster`` — leakage-safe train/eval split keyed on
+  near-dup cluster ids (contract: clusters split across = 0).
+- ``entity_resolution_golden`` / ``entity_resolution_incremental`` —
+  survivorship golden records and batch-vs-golden incremental matching
+  (``operators/linkage.py::golden_records`` / ``match_against``).
+- ``mix_match_target_lang`` — downsample-only rate solver reshaping the
+  corpus to a target language mix
+  (``operators/sampling.py::match_target_rates``).
+- ``hybrid_rrf_topk`` — reciprocal-rank fusion of the BM25 and dense
+  cosine top-50 lists (``operators/similarity.py::rrf_fuse``).
 - ``quality_classifier_train_k3`` / ``quality_classifier_confusion_k3``
-  — the TRAINABLE quality classifier
-  (``operators/classifier.py``): 3 steps of full-batch hard-sigmoid
-  logistic GD on weak-supervision labels (the CC-Net/RefinedWeb
-  pattern: label by a cheap heuristic rule, train a classifier on cheap
-  features). The hard-sigmoid link keeps every per-row value rational,
-  and gradient sums are per-row-rounded exact decimals — so the oracle
-  UNROLLS the identical three iterations as CTEs and matches the
-  learned weights bit-for-bit. The confusion query scores the corpus
-  under the trained weights and reports the confusion matrix — on the
-  fixtures the rule-labeled classes do separate (the label rule shares
-  signal with x_len/x_the by construction, which is exactly how
-  weak-supervision bootstrap labels behave).
+  / ``quality_classifier_calibration_k3`` — the TRAINABLE quality
+  classifier (``operators/classifier.py``): 3 steps of full-batch
+  hard-sigmoid logistic GD on weak-supervision labels (the
+  CC-Net/RefinedWeb pattern: label by a cheap heuristic rule, train a
+  classifier on cheap features). The hard-sigmoid link keeps every
+  per-row value rational, and gradient sums are per-row-rounded exact
+  decimals — so the oracle UNROLLS the identical three iterations as
+  CTEs and matches the learned weights bit-for-bit.
 
 Reference pendant: none — greenfield analytics/curation operators
 (SURVEY.md §2 beyond-reference set).
@@ -204,6 +214,133 @@ def k_anonymity_generalize_customers(
     return out.groupBy("lvl", "qi_geo", "qi_bal").agg(
         F.count(F.lit(1)).alias("class_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation pipeline v3: classifier gate -> cluster dedup -> target mix
+# ---------------------------------------------------------------------------
+
+_V3_GATE = 0.45
+_V3_TARGETS = {"en": 0.4, "fr": 0.15, "es": 0.15, "de": 0.15, "zh": 0.15}
+
+
+def _register_curation_v3() -> None:
+    from .llm import _h32_sql, _minhash_pairs_ctes
+
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN {t}" for g, t in _V3_TARGETS.items()
+    )
+    h = _h32_sql("CAST(doc_id AS VARCHAR) || '#tmix'")
+    feat_cols = ", ".join(
+        f"{sql} AS {name}" for name, sql in _CLS_FEATURE_SQL.items()
+    )
+    score_z = " + ".join(
+        ["wN.w0"]
+        + [f"wN.w{j + 1} * {c}" for j, c in enumerate(_CLS_FEATURES)]
+    ).replace("wN", f"w{_CLS_STEPS}")
+
+    @register(
+        "curation_pipeline_v3",
+        oracle=_cls_train_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+        docfeats AS (SELECT doc_id, lang, text, {feat_cols} FROM documents),
+        gated AS (
+          SELECT doc_id, lang, text FROM docfeats, w{_CLS_STEPS}
+          WHERE greatest(0.0, least(1.0, 0.25 * ({score_z}) + 0.5))
+                >= {_V3_GATE}
+        ),
+        {_minhash_pairs_ctes(0.5, source="gated")},
+        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_id_b, doc_id_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                FROM reach GROUP BY a),
+        reps AS (SELECT g.doc_id, g.lang
+                 FROM gated g LEFT JOIN lbl ON g.doc_id = lbl.doc_id
+                 WHERE COALESCE(lbl.cluster_id, g.doc_id) = g.doc_id),
+        counts AS (SELECT lang, COUNT(*) AS n_candidates
+                   FROM reps GROUP BY lang),
+        t AS (SELECT lang, n_candidates, CASE {case} END AS target_frac
+              FROM counts),
+        c AS (SELECT MIN(CAST(n_candidates AS DOUBLE) / target_frac) AS c
+              FROM t WHERE target_frac IS NOT NULL),
+        rates AS (SELECT lang,
+                         CASE WHEN target_frac IS NOT NULL
+                              THEN round(least(1.0, (c.c * target_frac)
+                                   / CAST(n_candidates AS DOUBLE)), 6)
+                              ELSE 0.0 END AS rate
+                  FROM t, c),
+        labeled AS (SELECT r.doc_id, r.lang, rt.rate
+                    FROM reps r JOIN rates rt ON r.lang = rt.lang)
+        SELECT lang, COUNT(*) AS n_candidates, MAX(rate) AS rate,
+               CAST(SUM(CAST({h} < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+                        AS BIGINT)) AS BIGINT) AS n_kept
+        FROM labeled GROUP BY lang
+        """,
+        doc="Curation capstone v3 — the MODERN pipeline order, every "
+        "stage built this round: (1) TRAINED hard-sigmoid classifier "
+        "gate at score >= 0.45 (weights from the shared per-fixture "
+        "training cache; oracle re-derives them through the unrolled GD "
+        "CTEs), (2) MinHash-LSH cluster dedup keeping min-id "
+        "representatives (recursive-closure oracle over the gated "
+        "subset), (3) target-distribution mixing of the survivors "
+        "(40/15/15/15/15 by language, downsample-only rate solver, "
+        "deterministic hash keep). Per-stage scale paths unchanged: "
+        "classifier gate is a zero-shuffle projection, dedup is banded "
+        "(never all-pairs), mixing is a grouped count + scalar min.",
+    )
+    def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import dedup as dd
+        from ..operators.classifier import score
+        from ..operators.sampling import (
+            HASH_SPACE_32,
+            _rate_hash,
+            match_target_rates,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        w = _cls_trained_weights(spark, sf_dir)
+        feats = docs.selectExpr(
+            "doc_id",
+            "lang",
+            "text",
+            *[f"{sql} AS {name}" for name, sql in _CLS_FEATURE_SQL.items()],
+        )
+        gated = feats.filter(
+            score(w, _CLS_FEATURES) >= F.lit(_V3_GATE)
+        ).select("doc_id", "lang", "text")
+        pairs = dd.minhash_near_duplicates(gated, threshold=0.5)
+        labels = dd.connected_components(pairs)
+        reps = (
+            gated.select("doc_id", "lang")
+            .join(labels, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            )
+            .select("doc_id", "lang")
+        )
+        rates = match_target_rates(reps, "lang", _V3_TARGETS).select(
+            "lang", "rate"
+        )
+        labeled = reps.join(F.broadcast(rates), "lang")
+        kept = _rate_hash("doc_id", "tmix") < F.floor(
+            F.col("rate") * F.lit(float(HASH_SPACE_32))
+        ).cast("long")
+        return labeled.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("rate").alias("rate"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+
+
+# NOTE: _register_curation_v3() is invoked at the END of this module —
+# it composes the classifier fragments defined below.
 
 
 # ---------------------------------------------------------------------------
@@ -1002,3 +1139,6 @@ def quality_classifier_calibration_k3(
             ).alias("frac_pos"),
         )
     )
+
+
+_register_curation_v3()

@@ -643,6 +643,7 @@ _BNLJ_WHITELIST = {
     # 1-row feasibility-scalar (min n_g/target_g) broadcast onto the
     # group-count table (operators/sampling.py::match_target_rates)
     "mix_match_target_lang",
+    "curation_pipeline_v3",
     # 1-row (tp, tq) model-totals scalar broadcast onto the 4096-row
     # bucket-count table (operators/dsir.py — audited round 9; the
     # corpus-sized streams only ever meet equi broadcast-hash joins)
