@@ -344,6 +344,78 @@ def _register_curation_v3() -> None:
 
 
 # ---------------------------------------------------------------------------
+# robust aggregate: exact trimmed mean (orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trimmed_mean_price_by_priority",
+    oracle="""
+    WITH r AS (SELECT o_orderpriority AS grp,
+                      o_totalprice AS v,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice, o_orderkey) AS rk,
+                      COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders)
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CASE WHEN rk > CAST(FLOOR(n / 10) AS BIGINT)
+                                AND rk <= n - CAST(FLOOR(n / 10) AS BIGINT)
+                               THEN CAST(v AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / (MAX(n) - 2 * CAST(FLOOR(MAX(n) / 10) AS BIGINT)), 6)
+             AS trimmed_mean,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / MAX(n), 6)
+             AS mean_all
+    FROM r GROUP BY grp
+    """,
+    doc="Exact 10%-trimmed mean per group (robust aggregate beside the "
+    "plain mean — outlier-resistant central tendency for skewed money "
+    "columns): deterministic rank (value, key tie-break) drops "
+    "floor(n/10) rows from each tail, sums in exact decimal. One window "
+    "+ one groupBy on the same partitioning (single Exchange). The "
+    "approximate sibling at extreme scale is quantile-threshold "
+    "filtering via the exact_quantiles operator.",
+)
+def trimmed_mean_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k_lo = F.floor(F.col("n") / 10).cast("bigint")
+    inner = F.when(
+        (F.col("rk") > k_lo) & (F.col("rk") <= F.col("n") - k_lo),
+        F.col("v").cast("decimal(18,6)"),
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return r.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(inner).cast("double")
+            / (
+                F.max("n")
+                - F.lit(2) * F.floor(F.max("n") / 10).cast("bigint")
+            ),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("mean_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # leakage-safe train/eval split (documents)
 # ---------------------------------------------------------------------------
 
