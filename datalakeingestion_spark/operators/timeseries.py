@@ -79,3 +79,71 @@ def daily_gapfill_ffill(
         .alias("value_ffill"),
         F.col("day_total").isNotNull().alias("observed"),
     )
+
+
+def rolling_mad_flags(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    value_col: str = "day_total",
+    window: int = 7,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling robust anomaly flags: each point compared to the
+    trailing-``window`` median via the median absolute deviation —
+    the point-anomaly monitor beside the distribution-level drift
+    monitors (PSI/KS). A point is anomalous when |x - median| > k·MAD,
+    with the standard MAD-zero fallback: when more than half the window
+    is identical (MAD = 0), any nonzero deviation flags — otherwise a
+    100x spike over a constant series would never flag.
+
+    Exactness: median = the LOWER median (sorted-array element
+    (n+1)//2), computed by identical sort/extract expressions on both
+    engines — no interpolation, so even-length windows cannot diverge.
+    ``k`` should be a binary-exact float.
+
+    Scale shape: one window per key ordered by day with a ROWS frame of
+    ``window`` values — state per row is a bounded array (the trailing
+    window), never the key's history; no second pass, the deviation
+    median reuses the collected array.
+
+    Returns (key, day, v, med, mad, is_anomaly) with v/med/mad rounded
+    to 6 dp.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    idx = lambda arr: F.floor((F.size(arr) + 1) / 2).cast("int")  # noqa: E731
+    out = daily.select(
+        key_col,
+        day_col,
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out = out.withColumn("__arr", F.collect_list("v").over(w))
+    med = F.element_at(F.sort_array(F.col("__arr")), idx(F.col("__arr")))
+    out = out.withColumn("__med", med)
+    devs = F.transform(F.col("__arr"), lambda a: F.abs(a - F.col("__med")))
+    mad = F.element_at(F.sort_array(devs), idx(devs))
+    out = out.withColumn("__mad", mad)
+    return out.select(
+        key_col,
+        day_col,
+        F.round("v", 6).alias("v"),
+        F.round("__med", 6).alias("med"),
+        F.round("__mad", 6).alias("mad"),
+        (
+            (
+                (F.col("__mad") > F.lit(0.0))
+                & (
+                    F.abs(F.col("v") - F.col("__med"))
+                    > F.lit(float(k)) * F.col("__mad")
+                )
+            )
+            | (
+                (F.col("__mad") == F.lit(0.0))
+                & (F.abs(F.col("v") - F.col("__med")) > F.lit(0.0))
+            )
+        ).alias("is_anomaly"),
+    )

@@ -344,6 +344,70 @@ def _register_curation_v3() -> None:
 
 
 # ---------------------------------------------------------------------------
+# rolling robust anomaly flags (events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_mad_anomalies",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      SUM(CAST(value AS DECIMAL(18,6))) AS t
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT user_id, day, CAST(t AS DOUBLE) AS v,
+                 list(CAST(t AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS 6 PRECEDING) AS arr
+          FROM d),
+    m AS (SELECT user_id, day, v, arr,
+                 list_extract(list_sort(arr),
+                   CAST(FLOOR((len(arr) + 1) / 2) AS INT)) AS med
+          FROM w),
+    x AS (SELECT user_id, day, v, med,
+                 list_extract(
+                   list_sort(list_transform(arr, a -> abs(a - med))),
+                   CAST(FLOOR((len(arr) + 1) / 2) AS INT)) AS mad
+          FROM m)
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           round(v, 6) AS v, round(med, 6) AS med, round(mad, 6) AS mad,
+           ((mad > 0.0 AND abs(v - med) > 3.0 * mad)
+            OR (mad = 0.0 AND abs(v - med) > 0.0)) AS is_anomaly
+    FROM x
+    """,
+    doc="Rolling robust anomaly flags "
+    "(operators/timeseries.py::rolling_mad_flags): each user-day total "
+    "compared to its trailing-7-day LOWER median via the median absolute "
+    "deviation (|x - med| > 3*MAD; MAD=0 windows fall back to flagging "
+    "any nonzero deviation) — the point-anomaly monitor "
+    "beside the distribution-level PSI/KS drift monitors. Sorted-array "
+    "element extraction (no interpolation) keeps even-length windows "
+    "engine-exact; per-row state is the bounded trailing array, one "
+    "window per key.",
+)
+def rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_mad_flags
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_from_unix_date(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+            "int"
+        )
+    )
+    daily = (
+        events.select(
+            "user_id",
+            day.alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").alias("day_total"))
+    )
+    return rolling_mad_flags(daily, window=7, k=3.0).withColumn(
+        "day", F.col("day").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
 # robust aggregate: exact trimmed mean (orders)
 # ---------------------------------------------------------------------------
 

@@ -118,3 +118,31 @@ def test_grid_is_per_key_span_not_global(spark):
         "value_ffill": "double",
         "observed": "boolean",
     }
+
+
+def test_rolling_mad_flags_planted_spike(spark):
+    from datalakeingestion_spark.operators.timeseries import rolling_mad_flags
+
+    # constant series with one spike: the spike flags via the MAD-zero
+    # fallback (its window is majority-constant), neighbors don't
+    rows = [(1, dt.date(2024, 1, d), 10.0) for d in range(1, 8)]
+    rows[4] = (1, dt.date(2024, 1, 5), 1000.0)
+    df = spark.createDataFrame(rows, "user_id int, day date, day_total double")
+    out = {str(r["day"]): (r["med"], r["mad"], r["is_anomaly"])
+           for r in rolling_mad_flags(df, window=7).collect()}
+    assert out["2024-01-05"][2] is True
+    assert out["2024-01-04"] == (10.0, 0.0, False)
+    # after the spike the window contains it, but the median stays 10
+    # and the constant current value is not anomalous
+    assert out["2024-01-06"][0] == 10.0
+    assert out["2024-01-06"][2] is False
+
+
+def test_rolling_mad_lower_median_even_window(spark):
+    from datalakeingestion_spark.operators.timeseries import rolling_mad_flags
+
+    # 2-row window: lower median = smaller element ((2+1)//2 = index 1)
+    rows = [(1, dt.date(2024, 1, 1), 10.0), (1, dt.date(2024, 1, 2), 20.0)]
+    df = spark.createDataFrame(rows, "user_id int, day date, day_total double")
+    out = {str(r["day"]): r["med"] for r in rolling_mad_flags(df, window=7).collect()}
+    assert out["2024-01-02"] == 10.0
