@@ -60,8 +60,8 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
 # remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# Registry now holds 246 queries: the 22 never-checked round-9 additions
-# (8 early-round + 14 late-round) lead, then ALL 25 r4-vintage + the 3
+# Registry now holds 247 queries: the 23 never-checked round-9 additions
+# (8 early-round + 15 late-round) lead, then ALL 25 r4-vintage + the 2
 # oldest r5-vintage, per tools/rotate_priority.py — keeping the policy
 # that no query's latest check ages past ~4 rounds. EXACTLY 50 entries:
 # the driver checks positions 0-49 and test_parity.py pins the tuple
@@ -80,6 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit_customers",
     "k_anonymity_generalize_customers",
     "rolling_mad_anomalies",
+    "weighted_median_price_by_flag",
     "trimmed_mean_price_by_priority",
     "split_by_dedup_cluster",
     "entity_resolution_golden",
@@ -116,10 +117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_price_histogram",
     "quality_rank_normalize",
     "dedup_cluster_assign_star",
-    # r5 vintage, oldest 3 (registration order within the vintage)
+    # r5 vintage, oldest 2 (registration order within the vintage)
     "dedup_jaccard_prefix_join",
     "bigram_logprob_score",
-    "pmi_collocations_top50",
 )
 
 

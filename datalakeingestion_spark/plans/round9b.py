@@ -407,6 +407,67 @@ def rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH r AS (SELECT l_returnflag AS grp,
+                      l_extendedprice AS v,
+                      CAST(l_quantity AS DECIMAL(18,6)) AS w
+               FROM lineitem),
+    c AS (SELECT grp, v, w,
+                 SUM(w) OVER (PARTITION BY grp ORDER BY v
+                              RANGE UNBOUNDED PRECEDING) AS cumw,
+                 SUM(w) OVER (PARTITION BY grp) AS totw
+          FROM r)
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(totw) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS weighted_median
+    FROM c GROUP BY grp
+    """,
+    doc="Exact weighted (lower) median per group — the quantity-weighted "
+    "typical price, robust to a few huge line items the plain median "
+    "ignores and the mean overweights. Cumulative weights use a RANGE "
+    "frame (ties share one cumulative value), so the result is "
+    "deterministic WITHOUT a unique tie-break column — the fixture's "
+    "(orderkey, linenumber) is not unique, which a ROWS frame would "
+    "turn into a nondeterministic hash mismatch. Weights sum in exact "
+    "decimal; one window + one groupBy on the same partitioning. The "
+    "approximate sibling at extreme scale is the bottom-k quantile "
+    "sketch (operators/quantiles.py).",
+)
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("grp")
+    c = r.select(
+        "grp",
+        "v",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("totw").cast("double").alias("total_weight"),
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("v"))
+        ).alias("weighted_median"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # robust aggregate: exact trimmed mean (orders)
 # ---------------------------------------------------------------------------
