@@ -55,71 +55,67 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01–r08 — every one of
-# the 224 queries registered through round 8 has been externally
+# position. Checked-green history: CORRECTNESS_r01–r09 — every one of
+# the 247 queries registered through round 9 has been externally
 # hash-checked green at least once, and no query's LATEST check is
-# failing. Vintage after r8 (recomputed from the CORRECTNESS files, not
-# remembered): 25 queries last checked r4, 49 r5, 50 each r6/r7/r8.
-# Registry now holds 247 queries: the 23 never-checked round-9 additions
-# (8 early-round + 15 late-round) lead, then ALL 25 r4-vintage + the 2
-# oldest r5-vintage, per tools/rotate_priority.py — keeping the policy
-# that no query's latest check ages past ~4 rounds. EXACTLY 50 entries:
-# the driver checks positions 0-49 and test_parity.py pins the tuple
-# length to the checked window).
+# failing. Vintage after r9 (recomputed via tools/rotate_priority.py
+# from the CORRECTNESS files, not remembered): 47 queries last checked
+# r5, 50 each r6/r7/r8/r9. The r10 window = any round-10 additions
+# first, then ALL 47 r5-vintage + the 3 oldest r6-vintage — keeping the
+# policy that no query's latest check ages past ~4 rounds. EXACTLY 50
+# entries: the driver checks positions 0-49 and test_parity.py pins the
+# tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-9 additions — never externally checked (registration order)
-    "entity_resolution_weighted",
-    "entity_resolution_clusters",
-    "bpe_encode_k3",
-    "bpe_train_merges_k3",
-    "dsir_weights_en_target",
-    "dsir_select_en_top100",
-    "dsir_resample_gumbel_top100",
-    "bpe_fertility_by_lang_k3",
-    "timeseries_gapfill_ffill",
-    "k_anonymity_audit_customers",
-    "k_anonymity_generalize_customers",
-    "rolling_mad_anomalies",
-    "weighted_median_price_by_flag",
-    "trimmed_mean_price_by_priority",
-    "split_by_dedup_cluster",
-    "entity_resolution_golden",
-    "entity_resolution_incremental",
-    "mix_match_target_lang",
-    "hybrid_rrf_topk",
-    "quality_classifier_train_k3",
-    "quality_classifier_confusion_k3",
-    "quality_classifier_calibration_k3",
-    "curation_pipeline_v3",
-    # r4 vintage (stalest first — latest external check 5 rounds old)
-    "w6_rolling_1h_range",
-    "decontaminate_embedding_cosine",
-    "salted_join_segment_counts",
-    "boilerplate_span_flag",
-    "a1_watermark_bounds",
-    "c4_next_watermark",
-    "a3_scalar_max",
-    "a5_distinct_event_types",
-    "a6_argmax_latest_event",
-    "a2_group_count_validation",
-    "c1_date_bucket_monthly",
-    "c2_int_bucket",
-    "c9_json_extract",
-    "p3_timestamp_clamp",
-    "o1_sort_topk",
-    "u1_union_append",
-    "u2_anti_join_new_tables",
-    "v1_count_reconciliation",
-    "scd2_user_history",
-    "t9_stream_dedup",
-    "source_js_divergence",
-    "fuzzy_match_customer_names",
-    "profile_price_histogram",
-    "quality_rank_normalize",
-    "dedup_cluster_assign_star",
-    # r5 vintage, oldest 2 (registration order within the vintage)
-    "dedup_jaccard_prefix_join",
-    "bigram_logprob_score",
+    "pmi_collocations_top50",  # last green r5
+    "kmeans_cluster_profile",  # last green r5
+    "source_ngram_overlap_matrix",  # last green r5
+    "dedup_incremental_vs_lake",  # last green r5
+    "cdc_shared_chunk_fraction",  # last green r5
+    "pca_embedding_contract",  # last green r5
+    "ann_pca_rerank_topk",  # last green r5
+    "zipf_alpha_fit",  # last green r5
+    "embedding_centroid_outliers",  # last green r5
+    "containment_quote_pairs",  # last green r5
+    "quality_logistic_score",  # last green r5
+    "curation_pipeline_v2",  # last green r5
+    "tokenize_to_ids",  # last green r5
+    "quality_by_source_rollup",  # last green r5
+    "sample_negatives_contrastive",  # last green r5
+    "label_centroid_similarity",  # last green r5
+    "winnowing_fingerprint_pairs",  # last green r5
+    "bpe_pair_stats_top50",  # last green r5
+    "psi_price_drift",  # last green r5
+    "dedup_ratio_by_source",  # last green r5
+    "audio_pcm_clip_stats",  # last green r5
+    "dedup_sorted_neighborhood",  # last green r5
+    "mv_incremental_revenue",  # last green r5
+    "mv_retraction_consistency",  # last green r5
+    "pagerank_trade_graph_3iter",  # last green r5
+    "zorder_skipping_report",  # last green r5
+    "trigram_backoff_score",  # last green r5
+    "mix_corpora_temperature_half",  # last green r5
+    "sketch_kmv_union_intersect",  # last green r5
+    "compaction_plan_daily",  # last green r5
+    "retention_cohorts",  # last green r5
+    "event_transition_matrix",  # last green r5
+    "decayed_event_score",  # last green r5
+    "ols_price_quantity_by_flag",  # last green r5
+    "mad_outliers_by_flag",  # last green r5
+    "table_checksum_diff_blocks",  # last green r5
+    "oov_rate_by_source",  # last green r5
+    "blocklist_filter_stats",  # last green r5
+    "label_prop_knn_majority",  # last green r5
+    "frequent_part_pairs_top50",  # last green r5
+    "rfm_segments",  # last green r5
+    "exact_quantiles_price_by_flag",  # last green r5
+    "sample_balanced_length_deciles",  # last green r5
+    "join_size_profile_orders_lineitem",  # last green r5
+    "quantile_map_nchars_by_source",  # last green r5
+    "anomalous_event_days",  # last green r5
+    "image_ppm_pixel_stats",  # last green r5
+    "sample_weighted_aes_top50",  # last green r6
+    "supplier_reliability_wilson",  # last green r6
+    "event_hourly_seasonality",  # last green r6
 )
 
 
