@@ -352,6 +352,15 @@ def golden_records(
     Scale shape: two grouped aggregates + one join, all keyed on the
     cluster id (entity-sized frames, never record²).
     """
+    reserved = {"__maxlen", "n_members", f"golden_{name_col}"}
+    clash = sorted(reserved & set(df.columns)) + sorted(
+        reserved & (set(max_cols) | set(min_cols))
+    )
+    if clash:
+        raise ValueError(
+            f"golden_records reserves column names {sorted(reserved)}; "
+            f"colliding: {clash} — rename before calling"
+        )
     aggs = [
         F.count(F.lit(1)).alias("n_members"),
         F.max(F.length(name_col)).alias("__maxlen"),

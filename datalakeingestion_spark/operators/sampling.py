@@ -345,8 +345,14 @@ def match_target_rates(
     # a target group with ZERO corpus rows makes the promised mixture
     # infeasible (c would be 0 → empty corpus); failing loudly beats
     # shipping a silently mis-mixed dataset
+    # only the target groups' presence matters — filter BEFORE collecting
+    # so driver traffic is bounded by len(targets), not by the group
+    # column's cardinality
     present = {
-        r[group_col] for r in counts.select(group_col).collect()
+        r[group_col]
+        for r in counts.filter(F.col(group_col).isin(list(targets)))
+        .select(group_col)
+        .collect()
     }
     missing = sorted(set(targets) - present)
     if missing:

@@ -241,7 +241,7 @@ def _register_curation_v3() -> None:
 
     @register(
         "curation_pipeline_v3",
-        oracle=_cls_train_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+        oracle=_cls_train_ctes(recursive=True)
         + f""",
         docfeats AS (SELECT doc_id, lang, text, {feat_cols} FROM documents),
         gated AS (
@@ -547,6 +547,24 @@ def trimmed_mean_price_by_priority(
 _SPLIT_THRESHOLD = int(0.8 * 2**32)  # hash_split's cumulative bound for 80/20
 
 
+def _check_split_threshold() -> None:
+    # the oracle embeds _SPLIT_THRESHOLD as a literal while the operator
+    # derives its bound from hash_split's HASH_SPACE_32 — verify the two
+    # agree at import time (an assert inside the plan fn would be
+    # stripped under python -O and would fire only after the frames were
+    # already built)
+    from ..operators.sampling import HASH_SPACE_32
+
+    if _SPLIT_THRESHOLD != int(0.8 * HASH_SPACE_32):
+        raise ValueError(
+            "_SPLIT_THRESHOLD diverged from hash_split's HASH_SPACE_32 — "
+            "oracle and operator would disagree on the 80/20 boundary"
+        )
+
+
+_check_split_threshold()
+
+
 def _register_split_by_cluster() -> None:
     # llm.py owns the shared MinHash pair CTE chain (loaded before this
     # module by the registry loader)
@@ -603,7 +621,7 @@ def _register_split_by_cluster() -> None:
     )
     def split_by_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators import dedup as dd
-        from ..operators.sampling import HASH_SPACE_32, _rate_hash, hash_split
+        from ..operators.sampling import _rate_hash, hash_split
 
         docs = load_table(spark, sf_dir, "documents")
         pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
@@ -624,7 +642,6 @@ def _register_split_by_cluster() -> None:
                 F.lit("train"),
             ).otherwise(F.lit("eval")),
         )
-        assert _SPLIT_THRESHOLD == int(0.8 * HASH_SPACE_32)
         per = labeled.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("nd"),
             F.countDistinct("split").alias("ns"),
@@ -1136,10 +1153,15 @@ def _cls_feats_cte() -> str:
     return f"SELECT {cols} FROM documents"
 
 
-def _cls_train_ctes(steps: int = _CLS_STEPS) -> str:
+def _cls_train_ctes(steps: int = _CLS_STEPS, recursive: bool = False) -> str:
     """Unroll the GD iterations as CTEs — the EXACT arithmetic of
     operators/classifier.py::logistic_train_hard_sigmoid (association
-    order pinned on both sides; see that module's docstring)."""
+    order pinned on both sides; see that module's docstring).
+
+    ``recursive=True`` emits ``WITH RECURSIVE`` for callers that append
+    a recursive CTE (curation_pipeline_v3's closure) — an explicit flag,
+    not post-hoc ``.replace('WITH ', ...)`` string surgery, which would
+    corrupt the SQL if a feature expression ever contained 'WITH '."""
     d = len(_CLS_FEATURES)
     xs = ["1.0"] + _CLS_FEATURES
     feat_list = ", ".join(_CLS_FEATURES)
@@ -1172,17 +1194,35 @@ def _cls_train_ctes(steps: int = _CLS_STEPS) -> str:
             for j in range(d + 1)
         )
         parts.append(f"w{i} AS (SELECT {upd} FROM g{i}, {prev})")
-    return "WITH " + ",\n".join(parts)
+    prefix = "WITH RECURSIVE " if recursive else "WITH "
+    return prefix + ",\n".join(parts)
 
 
-_CLS_WEIGHT_CACHE: dict[str, list[float]] = {}
+_CLS_WEIGHT_CACHE: dict[tuple[str, int, int], list[float]] = {}
+
+
+def _cls_cache_key(sf_dir: str) -> tuple[str, int, int]:
+    # key on the fixture file's (mtime_ns, size) as well as the path:
+    # a regenerated documents.parquet at the same path must retrain, or
+    # the memoized Spark weights silently desynchronize from the oracle
+    # (which always retrains from the file)
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, 0, 0)
 
 
 def _cls_trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     """Training is deterministic in the data alone (exact decimal
-    gradients), so weights memoize per fixture dir — the train and
-    confusion queries would otherwise each run the 3 training scans."""
-    cached = _CLS_WEIGHT_CACHE.get(sf_dir)
+    gradients), so weights memoize per fixture fingerprint — the train
+    and confusion queries would otherwise each run the 3 training
+    scans."""
+    key = _cls_cache_key(sf_dir)
+    cached = _CLS_WEIGHT_CACHE.get(key)
     if cached is not None:
         return cached
     from ..operators.classifier import logistic_train_hard_sigmoid
@@ -1194,7 +1234,7 @@ def _cls_trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
         steps=_CLS_STEPS,
         lr=float(_CLS_LR),
     )
-    _CLS_WEIGHT_CACHE[sf_dir] = w
+    _CLS_WEIGHT_CACHE[key] = w
     return w
 
 

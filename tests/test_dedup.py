@@ -1161,3 +1161,20 @@ def test_match_against_rejects_empty_blocking(spark):
     df = spark.createDataFrame([(1, "a", "x")], "id int, blk string, name string")
     with pytest.raises(ValueError, match="block column"):
         match_against(df, df, "id", "id", [], [FieldWeight("name", 0, 1, -1)], 1)
+
+
+def test_golden_records_rejects_reserved_column_collisions(spark):
+    import pytest
+
+    from datalakeingestion_spark.operators.linkage import golden_records
+
+    df = spark.createDataFrame(
+        [(1, "Ann", 3)], "entity_id int, name string, __maxlen int"
+    )
+    with pytest.raises(ValueError, match="__maxlen"):
+        golden_records(df, "entity_id", "name")
+    df2 = spark.createDataFrame(
+        [(1, "Ann", 3)], "entity_id int, name string, n_members int"
+    )
+    with pytest.raises(ValueError, match="n_members"):
+        golden_records(df2, "entity_id", "name", max_cols=("n_members",))

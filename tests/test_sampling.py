@@ -128,3 +128,20 @@ def test_match_target_rates_rejects_absent_target_group(spark):
     df = spark.range(10).select(F.lit("a").alias("g"))
     with pytest.raises(ValueError, match="absent from the corpus"):
         match_target_rates(df, "g", {"a": 0.5, "b": 0.5})
+
+
+def test_match_target_rates_missing_group_still_raises_with_bounded_collect(
+    spark,
+):
+    # the presence check collects only rows for the TARGET groups (driver
+    # traffic bounded by len(targets)); a target absent from the corpus
+    # must still fail loudly
+    import pytest
+
+    from datalakeingestion_spark.operators.sampling import match_target_rates
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], "id int, g string"
+    )
+    with pytest.raises(ValueError, match="absent"):
+        match_target_rates(df, "g", {"a": 0.5, "zz": 0.5})
