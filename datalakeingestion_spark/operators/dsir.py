@@ -258,3 +258,28 @@ def dsir_logratio_weights_vs(
             "weight",
         )
     )
+
+
+def dsir_select_topk_vs(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Selection over the two-corpus form: top-``k`` raw docs most like
+    the separate ``target_docs`` corpus, ties by doc_id — the call a
+    real mixing pipeline makes ("give me the k web docs closest to
+    Wikipedia"). Same ``TakeOrderedAndProject`` shape as
+    :func:`dsir_select_topk` (per-partition heaps + a k-row driver
+    merge, never a single-partition global sort)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        dsir_logratio_weights_vs(
+            raw_docs, target_docs, text_col, id_col, n_buckets
+        )
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(k)
+    )

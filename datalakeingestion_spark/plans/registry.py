@@ -66,6 +66,8 @@ def register(
 # entries: the driver checks positions 0-49 and test_parity.py pins the
 # tuple length to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "dsir_weights_vs_tables",  # never checked
+    "dsir_select_vs_top100",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -114,8 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "anomalous_event_days",  # last green r5
     "image_ppm_pixel_stats",  # last green r5
     "sample_weighted_aes_top50",  # last green r6
-    "supplier_reliability_wilson",  # last green r6
-    "event_hourly_seasonality",  # last green r6
 )
 
 
@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
         round8,
         round9,
         round9b,
+        round10,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -214,3 +214,29 @@ def test_dsir_two_corpus_form_equals_flag_form(spark):
     for doc_id in want:
         assert got[doc_id][0] == want[doc_id][0]
         assert got[doc_id][1] == pytest.approx(want[doc_id][1], abs=1e-9)
+
+
+def test_dsir_select_topk_vs_matches_sorted_weights(spark):
+    from datalakeingestion_spark.operators.dsir import (
+        dsir_logratio_weights_vs,
+        dsir_select_topk_vs,
+    )
+
+    raw_rows = [(i, t) for i, t, f in ROWS if not f]
+    tgt_rows = [(100 + j, t) for j, (_, t, f) in enumerate(ROWS) if f]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    allw = sorted(
+        (
+            (-r["weight"], r["doc_id"])
+            for r in dsir_logratio_weights_vs(raw, tgt, n_buckets=B).collect()
+        )
+    )
+    got = [
+        r["doc_id"]
+        for r in dsir_select_topk_vs(raw, tgt, k=2, n_buckets=B).collect()
+    ]
+    assert got == [i for _, i in allw[:2]]
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select_topk_vs(raw, tgt, k=0)
