@@ -339,6 +339,7 @@ def golden_records(
     name_col: str,
     max_cols: tuple[str, ...] = (),
     min_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Survivorship: collapse each resolved entity cluster into ONE
     golden record — the master-data step after pairs → clusters.
@@ -348,6 +349,12 @@ def golden_records(
     LONGEST names (longest ≈ most complete, the standard completeness
     heuristic); ``max_cols`` survive as their MAX, ``min_cols`` as their
     MIN; plus ``n_members``. One row per cluster.
+
+    ``weight_col`` lets a member row stand for several records —
+    :func:`resolve_increment` folds an EXISTING golden record (weight =
+    its ``n_members``) together with fresh batch rows (weight 1), so
+    ``n_members`` stays the true record count across increments. With
+    ``weight_col=None`` every row counts once.
 
     Scale shape: two grouped aggregates + one join, all keyed on the
     cluster id (entity-sized frames, never record²).
@@ -361,8 +368,13 @@ def golden_records(
             f"golden_records reserves column names {sorted(reserved)}; "
             f"colliding: {clash} — rename before calling"
         )
+    n_members = (
+        F.sum(weight_col).cast("long")
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     aggs = [
-        F.count(F.lit(1)).alias("n_members"),
+        n_members.alias("n_members"),
         F.max(F.length(name_col)).alias("__maxlen"),
     ]
     aggs += [F.max(c).alias(c) for c in max_cols]
@@ -444,3 +456,121 @@ def match_against(
         .filter(F.col("score") >= min_score)
         .select("id_a", "id_b", "score", *block_cols)
     )
+
+
+def resolve_increment(
+    batch: DataFrame,
+    golden: DataFrame,
+    crosswalk: DataFrame,
+    record_id: str,
+    entity_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[FieldWeight],
+    min_score: int,
+    name_col: str,
+    max_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """The MERGE step between :func:`match_against` and the next batch —
+    the latest-zone upsert generalized to entities (reference pendant:
+    ``start_ingestion.py:361-374``'s latest-zone MERGE semantics).
+
+    Given an incoming ``batch``, the current ``golden`` table and the
+    ``crosswalk`` (record_id → entity id for every record ever folded),
+    produce the NEW golden table and crosswalk:
+
+    1. **Replay guard**: batch records whose id is already in the
+       crosswalk drop out (anti-join) — re-delivering a batch is a
+       no-op, which is what makes the step idempotent.
+    2. **Match**: the fresh records score against the entity-sized
+       golden table inside shared blocks (:func:`match_against`); each
+       takes its best match (score desc, entity id asc) at
+       ``min_score``.
+    3. **Mint**: unmatched records get new entity ids —
+       ``max(existing entity id) + dense_rank(record id)`` —
+       deterministic and collision-free. Records that should merge
+       with EACH OTHER (within-batch duplicates) are the caller's
+       pre-step: resolve the batch internally first
+       (:func:`weighted_linkage_pairs` + connected components +
+       :func:`golden_records`) if batches can self-duplicate.
+    4. **Fold**: survivorship re-applies per touched entity over the
+       existing golden record (weighted by its ``n_members``) plus the
+       newly assigned rows — untouched entities pass through unchanged
+       (same aggregate, their group has one weighted row).
+
+    ``golden`` must carry ``entity_col``, ``name_col``, ``max_cols``,
+    ``min_cols``, ``n_members`` and the ``block_cols``/field columns
+    (present the golden name under ``name_col`` — rename before the
+    call, as the output does for the next increment). ``crosswalk``
+    carries (``record_id``, ``entity_col``). Entity ids must be
+    numeric for minting.
+
+    Scale shape: anti-join + block-keyed equi-join are batch×entity
+    sized; the dense_rank window is a single-partition sort of the
+    UNMATCHED slice only — bounded by the increment, never the lake;
+    the survivorship fold keys on the entity id.
+
+    Returns ``(golden', crosswalk')``.
+    """
+    from pyspark.sql import Window
+
+    if "n_members" not in golden.columns:
+        raise ValueError(
+            "golden must carry n_members (use golden_records to build it)"
+        )
+    if "__w" in golden.columns or "__w" in batch.columns:
+        raise ValueError("resolve_increment reserves column name __w")
+
+    fresh = batch.join(
+        crosswalk.select(F.col(record_id)).distinct(), record_id, "left_anti"
+    )
+    cand = match_against(
+        fresh, golden, record_id, entity_col, block_cols, fields, min_score
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
+    matched = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias(record_id),
+            F.col("id_b").cast("long").alias(entity_col),
+        )
+    )
+    unmatched = fresh.select(record_id).distinct().join(
+        matched.select(record_id), record_id, "left_anti"
+    )
+    base = golden.agg(
+        F.coalesce(F.max(entity_col), F.lit(0)).cast("long").alias("__base")
+    )
+    # 1-row broadcast scalar (audited: never a data-sized cartesian)
+    minted = (
+        unmatched.withColumn(
+            "__rk", F.dense_rank().over(Window.orderBy(record_id))
+        )
+        .join(F.broadcast(base))
+        .select(
+            record_id,
+            (F.col("__base") + F.col("__rk")).cast("long").alias(entity_col),
+        )
+    )
+    assignments = matched.unionByName(minted)
+
+    keep = [name_col, *max_cols, *min_cols]
+    new_members = fresh.join(assignments, record_id).select(
+        entity_col, *keep, F.lit(1).alias("__w")
+    )
+    old_members = golden.select(
+        entity_col, *keep, F.col("n_members").alias("__w")
+    )
+    golden2 = golden_records(
+        old_members.unionByName(new_members),
+        entity_col,
+        name_col,
+        max_cols=max_cols,
+        min_cols=min_cols,
+        weight_col="__w",
+    )
+    crosswalk2 = crosswalk.select(record_id, entity_col).unionByName(
+        assignments
+    )
+    return golden2, crosswalk2

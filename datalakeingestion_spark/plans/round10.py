@@ -119,3 +119,153 @@ def dsir_select_vs_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw, target = _dsir_vs_frames(spark, sf_dir)
     return dsir_select_topk_vs(raw, target, k=100, n_buckets=_DSIR_B)
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: the MERGE step (golden-record upsert)
+# ---------------------------------------------------------------------------
+
+
+def _register_er_merge() -> None:
+    from .round9 import _W_MIN_SCORE, _WEIGHTED_SCORE_SQL
+
+    @register(
+        "entity_resolution_merge",
+        oracle=f"""
+        WITH RECURSIVE lake AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 11 <> 0
+        ),
+        batch AS (
+          SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 11 = 0
+        ),
+        scored AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM lake a JOIN lake b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+          WHERE ({_WEIGHTED_SCORE_SQL}) >= {_W_MIN_SCORE}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM scored
+                  UNION ALL
+                  SELECT id_b, id_a FROM scored),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                   FROM reach GROUP BY a),
+        members AS (SELECT c.*, COALESCE(l.cluster_id, c.c_custkey) AS entity_id
+                    FROM lake c LEFT JOIN labels l ON c.c_custkey = l.doc_id),
+        agg AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                       MAX(length(c_name)) AS max_len,
+                       MAX(c_acctbal) AS c_acctbal,
+                       MIN(c_nationkey) AS c_nationkey,
+                       MIN(c_mktsegment) AS c_mktsegment
+                FROM members GROUP BY entity_id),
+        gold AS (SELECT m.entity_id, MIN(m.c_name) AS c_name
+                 FROM members m JOIN agg ON m.entity_id = agg.entity_id
+                 WHERE length(m.c_name) = agg.max_len
+                 GROUP BY m.entity_id),
+        golden AS (SELECT agg.entity_id AS c_custkey, gold.c_name,
+                          agg.c_acctbal, agg.c_nationkey, agg.c_mktsegment,
+                          agg.n_members
+                   FROM agg JOIN gold ON agg.entity_id = gold.entity_id),
+        fresh AS (SELECT b.* FROM batch b
+                  LEFT JOIN (SELECT DISTINCT c_custkey FROM members) cw
+                    ON cw.c_custkey = b.c_custkey
+                  WHERE cw.c_custkey IS NULL),
+        cand AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 ({_WEIGHTED_SCORE_SQL}) AS score
+          FROM fresh a JOIN golden b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+        ),
+        best AS (SELECT id_a, id_b FROM (
+                   SELECT id_a, id_b, row_number() OVER (
+                     PARTITION BY id_a ORDER BY score DESC, id_b) AS rn
+                   FROM cand WHERE score >= {_W_MIN_SCORE})
+                 WHERE rn = 1),
+        unmatched AS (SELECT f.c_custkey FROM fresh f
+                      LEFT JOIN best ON best.id_a = f.c_custkey
+                      WHERE best.id_a IS NULL),
+        base AS (SELECT COALESCE(MAX(c_custkey), 0) AS m FROM golden),
+        minted AS (SELECT u.c_custkey AS id_a,
+                          base.m + DENSE_RANK() OVER (ORDER BY u.c_custkey)
+                              AS ent
+                   FROM unmatched u, base),
+        asg AS (SELECT id_a, id_b AS ent FROM best
+                UNION ALL SELECT id_a, ent FROM minted),
+        newmem AS (SELECT asg.ent AS entity_id, f.c_name, f.c_acctbal,
+                          f.c_nationkey, f.c_mktsegment,
+                          CAST(1 AS BIGINT) AS w
+                   FROM asg JOIN fresh f ON f.c_custkey = asg.id_a),
+        oldmem AS (SELECT g.c_custkey AS entity_id, g.c_name, g.c_acctbal,
+                          g.c_nationkey, g.c_mktsegment, g.n_members AS w
+                   FROM golden g),
+        mem AS (SELECT * FROM oldmem UNION ALL SELECT * FROM newmem),
+        magg AS (SELECT entity_id, CAST(SUM(w) AS BIGINT) AS n_members,
+                        MAX(length(c_name)) AS max_len,
+                        MAX(c_acctbal) AS c_acctbal,
+                        MIN(c_nationkey) AS c_nationkey,
+                        MIN(c_mktsegment) AS c_mktsegment
+                 FROM mem GROUP BY entity_id),
+        mgold AS (SELECT m.entity_id, MIN(m.c_name) AS golden_c_name
+                  FROM mem m JOIN magg ON m.entity_id = magg.entity_id
+                  WHERE length(m.c_name) = magg.max_len
+                  GROUP BY m.entity_id)
+        SELECT magg.entity_id, magg.n_members, magg.c_acctbal,
+               magg.c_nationkey, magg.c_mktsegment, mgold.golden_c_name
+        FROM magg LEFT JOIN mgold ON magg.entity_id = mgold.entity_id
+        """,
+        doc="Entity-resolution MERGE — the golden-record UPSERT between "
+        "round 9's two halves (operators/linkage.py::resolve_increment; "
+        "reference pendant: start_ingestion.py:361-374's latest-zone "
+        "MERGE generalized to entities): the batch's already-folded "
+        "records drop out via the crosswalk anti-join (idempotent "
+        "replay), fresh records take their best golden match (score "
+        "desc, entity asc, shared Fellegi-Sunter weights) and FOLD in — "
+        "survivorship re-applied over the existing golden record "
+        "(weighted by its n_members) plus the new rows — while "
+        "unmatched records mint deterministic new entity ids "
+        "(max existing id + dense_rank). Output is the NEW golden "
+        "table; untouched entities pass through the same aggregate "
+        "unchanged. Anti-join + block-keyed match are batch x entity "
+        "sized; the mint window sorts only the unmatched slice.",
+    )
+    def entity_resolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.linkage import resolve_increment
+        from .round9 import _customer_derived, _customer_linkage_fields
+        from .round9b import _er_lake_frames
+
+        _, batch, golden, crosswalk = _er_lake_frames(spark, sf_dir)
+        golden2, _ = resolve_increment(
+            _customer_derived(batch),
+            _customer_derived(
+                golden.withColumnRenamed("c_custkey", "entity_id")
+            ),
+            crosswalk,
+            record_id="c_custkey",
+            entity_col="entity_id",
+            block_cols=["c_nationkey", "c_mktsegment"],
+            fields=_customer_linkage_fields(),
+            min_score=15,
+            name_col="c_name",
+            max_cols=("c_acctbal",),
+            min_cols=("c_nationkey", "c_mktsegment"),
+        )
+        return golden2.select(
+            "entity_id",
+            "n_members",
+            "c_acctbal",
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("golden_c_name"),
+        )
+
+
+_register_er_merge()

@@ -762,6 +762,70 @@ def _register_golden_records() -> None:
 _register_golden_records()
 
 
+def _er_lake_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared incremental-ER fixture split: the lake (custkey % 11
+    <> 0) resolved into golden records + its record→entity crosswalk,
+    and the incoming batch (custkey % 11 = 0). Used by both
+    ``entity_resolution_incremental`` (round 9, match only) and
+    ``entity_resolution_merge`` (round 10, the fold) — the two queries
+    MUST resolve the identical lake or their oracles desynchronize.
+
+    Returns ``(lake, batch, golden, crosswalk)`` where ``golden``
+    carries (c_custkey=entity id, c_name=golden name, c_acctbal,
+    c_nationkey, c_mktsegment, n_members) and ``crosswalk`` is
+    (c_custkey=record id, entity_id)."""
+    from ..operators import dedup as dd
+    from ..operators.linkage import golden_records, weighted_linkage_pairs
+    from .round9 import (
+        _customer_derived,
+        _customer_linkage_fields,
+        _W_MIN_SCORE,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    lake = cust.filter(F.col("c_custkey") % 11 != 0)
+    batch = cust.filter(F.col("c_custkey") % 11 == 0)
+
+    pairs = weighted_linkage_pairs(
+        _customer_derived(lake),
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        _customer_linkage_fields(),
+        min_score=_W_MIN_SCORE,
+    ).select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+    )
+    labels = dd.connected_components(pairs)
+    members = (
+        lake.join(labels, lake.c_custkey == labels.doc_id, "left")
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("cluster_id"), F.col("c_custkey")),
+        )
+        .drop("doc_id", "cluster_id")
+    )
+    golden = golden_records(
+        members,
+        "entity_id",
+        "c_name",
+        max_cols=("c_acctbal",),
+        min_cols=("c_nationkey", "c_mktsegment"),
+    ).select(
+        F.col("entity_id").alias("c_custkey"),
+        F.col("golden_c_name").alias("c_name"),
+        "c_acctbal",
+        "c_nationkey",
+        "c_mktsegment",
+        "n_members",
+    )
+    crosswalk = members.select("c_custkey", "entity_id")
+    return lake, batch, golden, crosswalk
+
+
 def _register_incremental_resolution() -> None:
     from .round9 import _W_MIN_SCORE, _WEIGHTED_SCORE_SQL
 
@@ -842,53 +906,12 @@ def _register_incremental_resolution() -> None:
     ) -> DataFrame:
         from pyspark.sql import Window
 
-        from ..operators import dedup as dd
-        from ..operators.linkage import (
-            golden_records,
-            match_against,
-            weighted_linkage_pairs,
-        )
+        from ..operators.linkage import match_against
         from .round9 import _customer_derived, _customer_linkage_fields
 
         derived = _customer_derived
         fields = _customer_linkage_fields()
-        cust = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
-        )
-        lake = cust.filter(F.col("c_custkey") % 11 != 0)
-        batch = cust.filter(F.col("c_custkey") % 11 == 0)
-
-        pairs = weighted_linkage_pairs(
-            derived(lake),
-            "c_custkey",
-            ["c_nationkey", "c_mktsegment"],
-            fields,
-            min_score=_W_MIN_SCORE,
-        ).select(
-            F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
-        )
-        labels = dd.connected_components(pairs)
-        members = (
-            lake.join(labels, lake.c_custkey == labels.doc_id, "left")
-            .withColumn(
-                "entity_id",
-                F.coalesce(F.col("cluster_id"), F.col("c_custkey")),
-            )
-            .drop("doc_id", "cluster_id")
-        )
-        golden = golden_records(
-            members,
-            "entity_id",
-            "c_name",
-            max_cols=("c_acctbal",),
-            min_cols=("c_nationkey", "c_mktsegment"),
-        ).select(
-            F.col("entity_id").alias("c_custkey"),
-            F.col("golden_c_name").alias("c_name"),
-            "c_acctbal",
-            "c_nationkey",
-            "c_mktsegment",
-        )
+        _, batch, golden, _ = _er_lake_frames(spark, sf_dir)
         cand = match_against(
             derived(batch),
             derived(golden),

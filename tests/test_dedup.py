@@ -1178,3 +1178,101 @@ def test_golden_records_rejects_reserved_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="n_members"):
         golden_records(df2, "entity_id", "name", max_cols=("n_members",))
+
+
+def test_resolve_increment_merge_and_idempotent_replay(spark):
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        resolve_increment,
+    )
+
+    fields = [FieldWeight("name", 1, 10, -5)]
+    # existing golden table: two entities in block 'x', one in 'y'
+    golden = spark.createDataFrame(
+        [(1, "x", "ANNA", 50.0, 2), (2, "x", "BOB", 10.0, 1),
+         (7, "y", "CARA", 5.0, 3)],
+        "entity_id long, blk string, name string, bal double, n_members long",
+    )
+    crosswalk = spark.createDataFrame(
+        [(101, 1), (102, 1), (103, 2), (104, 7), (105, 7), (106, 7)],
+        "rec long, entity_id long",
+    )
+    # batch: 201 matches ANNA (edit 1), 202 is new in block x,
+    # 203 is new in block y, 104 is a REPLAYED record (already folded)
+    batch = spark.createDataFrame(
+        [(201, "x", "ANNAH", 80.0), (202, "x", "ZED", 1.0),
+         (203, "y", "YVO", 2.0), (104, "y", "CARA", 5.0)],
+        "rec long, blk string, name string, bal double",
+    )
+    g2, cw2 = resolve_increment(
+        batch, golden, crosswalk,
+        record_id="rec", entity_col="entity_id", block_cols=["blk"],
+        fields=fields, min_score=10, name_col="name",
+        max_cols=("bal",),
+    )
+    got = {
+        r["entity_id"]: (r["n_members"], r["golden_name"], r["bal"])
+        for r in g2.collect()
+    }
+    # 201 folded into entity 1: longest name ANNAH wins, bal max 80,
+    # members 2+1
+    assert got[1] == (3, "ANNAH", 80.0)
+    # untouched entities pass through unchanged
+    assert got[2] == (1, "BOB", 10.0)
+    assert got[7] == (3, "CARA", 5.0)
+    # minted: max existing id 7 + dense_rank over unmatched rec ids
+    # (202 -> 8, 203 -> 9); replayed 104 dropped by the crosswalk guard
+    assert got[8] == (1, "ZED", 1.0)
+    assert got[9] == (1, "YVO", 2.0)
+    assert len(got) == 5
+    cw_rows = {(r["rec"], r["entity_id"]) for r in cw2.collect()}
+    assert (201, 1) in cw_rows and (202, 8) in cw_rows and (203, 9) in cw_rows
+    assert sum(1 for r, _ in cw_rows if r == 104) == 1  # no double fold
+
+    # idempotent replay: the same batch against the NEW state is a no-op
+    g2 = g2.select(
+        "entity_id", F.col("golden_name").alias("name"), "bal", "n_members"
+    ).join(
+        spark.createDataFrame(
+            [(1, "x"), (2, "x"), (7, "y"), (8, "x"), (9, "y")],
+            "entity_id long, blk string",
+        ),
+        "entity_id",
+    )
+    g3, cw3 = resolve_increment(
+        batch, g2, cw2,
+        record_id="rec", entity_col="entity_id", block_cols=["blk"],
+        fields=fields, min_score=10, name_col="name",
+        max_cols=("bal",),
+    )
+    got3 = {
+        r["entity_id"]: (r["n_members"], r["golden_name"], r["bal"])
+        for r in g3.collect()
+    }
+    assert got3 == got
+    assert {(r["rec"], r["entity_id"]) for r in cw3.collect()} == cw_rows
+
+
+def test_resolve_increment_validates_inputs(spark):
+    import pytest
+
+    from datalakeingestion_spark.operators.linkage import (
+        FieldWeight,
+        resolve_increment,
+    )
+
+    fields = [FieldWeight("name", 0, 10, -5)]
+    golden_no_members = spark.createDataFrame(
+        [(1, "x", "A", 1.0)], "entity_id long, blk string, name string, bal double"
+    )
+    batch = spark.createDataFrame(
+        [(5, "x", "A", 1.0)], "rec long, blk string, name string, bal double"
+    )
+    cw = spark.createDataFrame([], "rec long, entity_id long")
+    with pytest.raises(ValueError, match="n_members"):
+        resolve_increment(
+            batch, golden_no_members, cw, "rec", "entity_id", ["blk"],
+            fields, 10, "name",
+        )
