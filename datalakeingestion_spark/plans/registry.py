@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_weights_vs_tables",  # never checked
     "dsir_select_vs_top100",  # never checked
     "entity_resolution_merge",  # never checked
+    "ivf_trained_recall_delta",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -115,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_size_profile_orders_lineitem",  # last green r5
     "quantile_map_nchars_by_source",  # last green r5
     "anomalous_event_days",  # last green r5
-    "image_ppm_pixel_stats",  # last green r5
 )
 
 
