@@ -70,6 +70,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_select_vs_top100",  # never checked
     "entity_resolution_merge",  # never checked
     "ivf_trained_recall_delta",  # never checked
+    "url_canonical_parts",  # never checked
+    "domain_quality_rollup",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -114,8 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "exact_quantiles_price_by_flag",  # last green r5
     "sample_balanced_length_deciles",  # last green r5
     "join_size_profile_orders_lineitem",  # last green r5
-    "quantile_map_nchars_by_source",  # last green r5
-    "anomalous_event_days",  # last green r5
 )
 
 

@@ -330,3 +330,157 @@ def ivf_trained_recall_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trained_beats_seeded"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain operators (web-corpus curation)
+# ---------------------------------------------------------------------------
+
+# deterministic per-doc URL derived from fixture columns — engine-portable
+# SQL (CASE/||/CAST run identically in Spark and DuckDB), shared VERBATIM
+# by the Spark plan (F.expr) and the oracle so the two sides can never
+# parse different URLs. The shape exercises every canonicalization rule:
+# upper-case scheme+www, a compound co.uk suffix, the https default port,
+# trailing slashes, tracking params, unsorted params and a fragment.
+_URL_EXPR = """
+    'HTTPS://' ||
+    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+    source || '-' || CAST(doc_id % 5 AS STRING) ||
+    CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+    '/articles/' || CAST(doc_id AS STRING) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    '?utm_source=feed&id=' || CAST(doc_id AS STRING) ||
+    CASE WHEN doc_id % 3 = 1 THEN '&ref=tw&b=2&a=1' ELSE '' END ||
+    '#frag'
+"""
+
+# DuckDB twins of functions/urls.py (kept adjacent per repo convention)
+_SQL_AUTH = (
+    "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+)
+_SQL_SCHEME = (
+    "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+)
+_SQL_HOST = f"lower(regexp_replace({_SQL_AUTH}, ':[0-9]+$', ''))"
+_SQL_HOSTW = f"regexp_replace({_SQL_HOST}, '^www\\.', '')"
+_SQL_PORT = f"regexp_extract({_SQL_AUTH}, ':([0-9]+)$', 1)"
+_SQL_PATH = (
+    "regexp_extract(url,"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+)
+_SQL_QUERY = "regexp_extract(url, '\\?([^#]*)', 1)"
+
+_SQL_URL_PARTS = f"""
+    parts AS (
+      SELECT doc_id, url, n_chars,
+             {_SQL_SCHEME} AS scheme,
+             {_SQL_HOSTW} AS host,
+             {_SQL_PORT} AS port,
+             regexp_replace({_SQL_PATH}, '/$', '') AS cpath,
+             list_sort(list_filter(string_split({_SQL_QUERY}, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))) AS params,
+             string_split({_SQL_HOSTW}, '.') AS labels
+      FROM raw),
+    ext AS (
+      SELECT doc_id, url, n_chars, scheme, host,
+             CASE WHEN len(labels) <= 1 THEN host
+                  WHEN len(labels) >= 3
+                       AND labels[len(labels) - 1] IN
+                           ('ac','co','com','edu','gov','net','org')
+                       AND length(labels[len(labels)]) = 2
+                  THEN array_to_string(
+                      labels[len(labels) - 2 : len(labels)], '.')
+                  ELSE array_to_string(
+                      labels[len(labels) - 1 : len(labels)], '.')
+             END AS domain,
+             scheme || '://' || host ||
+             CASE WHEN port = ''
+                       OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END ||
+             cpath ||
+             CASE WHEN len(params) = 0 THEN ''
+                  ELSE '?' || array_to_string(params, '&') END
+                 AS canonical_url
+      FROM parts)
+"""
+
+
+@register(
+    "url_canonical_parts",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, n_chars, {_URL_EXPR} AS url
+                 FROM documents),
+    {_SQL_URL_PARTS}
+    SELECT doc_id, url, scheme, host, domain, canonical_url FROM ext
+    """,
+    doc="URL parsing + canonicalization (functions/urls.py): scheme/"
+    "host extraction, public-suffix-lite registrable domain (last two "
+    "labels, or three under a compound co.uk-style suffix), and the "
+    "canonical form — lower-cased, www- and default-port-stripped, "
+    "fragment dropped, trailing slash removed, tracking params "
+    "(utm_*/fbclid/gclid/msclkid/ref) dropped and the survivors "
+    "sorted. Pure JVM regex/array column expressions: ONE zero-shuffle "
+    "projection over the corpus regardless of rule count. The per-doc "
+    "URL derives from fixture columns via an engine-portable SQL "
+    "fragment shared verbatim by both sides.",
+)
+def url_canonical_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import urls as U
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_EXPR).alias("url")
+    )
+    return docs.select(
+        "doc_id",
+        "url",
+        U.url_scheme("url").alias("scheme"),
+        F.regexp_replace(U.url_host("url"), r"^www\.", "").alias("host"),
+        U.registrable_domain("url").alias("domain"),
+        U.canonical_url("url").alias("canonical_url"),
+    )
+
+
+_BLOCKED_DOMAINS = ("src3-1.com", "src7-0.co.uk")
+
+
+@register(
+    "domain_quality_rollup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, n_chars, {_URL_EXPR} AS url
+                 FROM documents),
+    {_SQL_URL_PARTS},
+    tot AS (SELECT COUNT(*)::DOUBLE AS total FROM raw)
+    SELECT domain,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT canonical_url)::BIGINT AS n_urls,
+           round(CAST(SUM(CAST(round(n_chars, 9) AS DECIMAL(28,9)))
+                      / COUNT(*) AS DOUBLE), 6) AS avg_quality,
+           round(COUNT(*) / tot.total, 6) AS share,
+           domain IN ('src3-1.com', 'src7-0.co.uk') AS blocked
+    FROM ext CROSS JOIN tot
+    GROUP BY domain, tot.total
+    """,
+    doc="Per-domain corpus decision table (operators/web.py::"
+    "domain_rollup): each registrable domain's doc count, DISTINCT "
+    "canonical-URL count (tracking-param noise doesn't inflate pages), "
+    "decimal-exact mean quality (n_chars as the fixture's quality "
+    "proxy), corpus share and blocklist flag — the table a web-curation "
+    "pass reads before sampling (RefinedWeb/C4 practice). One "
+    "projection + one domain-keyed groupBy; the corpus total is a "
+    "1-row broadcast; the blocklist an isin literal.",
+)
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.web import domain_rollup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(_URL_EXPR).alias("url"), "n_chars"
+    )
+    return domain_rollup(
+        docs,
+        "url",
+        quality_col="n_chars",
+        blocked_domains=_BLOCKED_DOMAINS,
+    ).select("domain", "n_docs", "n_urls", "avg_quality", "share", "blocked")
