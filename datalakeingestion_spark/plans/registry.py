@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_trained_recall_delta",  # never checked
     "url_canonical_parts",  # never checked
     "domain_quality_rollup",  # never checked
+    "bloom_dedup_at_door",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -115,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segments",  # last green r5
     "exact_quantiles_price_by_flag",  # last green r5
     "sample_balanced_length_deciles",  # last green r5
-    "join_size_profile_orders_lineitem",  # last green r5
 )
 
 

@@ -484,3 +484,93 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_col="n_chars",
         blocked_domains=_BLOCKED_DOMAINS,
     ).select("domain", "n_docs", "n_urls", "avg_quality", "share", "blocked")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup-at-the-door
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4032  # 64 words x 63 usable bits
+_BLOOM_K = 5
+
+
+def _register_bloom_door() -> None:
+    mask = "(1::BIGINT << (p % 63)::INT)"
+    hpos = _h32_sql("fp || '#b' || CAST(j AS STRING)")
+
+    @register(
+        "bloom_dedup_at_door",
+        oracle=f"""
+        WITH lakefp AS (SELECT md5(text) AS fp FROM documents),
+        lpos AS (SELECT {hpos} % {_BLOOM_M} AS p
+                 FROM lakefp CROSS JOIN range({_BLOOM_K}) t(j)),
+        bloom AS (SELECT p // 63 AS word, bit_or({mask}) AS bits
+                  FROM lpos GROUP BY 1),
+        probes AS (
+          SELECT doc_id AS probe_id, text FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, text || ' ##fresh' FROM documents
+          WHERE doc_id % 7 = 3
+        ),
+        truth AS (SELECT p.probe_id,
+                         p.text IN (SELECT text FROM documents) AS is_member,
+                         md5(p.text) AS fp
+                  FROM probes p),
+        ppos AS (SELECT probe_id, {hpos} % {_BLOOM_M} AS p
+                 FROM truth CROSS JOIN range({_BLOOM_K}) t(j)),
+        hits AS (SELECT pp.probe_id,
+                        bool_and(COALESCE(
+                            (b.bits & {mask}) = {mask}, FALSE)) AS maybe_dup
+                 FROM ppos pp LEFT JOIN bloom b ON b.word = pp.p // 63
+                 GROUP BY pp.probe_id)
+        SELECT t.probe_id, t.is_member, h.maybe_dup
+        FROM truth t JOIN hits h ON h.probe_id = t.probe_id
+        """,
+        doc="Bloom-filter dedup-at-the-door (operators/bloom.py): the "
+        "SPACE-BOUNDED door check beside the stored exact/gram indexes — "
+        f"a {_BLOOM_M}-bit, k={_BLOOM_K} filter built once over the "
+        "lake's md5 fingerprints answers re-delivery probes in a fixed "
+        "footprint (64 BIGINT words, always broadcastable). Probes: the "
+        "doc_id%7=0 slice re-delivered verbatim (every one MUST flag — "
+        "no false negatives, the Bloom guarantee) and the doc_id%7=3 "
+        "slice perturbed into fresh content (flags only on a k-way "
+        "collision; FPR contract in tests/test_bloom.py). md5-portable "
+        "salted positions make the bitmap bit-identical across engines; "
+        "build is one projection + one bounded groupBy, probe is a "
+        "broadcast join + per-doc bool_and.",
+    )
+    def bloom_dedup_at_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.bloom import bloom_build, bloom_probe
+
+        docs = load_table(spark, sf_dir, "documents")
+        bloom = bloom_build(docs, _BLOOM_M, _BLOOM_K)
+        probes = (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("probe_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    F.col("doc_id").alias("probe_id"),
+                    F.concat(F.col("text"), F.lit(" ##fresh")).alias("text"),
+                )
+            )
+        )
+        flags = bloom_probe(
+            probes, bloom, _BLOOM_M, _BLOOM_K, id_col="probe_id"
+        )
+        membership = probes.join(
+            docs.select("text").distinct().withColumn(
+                "__m", F.lit(True)
+            ),
+            "text",
+            "left",
+        ).select(
+            "probe_id",
+            F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
+        )
+        return membership.join(flags, "probe_id").select(
+            "probe_id", "is_member", "maybe_dup"
+        )
+
+
+_register_bloom_door()

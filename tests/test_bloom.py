@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.mark.smoke
+def test_bloom_no_false_negatives_and_fpr_bound(spark):
+    """The Bloom guarantee: every inserted doc re-flags (no FN); fresh
+    docs flag at most at a small multiple of the analytic FPR."""
+    import math
+
+    from datalakeingestion_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    n, m, k = 400, 4032, 5
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    fresh = spark.createDataFrame(
+        [(10_000 + i, f"unseen body {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    bloom = bloom_build(docs, m, k)
+    assert bloom.count() <= m // 63  # bounded footprint
+
+    flags = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom_probe(docs, bloom, m, k).collect()
+    }
+    assert all(flags.values())  # no false negatives, ever
+
+    fp = sum(
+        r["maybe_dup"]
+        for r in bloom_probe(fresh, bloom, m, k).collect()
+    )
+    expected = (1 - math.exp(-k * n / m)) ** k  # ~0.009 here
+    assert fp / 300 <= 4 * expected + 0.01
+
+
+def test_bloom_validates_geometry(spark):
+    from datalakeingestion_spark.operators.bloom import bloom_build
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of 63"):
+        bloom_build(docs, 1000, 5)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(docs, 630, 0)
