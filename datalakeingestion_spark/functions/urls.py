@@ -69,8 +69,14 @@ def url_path(col: Column | str) -> Column:
 
 
 def url_query(col: Column | str) -> Column:
-    """Raw query string without the '?' ('' when none)."""
-    return F.regexp_extract(_c(col), r"\?([^#]*)", 1)
+    """Raw query string without the '?' ('' when none).
+
+    The fragment is stripped FIRST: a '?' inside the fragment
+    (``/p#sec?a=1``) is fragment content, not a query string — an
+    unanchored ``\\?`` extract would promote it and split canonical
+    groups that differ only in fragment."""
+    defragged = F.regexp_replace(_c(col), r"#.*$", "")
+    return F.regexp_extract(defragged, r"\?(.*)$", 1)
 
 
 def registrable_domain(col: Column | str) -> Column:

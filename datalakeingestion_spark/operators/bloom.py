@@ -39,7 +39,7 @@ beyond-reference set).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32
@@ -76,6 +76,27 @@ def _positions(
     return df.select(*keep, pos.alias("__pos"))
 
 
+def _word_mask(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(word, __mask) of a ``__pos`` frame — the packing arithmetic
+    lives ONCE so build and probe can never address different bits."""
+    return df.select(
+        *keep,
+        (F.col("__pos") / WORD_BITS).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(1L, cast(__pos % {WORD_BITS} as int))"
+        ).alias("__mask"),
+    )
+
+
+def _fingerprint(text_col: str) -> Column:
+    """md5 of the raw text, with NULL folded to '' on BOTH build and
+    probe — md5(NULL) is NULL, which would silently break the no-false-
+    negative guarantee (NULL positions never join back to set bits).
+    NULL and empty text therefore share one fingerprint; a source that
+    must distinguish them should pre-fill a sentinel."""
+    return F.md5(F.coalesce(F.col(text_col), F.lit("")))
+
+
 def bloom_build(
     docs: DataFrame,
     m_bits: int,
@@ -85,15 +106,9 @@ def bloom_build(
     """Build the filter over the exact-dedup fingerprint (md5 of the
     raw text — the same identity ``dedup_exact`` groups on). Returns
     the bitmap DataFrame (word BIGINT, bits BIGINT), ≤ m/63 rows."""
-    fps = docs.select(F.md5(F.col(text_col)).alias("__fp"))
+    fps = docs.select(_fingerprint(text_col).alias("__fp"))
     return (
-        _positions(fps, "__fp", m_bits, k)
-        .select(
-            (F.col("__pos") / WORD_BITS).cast("long").alias("word"),
-            F.expr(
-                f"shiftleft(1L, cast(__pos % {WORD_BITS} as int))"
-            ).alias("__mask"),
-        )
+        _word_mask(_positions(fps, "__fp", m_bits, k))
         .groupBy("word")
         .agg(F.expr("bit_or(__mask)").alias("bits"))
     )
@@ -115,17 +130,11 @@ def bloom_probe(
     ``m_bits``/``k`` must match the build or the answer is undefined.
     """
     probes = batch.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__fp")
+        F.col(id_col), _fingerprint(text_col).alias("__fp")
     )
     pos = _positions(probes, "__fp", m_bits, k, keep=(id_col,))
     checked = (
-        pos.select(
-            id_col,
-            (F.col("__pos") / WORD_BITS).cast("long").alias("word"),
-            F.expr(
-                f"shiftleft(1L, cast(__pos % {WORD_BITS} as int))"
-            ).alias("__mask"),
-        )
+        _word_mask(pos, keep=(id_col,))
         .join(F.broadcast(bloom), "word", "left")
         .withColumn(
             "__hit",

@@ -339,6 +339,14 @@ def match_target_rates(
     """
     if not targets:
         raise ValueError("targets must be non-empty")
+    if None in targets:
+        # a NULL target key never worked: the equality rate mapping
+        # below (col == NULL → NULL) silently dropped the group. Refuse
+        # explicitly; callers should recode NULLs to a sentinel first.
+        raise ValueError(
+            "None is not a valid target group — recode NULL groups to "
+            "a sentinel value before mixing"
+        )
     if any(t <= 0 for t in targets.values()):
         raise ValueError("target fractions must be positive")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))

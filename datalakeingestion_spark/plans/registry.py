@@ -60,11 +60,14 @@ def register(
 # hash-checked green at least once, and no query's LATEST check is
 # failing. Vintage after r9 (recomputed via tools/rotate_priority.py
 # from the CORRECTNESS files, not remembered): 47 queries last checked
-# r5, 50 each r6/r7/r8/r9. The r10 window = any round-10 additions
-# first, then ALL 47 r5-vintage + the 3 oldest r6-vintage — keeping the
-# policy that no query's latest check ages past ~4 rounds. EXACTLY 50
-# entries: the driver checks positions 0-49 and test_parity.py pins the
-# tuple length to the checked window).
+# r5, 50 each r6/r7/r8/r9. The r10 window = the round-10 additions
+# first, then the stalest r5-vintage queries filling to 50 — with 7 new
+# queries this round, 43 of the 47 r5-vintage fit and 4 overflow to the
+# r11 window (they age to 5 rounds; the policy's ~4-round bound slips by
+# exactly the round's new-query count — tools/rotate_priority.py is the
+# ground truth, this comment is narration). EXACTLY 50 entries: the
+# driver checks positions 0-49 and test_parity.py pins the tuple length
+# to the checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_weights_vs_tables",  # never checked
     "dsir_select_vs_top100",  # never checked

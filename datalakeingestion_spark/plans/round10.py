@@ -253,7 +253,7 @@ def _register_er_merge() -> None:
             entity_col="entity_id",
             block_cols=["c_nationkey", "c_mktsegment"],
             fields=_customer_linkage_fields(),
-            min_score=15,
+            min_score=_W_MIN_SCORE,
             name_col="c_name",
             max_cols=("c_acctbal",),
             min_cols=("c_nationkey", "c_mktsegment"),
@@ -305,19 +305,22 @@ def ivf_trained_recall_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    truth = sim.cosine_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    # the exact brute-force frame is the expensive side — collect its
+    # n_queries*k pairs ONCE (bounded, 200 rows) instead of re-executing
+    # it inside two semi-join counts per variant
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
 
-    def mean_recall(approx: DataFrame) -> DataFrame:
-        hits = truth.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        )
-        return (
-            hits.count() / truth.count()
-        )  # two bounded counts; truth is n_queries x k
+    def mean_recall(approx: DataFrame) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in approx.select("query_id", "neighbor_id").collect()
+        }  # bounded: n_queries x k rows
+        return len(got & truth) / len(truth)
 
     kwargs = dict(k=10, n_centroids=16, nprobe=6, assign_n=2)
     r_trained = mean_recall(ivf_topk(emb, queries, iters=5, **kwargs))
@@ -369,7 +372,11 @@ _SQL_PATH = (
     "regexp_extract(url,"
     " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
 )
-_SQL_QUERY = "regexp_extract(url, '\\?([^#]*)', 1)"
+# fragment stripped FIRST (matches functions/urls.py::url_query): a '?'
+# inside the fragment must not be promoted into the query string
+_SQL_QUERY = (
+    "regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1)"
+)
 
 _SQL_URL_PARTS = f"""
     parts AS (
@@ -501,7 +508,7 @@ def _register_bloom_door() -> None:
     @register(
         "bloom_dedup_at_door",
         oracle=f"""
-        WITH lakefp AS (SELECT md5(text) AS fp FROM documents),
+        WITH lakefp AS (SELECT md5(COALESCE(text, '')) AS fp FROM documents),
         lpos AS (SELECT {hpos} % {_BLOOM_M} AS p
                  FROM lakefp CROSS JOIN range({_BLOOM_K}) t(j)),
         bloom AS (SELECT p // 63 AS word, bit_or({mask}) AS bits
@@ -515,7 +522,7 @@ def _register_bloom_door() -> None:
         ),
         truth AS (SELECT p.probe_id,
                          p.text IN (SELECT text FROM documents) AS is_member,
-                         md5(p.text) AS fp
+                         md5(COALESCE(p.text, '')) AS fp
                   FROM probes p),
         ppos AS (SELECT probe_id, {hpos} % {_BLOOM_M} AS p
                  FROM truth CROSS JOIN range({_BLOOM_K}) t(j)),

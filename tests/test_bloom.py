@@ -48,3 +48,21 @@ def test_bloom_validates_geometry(spark):
         bloom_build(docs, 1000, 5)
     with pytest.raises(ValueError, match="k must be"):
         bloom_build(docs, 630, 0)
+
+
+def test_bloom_null_text_keeps_no_false_negative_guarantee(spark):
+    from datalakeingestion_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real body")], "doc_id long, text string"
+    )
+    bloom = bloom_build(docs, 630, 3)
+    flags = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom_probe(docs, bloom, 630, 3).collect()
+    }
+    # a NULL-text doc that WAS inserted must still flag on re-delivery
+    assert flags == {1: True, 2: True}

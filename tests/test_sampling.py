@@ -145,3 +145,15 @@ def test_match_target_rates_missing_group_still_raises_with_bounded_collect(
     )
     with pytest.raises(ValueError, match="absent"):
         match_target_rates(df, "g", {"a": 0.5, "zz": 0.5})
+
+
+def test_match_target_rates_rejects_null_target_key(spark):
+    import pytest
+
+    from datalakeingestion_spark.operators.sampling import match_target_rates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a")], "id int, g string"
+    )
+    with pytest.raises(ValueError, match="None is not a valid"):
+        match_target_rates(df, "g", {None: 0.5, "a": 0.5})

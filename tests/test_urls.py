@@ -81,3 +81,24 @@ def test_domain_rollup_counts_and_blocklist(spark):
     }
     assert got["a.com"] == (3, 2, 20.0, 0.75, False)
     assert got["b.co.uk"] == (1, 1, 40.0, 0.25, True)
+
+
+def test_url_query_ignores_fragment_content(spark):
+    from datalakeingestion_spark.functions.urls import canonical_url, url_query
+
+    df = spark.createDataFrame(
+        [(1, "https://x.com/p#sec?a=1"), (2, "https://x.com/p")],
+        "id int, url string",
+    )
+    got = {
+        r["id"]: (r["q"], r["c"])
+        for r in df.select(
+            "id",
+            url_query("url").alias("q"),
+            canonical_url("url").alias("c"),
+        ).collect()
+    }
+    # a '?' inside the fragment is NOT a query string: both URLs
+    # canonicalize identically
+    assert got[1] == ("", "https://x.com/p")
+    assert got[2] == ("", "https://x.com/p")
