@@ -30,6 +30,8 @@ Reference pendant: none — greenfield training-pipeline operator
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -500,4 +502,66 @@ def keyed_prefix_sum(
             F.col("l._local") + F.coalesce(F.col("o._off"), F.lit(0)),
         )
         .select(*[F.col(f"l.{c}") for c in all_cols], out_col)
+    )
+
+
+def maxmatch_encode_words(
+    docs: DataFrame,
+    vocab: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy longest-match-first (MaxMatch) subword tokenization — the
+    WordPiece inference loop — over the corpus' DISTINCT words.
+
+    At each position the LONGEST vocab piece matching there is taken;
+    a word with any uncoverable position becomes ``[UNK]`` whole (the
+    WordPiece rule). The trick that keeps this a zero-UDF single
+    projection: a regex alternation of the vocab sorted by (length
+    desc, lex) — Java regex (Spark) and RE2 (DuckDB) both use
+    leftmost-FIRST alternation preference, so one ``regexp_replace``
+    IS the greedy longest-match scan, bit-identically on both engines
+    (pinned in tests/test_packing.py).
+
+    Tokenization is a function of the word alone, so the corpus work
+    is ONE distinct-word aggregate (vocab-sized frame, the bpe_train
+    discipline); the encode itself is a zero-shuffle regex projection
+    over that frame. Output: (word, freq, pieces, n_pieces, is_unk) —
+    the per-word fertility table a tokenizer audit reads.
+
+    Vocab pieces must be ``[a-z0-9]+`` (regex-metacharacter-free by
+    construction; raises otherwise).
+    """
+    import re as _re
+
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    for p in vocab:
+        if not _re.fullmatch(r"[a-z0-9]+", p):
+            raise ValueError(
+                f"vocab piece {p!r} must match [a-z0-9]+ (portable, "
+                "escape-free alternation)"
+            )
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab pieces must be unique")
+    pattern = "(" + "|".join(
+        sorted(vocab, key=lambda p: (-len(p), p))
+    ) + ")"
+
+    from ..functions.text import tokens
+
+    freq = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    covered = F.regexp_replace(F.col("word"), pattern, "") == ""
+    raw = F.trim(F.regexp_replace(F.col("word"), pattern, "$1 "))
+    return freq.select(
+        "word",
+        "freq",
+        F.when(covered, raw).otherwise(F.lit("[UNK]")).alias("pieces"),
+        F.when(covered, F.size(F.split(raw, " ")).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("n_pieces"),
+        (~covered).alias("is_unk"),
     )

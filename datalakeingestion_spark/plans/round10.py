@@ -581,3 +581,60 @@ def _register_bloom_door() -> None:
 
 
 _register_bloom_door()
+
+
+# ---------------------------------------------------------------------------
+# MaxMatch (WordPiece-style greedy longest-match) tokenizer audit
+# ---------------------------------------------------------------------------
+
+# fixed audit vocab: common English chunks + every single letter (so any
+# alphabetic word is coverable and [UNK] words are exactly the ones with
+# digits — the UNK path stays exercised on the fixtures). Single-sourced:
+# the Spark call and the oracle both derive from this tuple.
+_MAXMATCH_VOCAB = (
+    "the", "ing", "ion", "ent", "er", "on", "an", "re", "en", "ti",
+    "te", "at", "st", "ar", "in", "ed", "es", "or", "th", "nd",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+)
+_MAXMATCH_PATTERN = (
+    "(" + "|".join(sorted(_MAXMATCH_VOCAB, key=lambda p: (-len(p), p))) + ")"
+)
+
+
+@register(
+    "maxmatch_encode_words",
+    oracle=f"""
+    WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
+    freq AS (SELECT word, COUNT(*)::BIGINT AS freq FROM w GROUP BY 1),
+    enc AS (SELECT word, freq,
+                   regexp_replace(word, '{_MAXMATCH_PATTERN}', '', 'g')
+                       = '' AS covered,
+                   trim(regexp_replace(word, '{_MAXMATCH_PATTERN}',
+                                       '\\1 ', 'g')) AS raw_pieces
+            FROM freq)
+    SELECT word, freq,
+           CASE WHEN covered THEN raw_pieces ELSE '[UNK]' END AS pieces,
+           CASE WHEN covered
+                THEN CAST(len(string_split(raw_pieces, ' ')) AS BIGINT)
+                ELSE 1 END AS n_pieces,
+           NOT covered AS is_unk
+    FROM enc
+    """,
+    doc="MaxMatch tokenization audit — the WordPiece INFERENCE loop "
+    "beside the BPE trainer/encoder (operators/packing.py::"
+    "maxmatch_encode_words): every distinct corpus word greedily "
+    "tokenized longest-match-first against a fixed vocab; a word with "
+    "an uncoverable position becomes [UNK] whole (digit-bearing words "
+    "here). The engine trick: the vocab sorted (length desc, lex) as "
+    "ONE regex alternation — Java regex and RE2 share leftmost-FIRST "
+    "alternation preference, so a single regexp_replace IS the greedy "
+    "scan on both engines. Corpus work is one distinct-word aggregate "
+    "(vocab-sized, the bpe_train discipline); the encode is a "
+    "zero-shuffle regex projection.",
+)
+def maxmatch_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import maxmatch_encode_words as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mm(docs, _MAXMATCH_VOCAB)

@@ -458,3 +458,51 @@ def test_bpe_fertility_matches_per_doc_recount(spark):
     # over 4 words; the zero-word group keeps NULL fertility
     assert got["en"] == (2, 4, 5, round(5 / 4, 6))
     assert got["xx"] == (1, 0, 0, None)
+
+
+def test_maxmatch_encode_greedy_longest_first_and_unk(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.packing import (
+        maxmatch_encode_words,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unaffable the them x9z the"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = ("the", "un", "aff", "able", "them", "m", "a", "b", "e",
+             "f", "l", "n", "u", "x", "z")
+    out = {
+        r["word"]: (r["freq"], r["pieces"], r["n_pieces"], r["is_unk"])
+        for r in maxmatch_encode_words(docs, vocab).collect()
+    }
+    # longest piece wins at each position
+    assert out["unaffable"] == (1, "un aff able", 3, False)
+    # 'them' is matched whole, not 'the'+'m' (longest-first)
+    assert out["them"] == (1, "them", 1, False)
+    assert out["the"] == (2, "the", 1, False)
+    # '9' has no piece -> the WHOLE word is [UNK] (WordPiece rule)
+    assert out["x9z"] == (1, "[UNK]", 1, True)
+
+    # greedy stranding is the documented MaxMatch semantics: with vocab
+    # (ab, a, c) the word 'abc' covers, but 'aab' does too via a+ab —
+    # while with (aa, ab, b-less) 'aab' strands: aa + uncovered 'b'
+    out2 = {
+        r["word"]: r["pieces"]
+        for r in maxmatch_encode_words(
+            spark.createDataFrame([(1, "aab")], "doc_id long, text string"),
+            ("aa", "ab"),
+        ).collect()
+    }
+    assert out2["aab"] == "[UNK]"
+
+    with pytest.raises(ValueError, match="a-z0-9"):
+        maxmatch_encode_words(docs, ("ok", "no|pe"))
+    with pytest.raises(ValueError, match="unique"):
+        maxmatch_encode_words(docs, ("a", "a"))
+    with pytest.raises(ValueError, match="non-empty"):
+        maxmatch_encode_words(docs, ())
