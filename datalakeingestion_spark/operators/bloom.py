@@ -147,3 +147,18 @@ def bloom_probe(
     return checked.groupBy(id_col).agg(
         F.expr("bool_and(__hit)").alias("maybe_dup")
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR several filters built with the SAME (m_bits, k) geometry into
+    one — the append path as the lake grows (build a filter per ingest
+    batch, merge into the door filter; Bloom union is exact: the merged
+    filter answers exactly as one built over the union corpus).
+    Geometry mismatches are the caller's contract, as in
+    :func:`bloom_probe`."""
+    if not blooms:
+        raise ValueError("bloom_merge requires at least one filter")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))

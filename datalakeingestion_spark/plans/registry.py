@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_quality_rollup",  # never checked
     "bloom_dedup_at_door",  # never checked
     "maxmatch_encode_words",  # never checked
+    "url_dedup_groups",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "label_prop_knn_majority",  # last green r5
     "frequent_part_pairs_top50",  # last green r5
     "rfm_segments",  # last green r5
-    "exact_quantiles_price_by_flag",  # last green r5
 )
 
 

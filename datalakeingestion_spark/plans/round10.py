@@ -638,3 +638,38 @@ def maxmatch_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mm(docs, _MAXMATCH_VOCAB)
+
+
+@register(
+    "url_dedup_groups",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, n_chars, {_URL_EXPR} AS url
+                 FROM documents),
+    {_SQL_URL_PARTS}
+    SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+           COUNT(*)::BIGINT AS dup_count
+    FROM ext GROUP BY canonical_url
+    """,
+    doc="URL-level dedup groups — the FIRST dedup stage of every "
+    "web-corpus pipeline, upstream of text hashing (functions/urls.py::"
+    "canonical_url + the dedup_exact keep-min convention): crawls of "
+    "the same page differing only in tracking params / fragment / "
+    "www / port / trailing slash collapse to one canonical key, keeper "
+    "= min doc_id. One projection + one canonical-key groupBy — "
+    "massively cheaper than text dedup because the key is bytes, not "
+    "content, which is exactly why it runs first at 100 TB.",
+)
+def url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_EXPR).alias("url")
+    )
+    return (
+        docs.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )

@@ -66,3 +66,30 @@ def test_bloom_null_text_keeps_no_false_negative_guarantee(spark):
     }
     # a NULL-text doc that WAS inserted must still flag on re-delivery
     assert flags == {1: True, 2: True}
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from datalakeingestion_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"batch-a {i}") for i in range(50)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"batch-b {i}") for i in range(50)], "doc_id long, text string"
+    )
+    m, k = 1260, 4
+    merged = bloom_merge(bloom_build(a, m, k), bloom_build(b, m, k))
+    whole = bloom_build(a.unionByName(b), m, k)
+    assert {
+        (r["word"], r["bits"]) for r in merged.collect()
+    } == {(r["word"], r["bits"]) for r in whole.collect()}
+    # and the merged filter flags members of BOTH batches
+    flags = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom_probe(b, merged, m, k).collect()
+    }
+    assert all(flags.values())
