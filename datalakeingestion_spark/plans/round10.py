@@ -1,5 +1,4 @@
-"""Round-10 queries — the two-corpus DSIR form and this round's new
-operators.
+"""Round-10 queries.
 
 - ``dsir_weights_vs_tables`` / ``dsir_select_vs_top100`` — DSIR in the
   paper's classic two-TABLE setup (``operators/dsir.py::
@@ -11,9 +10,29 @@ operators.
   tagged union; only raw-side scores return. This is the API shape a
   real mixing pipeline calls — the raw pool and the quality corpus are
   different tables.
+- ``entity_resolution_merge`` — the golden-record UPSERT between round
+  9's match and survivorship halves (``operators/linkage.py::
+  resolve_increment``): crosswalk replay guard (idempotent), weighted
+  survivorship fold, deterministic entity minting. Reference pendant:
+  the latest-zone MERGE semantics of ``start_ingestion.py:361-374``
+  generalized to entities.
+- ``ivf_trained_recall_delta`` — the contract that Lloyd-training the
+  IVF centroids keeps paying for itself: mean recall@10 >= 0.85 AND
+  >= hash-seeded + 0.03 (``operators/ivf.py::train_centroids``).
+- ``url_canonical_parts`` / ``domain_quality_rollup`` /
+  ``url_dedup_groups`` — web-corpus URL curation
+  (``functions/urls.py``, ``operators/web.py``): parsing, public-
+  suffix-lite registrable domain, canonicalization, the per-domain
+  decision table, and URL-level keep-min dedup groups.
+- ``bloom_dedup_at_door`` — the space-bounded door check
+  (``operators/bloom.py``): engine-identical m-bit Bloom bitmap over
+  lake fingerprints; no false negatives, FPR contract in tests.
+- ``maxmatch_encode_words`` — the WordPiece inference loop
+  (``operators/packing.py::maxmatch_encode_words``): greedy longest-
+  match-first subword encode as one portable regex alternation.
 
-Reference pendant: none — greenfield curation operators (SURVEY.md §2
-beyond-reference set).
+Reference pendant: none except where noted — greenfield curation
+operators (SURVEY.md §2 beyond-reference set).
 """
 
 from __future__ import annotations
