@@ -650,6 +650,18 @@ _BNLJ_WHITELIST = {
     "dsir_weights_en_target",
     "dsir_select_en_top100",
     "dsir_resample_gumbel_top100",
+    # the same (tp, tq) 1-row model-totals broadcast, two-corpus form
+    # (audited round 10)
+    "dsir_weights_vs_tables",
+    "dsir_select_vs_top100",
+    # 1-row corpus-total broadcast onto the domain rollup (audited r10)
+    "domain_quality_rollup",
+    # ONE 1-row max-entity-id scalar broadcast in the mint step; it
+    # appears 3x in the plan text because golden_records' survivorship
+    # fold scans the members union twice and the subtree is not reused
+    # (audited round 10 — every copy's build side is the same 1-row
+    # aggregate; the corpus-sized streams only meet equi joins)
+    "entity_resolution_merge",
 }
 
 
