@@ -1455,3 +1455,52 @@ def test_monitor_state_bytes_bounded_by_knob_not_rows(spark, tmp_path):
     e_small = _state_metrics(spark, tmp_path, "ex_s", small, exact)
     e_big = _state_metrics(spark, tmp_path, "ex_b", big, exact)
     assert e_big[0] > 2.0 * e_small[0], (e_small, e_big)
+
+
+def test_bloom_door_stream_admits_only_never_seen(spark, tmp_path):
+    from datalakeingestion_spark.streaming.door import bloom_door_stream
+
+    src = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+    fdir = str(tmp_path / "bloomfilter")
+    ckpt = str(tmp_path / "ckpt")
+    m, k = 6300, 5
+
+    batch1 = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(40)], "doc_id long, text string"
+    )
+    batch1.write.parquet(src)
+    schema = batch1.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = bloom_door_stream(
+            spark, stream, lake, fdir, ckpt, m, k
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(lake).count() == 40
+    assert spark.read.parquet(fdir).count() <= m // 63
+
+    # second delivery: 30 re-delivered docs (suppressed by the door) +
+    # 10 genuinely new ones (admitted)
+    batch2 = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(10, 40)]
+        + [(100 + i, f"new body {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch2.write.mode("append").parquet(src)
+    run()
+    admitted = spark.read.parquet(lake)
+    assert admitted.count() == 50
+    # every re-delivered doc was suppressed (no duplicate texts in lake)
+    assert admitted.select("text").distinct().count() == 50
+
+    # replaying with a FRESH checkpoint (worst-case at-least-once replay
+    # of everything) admits nothing: the filter already contains it all
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = bloom_door_stream(spark, stream, lake, fdir, ckpt2, m, k)
+    q.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 50
