@@ -61,8 +61,8 @@ def register(
 # failing. Vintage after r9 (recomputed via tools/rotate_priority.py
 # from the CORRECTNESS files, not remembered): 47 queries last checked
 # r5, 50 each r6/r7/r8/r9. The r10 window = the round-10 additions
-# first, then the stalest r5-vintage queries filling to 50 — with 7 new
-# queries this round, 43 of the 47 r5-vintage fit and 4 overflow to the
+# first, then the stalest r5-vintage queries filling to 50 — with 9 new
+# queries this round, 41 of the 47 r5-vintage fit and 6 overflow to the
 # r11 window (they age to 5 rounds; the policy's ~4-round bound slips by
 # exactly the round's new-query count — tools/rotate_priority.py is the
 # ground truth, this comment is narration). EXACTLY 50 entries: the

@@ -1,29 +1,47 @@
 """Streaming Bloom door — dedup-at-the-door for a document stream.
 
-Composes ``operators/bloom.py`` into the ``foreachBatch`` ingest shape
-(``streaming/incremental.py``): per micro-batch, probe the incoming
-documents against the persisted filter, write only never-seen docs to
-the lake (plus an audit row count of suppressed re-deliveries), then OR
-the batch's own filter into the persisted one.
+Composes ``operators/bloom.py`` into the epoch-idempotent
+``foreachBatch`` shape this package's streaming dedup sink already uses
+(``incremental.py``): per micro-batch, probe the incoming documents
+against the accumulated filter, admit only never-seen docs to the lake,
+and persist the batch's own filter delta.
 
-Why this works under replay (the crash-recovery question every
-foreachBatch sink must answer): Bloom union is IDEMPOTENT — merging the
-same batch's filter twice leaves the bitmap unchanged, and re-probing a
-replayed batch against a filter that already includes it flags every
-row as seen, so the lake write of a replayed epoch is empty. The one
-at-most-once caveat: if a crash lands BETWEEN the lake append and the
-filter persist, the replayed epoch re-probes against the OLD filter and
-re-appends — the same per-batch semantics as the parquet ingest sink
-(exactly-once arrives with a transactional sink, K4/T5 notes). State is
-the ~m/63-row bitmap parquet — KBs, rewritten atomically per batch via
-staging + rename-free overwrite (the bitmap is tiny; a full rewrite is
-cheaper than any merge protocol).
+Crash-safety design (every write is epoch-scoped overwrite, nothing is
+ever destructively rewritten):
+
+- The lake write goes to ``{lake_dir}/epoch={id}`` with overwrite — a
+  replayed epoch rewrites its own partition, never duplicating rows.
+- The filter is an APPEND-ONLY ledger of per-epoch deltas at
+  ``{filter_dir}/epoch={id}`` (each ≤ m/63 rows); the accumulated
+  filter is the bit_or over all deltas. Bloom union is idempotent and
+  commutative, so a replayed epoch's delta overwrite is a no-op and a
+  crash between the lake and filter writes costs at most one epoch's
+  re-probe against a filter missing that epoch's delta — which the
+  epoch-scoped lake overwrite then makes harmless. No code path can
+  lose previously accumulated state (the failure a read-merge-OVERWRITE
+  design has when a partial write or transient read error masquerades
+  as "first batch").
+- Ledger growth is (m/63 rows) × epochs — KBs per batch; compact by
+  replacing the deltas with their bit_or under a NEW directory when the
+  epoch count grows large (same maintenance pattern as the stored LSH
+  index).
+
+Intra-batch re-deliveries are deduped BEFORE admission (keep the
+min-id row per fingerprint), so "never-seen" holds within a batch too,
+not just across batches.
+
+Operational contract (shared with every epoch-keyed sink in this
+package): the checkpoint, ``lake_dir`` and ``filter_dir`` are ONE unit.
+Resetting the checkpoint while keeping the directories re-numbers the
+epochs against existing partitions and is operator error — recover by
+restarting from the SAME checkpoint (replay is then exact), or reset
+all three together.
 
 FPR consequence at the door: a false positive DROPS a genuinely new
-document (at the configured ``(1-e^(-kn/m))^k`` rate) — size ``m`` for
-the lake's lifetime n, or route "maybe" rows to an exact check instead
-of dropping (the operator returns the flags; the policy belongs to the
-caller's ``write_suppressed`` choice).
+document at the configured ``(1-e^(-kn/m))^k`` rate — size ``m`` for
+the lake's lifetime n, or probe with :func:`operators.bloom.bloom_probe`
+directly and route "maybe" rows to an exact check when dropping is not
+acceptable.
 
 Reference pendant: none — greenfield streaming curation operator
 (SURVEY.md §2 beyond-reference set).
@@ -31,18 +49,44 @@ Reference pendant: none — greenfield streaming curation operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
-from ..operators.bloom import bloom_build, bloom_merge, bloom_probe
+from ..operators.bloom import bloom_build, bloom_probe
 
 
-def _read_filter(spark: SparkSession, path: str) -> DataFrame | None:
+def read_door_filter(
+    spark: SparkSession,
+    filter_dir: str,
+    exclude_epoch: int | None = None,
+) -> DataFrame | None:
+    """The accumulated filter: bit_or over every epoch delta, or None
+    when no delta has ever been written. Only the path-missing /
+    no-parquet-files cases mean "first batch" — anything else re-raises
+    (a transient read error must NOT masquerade as an empty filter and
+    let re-deliveries through).
+
+    ``exclude_epoch`` drops that epoch's own delta: a replayed epoch
+    must make the SAME admission decision it made the first time, so it
+    probes the filter as it stood before it ran — otherwise a crash
+    after the delta write but before the stream commit would replay the
+    epoch against its own delta, suppress everything, and overwrite the
+    epoch's lake partition with nothing."""
     try:
-        df = spark.read.parquet(path)
-        return df if df.columns == ["word", "bits"] else None
-    except Exception:
-        return None  # first batch: no filter yet
+        deltas = spark.read.parquet(filter_dir)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+    if exclude_epoch is not None:
+        deltas = deltas.filter(F.col("epoch") != exclude_epoch)
+    return (
+        deltas.select("word", "bits")
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
 
 
 def bloom_door_stream(
@@ -58,41 +102,40 @@ def bloom_door_stream(
 ):
     """Start an availableNow stream that admits only never-seen docs.
 
-    ``stream`` is a streaming DataFrame of documents; admitted rows
-    append to ``lake_dir`` with a ``door_epoch`` column, the filter
-    bitmap persists at ``filter_dir``. Returns the StreamingQuery.
+    Admitted rows land at ``{lake_dir}/epoch={id}`` (epoch-scoped
+    overwrite — idempotent under replay); the filter delta ledger at
+    ``{filter_dir}/epoch={id}``. Returns the StreamingQuery.
     """
 
     def door_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # probe + build scan twice
-        existing = _read_filter(spark, filter_dir)
+        # dedup re-deliveries WITHIN the batch (deterministic keeper)
+        first = Window.partitionBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        ).orderBy(F.col(id_col))
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(first))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()  # probe + delta-build scan it twice
+        )
+        existing = read_door_filter(
+            spark, filter_dir, exclude_epoch=epoch_id
+        )
         if existing is not None:
             flags = bloom_probe(
                 batch_df, existing, m_bits, k, id_col, text_col
             )
-            fresh = (
-                batch_df.join(
-                    flags.filter(F.col("maybe_dup")).select(id_col),
-                    id_col,
-                    "left_anti",
-                )
+            fresh = batch_df.join(
+                flags.filter(F.col("maybe_dup")).select(id_col),
+                id_col,
+                "left_anti",
             )
         else:
             fresh = batch_df
-        fresh.withColumn("door_epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(lake_dir)
-        update = bloom_build(batch_df, m_bits, k, text_col)
-        merged = (
-            bloom_merge(existing, update) if existing is not None else update
-        )
-        # the bitmap is bounded by m/63 rows — collect+rewrite keeps the
-        # persist atomic-enough (single small file) and avoids reading
-        # and writing the same path in one job
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        fresh.write.mode("overwrite").parquet(f"{lake_dir}/epoch={epoch_id}")
+        bloom_build(batch_df, m_bits, k, text_col).write.mode(
             "overwrite"
-        ).parquet(filter_dir)
+        ).parquet(f"{filter_dir}/epoch={epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(door_batch)

@@ -1458,7 +1458,10 @@ def test_monitor_state_bytes_bounded_by_knob_not_rows(spark, tmp_path):
 
 
 def test_bloom_door_stream_admits_only_never_seen(spark, tmp_path):
-    from datalakeingestion_spark.streaming.door import bloom_door_stream
+    from datalakeingestion_spark.streaming.door import (
+        bloom_door_stream,
+        read_door_filter,
+    )
 
     src = str(tmp_path / "landing")
     lake = str(tmp_path / "lake")
@@ -1466,22 +1469,25 @@ def test_bloom_door_stream_admits_only_never_seen(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     m, k = 6300, 5
 
+    # batch 1 includes an INTRA-batch re-delivery (ids 0 and 900 share
+    # a text) — only the min-id copy may be admitted
     batch1 = spark.createDataFrame(
-        [(i, f"doc body {i}") for i in range(40)], "doc_id long, text string"
+        [(i, f"doc body {i}") for i in range(40)] + [(900, "doc body 0")],
+        "doc_id long, text string",
     )
     batch1.write.parquet(src)
     schema = batch1.schema
 
-    def run():
+    def run(ck):
         stream = spark.readStream.schema(schema).parquet(src)
-        q = bloom_door_stream(
-            spark, stream, lake, fdir, ckpt, m, k
-        )
+        q = bloom_door_stream(spark, stream, lake, fdir, ck, m, k)
         q.awaitTermination(120)
 
-    run()
-    assert spark.read.parquet(lake).count() == 40
-    assert spark.read.parquet(fdir).count() <= m // 63
+    run(ckpt)
+    admitted = spark.read.parquet(lake)
+    assert admitted.count() == 40
+    assert admitted.filter("doc_id = 900").count() == 0
+    assert read_door_filter(spark, fdir).count() <= m // 63
 
     # second delivery: 30 re-delivered docs (suppressed by the door) +
     # 10 genuinely new ones (admitted)
@@ -1491,16 +1497,36 @@ def test_bloom_door_stream_admits_only_never_seen(spark, tmp_path):
         "doc_id long, text string",
     )
     batch2.write.mode("append").parquet(src)
-    run()
+    run(ckpt)
     admitted = spark.read.parquet(lake)
     assert admitted.count() == 50
     # every re-delivered doc was suppressed (no duplicate texts in lake)
     assert admitted.select("text").distinct().count() == 50
 
-    # replaying with a FRESH checkpoint (worst-case at-least-once replay
-    # of everything) admits nothing: the filter already contains it all
-    ckpt2 = str(tmp_path / "ckpt2")
-    stream = spark.readStream.schema(schema).parquet(src)
-    q = bloom_door_stream(spark, stream, lake, fdir, ckpt2, m, k)
-    q.awaitTermination(120)
-    assert spark.read.parquet(lake).count() == 50
+    # a replayed epoch must reach the same admission decision it made
+    # the first time: its own delta is EXCLUDED from the probe filter
+    # (a crash after the delta write would otherwise suppress the whole
+    # epoch on replay and overwrite its lake partition with nothing).
+    # Check the exclusion semantics directly on the written ledger:
+    full = {
+        r["word"]: r["bits"] for r in read_door_filter(spark, fdir).collect()
+    }
+    wo_last = {
+        r["word"]: r["bits"]
+        for r in read_door_filter(spark, fdir, exclude_epoch=1).collect()
+    }
+    # epoch 1 added bits for the 10 new docs — excluding it must give a
+    # strictly smaller (or equal per-word) bitmap, never a larger one
+    assert any(full[w] != wo_last.get(w, 0) for w in full)
+    assert all((wo_last.get(w, 0) & ~full[w]) == 0 for w in full)
+    # and excluding a never-written epoch changes nothing
+    assert {
+        r["word"]: r["bits"]
+        for r in read_door_filter(spark, fdir, exclude_epoch=99).collect()
+    } == full
+
+
+def test_read_door_filter_missing_dir_is_first_batch(spark, tmp_path):
+    from datalakeingestion_spark.streaming.door import read_door_filter
+
+    assert read_door_filter(spark, str(tmp_path / "nope")) is None
