@@ -691,3 +691,35 @@ def test_registry_wide_no_cartesian_products(spark):
         elif bnlj and name not in _BNLJ_WHITELIST:
             offenders[name] = f"unexpected BNLJ x{bnlj}"
     assert not offenders, offenders
+
+
+def test_url_canonicalize_zero_shuffle(spark):
+    # parsing + registrable domain + canonical form are pure regex/array
+    # row expressions — the per-doc projection must compile to a scan
+    # with NO Exchange at all
+    import re
+
+    plan = formatted_plan(run(spark, "url_canonical_parts"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_bloom_probe_broadcasts_the_bitmap(spark):
+    # the door-check filter is <= m/63 rows and must BROADCAST onto the
+    # batch's positions; the corpus-sized stream never shuffles for the
+    # join (only the per-probe bool_and aggregate exchanges)
+    plan = formatted_plan(run(spark, "bloom_dedup_at_door"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_vs_select_is_takeordered(spark):
+    plan = formatted_plan(run(spark, "dsir_select_vs_top100"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_maxmatch_single_word_shuffle(spark):
+    # corpus work is ONE distinct-word aggregate; the greedy regex
+    # encode adds no exchange beyond the word groupBy's pair
+    import re
+
+    plan = formatted_plan(run(spark, "maxmatch_encode_words"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
