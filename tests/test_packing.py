@@ -506,3 +506,56 @@ def test_maxmatch_encode_greedy_longest_first_and_unk(spark):
         maxmatch_encode_words(docs, ("a", "a"))
     with pytest.raises(ValueError, match="non-empty"):
         maxmatch_encode_words(docs, ())
+
+
+def test_maxmatch_property_vs_python_reference(spark):
+    """The regex-alternation trick must equal the textbook greedy
+    longest-match-first loop on arbitrary words/vocabs — the property
+    that justifies implementing a tokenizer as one regexp_replace."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datalakeingestion_spark.operators.packing import (
+        maxmatch_encode_words,
+    )
+
+    def py_maxmatch(word: str, vocab: set[str]) -> tuple[str, bool]:
+        pieces, i, longest = [], 0, max(len(p) for p in vocab)
+        while i < len(word):
+            for ln in range(min(longest, len(word) - i), 0, -1):
+                if word[i : i + ln] in vocab:
+                    pieces.append(word[i : i + ln])
+                    i += ln
+                    break
+            else:
+                return "[UNK]", True
+        return " ".join(pieces), False
+
+    alphabet = "abc1"
+    words_s = st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+    vocab_s = st.sets(
+        st.text(alphabet=alphabet, min_size=1, max_size=3),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(words=words_s, vocab=vocab_s)
+    def check(words, vocab):
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        got = {
+            r["word"]: (r["pieces"], r["is_unk"])
+            for r in maxmatch_encode_words(
+                docs, tuple(sorted(vocab))
+            ).collect()
+        }
+        for w in set(words):
+            assert got[w] == py_maxmatch(w, vocab), (w, sorted(vocab))
+
+    check()
