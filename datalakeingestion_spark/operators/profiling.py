@@ -523,3 +523,94 @@ def gini_from_values(
         F.col("total").cast("long").alias("total"),
         gini.alias("gini"),
     )
+
+
+def column_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Categorical association between two columns — mutual information
+    (nats), the chi-square statistic and Cramér's V, in one row.
+
+    The profiling primitive a curation pass runs BEFORE trusting a
+    grouping: is ``lang`` confounded with ``source`` (so a per-source
+    mix silently skews languages)? does a feature leak the label? V is
+    the 0..1 normalization comparable across tables; MI is the
+    information-theoretic view; chi2 the test statistic.
+
+    Exactness discipline (the entropy/PMI convention): the contingency
+    table is exact integers; each cell's MI/chi2 term is rounded to
+    9 dp and summed as DECIMAL — order-independent and engine-portable;
+    final values round to 6 dp. NULL categories count as a group (both
+    engines agree on GROUP BY NULL). ``cramers_v`` is NULL when either
+    column is constant (the statistic is undefined).
+
+    Scale shape: ONE corpus shuffle builds the (a, b) contingency
+    cells; everything after runs on that metadata-sized frame
+    (cardinality_a x cardinality_b rows — window functions over it are
+    single-partition by design and bounded).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c_ab"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    t = (
+        cells.withColumn("c_a", F.sum("c_ab").over(wa))
+        .withColumn("c_b", F.sum("c_ab").over(wb))
+        .withColumn("n", F.sum("c_ab").over(wall))
+        # collect_set drops NULL — add the NULL category back so a NULL
+        # group counts toward the cardinality like any other value
+        .withColumn(
+            "k_a",
+            F.size(F.collect_set("a").over(wall))
+            + F.max(F.col("a").isNull().cast("int")).over(wall),
+        )
+        .withColumn(
+            "k_b",
+            F.size(F.collect_set("b").over(wall))
+            + F.max(F.col("b").isNull().cast("int")).over(wall),
+        )
+    )
+    e = F.col("c_a").cast("double") * F.col("c_b") / F.col("n")
+    mi_t = F.round(
+        (F.col("c_ab").cast("double") / F.col("n"))
+        * F.log(
+            F.col("c_ab").cast("double")
+            * F.col("n")
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    chi_t = F.round(
+        F.pow(F.col("c_ab") - e, F.lit(2.0)) / e, 9
+    ).cast("decimal(28,9)")
+    # chi-square sums over ALL k_a*k_b cells, including the UNOBSERVED
+    # ones ((0-e)^2/e = e). Rather than materializing the zero cells
+    # (a cross join), use sum_zero(e) = n - sum_observed(e) — expected
+    # counts total n by construction
+    e_t = F.round(e, 9).cast("decimal(28,9)")
+    agg = t.groupBy("n", "k_a", "k_b").agg(
+        F.sum(mi_t).alias("mi_s"),
+        F.sum(chi_t).alias("chi_s"),
+        F.sum(e_t).alias("e_s"),
+    )
+    chi2 = (
+        F.col("chi_s").cast("double")
+        + F.col("n")
+        - F.col("e_s").cast("double")
+    )
+    denom = F.col("n") * (F.least("k_a", "k_b") - F.lit(1))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_a").cast("long").alias("k_a"),
+        F.col("k_b").cast("long").alias("k_b"),
+        F.round(F.col("mi_s").cast("double"), 6).alias("mi"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(
+            F.least("k_a", "k_b") > 1,
+            F.round(F.sqrt(chi2 / denom), 6),
+        ).alias("cramers_v"),
+    )

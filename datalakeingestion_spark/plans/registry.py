@@ -61,8 +61,8 @@ def register(
 # failing. Vintage after r9 (recomputed via tools/rotate_priority.py
 # from the CORRECTNESS files, not remembered): 47 queries last checked
 # r5, 50 each r6/r7/r8/r9. The r10 window = the round-10 additions
-# first, then the stalest r5-vintage queries filling to 50 — with 9 new
-# queries this round, 41 of the 47 r5-vintage fit and 6 overflow to the
+# first, then the stalest r5-vintage queries filling to 50 — with 10 new
+# queries this round, 40 of the 47 r5-vintage fit and 7 overflow to the
 # r11 window (they age to 5 rounds; the policy's ~4-round bound slips by
 # exactly the round's new-query count — tools/rotate_priority.py is the
 # ground truth, this comment is narration). EXACTLY 50 entries: the
@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_dedup_at_door",  # never checked
     "maxmatch_encode_words",  # never checked
     "url_dedup_groups",  # never checked
+    "column_association_source_lang",  # never checked
     "pmi_collocations_top50",  # last green r5
     "kmeans_cluster_profile",  # last green r5
     "source_ngram_overlap_matrix",  # last green r5
@@ -118,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "blocklist_filter_stats",  # last green r5
     "label_prop_knn_majority",  # last green r5
     "frequent_part_pairs_top50",  # last green r5
-    "rfm_segments",  # last green r5
 )
 
 

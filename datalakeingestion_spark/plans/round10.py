@@ -692,3 +692,71 @@ def url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("dup_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# categorical column association (profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_association_source_lang",
+    oracle="""
+    WITH cells AS (SELECT source AS a, lang AS b, COUNT(*)::BIGINT AS c_ab
+                   FROM documents GROUP BY 1, 2),
+    tot AS (SELECT SUM(c_ab)::BIGINT AS n,
+                   -- COUNT(DISTINCT) drops NULL: add the NULL category
+                   (COUNT(DISTINCT a)
+                    + MAX(CASE WHEN a IS NULL THEN 1 ELSE 0 END))::BIGINT
+                       AS k_a,
+                   (COUNT(DISTINCT b)
+                    + MAX(CASE WHEN b IS NULL THEN 1 ELSE 0 END))::BIGINT
+                       AS k_b
+            FROM cells),
+    ma AS (SELECT a, SUM(c_ab)::BIGINT AS c_a FROM cells GROUP BY 1),
+    mb AS (SELECT b, SUM(c_ab)::BIGINT AS c_b FROM cells GROUP BY 1),
+    terms AS (
+      SELECT n, k_a, k_b,
+             CAST(round((c_ab::DOUBLE / n)
+                  * ln(c_ab::DOUBLE * n / (c_a::DOUBLE * c_b)), 9)
+                  AS DECIMAL(28,9)) AS mi_t,
+             CAST(round(POWER(c_ab - c_a::DOUBLE * c_b / n, 2)
+                  / (c_a::DOUBLE * c_b / n), 9)
+                  AS DECIMAL(28,9)) AS chi_t,
+             -- unobserved cells contribute (0-e)^2/e = e; their total
+             -- is n - sum_observed(e) (expected counts sum to n)
+             CAST(round(c_a::DOUBLE * c_b / n, 9)
+                  AS DECIMAL(28,9)) AS e_t
+      FROM cells
+      JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+      JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
+      CROSS JOIN tot)
+    SELECT n, k_a, k_b,
+           round(CAST(SUM(mi_t) AS DOUBLE), 6) AS mi,
+           round(CAST(SUM(chi_t) AS DOUBLE) + n
+                 - CAST(SUM(e_t) AS DOUBLE), 6) AS chi2,
+           CASE WHEN least(k_a, k_b) > 1
+                THEN round(sqrt((CAST(SUM(chi_t) AS DOUBLE) + n
+                     - CAST(SUM(e_t) AS DOUBLE))
+                     / (n * (least(k_a, k_b) - 1))), 6)
+                END AS cramers_v
+    FROM terms GROUP BY n, k_a, k_b
+    """,
+    doc="Categorical association between source and lang "
+    "(operators/profiling.py::column_association): mutual information "
+    "(nats), chi-square and Cramér's V from the exact contingency "
+    "table — the is-my-grouping-confounded check a curation pass runs "
+    "before trusting a per-source mixture (a high V means sampling by "
+    "source silently skews languages; the same primitive detects a "
+    "feature leaking the label). ONE corpus shuffle builds the cells; "
+    "all statistics run on the cardinality_a x cardinality_b frame. "
+    "Per-cell terms round to 9 dp and sum as exact decimals "
+    "(order-independent, engine-portable — the entropy/PMI convention).",
+)
+def column_association_source_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.profiling import column_association
+
+    docs = load_table(spark, sf_dir, "documents")
+    return column_association(docs, "source", "lang")

@@ -231,3 +231,42 @@ def test_gini_ungrouped_matches_grouped(spark):
     assert (row["n"], row["total"], row["gini"]) == (
         len(vals), sum(vals), _py_gini(vals),
     )
+
+
+def test_column_association_known_cases(spark):
+    import math
+
+    from datalakeingestion_spark.operators.profiling import (
+        column_association,
+    )
+
+    # perfect association: b is a function of a (2x2, balanced)
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    r = column_association(perfect, "a", "b").collect()[0]
+    assert (r["n"], r["k_a"], r["k_b"]) == (10, 2, 2)
+    assert r["cramers_v"] == 1.0
+    assert r["mi"] == round(math.log(2), 6)  # H(b) = ln 2, fully shared
+
+    # independence: every (a, b) cell equal -> MI 0, chi2 0, V 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    r = column_association(indep, "a", "b").collect()[0]
+    assert r["mi"] == 0.0 and r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+    # constant column: V undefined -> NULL, MI 0
+    const = spark.createDataFrame(
+        [("x", "p"), ("y", "p")], "a string, b string"
+    )
+    r = column_association(const, "a", "b").collect()[0]
+    assert r["cramers_v"] is None and r["mi"] == 0.0
+
+    # NULL categories count as a group on both engines
+    withnull = spark.createDataFrame(
+        [("x", None)] * 3 + [("y", "p")] * 3, "a string, b string"
+    )
+    r = column_association(withnull, "a", "b").collect()[0]
+    assert (r["k_a"], r["k_b"], r["cramers_v"]) == (2, 2, 1.0)
