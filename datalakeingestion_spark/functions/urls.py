@@ -107,8 +107,10 @@ def canonical_url(col: Column | str) -> Column:
     """Canonical form for URL-level dedup / grouping.
 
     Lower-cases scheme and host, strips ``www.``, drops default ports
-    (80/http, 443/https), removes the trailing slash from non-root
-    paths, drops the fragment, drops tracking parameters
+    (80/http, 443/https), strips the trailing slash from ALL paths
+    including the root (``https://x.com/`` and ``https://x.com``
+    collapse into one canonical group — oracle parity pins this),
+    drops the fragment, drops tracking parameters
     (:data:`TRACKING_PARAM_REGEX`) and sorts the surviving query
     parameters so param order never splits a group.
     """

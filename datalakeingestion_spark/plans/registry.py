@@ -55,70 +55,68 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01–r09 — every one of
-# the 247 queries registered through round 9 has been externally
+# position. Checked-green history: CORRECTNESS_r01–r10 — every one of
+# the 257 queries registered through round 10 has been externally
 # hash-checked green at least once, and no query's LATEST check is
-# failing. Vintage after r9 (recomputed via tools/rotate_priority.py
-# from the CORRECTNESS files, not remembered): 47 queries last checked
-# r5, 50 each r6/r7/r8/r9. The r10 window = the round-10 additions
-# first, then the stalest r5-vintage queries filling to 50 — with 10 new
-# queries this round, 40 of the 47 r5-vintage fit and 7 overflow to the
-# r11 window (they age to 5 rounds; the policy's ~4-round bound slips by
-# exactly the round's new-query count — tools/rotate_priority.py is the
-# ground truth, this comment is narration). EXACTLY 50 entries: the
-# driver checks positions 0-49 and test_parity.py pins the tuple length
-# to the checked window).
+# failing. Vintage after r10 (recomputed via tools/rotate_priority.py
+# from the CORRECTNESS files, not remembered): 7 queries last checked
+# r5, 50 each r6/r7/r8/r9/r10. The r11 window = any round-11 additions
+# first, then the 7 remaining r5-vintage, then the oldest r6-vintage
+# filling to 50 (tools/rotate_priority.py is the ground truth, this
+# comment is narration). EXACTLY 50 entries: the driver checks
+# positions 0-49 and test_parity.py pins the tuple length to the
+# checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "dsir_weights_vs_tables",  # never checked
-    "dsir_select_vs_top100",  # never checked
-    "entity_resolution_merge",  # never checked
-    "ivf_trained_recall_delta",  # never checked
-    "url_canonical_parts",  # never checked
-    "domain_quality_rollup",  # never checked
-    "bloom_dedup_at_door",  # never checked
-    "maxmatch_encode_words",  # never checked
-    "url_dedup_groups",  # never checked
-    "column_association_source_lang",  # never checked
-    "pmi_collocations_top50",  # last green r5
-    "kmeans_cluster_profile",  # last green r5
-    "source_ngram_overlap_matrix",  # last green r5
-    "dedup_incremental_vs_lake",  # last green r5
-    "cdc_shared_chunk_fraction",  # last green r5
-    "pca_embedding_contract",  # last green r5
-    "ann_pca_rerank_topk",  # last green r5
-    "zipf_alpha_fit",  # last green r5
-    "embedding_centroid_outliers",  # last green r5
-    "containment_quote_pairs",  # last green r5
-    "quality_logistic_score",  # last green r5
-    "curation_pipeline_v2",  # last green r5
-    "tokenize_to_ids",  # last green r5
-    "quality_by_source_rollup",  # last green r5
-    "sample_negatives_contrastive",  # last green r5
-    "label_centroid_similarity",  # last green r5
-    "winnowing_fingerprint_pairs",  # last green r5
-    "bpe_pair_stats_top50",  # last green r5
-    "psi_price_drift",  # last green r5
-    "dedup_ratio_by_source",  # last green r5
-    "audio_pcm_clip_stats",  # last green r5
-    "dedup_sorted_neighborhood",  # last green r5
-    "mv_incremental_revenue",  # last green r5
-    "mv_retraction_consistency",  # last green r5
-    "pagerank_trade_graph_3iter",  # last green r5
-    "zorder_skipping_report",  # last green r5
-    "trigram_backoff_score",  # last green r5
-    "mix_corpora_temperature_half",  # last green r5
-    "sketch_kmv_union_intersect",  # last green r5
-    "compaction_plan_daily",  # last green r5
-    "retention_cohorts",  # last green r5
-    "event_transition_matrix",  # last green r5
-    "decayed_event_score",  # last green r5
-    "ols_price_quantity_by_flag",  # last green r5
-    "mad_outliers_by_flag",  # last green r5
-    "table_checksum_diff_blocks",  # last green r5
-    "oov_rate_by_source",  # last green r5
-    "blocklist_filter_stats",  # last green r5
-    "label_prop_knn_majority",  # last green r5
-    "frequent_part_pairs_top50",  # last green r5
+    "rfm_segments",  # last green r5
+    "exact_quantiles_price_by_flag",  # last green r5
+    "sample_balanced_length_deciles",  # last green r5
+    "join_size_profile_orders_lineitem",  # last green r5
+    "quantile_map_nchars_by_source",  # last green r5
+    "anomalous_event_days",  # last green r5
+    "image_ppm_pixel_stats",  # last green r5
+    "sample_weighted_aes_top50",  # last green r6
+    "supplier_reliability_wilson",  # last green r6
+    "event_hourly_seasonality",  # last green r6
+    "heatmap_price_qty_deciles",  # last green r6
+    "triangle_count_coorder_parts",  # last green r6
+    "cumulative_distinct_users_daily",  # last green r6
+    "split_group_holdout",  # last green r6
+    "t10_stream_stream_join",  # last green r6
+    "matryoshka_rerank_topk",  # last green r6
+    "brand_revenue_yoy",  # last green r6
+    "token_gini_by_source",  # last green r6
+    "lexical_diversity_by_source",  # last green r6
+    "silhouette_by_label",  # last green r6
+    "conversion_attribution_last_touch",  # last green r6
+    "ks_drift_by_source",  # last green r6
+    "funnel_signup_click_purchase",  # last green r6
+    "active_users_trailing_7d",  # last green r6
+    "lsh_candidate_precision",  # last green r6
+    "referential_integrity_audit",  # last green r6
+    "effective_tokens_by_source",  # last green r6
+    "embedding_drift_halves",  # last green r6
+    "forward_fill_values",  # last green r6
+    "clustering_coefficient_parts",  # last green r6
+    "expectations_orders_contract",  # last green r6
+    "revenue_pareto_deciles",  # last green r6
+    "lang_consistency_by_source",  # last green r6
+    "sql_api_revenue_by_status",  # last green r6
+    "pagerank_personalized_suppliers",  # last green r6
+    "skipgram_pairs_top50",  # last green r6
+    "retention_cohort_revenue",  # last green r6
+    "multi_touch_attribution_linear",  # last green r6
+    "lsh_threshold_sweep",  # last green r6
+    "session_funnel_stages",  # last green r6
+    "multi_touch_attribution_decay",  # last green r6
+    "q4_order_priority_exists",  # last green r6
+    "q10_returned_items",  # last green r6
+    "q14_promo_revenue",  # last green r6
+    "q18_large_volume_orders",  # last green r6
+    "q19_disjunctive_join",  # last green r6
+    "q7_nation_volume",  # last green r6
+    "q12_priority_shipping",  # last green r6
+    "q13_order_count_distribution",  # last green r6
+    "q22_global_sales_opportunity",  # last green r6
 )
 
 

@@ -540,7 +540,9 @@ def _register_bloom_door() -> None:
           WHERE doc_id % 7 = 3
         ),
         truth AS (SELECT p.probe_id,
-                         p.text IN (SELECT text FROM documents) AS is_member,
+                         COALESCE(p.text, '') IN
+                             (SELECT COALESCE(text, '') FROM documents)
+                             AS is_member,
                          md5(COALESCE(p.text, '')) AS fp
                   FROM probes p),
         ppos AS (SELECT probe_id, {hpos} % {_BLOOM_M} AS p
@@ -584,11 +586,18 @@ def _register_bloom_door() -> None:
         flags = bloom_probe(
             probes, bloom, _BLOOM_M, _BLOOM_K, id_col="probe_id"
         )
-        membership = probes.join(
-            docs.select("text").distinct().withColumn(
-                "__m", F.lit(True)
-            ),
-            "text",
+        # NULL-safe membership: key on coalesce(text, '') on BOTH sides,
+        # mirroring the fingerprint's md5(coalesce(text, '')) discipline —
+        # a NULL-text probe must compare equal to a NULL-text lake row,
+        # not drop out of the equi-join (IN yields NULL, not FALSE, for
+        # NULL probes in SQL, so the oracle coalesces too).
+        membership = probes.withColumn(
+            "__t", F.coalesce(F.col("text"), F.lit(""))
+        ).join(
+            docs.select(
+                F.coalesce(F.col("text"), F.lit("")).alias("__t")
+            ).distinct().withColumn("__m", F.lit(True)),
+            "__t",
             "left",
         ).select(
             "probe_id",

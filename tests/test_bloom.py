@@ -93,3 +93,44 @@ def test_bloom_merge_equals_union_build(spark):
         for r in bloom_probe(b, merged, m, k).collect()
     }
     assert all(flags.values())
+
+
+def test_bloom_door_query_null_text_parity(spark, tmp_path):
+    """ADVICE r10: the bloom_dedup_at_door membership check must treat a
+    NULL-text probe as a member of a NULL-text lake (COALESCE on both the
+    Spark join key and the oracle's IN), mirroring the fingerprint's
+    md5(coalesce(text, '')) no-false-negative discipline. Pin it with a
+    NULL-text row in BOTH probe slices (doc_id%7==0 re-delivered,
+    doc_id%7==3 perturbed) and full Spark-vs-DuckDB parity."""
+    import duckdb
+
+    from datalakeingestion_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    from .conftest import assert_matches_oracle
+
+    _ensure_loaded()
+    rows = [(i, f"doc body {i}") for i in range(40)]
+    rows[7] = (7, None)   # %7==0 slice: NULL text re-delivered verbatim
+    rows[10] = (10, None)  # %7==3 slice: NULL || ' ##fresh' stays NULL
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    qd = REGISTRY["bloom_dedup_at_door"]
+    got = {
+        r["probe_id"]: (r["is_member"], r["maybe_dup"])
+        for r in qd.fn(spark, sf).collect()
+    }
+    # the NULL-text re-delivery: member AND flagged (no false negative)
+    assert got[7] == (True, True)
+    # the NULL-perturbed probe degenerates to NULL -> fingerprint of ''
+    # which IS in the lake (row 7), so both engines must say member+dup
+    assert got[10] == (True, True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(qd.fn(spark, sf), con, qd.oracle, "bloom_door_null")
