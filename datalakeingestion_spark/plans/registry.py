@@ -67,6 +67,7 @@ def register(
 # positions 0-49 and test_parity.py pins the tuple length to the
 # checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "training_shard_manifest",  # never checked
     "rfm_segments",  # last green r5
     "exact_quantiles_price_by_flag",  # last green r5
     "sample_balanced_length_deciles",  # last green r5
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",  # last green r6
     "q12_priority_shipping",  # last green r6
     "q13_order_count_distribution",  # last green r6
-    "q22_global_sales_opportunity",  # last green r6
 )
 
 
@@ -171,6 +171,7 @@ def _ensure_loaded() -> None:
         round9,
         round9b,
         round10,
+        round11,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

@@ -1,0 +1,117 @@
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _sharded(spark, n_docs, budget=64, shard_budget=256, tok=None):
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.operators.shards import assign_shards
+
+    tok = tok or (lambda i: 7 + (i * 13) % 50)
+    sized = spark.createDataFrame(
+        [(i, tok(i)) for i in range(n_docs)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(sized, token_budget=budget)
+    return assign_shards(packed, shard_token_budget=shard_budget)
+
+
+@pytest.mark.smoke
+def test_shard_write_is_idempotent_and_incremental(spark, tmp_path):
+    """The delivery contract: a re-run over identical input rewrites
+    NOTHING; an append rewrites only the tail shards whose content
+    changed (packing is prefix-sum deterministic, so appended doc_ids
+    never disturb earlier shards)."""
+    from datalakeingestion_spark.operators.shards import (
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    first = write_training_shards(_sharded(spark, 120), path)
+    assert first["written"] and not first["skipped"] and not first["vacuumed"]
+    m1 = {
+        r["shard_id"]: r for r in read_shard_manifest(spark, path).collect()
+    }
+
+    # replay: byte-identical input -> no shard rewritten, manifest equal
+    again = write_training_shards(_sharded(spark, 120), path)
+    assert again["written"] == []
+    assert again["skipped"] == sorted(m1)
+    assert again["vacuumed"] == []
+    m2 = {
+        r["shard_id"]: r for r in read_shard_manifest(spark, path).collect()
+    }
+    assert m1 == m2
+
+    # append 40 docs: earlier shards untouched, only tail + new rewritten
+    grown = write_training_shards(_sharded(spark, 160), path)
+    assert grown["written"]
+    assert grown["vacuumed"] == []
+    untouched = set(grown["skipped"])
+    assert untouched  # some prefix survived
+    assert max(untouched) < min(grown["written"])  # strictly tail-only
+    m3 = read_shard_manifest(spark, path)
+    for s in untouched:
+        assert m1[s] == [r for r in m3.collect() if r["shard_id"] == s][0]
+
+    # directory tree == manifest: every shard dir exists, data matches
+    data = spark.read.parquet(f"{path}/data")
+    counts = {
+        r["shard_id"]: r["n"]
+        for r in data.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        r["shard_id"]: r["n_docs"] for r in m3.collect()
+    }
+    assert data.count() == 160
+
+
+def test_shard_shrink_vacuums_stale_directories(spark, tmp_path):
+    from datalakeingestion_spark.operators.shards import (
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_training_shards(_sharded(spark, 160), path)
+    shrunk = write_training_shards(_sharded(spark, 60), path)
+    assert shrunk["vacuumed"]
+    live = {
+        r["shard_id"] for r in read_shard_manifest(spark, path).collect()
+    }
+    on_disk = {
+        int(p.name.split("=")[1])
+        for p in (Path(path) / "data").iterdir()
+        if p.name.startswith("shard_id=")
+    }
+    assert on_disk == live
+    assert spark.read.parquet(f"{path}/data").count() == 60
+
+
+def test_shard_assignment_conserves_tokens_and_validates(spark):
+    from datalakeingestion_spark.operators.shards import (
+        assign_shards,
+        shard_manifest,
+    )
+
+    sharded = _sharded(spark, 120)
+    man = shard_manifest(sharded)
+    total = man.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")
+    ).collect()[0]
+    assert total["t"] == sum(7 + (i * 13) % 50 for i in range(120))
+    assert total["d"] == 120
+    # sequences never straddle shards
+    straddle = (
+        sharded.groupBy("seq_id")
+        .agg(F.countDistinct("shard_id").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    with pytest.raises(ValueError, match="positive"):
+        assign_shards(sharded, 0)
