@@ -193,6 +193,179 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    assign_n: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train once, persist the IVF index — the production shape of
+    ``ivf_topk`` (which retrains and re-assigns the corpus per call,
+    fine for a one-shot query, fatal at 100 TB where the corpus scan is
+    the dominant cost).
+
+    Layout at ``index_path``:
+
+    - ``centroids/``  (cell, dim, value) — the trained coarse quantizer,
+      k×dim rows (driver-scale metadata);
+    - ``cells/``      (neighbor_id, c_vec, c_norm), parquet PARTITIONED
+      by ``cell`` — one directory per inverted list;
+    - ``meta/``       one row (n_centroids, assign_n, id_col, vec_col)
+      so probe/append can never desynchronize from the build config.
+
+    The cells table is directory-PARTITIONED by cell rather than
+    bucketed (contrast ``dedup.build_dedup_index``, which buckets on
+    band_sig): the cell key's cardinality is exactly ``n_centroids`` —
+    bounded and known — so partition pruning at file-listing time gives
+    each probe its nprobe inverted lists for free (plan shows
+    ``PartitionFilters: cell IN (...)``; pinned in
+    tests/test_ivf_maintenance.py), and per-batch appends are plain new
+    files inside existing cell directories with no metastore bucketing
+    spec to keep in sync. band_sig has unbounded cardinality, so the
+    dedup index NEEDS hash bucketing; a cell id does not.
+
+    Returns the trained centroid matrix (k×dim float64).
+    """
+    centroids = train_centroids(
+        embeddings, n_centroids, iters, id_col, vec_col
+    )
+    spark = embeddings.sparkSession
+    k, dim = centroids.shape
+    spark.createDataFrame(
+        [
+            (int(c), int(d), float(centroids[c, d]))
+            for c in range(k)
+            for d in range(dim)
+        ],
+        "cell int, dim int, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [(n_centroids, assign_n, id_col, vec_col)],
+        "n_centroids int, assign_n int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    _write_cells(embeddings, index_path, centroids, assign_n, id_col,
+                 vec_col, mode="overwrite")
+    return centroids
+
+
+def _write_cells(
+    embeddings, index_path, centroids, assign_n, id_col, vec_col, mode
+):
+    """Assign vectors to their assign_n nearest cells and write the
+    inverted lists — single source of the cell-table schema for build
+    (overwrite) and append."""
+    from .similarity import _norm
+
+    (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+            F.explode(
+                _topcells_udf(centroids, assign_n)(F.col(vec_col))
+            ).alias("cell"),
+        )
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+
+
+def read_ivf_index(spark, index_path: str):
+    """(centroids k×dim float64, meta row) from a stored index."""
+    rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    k = 1 + max(r["cell"] for r in rows)
+    dim = 1 + max(r["dim"] for r in rows)
+    centroids = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        centroids[r["cell"], r["dim"]] = r["value"]
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    return centroids, meta
+
+
+def append_ivf_index(batch: DataFrame, index_path: str) -> None:
+    """Per-batch index maintenance: assign an ingested batch against the
+    STORED centroids (no retraining — the quantizer stays fixed between
+    rebuilds, FAISS-style) and append its inverted-list rows. Appending
+    to a cell-partitioned table is new files in existing directories;
+    probes see the union immediately. Rebuild with ``build_ivf_index``
+    when drift makes the frozen centroids stale (the
+    ``kmeans_profile`` coherence contract is the drift signal)."""
+    centroids, meta = read_ivf_index(batch.sparkSession, index_path)
+    _write_cells(
+        batch,
+        index_path,
+        centroids,
+        int(meta["assign_n"]),
+        meta["id_col"],
+        meta["vec_col"],
+        mode="append",
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF index: identical semantics to ``ivf_topk``
+    (same kernel, same rounding, same tie-breaks) but the corpus side is
+    the persisted inverted lists — ZERO corpus-side Exchange, and
+    partition pruning reads only the probed cells' directories.
+
+    The probed-cell set is collected driver-side to drive partition
+    pruning — bounded by min(n_queries × nprobe, n_centroids), and a
+    query set is small by design (it broadcasts in the score join).
+    """
+    from .similarity import _dot, _norm
+
+    centroids, meta = read_ivf_index(spark, index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(_topcells_udf(centroids, nprobe)(F.col(vec_col))).alias(
+            "cell"
+        ),
+    ).localCheckpoint(eager=False)  # cells consumed twice: prune + join
+    probe_cells = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    corpus = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    if int(meta["assign_n"]) > 1:
+        scored = scored.distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def kmeans_profile(
     embeddings: DataFrame,
     k: int = 8,

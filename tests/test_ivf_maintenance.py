@@ -141,3 +141,93 @@ def test_kmeans_profile_contract(spark):
     assert row.clusters_ok and row.coherence_ok
     strict = kmeans_profile(emb, k=8, iters=5, min_coherence_lift=0.99).first()
     assert not strict.coherence_ok
+
+
+@pytest.mark.smoke
+def test_stored_ivf_index_probe_matches_inline(spark, tmp_path):
+    """Persistence is a pure plan optimization: the stored-index probe
+    returns the EXACT (query, neighbor, cosine) set of inline ivf_topk
+    at the same config (deterministic trainer + shared kernel)."""
+    from datalakeingestion_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk_stored,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    cfg = dict(n_centroids=16, iters=2, assign_n=2)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, **cfg)
+    stored = ivf_topk_stored(spark, q, path, k=10, nprobe=6)
+    inline = ivf_topk(emb, q, k=10, nprobe=6, **cfg)
+    assert {tuple(r) for r in stored.collect()} == {
+        tuple(r) for r in inline.collect()
+    }
+
+
+def test_stored_ivf_probe_prunes_to_probed_cells(spark, tmp_path):
+    """The scale story: a probe READS only its nprobe cells' inverted
+    lists (partition pruning at file listing) and the corpus side joins
+    broadcast — no Exchange between the cells scan and the join."""
+    from datalakeingestion_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk_stored,
+        read_ivf_index,
+        _topcells_udf,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16, iters=1, assign_n=1)
+    centroids, _ = read_ivf_index(spark, path)
+    probed = {
+        c
+        for r in q.select(
+            F.explode(_topcells_udf(centroids, 2)(F.col("embedding")))
+        ).collect()
+        for c in [r[0]]
+    }
+    result = ivf_topk_stored(spark, q, path, k=5, nprobe=2)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # the cells FileScan carries a static partition filter with EXACTLY
+    # the probed cell ids — file listing skips every other cell dir
+    # (DataFrame.inputFiles() can't pin this: it lists the FileIndex
+    # before pruning)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    pruned_to = {int(x) for x in m.group(1).split(",")}
+    assert pruned_to == probed  # nothing outside the probed cells is read
+    assert len(pruned_to) < 16  # pruning really skipped cells
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_append_ivf_index_frozen_quantizer(spark, tmp_path):
+    """Append assigns against the STORED centroids (no retraining) and
+    the probe sees old+new rows immediately."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_stored,
+        read_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    path = str(tmp_path / "ivf")
+    c0 = build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8, iters=1
+    )
+    before = spark.read.parquet(f"{path}/cells").count()
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    c1, meta = read_ivf_index(spark, path)
+    assert (np.asarray(c0) == c1).all()  # quantizer frozen by append
+    after = spark.read.parquet(f"{path}/cells").count()
+    assert after > before
+    got = ivf_topk_stored(spark, emb.filter(F.col("vec_id") < 3), path, k=10,
+                          nprobe=4)
+    ids = {r["neighbor_id"] for r in got.collect()}
+    assert any(i % 2 == 1 for i in ids)  # appended half is probe-visible
