@@ -526,6 +526,12 @@ def _register_bloom_door() -> None:
 
     @register(
         "bloom_dedup_at_door",
+        # bench=True: r11 adds the first r9-r10-family (ER/web/Bloom)
+        # query to the headline set so its perf can regress visibly
+        # (VERDICT r10 item #5). Warm median at sf0.1 when added:
+        # 0.72 s; 16-query total 4.36 s, 17-query total recorded in
+        # NOTES_r12.md so ratios stay comparable.
+        bench=True,
         oracle=f"""
         WITH lakefp AS (SELECT md5(COALESCE(text, '')) AS fp FROM documents),
         lpos AS (SELECT {hpos} % {_BLOOM_M} AS p
