@@ -69,6 +69,7 @@ def register(
 DRIVER_PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",  # never checked
     "ivf_stored_index_contract",  # never checked
+    "unigram_train_top50",  # never checked
     "rfm_segments",  # last green r5
     "exact_quantiles_price_by_flag",  # last green r5
     "sample_balanced_length_deciles",  # last green r5
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_orders",  # last green r6
     "q19_disjunctive_join",  # last green r6
     "q7_nation_volume",  # last green r6
-    "q12_priority_shipping",  # last green r6
 )
 
 

@@ -170,3 +170,137 @@ def ivf_stored_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(stored == inline)).alias("stored_matches_inline"),
         F.lit(bool(recall >= 0.75)).alias("appended_recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — Viterbi hard-EM
+# ---------------------------------------------------------------------------
+
+_UNI_LMAX = 4
+_UNI_WMAX = 12
+_UNI_ITERS = 2
+_UNI_TOP = 50
+
+
+def _unigram_oracle_sql() -> str:
+    """DuckDB twin of operators/unigram.py::train_unigram, generated from
+    the SAME constants: both EM iterations and each iteration's Viterbi
+    DP (positions 1..wmax) and backtrace (<= wmax steps) unrolled as
+    MATERIALIZED CTEs. MATERIALIZED is load-bearing: u_k references
+    u_{k-1} twice (directly and through d_k), so naive inlining expands
+    the base scan exponentially."""
+    lmax, wmax, iters, top = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS, _UNI_TOP
+    parts = [
+        f"""
+w AS MATERIALIZED (
+  SELECT w AS word, COUNT(*)::BIGINT AS f
+  FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
+  WHERE len(w) <= {wmax}
+  GROUP BY w
+),
+sub AS MATERIALIZED (
+  SELECT word, f, l, substr(word, s, l) AS piece,
+         s - 1 AS j, s + l - 1 AS i
+  FROM w, range(1, {wmax} + 1) ts(s), range(1, {lmax} + 1) tl(l)
+  WHERE s + l <= len(word) + 1
+),
+chars AS (SELECT DISTINCT piece FROM sub WHERE l = 1),
+vocab0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM sub GROUP BY piece
+)"""
+    ]
+    prev = "vocab0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+tot{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
+cost{t} AS (SELECT piece,
+                   CAST(round(1e6 * ln(total / cnt)) AS BIGINT) AS cost
+            FROM {prev} CROSS JOIN tot{t}),
+e{t} AS MATERIALIZED (
+  SELECT s.word, s.j, s.i, s.piece, c.cost
+  FROM sub s JOIN cost{t} c ON c.piece = s.piece),
+u{t}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM w)""")
+        for k in range(1, wmax + 1):
+            parts.append(f"""
+d{t}_{k} AS MATERIALIZED (
+  SELECT e.word, {k} AS pos, MIN(d.best + e.cost) AS best
+  FROM e{t} e JOIN u{t}_{k - 1} d ON d.word = e.word AND d.pos = e.j
+  WHERE e.i = {k} GROUP BY e.word),
+u{t}_{k} AS MATERIALIZED (
+  SELECT * FROM u{t}_{k - 1} UNION ALL SELECT * FROM d{t}_{k})""")
+        parts.append(f"""
+bt{t}_0 AS MATERIALIZED (
+  SELECT word, len(word) AS pos, CAST(NULL AS VARCHAR) AS piece,
+         CAST(0 AS BIGINT) AS fw
+  FROM w)""")
+        for m in range(1, wmax + 1):
+            parts.append(f"""
+bt{t}_{m} AS MATERIALIZED (
+  SELECT word, j AS pos, piece, fw FROM (
+    SELECT b.word, e.j, e.piece, ww.f AS fw,
+           row_number() OVER (PARTITION BY b.word ORDER BY e.j ASC) AS rn
+    FROM bt{t}_{m - 1} b
+    JOIN e{t} e ON e.word = b.word AND e.i = b.pos
+    JOIN u{t}_{wmax} d ON d.word = b.word AND d.pos = e.j
+    JOIN u{t}_{wmax} df ON df.word = b.word AND df.pos = b.pos
+    JOIN w ww ON ww.word = b.word
+    WHERE b.pos > 0 AND d.best + e.cost = df.best
+  ) WHERE rn = 1
+)""")
+        union = "\n    UNION ALL ".join(
+            f"SELECT word, piece, fw FROM bt{t}_{m} WHERE piece IS NOT NULL"
+            for m in range(1, wmax + 1)
+        )
+        parts.append(f"""
+used{t} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(fw) AS BIGINT) AS cnt
+  FROM ({union}) GROUP BY piece),
+vocab{t} AS MATERIALIZED (
+  SELECT piece, cnt FROM used{t}
+  UNION ALL
+  SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
+  WHERE c.piece NOT IN (SELECT piece FROM used{t})
+)""")
+        prev = f"vocab{t}"
+    parts.append(f"""
+totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
+outp AS (SELECT piece, cnt AS n_uses,
+                CAST(round(1e6 * ln(total / cnt)) AS BIGINT)
+                    AS cost_micro_nats
+         FROM {prev} CROSS JOIN totf)""")
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT piece, n_uses, cost_micro_nats FROM outp "
+        f"ORDER BY n_uses DESC, piece ASC LIMIT {top}"
+    )
+
+
+@register(
+    "unigram_train_top50",
+    oracle=_unigram_oracle_sql(),
+    doc="Unigram-LM (SentencePiece-style) tokenizer trainer, Viterbi "
+    "hard-EM (operators/unigram.py::train_unigram): seed vocab = all "
+    f"substrings (len <= {_UNI_LMAX}) of the corpus's distinct words; "
+    f"{_UNI_ITERS} EM iterations of minimum-cost segmentation "
+    "(integer micro-nat costs — the DP is exact BIGINT arithmetic; the "
+    "one ln() per piece is rounded at 0.5-micro-nat absolute precision, "
+    "~7 orders above libm ulp drift) + re-count + prune, single chars "
+    "floored at 1 for coverage. Corpus pays ONE distinct-word shuffle; "
+    "everything else runs on vocab-sized frames (Arrow-batch Viterbi "
+    "over distinct WORDS with the cost dict in closure). Oracle unrolls "
+    "both iterations' DP+backtrace as MATERIALIZED CTEs; a pure-Python "
+    "twin pins the math in tests/test_unigram.py. Completes the "
+    "tokenizer-family triad beside BPE and MaxMatch.",
+)
+def unigram_train_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import train_unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs,
+        lmax=_UNI_LMAX,
+        wmax=_UNI_WMAX,
+        iters=_UNI_ITERS,
+        top=_UNI_TOP,
+    )

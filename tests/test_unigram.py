@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _twin(word_freq: dict[str, int], lmax=4, wmax=12, iters=2):
+    """Textbook Viterbi hard-EM unigram trainer — the independent
+    reference implementation pinning operators/unigram.py's math."""
+    words = {w: f for w, f in word_freq.items() if len(w) <= wmax}
+    vocab: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, f in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(lmax, len(w) - s) + 1):
+                vocab[w[s : s + l]] = vocab.get(w[s : s + l], 0) + f
+                if l == 1:
+                    chars.add(w[s])
+    for _ in range(iters):
+        total = sum(vocab.values())
+        cost = {
+            p: math.floor(1e6 * math.log(total / c) + 0.5)
+            for p, c in vocab.items()
+        }
+        used: dict[str, int] = {}
+        for w, f in words.items():
+            n = len(w)
+            dp = [0] + [float("inf")] * n
+            for i in range(1, n + 1):
+                for l in range(1, min(lmax, i) + 1):
+                    c = cost.get(w[i - l : i])
+                    if c is not None and dp[i - l] + c < dp[i]:
+                        dp[i] = dp[i - l] + c
+            pos = n
+            while pos > 0:
+                for j in range(max(0, pos - lmax), pos):
+                    c = cost.get(w[j:pos])
+                    if c is not None and dp[j] + c == dp[pos]:
+                        used[w[j:pos]] = used.get(w[j:pos], 0) + f
+                        pos = j
+                        break
+        vocab = dict(used)
+        for ch in chars:
+            vocab.setdefault(ch, 1)
+    total = sum(vocab.values())
+    return sorted(
+        (
+            (p, c, math.floor(1e6 * math.log(total / c) + 0.5))
+            for p, c in vocab.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+
+@pytest.mark.smoke
+def test_unigram_trainer_matches_python_twin(spark):
+    from datalakeingestion_spark.operators.unigram import train_unigram
+
+    corpus = (
+        ["the unhappiness of the union"] * 3
+        + ["repartition the union stream"] * 2
+        + ["unhappy repartition"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wf: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    got = [tuple(r) for r in train_unigram(docs).collect()]
+    assert got == _twin(wf)
+    # pruning happened: the surviving vocab is smaller than the seed
+    seed = {
+        w[s : s + l]
+        for w in wf
+        for s in range(len(w))
+        for l in range(1, min(4, len(w) - s) + 1)
+    }
+    assert len(got) < len(seed)
+    # coverage rule: every character of every training word survives
+    assert {c for w in wf for c in w} <= {p for p, _, _ in got}
+
+
+def test_unigram_costs_order_consistent(spark):
+    """cost is a strictly decreasing function of count: more-used pieces
+    are never more expensive (sanity of the integer micro-nat mapping)."""
+    from datalakeingestion_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(i, "abab abc bc") for i in range(4)], "doc_id long, text string"
+    )
+    rows = train_unigram(docs).collect()
+    by_cnt = sorted(rows, key=lambda r: -r["n_uses"])
+    for a, b in zip(by_cnt, by_cnt[1:]):
+        if a["n_uses"] > b["n_uses"]:
+            assert a["cost_micro_nats"] < b["cost_micro_nats"]
+        elif a["n_uses"] == b["n_uses"]:
+            assert a["cost_micro_nats"] == b["cost_micro_nats"]
+
+
+def test_unigram_long_words_excluded_from_training(spark):
+    from datalakeingestion_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(1, "short extraordinarilylongword short")],
+        "doc_id long, text string",
+    )
+    pieces = {r["piece"] for r in train_unigram(docs, wmax=8).collect()}
+    # nothing from the 25-char word leaked into the vocab: every piece
+    # is a substring of the one training-eligible word
+    assert pieces and all(p in "short" for p in pieces)
