@@ -147,11 +147,22 @@ def ivf_topk(
     Output schema matches ``similarity.cosine_topk``:
     (query_id, neighbor_id, cosine), cosine rounded to 6 dp, ties by id.
     """
-    from .similarity import _dot, _norm
-
     centroids = train_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    corpus = _corpus_cells(embeddings, centroids, assign_n, id_col, vec_col)
+    q = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+    # with assign_n=1 cells are disjoint and a distinct would be a pure
+    # extra shuffle; multi-assignment can surface a pair through several
+    # shared cells, so it dedups before ranking
+    return _score_topk(corpus, q, k, dedup=assign_n > 1)
 
-    corpus = embeddings.select(
+
+def _corpus_cells(embeddings, centroids, assign_n, id_col, vec_col):
+    """Corpus side of the IVF join — (neighbor_id, c_vec, c_norm, cell).
+    Single source for the inline probe AND the persisted index's cell
+    table, so the two can never drift."""
+    from .similarity import _norm
+
+    return embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
@@ -159,7 +170,13 @@ def ivf_topk(
             "cell"
         ),
     )
-    q = queries.select(
+
+
+def _query_cells(queries, centroids, nprobe, id_col, vec_col):
+    """Query side of the IVF join — (query_id, q_vec, q_norm, cell)."""
+    from .similarity import _norm
+
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
@@ -167,6 +184,15 @@ def ivf_topk(
             "cell"
         ),
     )
+
+
+def _score_topk(corpus, q, k: int, dedup: bool) -> DataFrame:
+    """The score/rank kernel shared VERBATIM by ``ivf_topk`` and
+    ``ivf_topk_stored`` — the registered stored-vs-inline contract
+    asserts exact set equality, which only holds while rounding,
+    tie-breaks and the dedup gate live in one place."""
+    from .similarity import _dot
+
     scored = (
         corpus.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -180,12 +206,11 @@ def ivf_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    if assign_n > 1:
-        # multi-assignment can surface the same pair through several shared
-        # cells — dedup before ranking. With assign_n=1 cells are disjoint
-        # and the distinct would be a pure extra shuffle.
+    if dedup:
         scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -255,19 +280,10 @@ def _write_cells(
     embeddings, index_path, centroids, assign_n, id_col, vec_col, mode
 ):
     """Assign vectors to their assign_n nearest cells and write the
-    inverted lists — single source of the cell-table schema for build
-    (overwrite) and append."""
-    from .similarity import _norm
-
+    inverted lists — the cell table is ``_corpus_cells`` persisted, so
+    build/append and the inline probe share one projection."""
     (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("c_norm"),
-            F.explode(
-                _topcells_udf(centroids, assign_n)(F.col(vec_col))
-            ).alias("cell"),
-        )
+        _corpus_cells(embeddings, centroids, assign_n, id_col, vec_col)
         .write.mode(mode)
         .option("partitionOverwriteMode", "static")
         .partitionBy("cell")
@@ -287,15 +303,29 @@ def read_ivf_index(spark, index_path: str):
     return centroids, meta
 
 
-def append_ivf_index(batch: DataFrame, index_path: str) -> None:
+def append_ivf_index(
+    batch: DataFrame, index_path: str, batch_id: str | None = None
+) -> bool:
     """Per-batch index maintenance: assign an ingested batch against the
     STORED centroids (no retraining — the quantizer stays fixed between
     rebuilds, FAISS-style) and append its inverted-list rows. Appending
     to a cell-partitioned table is new files in existing directories;
     probes see the union immediately. Rebuild with ``build_ivf_index``
     when drift makes the frozen centroids stale (the
-    ``kmeans_profile`` coherence contract is the drift signal)."""
-    centroids, meta = read_ivf_index(batch.sparkSession, index_path)
+    ``kmeans_profile`` coherence contract is the drift signal).
+
+    Replay safety: pass ``batch_id`` and a re-delivered batch is a
+    NO-OP (an append-only epoch ledger at ``{index_path}/epochs`` is
+    consulted first — the streaming door's replay-guard pattern).
+    Without a batch_id the append is at-least-once and a driver retry
+    duplicates rows; ``ivf_topk_stored`` dedups scored pairs before
+    ranking, so duplicates cost probe work but never corrupt the top-k.
+    Returns True iff rows were appended.
+    """
+    spark = batch.sparkSession
+    if batch_id is not None and _epoch_seen(spark, index_path, batch_id):
+        return False
+    centroids, meta = read_ivf_index(spark, index_path)
     _write_cells(
         batch,
         index_path,
@@ -305,6 +335,19 @@ def append_ivf_index(batch: DataFrame, index_path: str) -> None:
         meta["vec_col"],
         mode="append",
     )
+    if batch_id is not None:
+        spark.createDataFrame(
+            [(batch_id,)], "batch_id string"
+        ).coalesce(1).write.mode("append").parquet(f"{index_path}/epochs")
+    return True
+
+
+def _epoch_seen(spark, index_path: str, batch_id: str) -> bool:
+    try:
+        ledger = spark.read.parquet(f"{index_path}/epochs")
+    except Exception:  # first append: no ledger yet
+        return False
+    return ledger.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
 
 
 def ivf_topk_stored(
@@ -322,18 +365,16 @@ def ivf_topk_stored(
     The probed-cell set is collected driver-side to drive partition
     pruning — bounded by min(n_queries × nprobe, n_centroids), and a
     query set is small by design (it broadcasts in the score join).
-    """
-    from .similarity import _dot, _norm
 
+    Scored pairs are ALWAYS deduped before ranking here (inline
+    ``ivf_topk`` skips it for assign_n=1 where cells are disjoint):
+    stored inverted lists may carry duplicate rows from retried
+    unkeyed appends, and without the dedup a duplicate would occupy
+    two of the k output slots. Same result set either way.
+    """
     centroids, meta = read_ivf_index(spark, index_path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(_topcells_udf(centroids, nprobe)(F.col(vec_col))).alias(
-            "cell"
-        ),
+    q = _query_cells(
+        queries, centroids, nprobe, meta["id_col"], meta["vec_col"]
     ).localCheckpoint(eager=False)  # cells consumed twice: prune + join
     probe_cells = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()
@@ -341,29 +382,7 @@ def ivf_topk_stored(
     corpus = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("cell").isin(probe_cells)
     )
-    scored = (
-        corpus.join(F.broadcast(q), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    if int(meta["assign_n"]) > 1:
-        scored = scored.distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _score_topk(corpus, q, k, dedup=True)
 
 
 def kmeans_profile(

@@ -38,15 +38,22 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .packing import keyed_prefix_sum
 
 MANIFEST_DIR = "_manifest"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — existence checks and the
+    vacuum delete must go through Hadoop's FS abstraction, not the local
+    filesystem: with an object-store path (s3a://...) a local
+    Path.exists() is always False, which would silently turn every
+    re-run into a full rewrite and make the vacuum a no-op."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
 
 
 def assign_shards(
@@ -129,10 +136,10 @@ def shard_manifest(
 
 def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     """The stored manifest, or None before the first delivery."""
-    mpath = Path(path) / MANIFEST_DIR
-    if not mpath.exists():
+    fs, mpath = _hadoop_fs(spark, f"{path}/{MANIFEST_DIR}")
+    if not fs.exists(mpath):
         return None
-    return spark.read.parquet(str(mpath))
+    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
 
 
 def write_training_shards(
@@ -180,7 +187,8 @@ def write_training_shards(
     written = sorted(
         s for s, d in new_digests.items() if old_digests.get(s) != d
     )
-    skipped = sorted(s for s in new_digests if s not in set(written))
+    written_set = set(written)
+    skipped = sorted(s for s in new_digests if s not in written_set)
     vacuumed = sorted(s for s in old_digests if s not in new_digests)
 
     if written:
@@ -189,16 +197,15 @@ def write_training_shards(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(shard_col)
-            .parquet(str(Path(path) / "data"))
+            .parquet(f"{path}/data")
         )
     for s in vacuumed:
-        # local-fs pendant of an object-store prefix delete
-        shutil.rmtree(
-            Path(path) / "data" / f"{shard_col}={s}", ignore_errors=True
-        )
+        fs, p = _hadoop_fs(spark, f"{path}/data/{shard_col}={s}")
+        if fs.exists(p):
+            fs.delete(p, True)
     if written or vacuumed or old is None:
         mdf = spark.createDataFrame(
             new_rows, schema=manifest.schema
         ).coalesce(1)
-        mdf.write.mode("overwrite").parquet(str(Path(path) / MANIFEST_DIR))
+        mdf.write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
     return {"written": written, "skipped": skipped, "vacuumed": vacuumed}

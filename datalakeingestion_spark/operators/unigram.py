@@ -161,6 +161,13 @@ def train_unigram(
         ).localCheckpoint(eager=False)  # cut the per-iteration lineage
 
     total = vocab.agg(F.sum("cnt")).first()[0]  # bounded 1-row scalar
+    if not total:
+        # no training-eligible words (empty/NULL corpus, or every token
+        # longer than wmax): degrade to an empty piece table, the same
+        # contract as every other operator, instead of float(None)
+        return spark.createDataFrame(
+            [], "piece string, n_uses long, cost_micro_nats long"
+        )
     out = vocab.select(
         "piece",
         F.col("cnt").alias("n_uses"),

@@ -231,3 +231,37 @@ def test_append_ivf_index_frozen_quantizer(spark, tmp_path):
                           nprobe=4)
     ids = {r["neighbor_id"] for r in got.collect()}
     assert any(i % 2 == 1 for i in ids)  # appended half is probe-visible
+
+
+def test_append_ivf_index_replay_and_duplicate_safety(spark, tmp_path):
+    """Keyed appends are replay-idempotent (epoch ledger no-op); unkeyed
+    duplicate appends cost probe work but never corrupt the top-k (the
+    stored probe dedups scored pairs before ranking)."""
+    from datalakeingestion_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_stored,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8, iters=1,
+        assign_n=1,
+    )
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    assert append_ivf_index(batch, path, batch_id="b1") is True
+    n1 = spark.read.parquet(f"{path}/cells").count()
+    # replayed delivery: exact no-op
+    assert append_ivf_index(batch, path, batch_id="b1") is False
+    assert spark.read.parquet(f"{path}/cells").count() == n1
+
+    # unkeyed retry duplicates rows, but the probe output stays clean:
+    # no duplicate (query, neighbor) pair, k slots all distinct
+    append_ivf_index(batch, path)
+    assert spark.read.parquet(f"{path}/cells").count() > n1
+    got = ivf_topk_stored(
+        spark, emb.filter(F.col("vec_id") < 3), path, k=10, nprobe=4
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in got]
+    assert len(pairs) == len(set(pairs))

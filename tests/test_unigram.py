@@ -113,3 +113,17 @@ def test_unigram_long_words_excluded_from_training(spark):
     # nothing from the 25-char word leaked into the vocab: every piece
     # is a substring of the one training-eligible word
     assert pieces and all(p in "short" for p in pieces)
+
+
+def test_unigram_empty_training_set_degrades_to_empty_frame(spark):
+    from datalakeingestion_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "extraordinarilylongword")],
+        "doc_id long, text string",
+    )
+    out = train_unigram(docs, wmax=8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "piece", "n_uses", "cost_micro_nats",
+    ]
