@@ -68,6 +68,7 @@ def register(
 # checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",  # never checked
+    "training_shard_delivery_contract",  # never checked
     "ivf_stored_index_contract",  # never checked
     "unigram_train_top50",  # never checked
     "rfm_segments",  # last green r5
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue",  # last green r6
     "q18_large_volume_orders",  # last green r6
     "q19_disjunctive_join",  # last green r6
-    "q7_nation_volume",  # last green r6
 )
 
 

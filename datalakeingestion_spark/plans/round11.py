@@ -88,6 +88,115 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "training_shard_delivery_contract",
+    # Contract oracle: n_shards exact (the oracle recomputes the same
+    # two-level prefix-sum assignment); the booleans are deterministic
+    # engine-side guarantees of the writer (replay rewrites nothing,
+    # growth rewrites only tail shards, tree always equals manifest).
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb
+          FROM t),
+    p AS (SELECT doc_id, n_tokens, CAST(cb // {_SEQ_BUDGET} AS BIGINT)
+                     AS seq_id
+          FROM c),
+    s AS (SELECT seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+          FROM p GROUP BY seq_id),
+    sc AS (SELECT seq_id,
+                  COALESCE(SUM(seq_tokens) OVER (
+                      ORDER BY seq_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS scb
+           FROM s)
+    SELECT COUNT(DISTINCT scb // {_SHARD_BUDGET})::BIGINT AS n_shards,
+           TRUE AS replay_writes_nothing,
+           TRUE AS growth_is_tail_only,
+           TRUE AS tree_matches_manifest
+    FROM sc
+    """,
+    doc="Training-shard WRITER contract (operators/shards.py::"
+    "write_training_shards): deliver the corpus's shards to a scratch "
+    "path, then (a) re-deliver identical input — the digest diff must "
+    "rewrite NOTHING; (b) deliver a grown corpus (the half-corpus "
+    "prefix first, then the full corpus) — only tail shards past the "
+    "stable prefix may rewrite; (c) after every delivery the data tree "
+    "read back equals the manifest exactly (shard ids and row counts). "
+    "n_shards is oracle-exact via the same two-level prefix sum. The "
+    "replay pytest in tests/test_shards.py pins the same invariants on "
+    "synthetic frames; this query makes them driver-visible on the "
+    "fixture corpus.",
+)
+def training_shard_delivery_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..functions.text import tokens
+    from ..operators.packing import pack_sequences
+    from ..operators.shards import (
+        assign_shards,
+        read_shard_manifest,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    ).localCheckpoint(eager=False)  # one tokenize, many deliveries
+
+    def sharded(frame):
+        return assign_shards(
+            pack_sequences(frame, token_budget=_SEQ_BUDGET),
+            shard_token_budget=_SHARD_BUDGET,
+        )
+
+    half_max = sized.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    with tempfile.TemporaryDirectory() as td:
+        full = f"{td}/full"
+        first = write_training_shards(sharded(sized), full)
+        replay = write_training_shards(sharded(sized), full)
+        replay_ok = (
+            bool(first["written"])
+            and replay["written"] == []
+            and replay["vacuumed"] == []
+        )
+
+        grown_path = f"{td}/grown"
+        write_training_shards(
+            sharded(sized.filter(F.col("doc_id") <= half_max)), grown_path
+        )
+        grown = write_training_shards(sharded(sized), grown_path)
+        tail_ok = bool(grown["skipped"]) and (
+            not grown["written"]
+            or max(grown["skipped"]) < min(grown["written"])
+        )
+
+        manifest = {
+            r["shard_id"]: r["n_docs"]
+            for r in read_shard_manifest(spark, full).collect()
+        }
+        tree = {
+            r["shard_id"]: r["n"]
+            for r in spark.read.parquet(f"{full}/data")
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        tree_ok = manifest == tree
+        n_shards = len(manifest)
+    return spark.createDataFrame(
+        [(n_shards, replay_ok, tail_ok, tree_ok)],
+        "n_shards long, replay_writes_nothing boolean, "
+        "growth_is_tail_only boolean, tree_matches_manifest boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index (build / append / probe-without-retraining)
 # ---------------------------------------------------------------------------
