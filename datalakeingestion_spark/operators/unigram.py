@@ -106,20 +106,10 @@ def _viterbi_udf(cost: dict[str, int], lmax: int):
     return segment
 
 
-def train_unigram(
-    docs: DataFrame,
-    text_col: str = "text",
-    lmax: int = 4,
-    wmax: int = 12,
-    iters: int = 2,
-    top: int | None = None,
-) -> DataFrame:
-    """Train the unigram piece table; returns (piece, n_uses,
-    cost_micro_nats) sorted by (n_uses DESC, piece ASC), limited to
-    ``top`` when given. ``n_uses`` is the hard-EM piece count with the
-    single-character floor of 1 (kept-for-coverage chars that no best
-    segmentation uses)."""
-    spark = docs.sparkSession
+def _em_vocab(docs, text_col, lmax, wmax, iters):
+    """The shared EM loop: returns (words frame, final vocab frame) —
+    consumed by the trainer (emits the piece table) and the encoder
+    (segments under the final costs)."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.length("word") <= wmax)
@@ -144,9 +134,7 @@ def train_unigram(
     vocab = sub.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt"))
 
     for _ in range(iters):
-        rows = vocab.collect()  # bounded: vocab-sized (see module doc)
-        total = sum(r["cnt"] for r in rows)
-        cost = {r["piece"]: _int_cost(total, r["cnt"]) for r in rows}
+        cost = _cost_dict(vocab)
         used = (
             words.select(
                 "f", F.explode(_viterbi_udf(cost, lmax)("word")).alias("piece")
@@ -159,6 +147,30 @@ def train_unigram(
                 "cnt", F.lit(1).cast("long")
             )
         ).localCheckpoint(eager=False)  # cut the per-iteration lineage
+    return words, vocab
+
+
+def _cost_dict(vocab) -> dict[str, int]:
+    rows = vocab.collect()  # bounded: vocab-sized (see module doc)
+    total = sum(r["cnt"] for r in rows)
+    return {r["piece"]: _int_cost(total, r["cnt"]) for r in rows}
+
+
+def train_unigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    lmax: int = 4,
+    wmax: int = 12,
+    iters: int = 2,
+    top: int | None = None,
+) -> DataFrame:
+    """Train the unigram piece table; returns (piece, n_uses,
+    cost_micro_nats) sorted by (n_uses DESC, piece ASC), limited to
+    ``top`` when given. ``n_uses`` is the hard-EM piece count with the
+    single-character floor of 1 (kept-for-coverage chars that no best
+    segmentation uses)."""
+    spark = docs.sparkSession
+    words, vocab = _em_vocab(docs, text_col, lmax, wmax, iters)
 
     total = vocab.agg(F.sum("cnt")).first()[0]  # bounded 1-row scalar
     if not total:
@@ -176,3 +188,31 @@ def train_unigram(
         .alias("cost_micro_nats"),
     ).orderBy(F.desc("n_uses"), F.asc("piece"))
     return out.limit(top) if top is not None else out
+
+
+def unigram_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    lmax: int = 4,
+    wmax: int = 12,
+    iters: int = 2,
+) -> DataFrame:
+    """Segment every distinct training-eligible word under the TRAINED
+    unigram model (the inference half, pairing ``train_unigram`` the way
+    ``bpe_encode`` pairs ``bpe_train``): one more Viterbi pass under the
+    final vocabulary's costs, emitting ``(word, n_pieces, encoded)``
+    with ``encoded`` the space-joined minimum-cost piece sequence.
+
+    Same scale shape as training: the pass runs over the DISTINCT-word
+    frame with the final cost dict in the UDF closure; applying the
+    segmentation to full documents is then a broadcast word->encoded
+    map join (or fold this frame into a regex the way maxmatch does).
+    """
+    words, vocab = _em_vocab(docs, text_col, lmax, wmax, iters)
+    cost = _cost_dict(vocab)
+    seg = _viterbi_udf(cost, lmax)("word").alias("pieces")
+    return words.select("word", seg).select(
+        "word",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("encoded"),
+    )

@@ -291,16 +291,9 @@ _UNI_ITERS = 2
 _UNI_TOP = 50
 
 
-def _unigram_oracle_sql() -> str:
-    """DuckDB twin of operators/unigram.py::train_unigram, generated from
-    the SAME constants: both EM iterations and each iteration's Viterbi
-    DP (positions 1..wmax) and backtrace (<= wmax steps) unrolled as
-    MATERIALIZED CTEs. MATERIALIZED is load-bearing: u_k references
-    u_{k-1} twice (directly and through d_k), so naive inlining expands
-    the base scan exponentially."""
-    lmax, wmax, iters, top = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS, _UNI_TOP
-    parts = [
-        f"""
+def _uni_base(lmax: int, wmax: int) -> str:
+    """Word-frequency table, substring lattice, char set, seed vocab."""
+    return f"""
 w AS MATERIALIZED (
   SELECT w AS word, COUNT(*)::BIGINT AS f
   FROM (SELECT unnest({TOKS_SQL}) AS w FROM documents)
@@ -317,10 +310,12 @@ chars AS (SELECT DISTINCT piece FROM sub WHERE l = 1),
 vocab0 AS MATERIALIZED (
   SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM sub GROUP BY piece
 )"""
-    ]
-    prev = "vocab0"
-    for t in range(1, iters + 1):
-        parts.append(f"""
+
+
+def _uni_dp_bt(t: int, prev: str, wmax: int) -> list[str]:
+    """One Viterbi pass under ``prev``'s costs: cost table, edge lattice,
+    DP unroll (u{t}_k chains), backtrace (bt{t}_m chains)."""
+    parts = [f"""
 tot{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
 cost{t} AS (SELECT piece,
                    CAST(round(1e6 * ln(total / cnt)) AS BIGINT) AS cost
@@ -329,22 +324,22 @@ e{t} AS MATERIALIZED (
   SELECT s.word, s.j, s.i, s.piece, c.cost
   FROM sub s JOIN cost{t} c ON c.piece = s.piece),
 u{t}_0 AS MATERIALIZED (
-  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM w)""")
-        for k in range(1, wmax + 1):
-            parts.append(f"""
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM w)"""]
+    for k in range(1, wmax + 1):
+        parts.append(f"""
 d{t}_{k} AS MATERIALIZED (
   SELECT e.word, {k} AS pos, MIN(d.best + e.cost) AS best
   FROM e{t} e JOIN u{t}_{k - 1} d ON d.word = e.word AND d.pos = e.j
   WHERE e.i = {k} GROUP BY e.word),
 u{t}_{k} AS MATERIALIZED (
   SELECT * FROM u{t}_{k - 1} UNION ALL SELECT * FROM d{t}_{k})""")
-        parts.append(f"""
+    parts.append(f"""
 bt{t}_0 AS MATERIALIZED (
   SELECT word, len(word) AS pos, CAST(NULL AS VARCHAR) AS piece,
          CAST(0 AS BIGINT) AS fw
   FROM w)""")
-        for m in range(1, wmax + 1):
-            parts.append(f"""
+    for m in range(1, wmax + 1):
+        parts.append(f"""
 bt{t}_{m} AS MATERIALIZED (
   SELECT word, j AS pos, piece, fw FROM (
     SELECT b.word, e.j, e.piece, ww.f AS fw,
@@ -357,11 +352,20 @@ bt{t}_{m} AS MATERIALIZED (
     WHERE b.pos > 0 AND d.best + e.cost = df.best
   ) WHERE rn = 1
 )""")
-        union = "\n    UNION ALL ".join(
-            f"SELECT word, piece, fw FROM bt{t}_{m} WHERE piece IS NOT NULL"
-            for m in range(1, wmax + 1)
-        )
-        parts.append(f"""
+    return parts
+
+
+def _uni_bt_union(t: int, wmax: int, cols: str) -> str:
+    return "\n    UNION ALL ".join(
+        f"SELECT {cols} FROM bt{t}_{m} WHERE piece IS NOT NULL"
+        for m in range(1, wmax + 1)
+    )
+
+
+def _uni_recount(t: int, wmax: int) -> str:
+    """M-step: piece counts from the backtraced paths + the char floor."""
+    union = _uni_bt_union(t, wmax, "word, piece, fw")
+    return f"""
 used{t} AS MATERIALIZED (
   SELECT piece, CAST(SUM(fw) AS BIGINT) AS cnt
   FROM ({union}) GROUP BY piece),
@@ -370,7 +374,22 @@ vocab{t} AS MATERIALIZED (
   UNION ALL
   SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
   WHERE c.piece NOT IN (SELECT piece FROM used{t})
-)""")
+)"""
+
+
+def _unigram_oracle_sql() -> str:
+    """DuckDB twin of operators/unigram.py::train_unigram, generated from
+    the SAME constants: both EM iterations and each iteration's Viterbi
+    DP (positions 1..wmax) and backtrace (<= wmax steps) unrolled as
+    MATERIALIZED CTEs. MATERIALIZED is load-bearing: u_k references
+    u_{k-1} twice (directly and through d_k), so naive inlining expands
+    the base scan exponentially."""
+    lmax, wmax, iters, top = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS, _UNI_TOP
+    parts = [_uni_base(lmax, wmax)]
+    prev = "vocab0"
+    for t in range(1, iters + 1):
+        parts.extend(_uni_dp_bt(t, prev, wmax))
+        parts.append(_uni_recount(t, wmax))
         prev = f"vocab{t}"
     parts.append(f"""
 totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
@@ -382,6 +401,29 @@ outp AS (SELECT piece, cnt AS n_uses,
         f"WITH {','.join(parts)}\n"
         f"SELECT piece, n_uses, cost_micro_nats FROM outp "
         f"ORDER BY n_uses DESC, piece ASC LIMIT {top}"
+    )
+
+
+def _unigram_encode_oracle_sql() -> str:
+    """DuckDB twin of operators/unigram.py::unigram_encode: the full
+    training chain, then ONE more Viterbi pass (t = iters+1) under the
+    final vocabulary's costs, emitting each word's segmentation
+    (backtraced pieces ordered by start position)."""
+    lmax, wmax, iters = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS
+    parts = [_uni_base(lmax, wmax)]
+    prev = "vocab0"
+    for t in range(1, iters + 1):
+        parts.extend(_uni_dp_bt(t, prev, wmax))
+        parts.append(_uni_recount(t, wmax))
+        prev = f"vocab{t}"
+    enc = iters + 1
+    parts.extend(_uni_dp_bt(enc, prev, wmax))
+    union = _uni_bt_union(enc, wmax, "word, pos, piece")
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT word, COUNT(*)::BIGINT AS n_pieces,\n"
+        f"       string_agg(piece, ' ' ORDER BY pos) AS encoded\n"
+        f"FROM ({union}) GROUP BY word"
     )
 
 
@@ -412,4 +454,27 @@ def unigram_train_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmax=_UNI_WMAX,
         iters=_UNI_ITERS,
         top=_UNI_TOP,
+    )
+
+
+@register(
+    "unigram_encode_words",
+    oracle=_unigram_encode_oracle_sql(),
+    doc="Unigram-LM inference (operators/unigram.py::unigram_encode), "
+    "pairing the trainer the way bpe_encode pairs bpe_train: one more "
+    "Viterbi pass under the FINAL trained vocabulary's integer costs "
+    "segments every distinct training-eligible word into its "
+    "minimum-cost piece sequence — (word, n_pieces, encoded). Same "
+    "scale shape as training (distinct-word frame, cost dict in the "
+    "Arrow UDF closure); document-level application is a broadcast "
+    "word->encoded map join. Oracle = the training chain + one more "
+    "unrolled DP/backtrace block, segmentation re-assembled with "
+    "string_agg ORDER BY start position.",
+)
+def unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encode(
+        docs, lmax=_UNI_LMAX, wmax=_UNI_WMAX, iters=_UNI_ITERS
     )

@@ -127,3 +127,24 @@ def test_unigram_empty_training_set_degrades_to_empty_frame(spark):
     assert [f.name for f in out.schema.fields] == [
         "piece", "n_uses", "cost_micro_nats",
     ]
+
+
+def test_unigram_encode_reconstructs_words_with_trained_pieces(spark):
+    from datalakeingestion_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    corpus = ["the unhappiness of the union"] * 3 + ["unhappy union the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    enc = {r["word"]: r for r in unigram_encode(docs).collect()}
+    vocab = {r["piece"] for r in train_unigram(docs).collect()}
+    words = {w for t in corpus for w in t.split()}
+    assert set(enc) == words
+    for w, r in enc.items():
+        pieces = r["encoded"].split(" ")
+        assert "".join(pieces) == w        # lossless segmentation
+        assert r["n_pieces"] == len(pieces)
+        assert set(pieces) <= vocab        # only trained pieces used

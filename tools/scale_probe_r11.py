@@ -179,7 +179,12 @@ def probe_stored_ivf(spark):
     )
     print("ivf build 10M vecs:", round(t_build, 1), "s", _summarize(st_build))
 
-    queries = emb.filter(F.col("vec_id") < 5)
+    # materialize the 5-row query set so probe timings measure PROBE
+    # work, not regeneration of the synthetic corpus under the filter
+    queries = spark.createDataFrame(
+        emb.filter(F.col("vec_id") < 5).collect(), schema=emb.schema
+    ).cache()
+    queries.count()
 
     def stored():
         ivf_topk_stored(spark, queries, path, k=10, nprobe=4).count()
