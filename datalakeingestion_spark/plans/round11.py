@@ -25,11 +25,13 @@ _SEQ_BUDGET = 512
 _SHARD_BUDGET = 4096
 
 
-@register(
-    "training_shard_manifest",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
-               FROM documents),
+def _pack_shard_ctes(tok_src: str) -> str:
+    """The pack→shard CTE chain over ``tok_src`` (SQL yielding
+    (doc_id, n_tokens)): two-level prefix-sum assignment, shared by the
+    manifest oracle, the delivery-contract oracle and the curated
+    capstone so the assignment semantics exist in ONE place."""
+    return f"""
+    t AS ({tok_src}),
     c AS (SELECT doc_id, n_tokens,
                  COALESCE(SUM(n_tokens) OVER (
                      ORDER BY doc_id
@@ -53,14 +55,28 @@ _SHARD_BUDGET = 4096
                  md5(CAST(p.doc_id AS VARCHAR) || ':'
                      || CAST(p.n_tokens AS VARCHAR) || ':'
                      || CAST(p.seq_id AS VARCHAR)) AS fp
-          FROM p JOIN sh ON sh.seq_id = p.seq_id)
+          FROM p JOIN sh ON sh.seq_id = p.seq_id)"""
+
+
+_SHARD_MANIFEST_SELECT = """
     SELECT shard_id,
            COUNT(*)::BIGINT AS n_docs,
            COUNT(DISTINCT seq_id)::BIGINT AS n_seqs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            md5(string_agg(fp, '' ORDER BY fp)) AS digest
     FROM j GROUP BY shard_id
-    """,
+"""
+
+_DOC_TOKENS_SQL = (
+    f"SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens "
+    f"FROM documents"
+)
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)}\n"
+    f"{_SHARD_MANIFEST_SELECT}",
     doc="Training-shard manifest (operators/shards.py): documents pack "
     f"into {_SEQ_BUDGET}-token sequences, sequences into "
     f"{_SHARD_BUDGET}-token output shards (both prefix-sum assignments "
@@ -95,25 +111,7 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-side guarantees of the writer (replay rewrites nothing,
     # growth rewrites only tail shards, tree always equals manifest).
     oracle=f"""
-    WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
-               FROM documents),
-    c AS (SELECT doc_id, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (
-                     ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS cb
-          FROM t),
-    p AS (SELECT doc_id, n_tokens, CAST(cb // {_SEQ_BUDGET} AS BIGINT)
-                     AS seq_id
-          FROM c),
-    s AS (SELECT seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
-          FROM p GROUP BY seq_id),
-    sc AS (SELECT seq_id,
-                  COALESCE(SUM(seq_tokens) OVER (
-                      ORDER BY seq_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                      AS scb
-           FROM s)
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)}
     SELECT COUNT(DISTINCT scb // {_SHARD_BUDGET})::BIGINT AS n_shards,
            TRUE AS replay_writes_nothing,
            TRUE AS growth_is_tail_only,
@@ -477,4 +475,62 @@ def unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return unigram_encode(
         docs, lmax=_UNI_LMAX, wmax=_UNI_WMAX, iters=_UNI_ITERS
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end capstone: curated corpus -> packed sequences -> shard manifest
+# ---------------------------------------------------------------------------
+
+
+def _curated_shard_oracle() -> str:
+    """curate_v2's proven CTE chain re-rooted as the pack/shard chain's
+    token source — the whole 'build the training set' path in one
+    oracle, with each stage's SQL living in its home module."""
+    from .round3 import _curation_v2_ctes
+
+    # `text` needs no qualifier: of the two survivor relations only s3
+    # carries it (ql is doc_id+quality_prob), so the bare column binds
+    # unambiguously — no string surgery on TOKS_SQL
+    curated_tokens = (
+        f"SELECT s3.doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens "
+        f"FROM s3 JOIN ql USING (doc_id)"
+    )
+    return (
+        f"WITH {_curation_v2_ctes()},"
+        f"{_pack_shard_ctes(curated_tokens)}\n"
+        f"{_SHARD_MANIFEST_SELECT}"
+    )
+
+
+@register(
+    "curated_corpus_shard_manifest",
+    oracle=_curated_shard_oracle(),
+    doc="END-TO-END training-data build (the pipeline a trainer actually "
+    "consumes): curate_v2's four gates (containment rejection -> CDC "
+    "boilerplate rejection -> bigram-LM p10 fluency gate -> logistic "
+    "quality gate) feed the SURVIVORS through 512-token sequence "
+    "packing and 4096-token shard assignment into the delivery "
+    "manifest — (shard_id, n_docs, n_seqs, n_tokens, digest), ready "
+    "for write_training_shards. One composed DataFrame pipeline; the "
+    "oracle chains the proven curate_v2 CTEs into the proven "
+    "pack/shard CTEs, so every stage's SQL lives in its home module "
+    "and the capstone adds no new semantics — only the composition.",
+)
+def curated_corpus_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.curation import curate_v2
+    from ..operators.packing import pack_sequences
+    from ..operators.shards import assign_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate_v2(docs).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(kept, token_budget=_SEQ_BUDGET)
+    sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
+    return shard_manifest(sharded).select(
+        "shard_id", "n_docs", "n_seqs", "n_tokens", "digest"
     )

@@ -731,11 +731,24 @@ def _curation_v2_oracle() -> str:
     rejection → CDC boilerplate rejection → bigram-LM p10 fluency gate →
     logistic quality gate. Each fragment is the already-proven oracle of
     the standalone query, re-rooted at the previous stage's survivors."""
+    return f"""
+    WITH {_curation_v2_ctes()}
+    SELECT s3.doc_id, s3.text, s3.lang, s3.source, s3.n_chars,
+           s3.mean_logprob, ql.quality_prob
+    FROM s3 JOIN ql USING (doc_id)
+    """
+
+
+def _curation_v2_ctes() -> str:
+    """The curate_v2 CTE chain WITHOUT the wrapping WITH/final select, so
+    downstream composed oracles (round11's curated shard manifest) can
+    extend the chain instead of string-editing the finished query. The
+    survivors are ``s3 JOIN ql USING (doc_id)``."""
     from .llm import _h32_sql
 
     sh = _shingles_sql(3)
     return f"""
-    WITH sh0 AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+    sh0 AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
     sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY 1),
     inter0 AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
                FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id <> b.doc_id
@@ -823,9 +836,6 @@ def _curation_v2_oracle() -> str:
                   round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob
            FROM sc3
            WHERE round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5)
-    SELECT s3.doc_id, s3.text, s3.lang, s3.source, s3.n_chars,
-           s3.mean_logprob, ql.quality_prob
-    FROM s3 JOIN ql USING (doc_id)
     """
 
 
