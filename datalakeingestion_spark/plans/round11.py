@@ -92,11 +92,19 @@ _DOC_TOKENS_SQL = (
 )
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    return _shard_manifest_frame(sized)
+
+
+def _shard_manifest_frame(sized: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) -> the delivery manifest at the round's
+    budgets — the Spark-side pendant of _pack_shard_ctes +
+    _SHARD_MANIFEST_SELECT, shared by the raw-corpus and curated
+    manifest queries so the composition exists once."""
     from ..operators.packing import pack_sequences
     from ..operators.shards import assign_shards, shard_manifest
 
-    docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
     packed = pack_sequences(sized, token_budget=_SEQ_BUDGET)
     sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
     return shard_manifest(sharded).select(
@@ -112,11 +120,11 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # growth rewrites only tail shards, tree always equals manifest).
     oracle=f"""
     WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)}
-    SELECT COUNT(DISTINCT scb // {_SHARD_BUDGET})::BIGINT AS n_shards,
+    SELECT COUNT(DISTINCT shard_id)::BIGINT AS n_shards,
            TRUE AS replay_writes_nothing,
            TRUE AS growth_is_tail_only,
            TRUE AS tree_matches_manifest
-    FROM sc
+    FROM sh
     """,
     doc="Training-shard WRITER contract (operators/shards.py::"
     "write_training_shards): deliver the corpus's shards to a scratch "
@@ -170,24 +178,33 @@ def training_shard_delivery_contract(
             sharded(sized.filter(F.col("doc_id") <= half_max)), grown_path
         )
         grown = write_training_shards(sharded(sized), grown_path)
-        tail_ok = bool(grown["skipped"]) and (
+        # the rewrite set must be a contiguous SUFFIX of the shard range;
+        # an empty skipped set (half corpus inside one shard) is the
+        # degenerate everything-is-tail case, still tail-only
+        tail_ok = (
             not grown["written"]
+            or not grown["skipped"]
             or max(grown["skipped"]) < min(grown["written"])
         )
 
-        manifest = {
-            r["shard_id"]: r["n_docs"]
-            for r in read_shard_manifest(spark, full).collect()
-        }
-        tree = {
-            r["shard_id"]: r["n"]
-            for r in spark.read.parquet(f"{full}/data")
-            .groupBy("shard_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        tree_ok = manifest == tree
-        n_shards = len(manifest)
+        def _tree_eq(path: str) -> bool:
+            manifest = {
+                r["shard_id"]: r["n_docs"]
+                for r in read_shard_manifest(spark, path).collect()
+            }
+            tree = {
+                r["shard_id"]: r["n"]
+                for r in spark.read.parquet(f"{path}/data")
+                .groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return manifest == tree
+
+        # BOTH trees: the replayed one and — the one that exercised a
+        # partial (tail-only) dynamic-partition rewrite — the grown one
+        tree_ok = _tree_eq(full) and _tree_eq(grown_path)
+        n_shards = read_shard_manifest(spark, full).count()
     return spark.createDataFrame(
         [(n_shards, replay_ok, tail_ok, tree_ok)],
         "n_shards long, replay_writes_nothing boolean, "
@@ -375,6 +392,19 @@ vocab{t} AS MATERIALIZED (
 )"""
 
 
+def _uni_train_chain(lmax: int, wmax: int, iters: int):
+    """The full training CTE chain (base + every EM iteration's DP,
+    backtrace and re-count): (parts, final_vocab_name) — shared by the
+    trainer and encoder oracles so the chain exists once."""
+    parts = [_uni_base(lmax, wmax)]
+    prev = "vocab0"
+    for t in range(1, iters + 1):
+        parts.extend(_uni_dp_bt(t, prev, wmax))
+        parts.append(_uni_recount(t, wmax))
+        prev = f"vocab{t}"
+    return parts, prev
+
+
 def _unigram_oracle_sql() -> str:
     """DuckDB twin of operators/unigram.py::train_unigram, generated from
     the SAME constants: both EM iterations and each iteration's Viterbi
@@ -383,12 +413,7 @@ def _unigram_oracle_sql() -> str:
     u_{k-1} twice (directly and through d_k), so naive inlining expands
     the base scan exponentially."""
     lmax, wmax, iters, top = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS, _UNI_TOP
-    parts = [_uni_base(lmax, wmax)]
-    prev = "vocab0"
-    for t in range(1, iters + 1):
-        parts.extend(_uni_dp_bt(t, prev, wmax))
-        parts.append(_uni_recount(t, wmax))
-        prev = f"vocab{t}"
+    parts, prev = _uni_train_chain(lmax, wmax, iters)
     parts.append(f"""
 totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
 outp AS (SELECT piece, cnt AS n_uses,
@@ -408,12 +433,7 @@ def _unigram_encode_oracle_sql() -> str:
     final vocabulary's costs, emitting each word's segmentation
     (backtraced pieces ordered by start position)."""
     lmax, wmax, iters = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS
-    parts = [_uni_base(lmax, wmax)]
-    prev = "vocab0"
-    for t in range(1, iters + 1):
-        parts.extend(_uni_dp_bt(t, prev, wmax))
-        parts.append(_uni_recount(t, wmax))
-        prev = f"vocab{t}"
+    parts, prev = _uni_train_chain(lmax, wmax, iters)
     enc = iters + 1
     parts.extend(_uni_dp_bt(enc, prev, wmax))
     union = _uni_bt_union(enc, wmax, "word, pos, piece")
@@ -522,15 +542,9 @@ def curated_corpus_shard_manifest(
 ) -> DataFrame:
     from ..functions.text import tokens
     from ..operators.curation import curate_v2
-    from ..operators.packing import pack_sequences
-    from ..operators.shards import assign_shards, shard_manifest
 
     docs = load_table(spark, sf_dir, "documents")
     kept = curate_v2(docs).select(
         "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
-    packed = pack_sequences(kept, token_budget=_SEQ_BUDGET)
-    sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
-    return shard_manifest(sharded).select(
-        "shard_id", "n_docs", "n_seqs", "n_tokens", "digest"
-    )
+    return _shard_manifest_frame(kept)

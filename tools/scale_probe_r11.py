@@ -133,7 +133,7 @@ def probe_stored_dedup(spark):
         F.expr(
             "CASE WHEN id % 2 = 0 THEN "
             "concat_ws(' ', transform(sequence(0, 11), "
-            "i -> concat('w', pmod(hash((id - 10000000) * 13 + i), 5000)))) "
+            f"i -> concat('w', pmod(hash((id - {N_DOCS}) * 13 + i), 5000)))) "
             "ELSE concat_ws(' ', transform(sequence(0, 11), "
             "i -> concat('f', pmod(hash(id * 29 + i), 5000)))) END"
         ).alias("text"),
