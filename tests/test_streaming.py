@@ -1530,3 +1530,73 @@ def test_read_door_filter_missing_dir_is_first_batch(spark, tmp_path):
     from datalakeingestion_spark.streaming.door import read_door_filter
 
     assert read_door_filter(spark, str(tmp_path / "nope")) is None
+
+
+def test_shard_delivery_stream_epochs_and_replay(spark, tmp_path):
+    """Streaming shard delivery: each micro-batch packs into epoch-scoped
+    shards + a manifest delta; totals conserve tokens; a re-run of the
+    same availableNow stream from the same checkpoint delivers nothing
+    new (epoch-scoped overwrite = replay-idempotent)."""
+    from datalakeingestion_spark.streaming.shards import (
+        read_delivery_manifest,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(5 + i % 9)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=64, shard_token_budget=256,
+        )
+        q.awaitTermination(120)
+
+    run()
+    man = read_delivery_manifest(spark, out)
+    assert man is not None
+    total = man.agg(F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")).first()
+    n_tokens_src = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+    ).first()[0]
+    assert total["d"] == 300
+    assert total["t"] == n_tokens_src
+    # data tree matches the manifest per (epoch, shard)
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    counts = {
+        (r["epoch"], r["shard_id"]): r["n"]
+        for r in data.groupBy("epoch", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {
+        (r["epoch"], r["shard_id"]): r["n_docs"] for r in man.collect()
+    }
+
+    # replay: same checkpoint, no new source files -> nothing changes
+    before = {tuple(r) for r in man.collect()}
+    run()
+    after = {
+        tuple(r)
+        for r in read_delivery_manifest(spark, out).collect()
+    }
+    assert after == before
+    assert spark.read.parquet(f"{out}/data").count() == 300
+
+    # second delivery appends a new epoch, previous epochs untouched
+    spark.createDataFrame(
+        [(1000 + i, f"fresh text number {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run()
+    man2 = read_delivery_manifest(spark, out)
+    assert man2.agg(F.sum("n_docs")).first()[0] == 320
+    assert before <= {tuple(r) for r in man2.collect()}
