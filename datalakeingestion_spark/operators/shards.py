@@ -142,6 +142,71 @@ def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
 
 
+class ShardIntegrityError(RuntimeError):
+    """A delivered shard's content no longer matches its manifest."""
+
+
+def read_training_shards(
+    spark: SparkSession,
+    path: str,
+    shards: list[int] | None = None,
+    verify: bool = True,
+    shard_col: str = "shard_id",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Manifest-driven consumption of a delivery — the read half of the
+    contract: the MANIFEST (not the directory listing) decides what
+    exists, and with ``verify=True`` every shard read is re-digested
+    and compared against it, so a corrupted, partially-written or
+    hand-edited shard fails LOUDLY here instead of silently training on
+    wrong data.
+
+    ``shards`` restricts the read (partition pruning serves exactly the
+    requested shard directories); shard ids absent from the manifest
+    raise. Verification recomputes the same order-insensitive content
+    digest the writer committed (one groupBy over the requested shards;
+    the comparison joins manifest-scale frames) — skip it with
+    ``verify=False`` when the storage layer already guarantees
+    integrity end-to-end.
+    """
+    manifest = read_shard_manifest(spark, path)
+    if manifest is None:
+        raise ShardIntegrityError(f"no manifest at {path}")
+    if shards is not None:
+        known = {r["shard_id"] for r in manifest.collect()}
+        missing = sorted(set(shards) - known)
+        if missing:
+            raise ShardIntegrityError(
+                f"shards {missing} are not in the manifest at {path}"
+            )
+        manifest = manifest.filter(F.col("shard_id").isin(list(shards)))
+    data = spark.read.parquet(f"{path}/data")
+    if shards is not None:
+        data = data.filter(F.col(shard_col).isin(list(shards)))
+    if verify:
+        actual = shard_manifest(data, shard_col, id_col, tokens_col, seq_col)
+        bad = (
+            manifest.alias("m")
+            .join(actual.alias("a"), "shard_id", "full_outer")
+            .filter(
+                F.col("m.digest").isNull()
+                | F.col("a.digest").isNull()
+                | (F.col("m.digest") != F.col("a.digest"))
+            )
+            .select("shard_id")
+            .collect()  # bounded: manifest-scale
+        )
+        if bad:
+            raise ShardIntegrityError(
+                f"digest mismatch for shards "
+                f"{sorted(r['shard_id'] for r in bad)} at {path} — "
+                f"delivery is corrupt or was modified outside the writer"
+            )
+    return data
+
+
 def write_training_shards(
     sharded: DataFrame,
     path: str,

@@ -115,3 +115,49 @@ def test_shard_assignment_conserves_tokens_and_validates(spark):
     assert straddle == 0
     with pytest.raises(ValueError, match="positive"):
         assign_shards(sharded, 0)
+
+
+def test_read_training_shards_verifies_digests(spark, tmp_path):
+    """The read half of the delivery contract: the manifest decides what
+    exists, and verification fails LOUDLY on any shard whose content no
+    longer matches the committed digest."""
+    import glob
+    import os
+
+    from datalakeingestion_spark.operators.shards import (
+        ShardIntegrityError,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_training_shards(_sharded(spark, 120), path)
+
+    back = read_training_shards(spark, path)
+    assert back.count() == 120
+
+    # restricted read: only the requested shards' rows come back
+    some = [r["shard_id"] for r in back.select("shard_id").distinct()
+            .orderBy("shard_id").limit(2).collect()]
+    part = read_training_shards(spark, path, shards=some)
+    assert {r["shard_id"] for r in part.select("shard_id").distinct()
+            .collect()} == set(some)
+
+    # unknown shard id -> loud failure
+    with pytest.raises(ShardIntegrityError, match="not in the manifest"):
+        read_training_shards(spark, path, shards=[some[0], 99999])
+
+    # corrupt one shard behind the writer's back -> digest mismatch
+    victim_dir = sorted(glob.glob(f"{path}/data/shard_id=*"))[0]
+    victim_id = int(victim_dir.split("=")[1])
+    for f in glob.glob(f"{victim_dir}/*.parquet"):
+        os.remove(f)
+    with pytest.raises(ShardIntegrityError, match=str(victim_id)):
+        read_training_shards(spark, path)
+    # unverified read still serves (the caller opted out)
+    assert read_training_shards(spark, path, verify=False).count() < 120
+    # and a verified read restricted to INTACT shards still passes
+    intact = read_training_shards(
+        spark, path, shards=[s for s in some if s != victim_id]
+    )
+    assert intact.count() > 0
