@@ -498,6 +498,60 @@ def unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_fertility_oracle_sql() -> str:
+    """Encode chain + per-language token-occurrence join: fertility =
+    pieces per word occurrence under the trained unigram model."""
+    lmax, wmax, iters = _UNI_LMAX, _UNI_WMAX, _UNI_ITERS
+    parts, prev = _uni_train_chain(lmax, wmax, iters)
+    enc = iters + 1
+    parts.extend(_uni_dp_bt(enc, prev, wmax))
+    union = _uni_bt_union(enc, wmax, "word, piece")
+    parts.append(f"""
+wp AS (SELECT word, COUNT(*)::BIGINT AS n_pieces
+       FROM ({union}) GROUP BY word),
+occ AS (SELECT lang, unnest({TOKS_SQL}) AS word FROM documents)""")
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT lang, COUNT(*)::BIGINT AS n_words,\n"
+        f"       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,\n"
+        f"       round(SUM(n_pieces) / COUNT(*), 6) AS fertility\n"
+        f"FROM occ JOIN wp USING (word)\n"
+        f"WHERE len(word) <= {wmax}\n"
+        f"GROUP BY lang"
+    )
+
+
+@register(
+    "unigram_fertility_by_lang",
+    oracle=_unigram_fertility_oracle_sql(),
+    doc="Unigram-tokenizer fertility audit (pieces per word OCCURRENCE "
+    "by language under the trained unigram model) — the bpe_fertility "
+    "pendant for the third tokenizer family: the per-language "
+    "tokenizer-quality tax a mixed-corpus pipeline reads before "
+    "committing to a vocab. Composition of unigram_encode (distinct "
+    "words, Arrow Viterbi under the final costs) broadcast-joined to "
+    "the per-language token occurrences; one lang-keyed groupBy with "
+    "exact integer sums; fertility = round(pieces/words, 6) (integer "
+    "division to double is IEEE-portable).",
+)
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = unigram_encode(
+        docs, lmax=_UNI_LMAX, wmax=_UNI_WMAX, iters=_UNI_ITERS
+    ).select("word", "n_pieces")
+    occ = docs.select(
+        "lang", F.explode(tokens("text")).alias("word")
+    ).filter(F.length("word") <= _UNI_WMAX)
+    return occ.join(F.broadcast(enc), "word").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end capstone: curated corpus -> packed sequences -> shard manifest
 # ---------------------------------------------------------------------------
