@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_stored_index_contract",  # never checked
     "unigram_train_top50",  # never checked
     "unigram_encode_words",  # never checked
+    "shard_source_mix_manifest",  # never checked
     "unigram_fertility_by_lang",  # never checked
     "curated_corpus_shard_manifest",  # never checked
     "rfm_segments",  # last green r5
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_funnel_stages",  # last green r6
     "multi_touch_attribution_decay",  # last green r6
     "q4_order_priority_exists",  # last green r6
-    "q10_returned_items",  # last green r6
 )
 
 

@@ -498,6 +498,66 @@ def unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_source_mix_manifest",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)},
+    d AS (SELECT sh.shard_id, p.doc_id, p.n_tokens
+          FROM p JOIN sh ON sh.seq_id = p.seq_id),
+    tot AS (SELECT shard_id, CAST(SUM(n_tokens) AS DOUBLE) AS shard_tokens
+            FROM d GROUP BY shard_id)
+    SELECT d.shard_id, s.source,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+           round(SUM(d.n_tokens) / tot.shard_tokens, 6) AS token_share
+    FROM d JOIN documents s USING (doc_id)
+    JOIN tot USING (shard_id)
+    GROUP BY d.shard_id, s.source, tot.shard_tokens
+    """,
+    doc="Mix-auditable delivery manifest: per (shard, source) doc/token "
+    "counts and the source's token share of its shard — the table that "
+    "makes the trainer's DATA MIX auditable from delivery metadata "
+    "alone (did shard 7 really carry the 30% web / 70% curated split "
+    "the recipe promised?), pairing the content digest the base "
+    "manifest already commits to. Same two-level prefix-sum assignment; "
+    "one provenance join on doc_id + a shard-keyed rollup; the "
+    "shard-total frame is manifest-scale and broadcasts. token_share "
+    "is an integer-ratio division rounded at 6 dp (IEEE-portable).",
+)
+def shard_source_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.packing import pack_sequences
+    from ..operators.shards import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    sharded = assign_shards(
+        pack_sequences(sized, token_budget=_SEQ_BUDGET),
+        shard_token_budget=_SHARD_BUDGET,
+    )
+    d = sharded.join(docs.select("doc_id", "source"), "doc_id")
+    tot = d.groupBy("shard_id").agg(
+        F.sum("n_tokens").cast("double").alias("shard_tokens")
+    )
+    return (
+        d.groupBy("shard_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(tot), "shard_id")
+        .select(
+            "shard_id",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("shard_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
 def _unigram_fertility_oracle_sql() -> str:
     """Encode chain + per-language token-occurrence join: fertility =
     pieces per word occurrence under the trained unigram model."""
