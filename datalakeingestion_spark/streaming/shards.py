@@ -59,6 +59,94 @@ def read_delivery_manifest(
         raise
 
 
+BASELINE_EPOCH = -1
+
+
+def compact_delivery(
+    spark: SparkSession,
+    delivery_dir: str,
+    seq_token_budget: int = 512,
+    shard_token_budget: int = 4096,
+) -> dict:
+    """Fold many small epochs' shards into budget-sized ones under a
+    re-baselined manifest — the delivery-side pendant of the lake's
+    compact + re-baseline (ingest/maintenance.py): a long-running
+    stream accumulates one undersized tail shard per epoch, and a
+    trainer wants few full shards, not thousands of slivers.
+
+    Safety rules (why this never fights the stream):
+
+    - Run with the stream STOPPED. Structured streaming can only replay
+      the LAST epoch (earlier ones are committed in the checkpoint), so
+      that epoch is EXCLUDED from folding and kept verbatim — a restart
+      that replays it overwrites its own partitions exactly as before,
+      never the baseline.
+    - Everything older folds into the reserved ``epoch=-1`` baseline
+      (stream epochs count up from 0, so no future epoch collides).
+      The folded frame is materialized (eager localCheckpoint) BEFORE
+      the baseline overwrite — the input may include the previous
+      baseline's own files (at object-store scale, stage to a new
+      prefix and swap instead).
+    - Folded epoch directories (data + manifest deltas) are deleted
+      last; a crash before the deletes leaves duplicates VISIBLY (both
+      the baseline and the folded epochs in the manifest) rather than
+      losing rows — re-run compaction to converge.
+
+    Returns ``{"folded": [...], "kept": [...], "n_shards": int}``; a
+    delivery with nothing to fold is a no-op.
+    """
+    from ..operators.shards import _hadoop_fs
+
+    man = read_delivery_manifest(spark, delivery_dir)
+    if man is None:
+        return {"folded": [], "kept": [], "n_shards": 0}
+    epochs = sorted(
+        r["epoch"] for r in man.select("epoch").distinct().collect()
+    )
+    streamed = [e for e in epochs if e != BASELINE_EPOCH]
+    keep = streamed[-1:]  # the only replayable epoch stays verbatim
+    fold = [e for e in epochs if e not in keep]
+    if len(fold) <= 1 and BASELINE_EPOCH not in fold:
+        return {"folded": [], "kept": epochs, "n_shards": 0}
+
+    data = spark.read.option("basePath", f"{delivery_dir}/data").parquet(
+        f"{delivery_dir}/data"
+    )
+    folded = (
+        data.filter(F.col("epoch").isin(fold))
+        .select("doc_id", "n_tokens")
+        .localCheckpoint()  # materialize BEFORE overwriting the baseline
+    )
+    packed = pack_sequences(folded, token_budget=seq_token_budget)
+    sharded = assign_shards(
+        packed, shard_token_budget=shard_token_budget
+    ).localCheckpoint()
+    (
+        sharded.write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{delivery_dir}/data/epoch={BASELINE_EPOCH}")
+    )
+    manifest = shard_manifest(sharded)
+    n_shards = manifest.count()
+    (
+        manifest.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{delivery_dir}/manifest/epoch={BASELINE_EPOCH}")
+    )
+    for e in fold:
+        if e == BASELINE_EPOCH:
+            continue
+        for sub in ("data", "manifest"):
+            fs, p = _hadoop_fs(spark, f"{delivery_dir}/{sub}/epoch={e}")
+            if fs.exists(p):
+                fs.delete(p, True)
+    return {
+        "folded": fold,
+        "kept": [BASELINE_EPOCH] + keep,
+        "n_shards": n_shards,
+    }
+
+
 def shard_delivery_stream(
     spark: SparkSession,
     stream: DataFrame,

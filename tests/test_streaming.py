@@ -1600,3 +1600,74 @@ def test_shard_delivery_stream_epochs_and_replay(spark, tmp_path):
     man2 = read_delivery_manifest(spark, out)
     assert man2.agg(F.sum("n_docs")).first()[0] == 320
     assert before <= {tuple(r) for r in man2.collect()}
+
+
+def test_compact_delivery_folds_epochs_keeps_replayable_tail(spark, tmp_path):
+    from datalakeingestion_spark.streaming.shards import (
+        compact_delivery,
+        read_delivery_manifest,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=64, shard_token_budget=256,
+        )
+        q.awaitTermination(120)
+
+    # three epochs of 100 docs each
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 1000 + i, " ".join(f"w{(i + j) % 40}" for j in range(7)))
+             for i in range(100)],
+            schema,
+        ).write.mode("append").parquet(src)
+        run()
+
+    # snapshot BEFORE compaction deletes the folded epochs' files — the
+    # lazy frame would re-read deleted paths afterwards
+    rows_before = read_delivery_manifest(spark, out).collect()
+    epochs_before = {r["epoch"] for r in rows_before}
+    assert len(epochs_before) == 3
+    totals_before = (
+        sum(r["n_docs"] for r in rows_before),
+        sum(r["n_tokens"] for r in rows_before),
+    )
+
+    res = compact_delivery(
+        spark, out, seq_token_budget=64, shard_token_budget=256
+    )
+    assert res["folded"] and len(res["folded"]) == 2
+    man = read_delivery_manifest(spark, out)
+    epochs = {r["epoch"] for r in man.select("epoch").distinct().collect()}
+    assert epochs == {-1, max(epochs_before)}  # baseline + replayable tail
+    totals = man.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert (totals["d"], totals["t"]) == totals_before
+    # data intact and doc ids unique
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    assert data.count() == 300
+    assert data.select("doc_id").distinct().count() == 300
+    # fewer, fuller shards than before in the folded range
+    assert res["n_shards"] <= sum(
+        1 for r in rows_before if r["epoch"] in res["folded"]
+    )
+
+    # idempotent-ish: nothing further to fold (baseline + tail only)
+    again = compact_delivery(
+        spark, out, seq_token_budget=64, shard_token_budget=256
+    )
+    assert again["folded"] == [] or again["folded"] == [-1]
+    assert read_delivery_manifest(spark, out).agg(
+        F.sum("n_docs")
+    ).first()[0] == 300
