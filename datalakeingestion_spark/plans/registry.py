@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_stored_index_contract",  # never checked
     "unigram_train_top50",  # never checked
     "unigram_encode_words",  # never checked
+    "ivf_index_health_report",  # never checked
     "shard_source_mix_manifest",  # never checked
     "unigram_fertility_by_lang",  # never checked
     "curated_corpus_shard_manifest",  # never checked
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_threshold_sweep",  # last green r6
     "session_funnel_stages",  # last green r6
     "multi_touch_attribution_decay",  # last green r6
-    "q4_order_priority_exists",  # last green r6
 )
 
 

