@@ -62,6 +62,58 @@ def read_delivery_manifest(
 BASELINE_EPOCH = -1
 
 
+class DeliverySnapshotError(RuntimeError):
+    """The requested delivery snapshot predates the compaction baseline."""
+
+
+def read_delivery_as_of(
+    spark: SparkSession, delivery_dir: str, epoch: int
+) -> tuple[DataFrame, DataFrame]:
+    """(data, manifest) exactly as the delivery stood after ``epoch``
+    committed — the manifest delta ledger IS a commit log, so delivery
+    snapshots come free (the ingest/timetravel.py idea applied to the
+    streaming delivery).
+
+    Re-baseline semantics mirror the lake's: after ``compact_delivery``
+    folds epochs into the ``epoch=-1`` baseline, snapshots that CONTAIN
+    the whole baseline (every epoch >= the newest surviving streamed
+    epoch below them... i.e. requests at or above the oldest surviving
+    streamed epoch) still answer exactly; a snapshot BEFORE the
+    baseline's coverage cannot be reconstructed and raises
+    ``DeliverySnapshotError`` — never wrong rows.
+    """
+    man = read_delivery_manifest(spark, delivery_dir)
+    if man is None:
+        raise DeliverySnapshotError(f"no delivery at {delivery_dir}")
+    epochs = sorted(
+        r["epoch"] for r in man.select("epoch").distinct().collect()
+    )
+    streamed = [e for e in epochs if e != BASELINE_EPOCH]
+    if BASELINE_EPOCH in epochs:
+        # the baseline folds every epoch older than the surviving
+        # streamed ones; a snapshot is answerable iff it includes the
+        # whole baseline, i.e. sits at/after the last folded epoch —
+        # conservatively: at/after (first surviving streamed epoch - 1)
+        floor_ok = streamed[0] - 1 if streamed else BASELINE_EPOCH
+        if epoch < floor_ok:
+            raise DeliverySnapshotError(
+                f"epoch {epoch} predates the compaction baseline at "
+                f"{delivery_dir} (oldest reconstructable snapshot: "
+                f"{floor_ok}); re-deliver or keep pre-compaction copies "
+                f"if older snapshots must stay queryable"
+            )
+        keep = [BASELINE_EPOCH] + [e for e in streamed if e <= epoch]
+    else:
+        keep = [e for e in streamed if e <= epoch]
+    man_of = man.filter(F.col("epoch").isin(keep))
+    data = (
+        spark.read.option("basePath", f"{delivery_dir}/data")
+        .parquet(f"{delivery_dir}/data")
+        .filter(F.col("epoch").isin(keep))
+    )
+    return data, man_of
+
+
 def compact_delivery(
     spark: SparkSession,
     delivery_dir: str,

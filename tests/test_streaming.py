@@ -1671,3 +1671,54 @@ def test_compact_delivery_folds_epochs_keeps_replayable_tail(spark, tmp_path):
     assert read_delivery_manifest(spark, out).agg(
         F.sum("n_docs")
     ).first()[0] == 300
+
+
+def test_read_delivery_as_of_snapshots_and_baseline_floor(spark, tmp_path):
+    from datalakeingestion_spark.streaming.shards import (
+        DeliverySnapshotError,
+        compact_delivery,
+        read_delivery_as_of,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=64, shard_token_budget=256,
+        )
+        q.awaitTermination(120)
+
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 1000 + i, " ".join(f"w{(i + j) % 40}" for j in range(6)))
+             for i in range(50)],
+            schema,
+        ).write.mode("append").parquet(src)
+        run()
+
+    # snapshots grow monotonically with the epoch
+    d0, m0 = read_delivery_as_of(spark, out, 0)
+    d1, m1 = read_delivery_as_of(spark, out, 1)
+    d2, m2 = read_delivery_as_of(spark, out, 2)
+    assert (d0.count(), d1.count(), d2.count()) == (50, 100, 150)
+    assert m1.agg(F.sum("n_docs")).first()[0] == 100
+    ids0 = {r["doc_id"] for r in d0.select("doc_id").collect()}
+    assert ids0 == set(range(50))  # epoch-0 snapshot = epoch-0 docs only
+
+    # compaction folds epochs 0,1 into the baseline; the epoch-2 and
+    # later snapshots still answer exactly, older ones raise LOUDLY
+    compact_delivery(spark, out, seq_token_budget=64,
+                     shard_token_budget=256)
+    d2b, m2b = read_delivery_as_of(spark, out, 2)
+    assert d2b.count() == 150
+    assert m2b.agg(F.sum("n_docs")).first()[0] == 150
+    with pytest.raises(DeliverySnapshotError, match="predates"):
+        read_delivery_as_of(spark, out, 0)
