@@ -174,34 +174,41 @@ def read_training_shards(
     manifest = read_shard_manifest(spark, path)
     if manifest is None:
         raise ShardIntegrityError(f"no manifest at {path}")
+    known = {r[shard_col] for r in manifest.collect()}  # manifest-scale
     if shards is not None:
-        known = {r["shard_id"] for r in manifest.collect()}
         missing = sorted(set(shards) - known)
         if missing:
             raise ShardIntegrityError(
                 f"shards {missing} are not in the manifest at {path}"
             )
-        manifest = manifest.filter(F.col("shard_id").isin(list(shards)))
-    data = spark.read.parquet(f"{path}/data")
-    if shards is not None:
-        data = data.filter(F.col(shard_col).isin(list(shards)))
+        wanted = sorted(set(shards))
+        manifest = manifest.filter(F.col(shard_col).isin(wanted))
+    else:
+        wanted = sorted(known)
+    # ALWAYS restrict to the manifest's shard ids (even unverified):
+    # a shard directory the manifest never committed — a crashed write,
+    # a foreign drop-in — must be invisible, manifest being the source
+    # of truth this function exists to enforce
+    data = spark.read.parquet(f"{path}/data").filter(
+        F.col(shard_col).isin(wanted)
+    )
     if verify:
         actual = shard_manifest(data, shard_col, id_col, tokens_col, seq_col)
         bad = (
             manifest.alias("m")
-            .join(actual.alias("a"), "shard_id", "full_outer")
+            .join(actual.alias("a"), shard_col, "full_outer")
             .filter(
                 F.col("m.digest").isNull()
                 | F.col("a.digest").isNull()
                 | (F.col("m.digest") != F.col("a.digest"))
             )
-            .select("shard_id")
+            .select(shard_col)
             .collect()  # bounded: manifest-scale
         )
         if bad:
             raise ShardIntegrityError(
                 f"digest mismatch for shards "
-                f"{sorted(r['shard_id'] for r in bad)} at {path} — "
+                f"{sorted(r[shard_col] for r in bad)} at {path} — "
                 f"delivery is corrupt or was modified outside the writer"
             )
     return data

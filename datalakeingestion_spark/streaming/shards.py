@@ -44,26 +44,89 @@ from ..operators.shards import assign_shards, shard_manifest
 
 
 def read_delivery_manifest(
-    spark: SparkSession, delivery_dir: str
+    spark: SparkSession, delivery_dir: str, include_stale: bool = False
 ) -> DataFrame | None:
     """The accumulated manifest — union of every epoch's delta, keyed
     (epoch, shard_id) — or None before the first delivery. Only the
     path-missing case means "nothing delivered"; anything else
-    re-raises (a transient read error must not masquerade as empty)."""
+    re-raises (a transient read error must not masquerade as empty).
+
+    By default the view EXCLUDES stale entries (a superseded baseline
+    and the epochs it already folded — the leftovers of a compaction
+    that crashed before its deletes), so totals are always correct;
+    ``include_stale=True`` exposes the raw ledger for inspection and
+    for ``compact_delivery``'s recovery pass."""
     try:
-        return spark.read.parquet(f"{delivery_dir}/manifest")
+        man = spark.read.parquet(f"{delivery_dir}/manifest")
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
             return None
         raise
-
-
-BASELINE_EPOCH = -1
+    if include_stale:
+        return man
+    epochs = sorted(
+        r["epoch"] for r in man.select("epoch").distinct().collect()
+    )
+    baselines = [e for e in epochs if e < 0]
+    if not baselines:
+        return man
+    effective = min(baselines)
+    covered = _baseline_coverage(effective)
+    return man.filter(
+        (F.col("epoch") == effective)
+        | ((F.col("epoch") >= 0) & (F.col("epoch") > covered))
+    )
 
 
 class DeliverySnapshotError(RuntimeError):
     """The requested delivery snapshot predates the compaction baseline."""
+
+
+# Baseline epochs encode their own COVERAGE in the partition value:
+# ``epoch = -(k + 2)`` means "this baseline folds every streamed epoch
+# <= k". Coverage thereby commits ATOMICALLY with the baseline's own
+# manifest delta (no separate meta file whose write order could desync
+# from the data under a crash); newer baselines are MORE negative, so
+# the effective baseline is always min(baseline epochs), and anything
+# it covers that still exists on disk is recognizably stale. Streamed
+# epochs count up from 0 and can never collide.
+
+
+def _baseline_id(covers_through: int) -> int:
+    return -(covers_through + 2)
+
+
+def _baseline_coverage(baseline_id: int) -> int:
+    return -baseline_id - 2
+
+
+def _ledger_state(spark, delivery_dir: str):
+    """(manifest | None, effective_baseline | None, covered_through,
+    live_streamed, stale) — the one shared reading of the epoch ledger.
+
+    ``stale`` = baselines superseded by a more-negative one plus
+    streamed epochs the effective baseline already covers: exactly the
+    leftovers of a compaction that crashed between its baseline write
+    and its deletes. Every reader here EXCLUDES them (so a crash window
+    never serves duplicated or wrong rows); ``compact_delivery``
+    deletes them without re-reading (so recovery never re-folds rows
+    the baseline already holds)."""
+    man = read_delivery_manifest(spark, delivery_dir, include_stale=True)
+    if man is None:
+        return None, None, -1, [], []
+    epochs = sorted(
+        r["epoch"] for r in man.select("epoch").distinct().collect()
+    )
+    baselines = [e for e in epochs if e < 0]
+    streamed = [e for e in epochs if e >= 0]
+    effective = min(baselines) if baselines else None
+    covered = _baseline_coverage(effective) if effective is not None else -1
+    stale = [b for b in baselines if b != effective] + [
+        e for e in streamed if e <= covered
+    ]
+    live_streamed = [e for e in streamed if e > covered]
+    return man, effective, covered, live_streamed, stale
 
 
 def read_delivery_as_of(
@@ -74,37 +137,27 @@ def read_delivery_as_of(
     snapshots come free (the ingest/timetravel.py idea applied to the
     streaming delivery).
 
-    Re-baseline semantics mirror the lake's: after ``compact_delivery``
-    folds epochs into the ``epoch=-1`` baseline, snapshots that CONTAIN
-    the whole baseline (every epoch >= the newest surviving streamed
-    epoch below them... i.e. requests at or above the oldest surviving
-    streamed epoch) still answer exactly; a snapshot BEFORE the
-    baseline's coverage cannot be reconstructed and raises
-    ``DeliverySnapshotError`` — never wrong rows.
-    """
-    man = read_delivery_manifest(spark, delivery_dir)
+    Re-baseline semantics mirror the lake's: snapshots at or after the
+    effective baseline's recorded coverage answer exactly (the baseline
+    stands in for everything it folded); older snapshots cannot be
+    reconstructed and raise ``DeliverySnapshotError`` — never wrong
+    rows, including inside a crashed-compaction window (stale baselines
+    and already-folded epochs are excluded by the ledger reading)."""
+    man, effective, covered, live_streamed, _stale = _ledger_state(
+        spark, delivery_dir
+    )
     if man is None:
         raise DeliverySnapshotError(f"no delivery at {delivery_dir}")
-    epochs = sorted(
-        r["epoch"] for r in man.select("epoch").distinct().collect()
-    )
-    streamed = [e for e in epochs if e != BASELINE_EPOCH]
-    if BASELINE_EPOCH in epochs:
-        # the baseline folds every epoch older than the surviving
-        # streamed ones; a snapshot is answerable iff it includes the
-        # whole baseline, i.e. sits at/after the last folded epoch —
-        # conservatively: at/after (first surviving streamed epoch - 1)
-        floor_ok = streamed[0] - 1 if streamed else BASELINE_EPOCH
-        if epoch < floor_ok:
-            raise DeliverySnapshotError(
-                f"epoch {epoch} predates the compaction baseline at "
-                f"{delivery_dir} (oldest reconstructable snapshot: "
-                f"{floor_ok}); re-deliver or keep pre-compaction copies "
-                f"if older snapshots must stay queryable"
-            )
-        keep = [BASELINE_EPOCH] + [e for e in streamed if e <= epoch]
-    else:
-        keep = [e for e in streamed if e <= epoch]
+    if epoch < covered:
+        raise DeliverySnapshotError(
+            f"epoch {epoch} predates the compaction baseline at "
+            f"{delivery_dir} (oldest reconstructable snapshot: "
+            f"{covered}); re-deliver or keep pre-compaction copies "
+            f"if older snapshots must stay queryable"
+        )
+    keep = ([effective] if effective is not None else []) + [
+        e for e in live_streamed if e <= epoch
+    ]
     man_of = man.filter(F.col("epoch").isin(keep))
     data = (
         spark.read.option("basePath", f"{delivery_dir}/data")
@@ -126,75 +179,85 @@ def compact_delivery(
     stream accumulates one undersized tail shard per epoch, and a
     trainer wants few full shards, not thousands of slivers.
 
-    Safety rules (why this never fights the stream):
+    Safety rules (why this never fights the stream or itself):
 
     - Run with the stream STOPPED. Structured streaming can only replay
       the LAST epoch (earlier ones are committed in the checkpoint), so
       that epoch is EXCLUDED from folding and kept verbatim — a restart
       that replays it overwrites its own partitions exactly as before,
       never the baseline.
-    - Everything older folds into the reserved ``epoch=-1`` baseline
-      (stream epochs count up from 0, so no future epoch collides).
-      The folded frame is materialized (eager localCheckpoint) BEFORE
-      the baseline overwrite — the input may include the previous
-      baseline's own files (at object-store scale, stage to a new
-      prefix and swap instead).
-    - Folded epoch directories (data + manifest deltas) are deleted
-      last; a crash before the deletes leaves duplicates VISIBLY (both
-      the baseline and the folded epochs in the manifest) rather than
-      losing rows — re-run compaction to converge.
+    - Everything older folds into a NEW baseline whose epoch id encodes
+      its coverage (see ``_baseline_id``); the previous baseline's rows
+      are folded forward by reading, the new baseline is written to its
+      own fresh ``epoch=`` directory (never overwriting the old one),
+      and superseded directories are deleted LAST.
+    - Crash recovery is therefore re-run-to-converge WITHOUT double
+      counting: after a crash between the baseline write and the
+      deletes, the ledger shows both baselines — every reader uses only
+      the most-negative (new) one, and the re-run recognizes the old
+      baseline and its folded epochs as stale FROM THE RECORDED
+      COVERAGE (not by re-reading them) and just deletes them.
 
-    Returns ``{"folded": [...], "kept": [...], "n_shards": int}``; a
-    delivery with nothing to fold is a no-op.
+    Returns ``{"folded": [...], "kept": [...], "stale_removed": [...],
+    "n_shards": int}``; a steady-state delivery (baseline + one
+    replayable tail, nothing stale) is a true no-op.
     """
     from ..operators.shards import _hadoop_fs
 
-    man = read_delivery_manifest(spark, delivery_dir)
+    man, effective, covered, live_streamed, stale = _ledger_state(
+        spark, delivery_dir
+    )
     if man is None:
-        return {"folded": [], "kept": [], "n_shards": 0}
-    epochs = sorted(
-        r["epoch"] for r in man.select("epoch").distinct().collect()
-    )
-    streamed = [e for e in epochs if e != BASELINE_EPOCH]
-    keep = streamed[-1:]  # the only replayable epoch stays verbatim
-    fold = [e for e in epochs if e not in keep]
-    if len(fold) <= 1 and BASELINE_EPOCH not in fold:
-        return {"folded": [], "kept": epochs, "n_shards": 0}
+        return {"folded": [], "kept": [], "stale_removed": [],
+                "n_shards": 0}
+    keep_tail = live_streamed[-1:]  # the only replayable epoch
+    new_folds = [e for e in live_streamed if e not in keep_tail]
 
-    data = spark.read.option("basePath", f"{delivery_dir}/data").parquet(
-        f"{delivery_dir}/data"
-    )
-    folded = (
-        data.filter(F.col("epoch").isin(fold))
-        .select("doc_id", "n_tokens")
-        .localCheckpoint()  # materialize BEFORE overwriting the baseline
-    )
-    packed = pack_sequences(folded, token_budget=seq_token_budget)
-    sharded = assign_shards(
-        packed, shard_token_budget=shard_token_budget
-    ).localCheckpoint()
-    (
-        sharded.write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(f"{delivery_dir}/data/epoch={BASELINE_EPOCH}")
-    )
-    manifest = shard_manifest(sharded)
-    n_shards = manifest.count()
-    (
-        manifest.coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{delivery_dir}/manifest/epoch={BASELINE_EPOCH}")
-    )
-    for e in fold:
-        if e == BASELINE_EPOCH:
-            continue
+    n_shards = 0
+    new_id = effective
+    if new_folds:
+        fold_src = ([effective] if effective is not None else []) + new_folds
+        data = spark.read.option(
+            "basePath", f"{delivery_dir}/data"
+        ).parquet(f"{delivery_dir}/data")
+        folded = (
+            data.filter(F.col("epoch").isin(fold_src))
+            .select("doc_id", "n_tokens")
+            .localCheckpoint()  # materialized before any write
+        )
+        packed = pack_sequences(folded, token_budget=seq_token_budget)
+        sharded = assign_shards(
+            packed, shard_token_budget=shard_token_budget
+        ).localCheckpoint()
+        new_id = _baseline_id(max(new_folds))
+        (
+            sharded.write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{delivery_dir}/data/epoch={new_id}")
+        )
+        manifest = shard_manifest(sharded)
+        n_shards = manifest.count()
+        (
+            manifest.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{delivery_dir}/manifest/epoch={new_id}")
+        )
+        stale = stale + (
+            [effective] if effective is not None else []
+        ) + new_folds
+    if not stale:
+        return {"folded": [], "kept": ([new_id] if new_id is not None
+                                       else []) + keep_tail,
+                "stale_removed": [], "n_shards": 0}
+    for e in stale:
         for sub in ("data", "manifest"):
             fs, p = _hadoop_fs(spark, f"{delivery_dir}/{sub}/epoch={e}")
             if fs.exists(p):
                 fs.delete(p, True)
     return {
-        "folded": fold,
-        "kept": [BASELINE_EPOCH] + keep,
+        "folded": new_folds,
+        "kept": ([new_id] if new_id is not None else []) + keep_tail,
+        "stale_removed": sorted(stale),
         "n_shards": n_shards,
     }
 

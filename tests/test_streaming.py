@@ -1646,10 +1646,12 @@ def test_compact_delivery_folds_epochs_keeps_replayable_tail(spark, tmp_path):
     res = compact_delivery(
         spark, out, seq_token_budget=64, shard_token_budget=256
     )
-    assert res["folded"] and len(res["folded"]) == 2
+    assert res["folded"] == [0, 1]
+    assert res["stale_removed"] == [0, 1]
     man = read_delivery_manifest(spark, out)
     epochs = {r["epoch"] for r in man.select("epoch").distinct().collect()}
-    assert epochs == {-1, max(epochs_before)}  # baseline + replayable tail
+    # the baseline's epoch id ENCODES its coverage: -(1+2) covers <= 1
+    assert epochs == {-3, max(epochs_before)}
     totals = man.agg(
         F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
     ).first()
@@ -1663,11 +1665,15 @@ def test_compact_delivery_folds_epochs_keeps_replayable_tail(spark, tmp_path):
         1 for r in rows_before if r["epoch"] in res["folded"]
     )
 
-    # idempotent-ish: nothing further to fold (baseline + tail only)
+    # steady state (baseline + replayable tail): a TRUE no-op — no
+    # re-read, no rewrite, nothing stale
     again = compact_delivery(
         spark, out, seq_token_budget=64, shard_token_budget=256
     )
-    assert again["folded"] == [] or again["folded"] == [-1]
+    assert again == {
+        "folded": [], "kept": [-3, max(epochs_before)],
+        "stale_removed": [], "n_shards": 0,
+    }
     assert read_delivery_manifest(spark, out).agg(
         F.sum("n_docs")
     ).first()[0] == 300
@@ -1722,3 +1728,101 @@ def test_read_delivery_as_of_snapshots_and_baseline_floor(spark, tmp_path):
     assert m2b.agg(F.sum("n_docs")).first()[0] == 150
     with pytest.raises(DeliverySnapshotError, match="predates"):
         read_delivery_as_of(spark, out, 0)
+
+
+def test_compact_delivery_crash_recovery_never_double_counts(spark, tmp_path):
+    """A compaction that crashed between its baseline write and its
+    deletes leaves a superseded baseline + already-folded epochs on
+    disk. Every reader must EXCLUDE them (no duplicated or wrong rows
+    served), and the re-run must recognize them as stale from the
+    RECORDED coverage and delete them without re-folding — the exact
+    failure a coverage-less design double-counts."""
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.operators.shards import (
+        assign_shards,
+        shard_manifest,
+    )
+    from datalakeingestion_spark.streaming.shards import (
+        DeliverySnapshotError,
+        compact_delivery,
+        read_delivery_as_of,
+        read_delivery_manifest,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=64, shard_token_budget=256,
+        )
+        q.awaitTermination(120)
+
+    def deliver_batch(b):
+        spark.createDataFrame(
+            [(b * 1000 + i, " ".join(f"w{(i + j) % 40}" for j in range(6)))
+             for i in range(50)],
+            schema,
+        ).write.mode("append").parquet(src)
+        run()
+
+    for b in range(3):  # epochs 0..2, 50 docs each
+        deliver_batch(b)
+    compact_delivery(spark, out, seq_token_budget=64,
+                     shard_token_budget=256)
+    deliver_batch(3)
+    # state now: baseline -3 (covers 0-1), epochs 2, 3
+
+    # SIMULATE a second compaction that wrote its new baseline (-4,
+    # covers <= 2: the old baseline + epoch 2) and crashed before the
+    # deletes — baseline -3 and epoch 2 remain on disk
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    folded = (
+        data.filter(F.col("epoch").isin([-3, 2]))
+        .select("doc_id", "n_tokens")
+        .localCheckpoint()
+    )
+    sharded = assign_shards(
+        pack_sequences(folded, token_budget=64), shard_token_budget=256
+    ).localCheckpoint()
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(
+        f"{out}/data/epoch=-4"
+    )
+    shard_manifest(sharded).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/manifest/epoch=-4"
+    )
+
+    # inside the crash window: the default manifest view and snapshots
+    # never double-count
+    man = read_delivery_manifest(spark, out)
+    assert man.agg(F.sum("n_docs")).first()[0] == 200
+    assert {r["epoch"] for r in man.select("epoch").distinct().collect()} \
+        == {-4, 3}
+    d2, m2 = read_delivery_as_of(spark, out, 2)
+    assert d2.count() == 150  # epochs 0-2 exactly, not duplicated
+    d3, _ = read_delivery_as_of(spark, out, 3)
+    assert d3.count() == 200
+    with pytest.raises(DeliverySnapshotError, match="predates"):
+        read_delivery_as_of(spark, out, 1)  # folded deeper than -3's floor
+    # the raw ledger still shows the leftovers for inspection
+    raw = read_delivery_manifest(spark, out, include_stale=True)
+    assert raw.agg(F.sum("n_docs")).first()[0] > 200
+
+    # recovery: the re-run deletes the stale leftovers WITHOUT
+    # re-folding (folded == [], so nothing was re-read into a baseline)
+    res = compact_delivery(spark, out, seq_token_budget=64,
+                           shard_token_budget=256)
+    assert res["folded"] == []
+    assert res["stale_removed"] == [-3, 2]
+    raw2 = read_delivery_manifest(spark, out, include_stale=True)
+    assert raw2.agg(F.sum("n_docs")).first()[0] == 200
+    assert spark.read.option("basePath", f"{out}/data").parquet(
+        f"{out}/data"
+    ).select("doc_id").distinct().count() == 200
