@@ -164,18 +164,24 @@ def read_training_shards(
     wrong data.
 
     ``shards`` restricts the read (partition pruning serves exactly the
-    requested shard directories); shard ids absent from the manifest
-    raise. Verification recomputes the same order-insensitive content
-    digest the writer committed (one groupBy over the requested shards;
-    the comparison joins manifest-scale frames) — skip it with
-    ``verify=False`` when the storage layer already guarantees
-    integrity end-to-end.
+    requested shard directories — orphan directories OUTSIDE the
+    requested set go unchecked on restricted reads); shard ids absent
+    from the manifest raise. An unrestricted ``verify=True`` read
+    digests the WHOLE tree, so a directory the manifest never committed
+    (a crashed write, a foreign drop-in) fails loudly as an orphan, and
+    even ``verify=False`` never serves it (the returned frame is
+    manifest-restricted via a broadcast semi-join — skip verification
+    only when the storage layer already guarantees integrity
+    end-to-end, never to see uncommitted shards).
     """
     manifest = read_shard_manifest(spark, path)
     if manifest is None:
         raise ShardIntegrityError(f"no manifest at {path}")
-    known = {r[shard_col] for r in manifest.collect()}  # manifest-scale
+    data_all = spark.read.parquet(f"{path}/data")
     if shards is not None:
+        known = {
+            r[shard_col] for r in manifest.select(shard_col).collect()
+        }  # manifest-scale ids only
         missing = sorted(set(shards) - known)
         if missing:
             raise ShardIntegrityError(
@@ -183,17 +189,21 @@ def read_training_shards(
             )
         wanted = sorted(set(shards))
         manifest = manifest.filter(F.col(shard_col).isin(wanted))
+        data = data_all.filter(F.col(shard_col).isin(wanted))
+        digest_src = data
     else:
-        wanted = sorted(known)
-    # ALWAYS restrict to the manifest's shard ids (even unverified):
-    # a shard directory the manifest never committed — a crashed write,
-    # a foreign drop-in — must be invisible, manifest being the source
-    # of truth this function exists to enforce
-    data = spark.read.parquet(f"{path}/data").filter(
-        F.col(shard_col).isin(wanted)
-    )
+        # manifest is the source of truth: a broadcast semi-join (not a
+        # giant isin literal) hides uncommitted directories from the
+        # returned frame; verification still digests the WHOLE tree so
+        # orphans fail loudly rather than rot silently
+        data = data_all.join(
+            F.broadcast(manifest.select(shard_col)), shard_col, "left_semi"
+        )
+        digest_src = data_all
     if verify:
-        actual = shard_manifest(data, shard_col, id_col, tokens_col, seq_col)
+        actual = shard_manifest(
+            digest_src, shard_col, id_col, tokens_col, seq_col
+        )
         bad = (
             manifest.alias("m")
             .join(actual.alias("a"), shard_col, "full_outer")
@@ -251,11 +261,11 @@ def write_training_shards(
         old_digests: dict[int, str] = {}
     else:
         old_digests = {
-            r["shard_id"]: r["digest"]
-            for r in old.select("shard_id", "digest").collect()
+            r[shard_col]: r["digest"]
+            for r in old.select(shard_col, "digest").collect()
         }
     new_rows = manifest.collect()
-    new_digests = {r["shard_id"]: r["digest"] for r in new_rows}
+    new_digests = {r[shard_col]: r["digest"] for r in new_rows}
     written = sorted(
         s for s, d in new_digests.items() if old_digests.get(s) != d
     )

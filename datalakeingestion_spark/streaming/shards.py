@@ -43,40 +43,40 @@ from ..operators.packing import pack_sequences
 from ..operators.shards import assign_shards, shard_manifest
 
 
-def read_delivery_manifest(
-    spark: SparkSession, delivery_dir: str, include_stale: bool = False
-) -> DataFrame | None:
-    """The accumulated manifest — union of every epoch's delta, keyed
-    (epoch, shard_id) — or None before the first delivery. Only the
-    path-missing case means "nothing delivered"; anything else
-    re-raises (a transient read error must not masquerade as empty).
-
-    By default the view EXCLUDES stale entries (a superseded baseline
-    and the epochs it already folded — the leftovers of a compaction
-    that crashed before its deletes), so totals are always correct;
-    ``include_stale=True`` exposes the raw ledger for inspection and
-    for ``compact_delivery``'s recovery pass."""
+def _read_manifest_raw(spark: SparkSession, delivery_dir: str):
+    """The raw ledger frame, or None before the first delivery. Only
+    the path-missing case means "nothing delivered"; anything else
+    re-raises (a transient read error must not masquerade as empty)."""
     try:
-        man = spark.read.parquet(f"{delivery_dir}/manifest")
+        return spark.read.parquet(f"{delivery_dir}/manifest")
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
             return None
         raise
+
+
+def read_delivery_manifest(
+    spark: SparkSession, delivery_dir: str, include_stale: bool = False
+) -> DataFrame | None:
+    """The accumulated manifest — union of every epoch's delta, keyed
+    (epoch, shard_id) — or None before the first delivery.
+
+    By default the view EXCLUDES stale entries (a superseded baseline
+    and the epochs it already folded — the leftovers of a compaction
+    that crashed before its deletes), so totals are always correct;
+    ``include_stale=True`` exposes the raw ledger for inspection and
+    for ``compact_delivery``'s recovery pass. The stale set comes from
+    the single ledger reading in ``_ledger_state``."""
+    man, effective, _covered, live_streamed, _stale = _ledger_state(
+        spark, delivery_dir
+    )
+    if man is None:
+        return None
     if include_stale:
         return man
-    epochs = sorted(
-        r["epoch"] for r in man.select("epoch").distinct().collect()
-    )
-    baselines = [e for e in epochs if e < 0]
-    if not baselines:
-        return man
-    effective = min(baselines)
-    covered = _baseline_coverage(effective)
-    return man.filter(
-        (F.col("epoch") == effective)
-        | ((F.col("epoch") >= 0) & (F.col("epoch") > covered))
-    )
+    keep = ([effective] if effective is not None else []) + live_streamed
+    return man.filter(F.col("epoch").isin(keep))
 
 
 class DeliverySnapshotError(RuntimeError):
@@ -112,13 +112,23 @@ def _ledger_state(spark, delivery_dir: str):
     never serves duplicated or wrong rows); ``compact_delivery``
     deletes them without re-reading (so recovery never re-folds rows
     the baseline already holds)."""
-    man = read_delivery_manifest(spark, delivery_dir, include_stale=True)
+    man = _read_manifest_raw(spark, delivery_dir)
     if man is None:
         return None, None, -1, [], []
     epochs = sorted(
         r["epoch"] for r in man.select("epoch").distinct().collect()
     )
     baselines = [e for e in epochs if e < 0]
+    if -1 in baselines:
+        # -1 is unreachable under the coverage-encoded scheme
+        # (_baseline_id(k) <= -2 for k >= 0): decoding it would claim
+        # "covers nothing" and silently double-count whatever it folded.
+        # Refuse loudly rather than guess.
+        raise DeliverySnapshotError(
+            f"{delivery_dir} contains a baseline at epoch=-1, which this "
+            f"coverage-encoded scheme never writes — foreign or corrupt "
+            f"ledger state; resolve it manually before reading"
+        )
     streamed = [e for e in epochs if e >= 0]
     effective = min(baselines) if baselines else None
     covered = _baseline_coverage(effective) if effective is not None else -1

@@ -161,3 +161,41 @@ def test_read_training_shards_verifies_digests(spark, tmp_path):
         spark, path, shards=[s for s in some if s != victim_id]
     )
     assert intact.count() > 0
+
+
+def test_custom_shard_col_round_trip_and_orphan_detection(spark, tmp_path):
+    """(a) a non-default shard_col works end to end (writer digest-diff
+    + verifying reader); (b) an unrestricted verify=True read digests
+    the WHOLE tree, so an uncommitted (orphan) shard directory fails
+    loudly, while verify=False still never serves it."""
+    from datalakeingestion_spark.operators.shards import (
+        ShardIntegrityError,
+        read_training_shards,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    sharded = _sharded(spark, 80).withColumnRenamed("shard_id", "part")
+    first = write_training_shards(sharded, path, shard_col="part")
+    assert first["written"]
+    replay = write_training_shards(sharded, path, shard_col="part")
+    assert replay["written"] == []  # digest-diff honors the custom column
+    back = read_training_shards(spark, path, shard_col="part")
+    assert back.count() == 80
+
+    # plant an orphan shard directory the manifest never committed
+    orphan = sharded.filter(F.col("part") == first["written"][0]).withColumn(
+        "part", F.lit(424242)
+    )
+    orphan.write.mode("append").partitionBy("part").parquet(f"{path}/data")
+    with pytest.raises(ShardIntegrityError, match="424242"):
+        read_training_shards(spark, path, shard_col="part")
+    # unverified read is manifest-restricted: the orphan stays invisible
+    unv = read_training_shards(spark, path, shard_col="part", verify=False)
+    assert unv.count() == 80
+    assert unv.filter(F.col("part") == 424242).count() == 0
+    # a restricted verified read of intact shards still passes
+    ok = read_training_shards(
+        spark, path, shards=first["written"][:1], shard_col="part"
+    )
+    assert ok.count() > 0

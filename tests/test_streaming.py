@@ -1826,3 +1826,22 @@ def test_compact_delivery_crash_recovery_never_double_counts(spark, tmp_path):
     assert spark.read.option("basePath", f"{out}/data").parquet(
         f"{out}/data"
     ).select("doc_id").distinct().count() == 200
+
+
+def test_delivery_rejects_legacy_minus_one_baseline(spark, tmp_path):
+    """epoch=-1 is unreachable under the coverage-encoded scheme
+    (baseline ids are <= -2); decoding it would claim 'covers nothing'
+    and silently double-count whatever it folded — readers must refuse
+    loudly instead."""
+    from datalakeingestion_spark.streaming.shards import (
+        DeliverySnapshotError,
+        read_delivery_manifest,
+    )
+
+    out = str(tmp_path / "delivery")
+    spark.createDataFrame(
+        [(0, 10, 2, 100, "d" * 32)],
+        "shard_id long, n_docs long, n_seqs long, n_tokens long, digest string",
+    ).write.parquet(f"{out}/manifest/epoch=-1")
+    with pytest.raises(DeliverySnapshotError, match="epoch=-1"):
+        read_delivery_manifest(spark, out)
