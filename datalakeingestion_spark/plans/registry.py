@@ -55,68 +55,68 @@ def register(
 # successfully) hash-checked to the front so external verification
 # coverage grows round over round; everything here also runs through the
 # stricter exact-match gate in tests/test_parity.py regardless of
-# position. Checked-green history: CORRECTNESS_r01–r10 — every one of
-# the 257 queries registered through round 10 has been externally
+# position. Checked-green history: CORRECTNESS_r01–r11 — every one of
+# the 266 queries registered through round 11 has been externally
 # hash-checked green at least once, and no query's LATEST check is
-# failing. Vintage after r10 (recomputed via tools/rotate_priority.py
-# from the CORRECTNESS files, not remembered): 7 queries last checked
-# r5, 50 each r6/r7/r8/r9/r10. The r11 window = any round-11 additions
-# first, then the 7 remaining r5-vintage, then the oldest r6-vintage
+# failing. Vintage after r11 (recomputed via tools/rotate_priority.py
+# from the CORRECTNESS files, not remembered): 16 queries last checked
+# r6, 50 each r7/r8/r9/r10/r11. The r12 window = any round-12 additions
+# first, then the 16 remaining r6-vintage, then the oldest r7-vintage
 # filling to 50 (tools/rotate_priority.py is the ground truth, this
 # comment is narration). EXACTLY 50 entries: the driver checks
 # positions 0-49 and test_parity.py pins the tuple length to the
 # checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "training_shard_manifest",  # never checked
-    "training_shard_delivery_contract",  # never checked
-    "ivf_stored_index_contract",  # never checked
-    "unigram_train_top50",  # never checked
-    "unigram_encode_words",  # never checked
-    "ivf_index_health_report",  # never checked
-    "shard_source_mix_manifest",  # never checked
-    "unigram_fertility_by_lang",  # never checked
-    "curated_corpus_shard_manifest",  # never checked
-    "rfm_segments",  # last green r5
-    "exact_quantiles_price_by_flag",  # last green r5
-    "sample_balanced_length_deciles",  # last green r5
-    "join_size_profile_orders_lineitem",  # last green r5
-    "quantile_map_nchars_by_source",  # last green r5
-    "anomalous_event_days",  # last green r5
-    "image_ppm_pixel_stats",  # last green r5
-    "sample_weighted_aes_top50",  # last green r6
-    "supplier_reliability_wilson",  # last green r6
-    "event_hourly_seasonality",  # last green r6
-    "heatmap_price_qty_deciles",  # last green r6
-    "triangle_count_coorder_parts",  # last green r6
-    "cumulative_distinct_users_daily",  # last green r6
-    "split_group_holdout",  # last green r6
-    "t10_stream_stream_join",  # last green r6
-    "matryoshka_rerank_topk",  # last green r6
-    "brand_revenue_yoy",  # last green r6
-    "token_gini_by_source",  # last green r6
-    "lexical_diversity_by_source",  # last green r6
-    "silhouette_by_label",  # last green r6
-    "conversion_attribution_last_touch",  # last green r6
-    "ks_drift_by_source",  # last green r6
-    "funnel_signup_click_purchase",  # last green r6
-    "active_users_trailing_7d",  # last green r6
-    "lsh_candidate_precision",  # last green r6
-    "referential_integrity_audit",  # last green r6
-    "effective_tokens_by_source",  # last green r6
-    "embedding_drift_halves",  # last green r6
-    "forward_fill_values",  # last green r6
-    "clustering_coefficient_parts",  # last green r6
-    "expectations_orders_contract",  # last green r6
-    "revenue_pareto_deciles",  # last green r6
-    "lang_consistency_by_source",  # last green r6
-    "sql_api_revenue_by_status",  # last green r6
-    "pagerank_personalized_suppliers",  # last green r6
-    "skipgram_pairs_top50",  # last green r6
-    "retention_cohort_revenue",  # last green r6
-    "multi_touch_attribution_linear",  # last green r6
-    "lsh_threshold_sweep",  # last green r6
-    "session_funnel_stages",  # last green r6
-    "multi_touch_attribution_decay",  # last green r6
+    "q4_order_priority_exists",  # last green r6
+    "q10_returned_items",  # last green r6
+    "q14_promo_revenue",  # last green r6
+    "q18_large_volume_orders",  # last green r6
+    "q19_disjunctive_join",  # last green r6
+    "q7_nation_volume",  # last green r6
+    "q12_priority_shipping",  # last green r6
+    "q13_order_count_distribution",  # last green r6
+    "q22_global_sales_opportunity",  # last green r6
+    "q8_market_share",  # last green r6
+    "q15_top_supplier",  # last green r6
+    "q17_small_quantity_revenue",  # last green r6
+    "q2_min_acctbal_supplier",  # last green r6
+    "q21_sole_late_supplier",  # last green r6
+    "q21_sole_late_supplier_agg",  # last green r6
+    "q9_profit_by_nation_year",  # last green r6
+    "f3_predicate_string_filter",  # last green r7
+    "f5_key_lookup",  # last green r7
+    "c3_parse_truncate",  # last green r7
+    "c6_regex_extract",  # last green r7
+    "c7_concat_case",  # last green r7
+    "a4_count_with_predicate",  # last green r7
+    "w3_sessionize",  # last green r7
+    "w4_running_total",  # last green r7
+    "g1_rollup_counts",  # last green r7
+    "g2_pivot_status",  # last green r7
+    "g3_percentiles",  # last green r7
+    "asof_latest_order_per_event",  # last green r7
+    "sketch_kmv_distinct",  # last green r7
+    "t7_windowed_counts",  # last green r7
+    "zorder_clustering_key",  # last green r7
+    "g4_cube_counts",  # last green r7
+    "w5_latest_composite_key",  # last green r7
+    "t8_session_window_counts",  # last green r7
+    "profile_orders",  # last green r7
+    "d3_grouped_zscore",  # last green r7
+    "g5_unpivot_balances",  # last green r7
+    "dedup_exact",  # last green r7
+    "dedup_minhash_lsh",  # last green r7
+    "dedup_cluster_assign",  # last green r7
+    "decontaminate_ngram_overlap",  # last green r7
+    "dedup_ngram_jaccard",  # last green r7
+    "dedup_simhash",  # last green r7
+    "dedup_embedding_cosine",  # last green r7
+    "ann_cosine_topk",  # last green r7
+    "ann_lsh_bucketed",  # last green r7
+    "text_quality_score",  # last green r7
+    "lang_id_heuristic",  # last green r7
+    "token_count",  # last green r7
+    "text_repetition_filter",  # last green r7
 )
 
 
