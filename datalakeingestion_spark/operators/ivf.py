@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..functions.hashing import portable_hash32
 
@@ -343,10 +344,19 @@ def append_ivf_index(
 
 
 def _epoch_seen(spark, index_path: str, batch_id: str) -> bool:
+    """True iff ``batch_id`` is already in the append ledger. Only the
+    path-missing case means "first append"; any other read failure
+    re-raises — a transient ledger error masquerading as "not seen"
+    would silently downgrade a keyed, replay-safe append to
+    at-least-once (same narrow-catch contract as
+    streaming/shards.py::_read_manifest_raw)."""
     try:
         ledger = spark.read.parquet(f"{index_path}/epochs")
-    except Exception:  # first append: no ledger yet
-        return False
+    except AnalysisException as e:  # first append: no ledger yet
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return False
+        raise
     return ledger.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
 
 

@@ -51,8 +51,12 @@ def pack_sequences(
 
     Document boundaries are preserved: a document whose tail crosses the
     budget stays whole in its sequence (pack-with-overflow; split/truncate
-    is a downstream choice). ``docs`` must carry ``id_col`` (unique),
-    ``tokens_col`` (non-negative int), and ``order_cols`` (defaults to
+    is a downstream choice). A NULL ``tokens_col`` counts as 0 — the doc
+    stays in the corpus with a valid ``seq_id`` (dropping it here would be
+    silent data loss: a NULL token count upstream usually means NULL text,
+    which is in-domain — see the bloom-door NULL pin). ``docs`` must carry
+    ``id_col`` (unique), ``tokens_col`` (int or NULL), and ``order_cols``
+    (defaults to
     ``[id_col]``; the composite must be a total order for a deterministic
     result). ``include_position=True`` adds the exclusive prefix sum
     itself as a ``position`` column — with ``tokens_col`` ≡ 1 that is a
@@ -76,7 +80,11 @@ def pack_sequences(
         raise ValueError("input already has reserved column _k/_cum")
     sized = docs.select(
         *[F.col(c) for c in keep],
-        F.col(tokens_col).cast("long").alias(tokens_col),
+        # NULL -> 0, not dropped: a NULL count would yield a NULL prefix
+        # sum and seq_id, and the doc would vanish at the next equi-join
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long")).alias(
+            tokens_col
+        ),
     ).withColumn("_k", F.lit(1))
     cum = keyed_prefix_sum(
         sized,

@@ -156,6 +156,57 @@ def cap_tokens_per_group(
     )
 
 
+def cap_tokens_per_quota(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    quotas: dict[str, int],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """``cap_tokens_per_group`` with a PER-GROUP budget — the form a
+    trainer's mixture spec actually takes ("1B tokens of web, 200M of
+    code, 50M of reference"). Each listed group keeps its prefix (in
+    ``order_cols`` order) whose running token total stays ≤ its quota;
+    groups NOT in ``quotas`` are excluded entirely (a mixture spec is
+    exhaustive — an unlisted source must not leak into the training set
+    silently).
+
+    The quota table is a broadcast of len(quotas) rows joined onto the
+    group key; the running sum is the same within-group frame window as
+    the single-budget cap (one hash shuffle, never a global window).
+    NULL ``tokens_col`` counts as 0 (consistent with pack_sequences).
+    """
+    if "_running" in df.columns or "_quota" in df.columns:
+        raise ValueError(
+            "cap_tokens_per_quota: input already has a '_running'/'_quota' "
+            "column; rename it before capping"
+        )
+    bad = {g: b for g, b in quotas.items() if b < 0}
+    if bad:
+        raise ValueError(f"negative quotas: {bad}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, int(b)) for g, b in sorted(quotas.items())],
+        f"{group_col} string, _quota long",
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long"))
+    ).over(w)
+    return (
+        df.join(F.broadcast(qdf), group_col)
+        .withColumn("_running", running)
+        .filter(F.col("_running") <= F.col("_quota"))
+        .drop("_running", "_quota")
+    )
+
+
 def stratified_sample_exact(
     docs: DataFrame,
     stratum_col: str,

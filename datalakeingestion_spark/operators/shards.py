@@ -71,12 +71,16 @@ def assign_shards(
     exclusive prefix sum of their token totals: a sequence whose tail
     crosses the budget stays whole in its shard. Deterministic for a
     given input; sequence-level, so all rows of a sequence always share
-    a shard.
+    a shard. NULL ``tokens_col`` counts as 0 (``pack_sequences`` already
+    coalesces, but ``packed`` may come from elsewhere); ``seq_col`` must
+    be non-NULL — ``pack_sequences`` guarantees it, and a NULL seq key
+    would silently miss the inner equi-join below and drop the row.
     """
     if shard_token_budget <= 0:
         raise ValueError("shard_token_budget must be positive")
     seq_totals = packed.groupBy(seq_col).agg(
-        F.sum(F.col(tokens_col)).cast("long").alias("_seq_tokens")
+        F.coalesce(F.sum(F.col(tokens_col)).cast("long"), F.lit(0).cast("long"))
+        .alias("_seq_tokens")
     )
     cum = keyed_prefix_sum(
         seq_totals.withColumn("_k", F.lit(1)),
@@ -253,6 +257,13 @@ def write_training_shards(
     docstring).
     """
     spark = sharded.sparkSession
+    # Materialize before double-consumption: the frame feeds BOTH the
+    # collected manifest and the data write below — without the pin, a
+    # nondeterministic upstream or a stage retry could commit data whose
+    # content diverges from the digests just written, after which every
+    # verify=True read fails (same reason streaming deliver()/
+    # compact_delivery checkpoint before their dual consumption).
+    sharded = sharded.localCheckpoint()
     manifest = shard_manifest(
         sharded, shard_col, id_col, tokens_col, seq_col
     )
@@ -291,3 +302,95 @@ def write_training_shards(
         ).coalesce(1)
         mdf.write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
     return {"written": written, "skipped": skipped, "vacuumed": vacuumed}
+
+
+def select_to_quota(
+    sized: DataFrame,
+    quotas: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "",
+) -> DataFrame:
+    """The selection half of quota-enforced delivery: sample each source
+    down to its token quota, deterministically and engine-portably.
+
+    Selection order within a source is the md5 hash of the id (salted),
+    id as tie-break — a reproducible pseudo-random permutation, so the
+    kept prefix is an unbiased sample of the source rather than its
+    ingest-order head, and every engine/run/partitioning agrees on it
+    (the DuckDB twin orders by the identical md5 expression). Greedy
+    prefix semantics: a doc whose tokens would cross the quota is
+    dropped along with everything after it, so delivered tokens land in
+    (quota − max_doc_tokens, quota] for every source that has enough
+    material (never over; under only by less than one document).
+    Sources not listed in ``quotas`` are EXCLUDED (mixture specs are
+    exhaustive — see ``cap_tokens_per_quota``).
+    """
+    from .sampling import cap_tokens_per_quota
+
+    if "_ord" in sized.columns:
+        raise ValueError("input already has reserved column _ord")
+    ordered = sized.withColumn(
+        "_ord", F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    )
+    return cap_tokens_per_quota(
+        ordered, source_col, tokens_col, quotas, ["_ord", id_col]
+    ).drop("_ord")
+
+
+def write_training_shards_with_quota(
+    sized: DataFrame,
+    quotas: dict[str, int],
+    path: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_token_budget: int = 512,
+    shard_token_budget: int = 4096,
+    salt: str = "",
+) -> dict:
+    """Quota-ENFORCED delivery: compose ``select_to_quota`` →
+    ``pack_sequences`` → ``assign_shards`` → ``write_training_shards``.
+    ``shard_source_mix_manifest`` AUDITS a delivery's mix after the
+    fact; this writer GUARANTEES it going in — each source contributes
+    at most its token quota (and at least quota − one document, given
+    enough material), so the trainer's recipe ("30% web / 70% curated")
+    is enforced by construction, not hoped for.
+
+    ``sized`` carries (id_col, tokens_col, source_col, *payload);
+    payload columns (text etc.) ride through to the delivered shards.
+    Same incremental/idempotent contract as ``write_training_shards``
+    (digest-diff replay safety — a re-run over identical input and
+    quotas rewrites nothing). Returns the writer report plus
+    ``selected``: per-source (n_docs, n_tokens) actually delivered —
+    driver-side, len(quotas) rows.
+    """
+    from .packing import pack_sequences
+
+    selected = select_to_quota(
+        sized, quotas, source_col, id_col, tokens_col, salt=salt
+    )
+    packed = pack_sequences(selected, token_budget=seq_token_budget,
+                            id_col=id_col, tokens_col=tokens_col)
+    payload = [
+        c for c in selected.columns if c not in (id_col, tokens_col)
+    ]
+    sharded = assign_shards(packed, shard_token_budget=shard_token_budget)
+    if payload:
+        sharded = sharded.join(selected.select(id_col, *payload), id_col)
+    report = write_training_shards(
+        sharded, path, id_col=id_col, tokens_col=tokens_col
+    )
+    report["selected"] = {
+        r[source_col]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        for r in selected.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col(tokens_col)).cast("long"), F.lit(0).cast("long")
+            ).alias("n_tokens"),
+        )
+        .collect()  # bounded: one row per quota'd source
+    }
+    return report

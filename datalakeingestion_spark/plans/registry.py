@@ -67,6 +67,7 @@ def register(
 # positions 0-49 and test_parity.py pins the tuple length to the
 # checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "quota_enforced_delivery_contract",  # never checked
     "q4_order_priority_exists",  # last green r6
     "q10_returned_items",  # last green r6
     "q14_promo_revenue",  # last green r6
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_score",  # last green r7
     "lang_id_heuristic",  # last green r7
     "token_count",  # last green r7
-    "text_repetition_filter",  # last green r7
 )
 
 
@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
         round9b,
         round10,
         round11,
+        round12,
         tpch_joins,
         tpch_joins2,
         tpch_joins3,

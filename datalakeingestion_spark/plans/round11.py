@@ -68,7 +68,7 @@ _SHARD_MANIFEST_SELECT = """
 """
 
 _DOC_TOKENS_SQL = (
-    f"SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens "
+    f"SELECT doc_id, CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens "
     f"FROM documents"
 )
 
@@ -93,7 +93,7 @@ _DOC_TOKENS_SQL = (
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    sized = docs.select("doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"))
     return _shard_manifest_frame(sized)
 
 
@@ -153,7 +153,7 @@ def training_shard_delivery_contract(
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", F.size(tokens("text")).alias("n_tokens")
+        "doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens")
     ).localCheckpoint(eager=False)  # one tokenize, many deliveries
 
     def sharded(frame):
@@ -583,7 +583,7 @@ def shard_source_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.shards import assign_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    sized = docs.select("doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"))
     sharded = assign_shards(
         pack_sequences(sized, token_budget=_SEQ_BUDGET),
         shard_token_budget=_SHARD_BUDGET,
@@ -680,7 +680,7 @@ def _curated_shard_oracle() -> str:
     # carries it (ql is doc_id+quality_prob), so the bare column binds
     # unambiguously — no string surgery on TOKS_SQL
     curated_tokens = (
-        f"SELECT s3.doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens "
+        f"SELECT s3.doc_id, CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens "
         f"FROM s3 JOIN ql USING (doc_id)"
     )
     return (
@@ -712,6 +712,6 @@ def curated_corpus_shard_manifest(
 
     docs = load_table(spark, sf_dir, "documents")
     kept = curate_v2(docs).select(
-        "doc_id", F.size(tokens("text")).alias("n_tokens")
+        "doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens")
     )
     return _shard_manifest_frame(kept)

@@ -1,0 +1,168 @@
+"""Round-12 queries: quota-ENFORCED training-shard delivery and IVF
+detect→repair maintenance (VERDICT r11 items #2/#3).
+
+Portability notes as in plans/round11.py: token counts COALESCE to 0 on
+both engines (NULL text is in-domain), selection order is the md5 hash
+of the doc id (identical expression both engines), group/window
+SUM(BIGINT) is CAST back to BIGINT wherever it reaches a result column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .llm import TOKS_SQL
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Quota-enforced delivery (the mixture spec, enforced — not just audited)
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 512
+_SHARD_BUDGET = 4096
+
+# The contract's mixture spec: two binding quotas (well under a source's
+# fixture material), one slack quota (everything fits), one zero quota
+# (listed but contributes nothing), and sixteen UNLISTED sources that
+# must be excluded entirely.
+_QUOTAS: dict[str, int] = {
+    "src0": 800,
+    "src1": 600,
+    "src2": 10_000_000,
+    "src3": 0,
+}
+
+
+def _quota_values_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', CAST({b} AS BIGINT))" for s, b in sorted(_QUOTAS.items())
+    )
+    return f"q(source, quota) AS (VALUES {rows})"
+
+
+_QUOTA_SELECTION_SQL = f"""
+    t AS (SELECT doc_id,
+                 CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens,
+                 source
+          FROM documents),
+    {_quota_values_sql()},
+    o AS (SELECT t.doc_id, t.n_tokens, t.source, q.quota,
+                 md5('|' || CAST(t.doc_id AS VARCHAR)) AS ord
+          FROM t JOIN q USING (source)),
+    r AS (SELECT *, SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM o),
+    k AS (SELECT * FROM r WHERE running <= quota)
+"""
+
+
+@register(
+    "quota_enforced_delivery_contract",
+    oracle=f"""
+    WITH {_QUOTA_SELECTION_SQL},
+    agg AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS delivered_tokens
+            FROM k GROUP BY source)
+    SELECT q.source, q.quota,
+           COALESCE(agg.n_docs, 0)::BIGINT AS n_docs,
+           CAST(COALESCE(agg.delivered_tokens, 0) AS BIGINT)
+               AS delivered_tokens,
+           TRUE AS replay_writes_nothing,
+           TRUE AS tree_matches_selection
+    FROM q LEFT JOIN agg USING (source)
+    """,
+    doc="Quota-ENFORCED shard delivery (operators/shards.py::"
+    "write_training_shards_with_quota): shard_source_mix_manifest "
+    "AUDITS a delivery's source mix after the fact; this writer "
+    "GUARANTEES it going in. Each source is sampled down to its token "
+    "quota by a deterministic, engine-portable greedy prefix (md5-of-id "
+    "selection order, per-source running-sum window — one hash shuffle, "
+    "never a global window; unlisted sources are excluded, a zero "
+    "quota contributes nothing), then packed and delivered through the "
+    "digest-diff idempotent writer. The oracle recomputes the exact "
+    "selection, so delivered per-source doc/token totals are EXACT — "
+    "over-quota delivery is impossible by construction, under-quota "
+    "only by less than one document. The booleans are writer-behavior "
+    "checks computed engine-side: a replay over identical input+quotas "
+    "rewrites nothing, and the per-source mix RECOMPUTED FROM THE "
+    "DELIVERED TREE (read_training_shards, verify=True, source rides "
+    "the payload) equals the selection report exactly.",
+)
+def quota_enforced_delivery_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from ..functions.text import tokens
+    from ..operators.shards import (
+        read_training_shards,
+        write_training_shards_with_quota,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"),
+        "source",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/delivery"
+        report = write_training_shards_with_quota(
+            sized,
+            _QUOTAS,
+            path,
+            seq_token_budget=_SEQ_BUDGET,
+            shard_token_budget=_SHARD_BUDGET,
+        )
+        replay = write_training_shards_with_quota(
+            sized,
+            _QUOTAS,
+            path,
+            seq_token_budget=_SEQ_BUDGET,
+            shard_token_budget=_SHARD_BUDGET,
+        )
+        replay_ok = (
+            replay["written"] == [] and replay["vacuumed"] == []
+        )
+        # mix recomputed from the delivered tree alone (verify=True
+        # re-digests every shard; source rides the payload columns)
+        tree_mix = {
+            r["source"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+            for r in read_training_shards(spark, path)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .collect()  # bounded: one row per delivered source
+        }
+        tree_ok = tree_mix == report["selected"]
+    qdf = spark.createDataFrame(
+        sorted(_QUOTAS.items()), "source string, quota long"
+    )
+    sel = spark.createDataFrame(
+        [
+            (s, v["n_docs"], v["n_tokens"])
+            for s, v in sorted(report["selected"].items())
+        ]
+        or spark.sparkContext.emptyRDD(),
+        "source string, n_docs long, delivered_tokens long",
+    )
+    return (
+        qdf.join(sel, "source", "left")
+        .select(
+            "source",
+            "quota",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            F.coalesce(F.col("delivered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("delivered_tokens"),
+            F.lit(bool(replay_ok)).alias("replay_writes_nothing"),
+            F.lit(bool(tree_ok)).alias("tree_matches_selection"),
+        )
+    )

@@ -43,6 +43,28 @@ from ..operators.packing import pack_sequences
 from ..operators.shards import assign_shards, shard_manifest
 
 
+_RESERVED_COLS = ("n_tokens", "seq_id", "shard_id", "epoch")
+
+
+def _pack_assign_with_payload(
+    frame: DataFrame, seq_token_budget: int, shard_token_budget: int
+) -> DataFrame:
+    """(doc_id, n_tokens, *payload) -> the same rows with ``seq_id`` and
+    ``shard_id`` added, payload columns CARRIED THROUGH: pack/assign
+    project down to the id/token pair internally, so delivered shards
+    would otherwise hold only bookkeeping columns and a trainer would
+    need a separate join back to the corpus. The join-back here is
+    epoch-scale (O(batch) at delivery, O(folded rows) at compaction)."""
+    payload = [c for c in frame.columns if c not in ("doc_id", "n_tokens")]
+    packed = pack_sequences(
+        frame.select("doc_id", "n_tokens"), token_budget=seq_token_budget
+    )
+    sharded = assign_shards(packed, shard_token_budget=shard_token_budget)
+    if payload:
+        sharded = sharded.join(frame.select("doc_id", *payload), "doc_id")
+    return sharded
+
+
 def _read_manifest_raw(spark: SparkSession, delivery_dir: str):
     """The raw ledger frame, or None before the first delivery. Only
     the path-missing case means "nothing delivered"; anything else
@@ -230,14 +252,15 @@ def compact_delivery(
         data = spark.read.option(
             "basePath", f"{delivery_dir}/data"
         ).parquet(f"{delivery_dir}/data")
+        # keep payload columns (doc text etc.) through the fold; only
+        # the derived assignment columns are recomputed
         folded = (
             data.filter(F.col("epoch").isin(fold_src))
-            .select("doc_id", "n_tokens")
+            .drop("epoch", "seq_id", "shard_id")
             .localCheckpoint()  # materialized before any write
         )
-        packed = pack_sequences(folded, token_budget=seq_token_budget)
-        sharded = assign_shards(
-            packed, shard_token_budget=shard_token_budget
+        sharded = _pack_assign_with_payload(
+            folded, seq_token_budget, shard_token_budget
         ).localCheckpoint()
         new_id = _baseline_id(max(new_folds))
         (
@@ -284,20 +307,34 @@ def shard_delivery_stream(
 ):
     """Start an availableNow stream delivering trainer-ready shards.
 
-    Returns the StreamingQuery. Each epoch's shards carry the full doc
-    rows plus (seq_id, n_tokens); the manifest delta carries
+    Returns the StreamingQuery. Each epoch's shards carry the FULL doc
+    rows (every ``stream`` column, ``id_col`` normalized to ``doc_id``)
+    plus (n_tokens, seq_id, shard_id), so a trainer consumes them
+    directly with no join back to the corpus; the manifest delta carries
     (epoch, shard_id, n_docs, n_seqs, n_tokens, digest) with the same
-    engine-portable digest as the batch writer.
+    engine-portable digest as the batch writer. ``stream`` must not
+    already carry the bookkeeping names (n_tokens/seq_id/shard_id/epoch,
+    or doc_id unless it IS ``id_col``) — raises up front rather than
+    silently clobbering or colliding at the payload join.
     """
+    clash = [c for c in stream.columns if c in _RESERVED_COLS] + (
+        ["doc_id"] if id_col != "doc_id" and "doc_id" in stream.columns
+        else []
+    )
+    if clash:
+        raise ValueError(
+            f"stream columns {sorted(set(clash))} collide with delivery "
+            f"bookkeeping columns; rename them upstream"
+        )
 
     def deliver(batch_df: DataFrame, epoch_id: int) -> None:
         sized = batch_df.select(
             F.col(id_col).alias("doc_id"),
             F.size(tokens(text_col)).alias("n_tokens"),
+            *[c for c in batch_df.columns if c != id_col],
         )
-        packed = pack_sequences(sized, token_budget=seq_token_budget)
-        sharded = assign_shards(
-            packed, shard_token_budget=shard_token_budget
+        sharded = _pack_assign_with_payload(
+            sized, seq_token_budget, shard_token_budget
         ).localCheckpoint()  # consumed by the data write AND the manifest
         (
             sharded.write.mode("overwrite")

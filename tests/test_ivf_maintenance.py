@@ -265,3 +265,21 @@ def test_append_ivf_index_replay_and_duplicate_safety(spark, tmp_path):
     ).collect()
     pairs = [(r["query_id"], r["neighbor_id"]) for r in got]
     assert len(pairs) == len(set(pairs))
+
+
+def test_epoch_ledger_read_errors_propagate(spark, tmp_path):
+    """The replay guard's narrow catch: a MISSING ledger means 'first
+    append' (False); a ledger that exists but cannot be read must RAISE,
+    never silently report 'not seen' (which would downgrade a keyed
+    append to at-least-once and duplicate index rows)."""
+    from datalakeingestion_spark.operators.ivf import _epoch_seen
+
+    idx = tmp_path / "ivf"
+    idx.mkdir()
+    assert _epoch_seen(spark, str(idx), "b1") is False  # no ledger yet
+
+    # a corrupt ledger (non-parquet bytes where the ledger dir should
+    # be) is a read FAILURE, not an empty ledger
+    (idx / "epochs").write_bytes(b"not a parquet file at all")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        _epoch_seen(spark, str(idx), "b1")

@@ -157,3 +157,30 @@ def test_match_target_rates_rejects_null_target_key(spark):
     )
     with pytest.raises(ValueError, match="None is not a valid"):
         match_target_rates(df, "g", {None: 0.5, "a": 0.5})
+
+
+def test_cap_tokens_per_quota_per_group_budgets(spark):
+    """Per-group budgets bind independently; unlisted groups are
+    EXCLUDED (a mixture spec is exhaustive); NULL tokens count 0;
+    reserved columns and negative quotas raise."""
+    import pytest
+    from datalakeingestion_spark.operators.sampling import (
+        cap_tokens_per_quota,
+    )
+
+    rows = [(i, "a" if i < 10 else "b", 10 if i != 3 else None)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, g string, tok long")
+    out = cap_tokens_per_quota(df, "g", "tok", {"a": 45, "c": 100}, ["id"])
+    got = sorted(r["id"] for r in out.collect())
+    # group a in id order: tokens 10,10,10,NULL->0,10 ... running hits 45
+    # after ids 0,1,2,3(0),4 -> running 40; id 5 -> 50 > 45 cut
+    assert got == [0, 1, 2, 3, 4]
+    assert out.filter("g = 'b'").count() == 0  # unlisted: excluded
+
+    with pytest.raises(ValueError, match="negative"):
+        cap_tokens_per_quota(df, "g", "tok", {"a": -5}, ["id"])
+    with pytest.raises(ValueError, match="_running"):
+        cap_tokens_per_quota(
+            df.withColumn("_running", df.id), "g", "tok", {"a": 1}, ["id"]
+        )

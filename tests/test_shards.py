@@ -199,3 +199,100 @@ def test_custom_shard_col_round_trip_and_orphan_detection(spark, tmp_path):
         spark, path, shards=first["written"][:1], shard_col="part"
     )
     assert ok.count() > 0
+
+
+def test_null_token_docs_survive_pack_assign_and_manifest(spark):
+    """A NULL token count (NULL text upstream) counts as 0 and the doc
+    STAYS in the delivery — before the fix, F.size(tokens(NULL)) -> NULL
+    n_tokens -> NULL seq_id -> the packed/shard equi-joins silently
+    dropped the row from data AND manifest while the DuckDB oracle
+    (NULL-skipping window SUM) kept it."""
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.operators.shards import (
+        assign_shards,
+        shard_manifest,
+    )
+
+    rows = [(i, 7 + (i * 13) % 50) for i in range(60)]
+    rows[5] = (5, None)
+    rows[31] = (31, None)
+    sized = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(sized, token_budget=64)
+    sharded = assign_shards(packed, shard_token_budget=256)
+    got = {r["doc_id"]: r for r in sharded.collect()}
+    assert set(got) == set(range(60))  # nothing dropped
+    assert got[5]["n_tokens"] == 0 and got[31]["n_tokens"] == 0
+    assert got[5]["seq_id"] is not None and got[5]["shard_id"] is not None
+
+    # serial reference with NULL->0: identical seq assignment
+    cum, ref = 0, {}
+    for i in range(60):
+        tok = 0 if i in (5, 31) else 7 + (i * 13) % 50
+        ref[i] = cum // 64
+        cum += tok
+    assert {i: r["seq_id"] for i, r in got.items()} == ref
+
+    man = shard_manifest(sharded)
+    tot = man.agg(F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")).first()
+    assert tot["d"] == 60
+    assert tot["t"] == cum
+
+
+def test_quota_enforced_delivery_contract_and_replay(spark, tmp_path):
+    """write_training_shards_with_quota: per-source token quotas are
+    never exceeded, under only by less than one doc when material is
+    ample, unlisted sources are excluded, zero quotas deliver nothing,
+    payload rides through, and a replay over identical input+quotas
+    rewrites nothing."""
+    from datalakeingestion_spark.operators.shards import (
+        read_training_shards,
+        select_to_quota,
+        write_training_shards_with_quota,
+    )
+
+    rows = [
+        (i, 10 + (i * 7) % 20, f"s{i % 4}", f"text-{i}") for i in range(200)
+    ]
+    sized = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, source string, text string"
+    )
+    quotas = {"s0": 300, "s1": 150, "s2": 10_000_000, "s3": 0}
+    path = str(tmp_path / "quota_delivery")
+    report = write_training_shards_with_quota(
+        sized, quotas, path, seq_token_budget=64, shard_token_budget=256
+    )
+    sel = report["selected"]
+    # never over; under only by < one doc when material is ample
+    per_src_max = {s: max(r[1] for r in rows if r[2] == s) for s in quotas}
+    s2_total = sum(r[1] for r in rows if r[2] == "s2")
+    assert sel["s0"]["n_tokens"] <= 300
+    assert sel["s0"]["n_tokens"] > 300 - per_src_max["s0"]
+    assert sel["s1"]["n_tokens"] <= 150
+    assert sel["s1"]["n_tokens"] > 150 - per_src_max["s1"]
+    assert sel["s2"]["n_tokens"] == s2_total  # slack quota: all of it
+    assert "s3" not in sel or sel.get("s3", {"n_docs": 0})["n_docs"] == 0
+
+    back = read_training_shards(spark, path)
+    assert {"source", "text"} <= set(back.columns)  # payload delivered
+    assert back.filter(F.col("source") == "s3").count() == 0
+    mix = {
+        r["source"]: r["t"]
+        for r in back.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert mix == {s: v["n_tokens"] for s, v in sel.items()}
+
+    replay = write_training_shards_with_quota(
+        sized, quotas, path, seq_token_budget=64, shard_token_budget=256
+    )
+    assert replay["written"] == [] and replay["vacuumed"] == []
+
+    # selection is an md5 permutation, not the ingest-order head
+    kept = {
+        r["doc_id"]
+        for r in select_to_quota(sized, {"s1": 150}).collect()
+    }
+    s1_head = [i for i in range(200) if i % 4 == 1][: len(kept)]
+    assert kept != set(s1_head)
+
+    with pytest.raises(ValueError, match="negative"):
+        write_training_shards_with_quota(sized, {"s0": -1}, path)

@@ -1845,3 +1845,65 @@ def test_delivery_rejects_legacy_minus_one_baseline(spark, tmp_path):
     ).write.parquet(f"{out}/manifest/epoch=-1")
     with pytest.raises(DeliverySnapshotError, match="epoch=-1"):
         read_delivery_manifest(spark, out)
+
+
+def test_shard_delivery_carries_full_doc_payload(spark, tmp_path):
+    """Delivered shards carry the FULL doc rows (text and any other
+    source columns), both on streaming delivery and after compaction —
+    a trainer consumes them with no join back to the corpus."""
+    from datalakeingestion_spark.streaming.shards import (
+        compact_delivery,
+        read_delivery_manifest,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 30}" for j in range(4 + i % 5)), f"src{i % 3}")
+         for i in range(120)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=32, shard_token_budget=128,
+        )
+        q.awaitTermination(120)
+
+    run()
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    for col in ("text", "source", "n_tokens", "seq_id", "shard_id"):
+        assert col in data.columns
+    # payload values are the source rows, not nulls
+    joined = data.join(
+        docs.select("doc_id", F.col("text").alias("want")), "doc_id"
+    )
+    assert joined.filter(F.col("text") != F.col("want")).count() == 0
+    assert data.count() == 120
+
+    # second epoch, then compaction: payload survives the fold
+    spark.createDataFrame(
+        [(1000 + i, f"fresh doc {i}", "srcX") for i in range(15)],
+        "doc_id long, text string, source string",
+    ).write.mode("append").parquet(src)
+    run()
+    compact_delivery(spark, out, seq_token_budget=32,
+                     shard_token_budget=128)
+    after = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    assert {"text", "source"} <= set(after.columns)
+    assert after.count() == 135
+    assert after.filter(F.col("text").isNull()).count() == 0
+    man = read_delivery_manifest(spark, out)
+    assert man.agg(F.sum("n_docs")).first()[0] == 135
+
+    # reserved-name collision fails loudly up front
+    bad = spark.readStream.schema(
+        "doc_id long, text string, shard_id long"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="shard_id"):
+        shard_delivery_stream(spark, bad, out, ckpt)
