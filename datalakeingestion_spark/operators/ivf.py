@@ -395,6 +395,135 @@ def ivf_topk_stored(
     return _score_topk(corpus, q, k, dedup=True)
 
 
+def split_hot_cells(
+    spark,
+    index_path: str,
+    max_skew: float = 2.0,
+    max_splits: int = 1,
+    iters: int = 3,
+    cells: list[int] | None = None,
+) -> dict:
+    """Detect→REPAIR for a skewed stored index: re-train k'=2
+    sub-centroids INSIDE an oversized cell and rewrite only that cell's
+    directory — at 100 TB the difference between a touch-up that moves
+    one inverted list and a full-corpus retrain
+    (``ivf_index_health_report`` detects the skew; this closes the
+    loop, the way ``compact_delivery`` closes the shard ledger's).
+
+    Per split (hottest first; ``cells`` overrides detection):
+
+    1. read ONLY the hot cell's directory (partition pruning — the rest
+       of the index is never scanned);
+    2. deterministic spherical 2-means over its rows (same
+       ``train_centroids`` machinery: hash-seeded init, decimal-exact
+       means);
+    3. binary-partition the rows between the two sub-centroids (ties →
+       the surviving cell id) — the row SET is conserved exactly, so
+       multi-assignment coverage (``assign_n`` × corpus) is an
+       invariant of the repair;
+    4. write the moved half as a NEW cell directory, then commit the
+       new geometry (centroids + meta — the old cell's centroid becomes
+       sub-A, sub-B appends as cell k), then rewrite the split cell's
+       directory without the moved rows.
+
+    The write order makes every crash window DUPLICATE-shaped, never
+    loss-shaped: before the geometry commit the new directory is
+    invisible (probes prune to cells the centroid table knows); between
+    the commit and the final rewrite the moved rows exist in BOTH
+    directories, and ``ivf_topk_stored`` dedups scored pairs, so probe
+    results stay correct; re-running the split converges the storage.
+    Cells whose rows cannot produce two non-empty halves (all vectors
+    identical) are skipped.
+
+    Returns ``{"split": [(old_cell, new_cell), ...], "skipped": [...],
+    "sizes_before": {...}, "sizes_after": {...}}`` — all k-scale.
+    """
+    report = {"split": [], "skipped": [], "sizes_before": {},
+              "sizes_after": {}}
+    for _ in range(max(1, max_splits)):
+        centroids, meta = read_ivf_index(spark, index_path)
+        k = len(centroids)
+        sizes = {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(f"{index_path}/cells")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k rows
+        }
+        if not report["sizes_before"]:
+            report["sizes_before"] = dict(sizes)
+        if cells is not None:
+            todo = [c for c in cells if c in sizes
+                    and c not in [s for s, _ in report["split"]]
+                    and c not in report["skipped"]]
+        else:
+            mean = sum(sizes.values()) / len(sizes)
+            todo = sorted(
+                (c for c, n in sizes.items()
+                 if n > max_skew * mean and c not in report["skipped"]),
+                key=lambda c: -sizes[c],
+            )
+        if not todo:
+            break
+        c = todo[0]
+        rows = (
+            spark.read.option("basePath", f"{index_path}/cells")
+            .parquet(f"{index_path}/cells")
+            .filter(F.col("cell") == c)  # partition-pruned: one directory
+            .select("neighbor_id", "c_vec", "c_norm")
+        )
+        sub = train_centroids(
+            rows, k=2, iters=iters, id_col="neighbor_id", vec_col="c_vec"
+        )
+        # binary partition between the two halves; EAGER checkpoint —
+        # the final step overwrites the directory these rows were read
+        # from, so they must be materialized off it first (a hot cell is
+        # ~assign_n x corpus/k rows: maintenance-scale, not corpus-scale)
+        assigned = rows.withColumn(
+            "_half", F.element_at(_topcells_udf(sub, 1)("c_vec"), 1)
+        ).localCheckpoint(eager=True)
+        keep = assigned.filter(F.col("_half") == 0).drop("_half")
+        move = assigned.filter(F.col("_half") == 1).drop("_half")
+        if move.limit(1).count() == 0 or keep.limit(1).count() == 0:
+            report["skipped"].append(c)
+            continue
+        new_id = k
+        # 1) the moved half lands in a directory no probe knows yet
+        move.write.mode("overwrite").parquet(
+            f"{index_path}/cells/cell={new_id}"
+        )
+        # 2) commit the new geometry (duplicates now visible; dedup-safe)
+        new_centroids = np.vstack([centroids, sub[1:2]])
+        new_centroids[c] = sub[0]
+        dim = new_centroids.shape[1]
+        spark.createDataFrame(
+            [
+                (int(cc), int(d), float(new_centroids[cc, d]))
+                for cc in range(k + 1)
+                for d in range(dim)
+            ],
+            "cell int, dim int, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+        spark.createDataFrame(
+            [(k + 1, int(meta["assign_n"]), meta["id_col"],
+              meta["vec_col"])],
+            "n_centroids int, assign_n int, id_col string, vec_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        # 3) drop the moved rows from the split cell (converges dups)
+        keep.write.mode("overwrite").parquet(f"{index_path}/cells/cell={c}")
+        report["split"].append((c, new_id))
+    report["sizes_after"] = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{index_path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return report
+
+
 def kmeans_profile(
     embeddings: DataFrame,
     k: int = 8,

@@ -75,6 +75,13 @@ _DOC_TOKENS_SQL = (
 
 @register(
     "training_shard_manifest",
+    # bench=True: r12 adds the first r11-family (shard/unigram) query to
+    # the headline set so a plan regression in the two-level prefix-sum
+    # delivery path is visible round over round (VERDICT r11 item #5 —
+    # the r11 bloom entry is the precedent). Warm median at sf0.1 when
+    # added and the 17-vs-18-query totals are recorded in NOTES_r12.md
+    # so cross-round ratios stay comparable.
+    bench=True,
     oracle=f"WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)}\n"
     f"{_SHARD_MANIFEST_SELECT}",
     doc="Training-shard manifest (operators/shards.py): documents pack "

@@ -283,3 +283,99 @@ def test_epoch_ledger_read_errors_propagate(spark, tmp_path):
     (idx / "epochs").write_bytes(b"not a parquet file at all")
     with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         _epoch_seen(spark, str(idx), "b1")
+
+
+def test_split_hot_cells_targeted_rewrite_and_conservation(spark, tmp_path):
+    """split_hot_cells: the repair rewrites ONLY the split cell's
+    directory (plus the new cell it creates) — every other inverted
+    list's files are untouched; the index row set is conserved exactly;
+    the binary partition is faithful (each row sits with its nearer
+    sub-centroid); geometry (centroids + meta) commits to k+1; and a
+    degenerate cell (identical vectors) is skipped, not corrupted."""
+    import os
+
+    import numpy as np
+
+    from datalakeingestion_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk_stored,
+        read_ivf_index,
+        split_hot_cells,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    ix = str(tmp_path / "ix")
+    build_ivf_index(emb, ix, n_centroids=8, iters=2, assign_n=2)
+
+    def dir_files(cell):
+        d = f"{ix}/cells/cell={cell}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    sizes = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{ix}/cells")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = max(sizes, key=lambda c: (sizes[c], -c))
+    others_before = {c: dir_files(c) for c in sizes if c != hot}
+    total_before = sum(sizes.values())
+
+    rep = split_hot_cells(spark, ix, cells=[hot])
+    assert rep["split"] == [(hot, 8)]
+    # untouched inverted lists: same files, same mtimes
+    assert {c: dir_files(c) for c in others_before} == others_before
+    sa = rep["sizes_after"]
+    assert sum(sa.values()) == total_before
+    assert sa[hot] + sa[8] == sizes[hot]
+    assert sa[hot] > 0 and sa[8] > 0
+
+    # binary-partition faithfulness: every row sits with its nearer half
+    cent, meta = read_ivf_index(spark, ix)
+    assert len(cent) == 9 and meta["n_centroids"] == 9
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    a, b = unit(cent[hot]), unit(cent[8])
+    rows = (
+        spark.read.option("basePath", f"{ix}/cells")
+        .parquet(f"{ix}/cells")
+        .filter(F.col("cell").isin([hot, 8]))
+        .collect()
+    )
+    for r in rows:
+        v = unit(np.array(list(r["c_vec"]), dtype=np.float64))
+        ca, cb = float(v @ a), float(v @ b)
+        if r["cell"] == hot:
+            assert ca >= cb  # ties keep the surviving cell
+        else:
+            assert cb > ca
+
+    # probe still serves every query with k valid neighbors
+    got = ivf_topk_stored(
+        spark, emb.filter(F.col("vec_id") < 3), ix, k=5, nprobe=3
+    ).collect()
+    assert len(got) == 3 * 5
+
+    # degenerate cell: identical vectors cannot split -> skipped
+    ix2 = str(tmp_path / "ix2")
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(same, ix2, n_centroids=2, iters=1, assign_n=1)
+    sizes2 = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{ix2}/cells")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    target = max(sizes2, key=sizes2.get)
+    rep2 = split_hot_cells(spark, ix2, cells=[target])
+    assert rep2["split"] == [] and rep2["skipped"] == [target]
+    cent2, meta2 = read_ivf_index(spark, ix2)
+    assert meta2["n_centroids"] == 2  # geometry untouched on skip
