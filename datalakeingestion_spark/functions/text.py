@@ -29,6 +29,20 @@ def distinct_tokens(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def n_tokens_of(col: Column | str) -> Column:
+    """Token count with NULL text counting as 0 (long) — the one
+    boundary expression every packing/delivery plan sizes documents
+    with. NOT ``coalesce(size(tokens(c)), 0)``: under
+    ``spark.sql.legacy.sizeOfNull`` (the 3.5 default) ``size(NULL)``
+    returns -1, not NULL, and a -1 count would silently corrupt every
+    downstream prefix sum while the DuckDB twin (COALESCE(len(..), 0))
+    says 0. The explicit NULL branch is version- and conf-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.isNull(), F.lit(0)).otherwise(F.size(tokens(c))).cast("long")
+    )
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles of a token array (array<string>, with duplicates).
 

@@ -427,19 +427,37 @@ def split_hot_cells(
        directory without the moved rows.
 
     The write order makes every crash window DUPLICATE-shaped, never
-    loss-shaped: before the geometry commit the new directory is
-    invisible (probes prune to cells the centroid table knows); between
-    the commit and the final rewrite the moved rows exist in BOTH
-    directories, and ``ivf_topk_stored`` dedups scored pairs, so probe
-    results stay correct; re-running the split converges the storage.
+    loss-shaped, and every re-run CONVERGES:
+
+    - the moved half is written first (a directory no probe knows);
+    - then a one-row SPLIT LOG commits the (src, new) intent, then the
+      geometry (centroids + meta) — from that point the moved rows
+      exist in both directories and ``ivf_topk_stored`` dedups scored
+      pairs, so probe results stay correct;
+    - the split cell is then rewritten via STAGE-AND-SWAP
+      (``_split_staging`` write, verified complete via its _SUCCESS
+      marker, then delete+rename through Hadoop FS) — never a plain
+      ``mode("overwrite")`` of the live directory, whose delete-then-
+      write would LOSE the kept half if the job died mid-write;
+    - the log clears last. Recovery runs at the START of every call:
+      a logged split whose geometry never committed is rolled back
+      (orphan directory removed), one whose geometry did commit is
+      FINISHED from durable state (the kept half is re-derivable from
+      the committed sub-centroids — rows nearer the surviving centroid
+      than the new one), so a crashed split can never double-split into
+      a second new cell, and un-logged orphan directories (ids the
+      centroid table doesn't know) are deleted.
+
     Cells whose rows cannot produce two non-empty halves (all vectors
     identical) are skipped.
 
     Returns ``{"split": [(old_cell, new_cell), ...], "skipped": [...],
-    "sizes_before": {...}, "sizes_after": {...}}`` — all k-scale.
+    "recovered": [...], "sizes_before": {...}, "sizes_after": {...}}``
+    — all k-scale.
     """
-    report = {"split": [], "skipped": [], "sizes_before": {},
-              "sizes_after": {}}
+    report = {"split": [], "skipped": [], "recovered": [],
+              "sizes_before": {}, "sizes_after": {}}
+    report["recovered"] = _recover_splits(spark, index_path)
     for _ in range(max(1, max_splits)):
         centroids, meta = read_ivf_index(spark, index_path)
         k = len(centroids)
@@ -461,7 +479,10 @@ def split_hot_cells(
             todo = sorted(
                 (c for c, n in sizes.items()
                  if n > max_skew * mean and c not in report["skipped"]),
-                key=lambda c: -sizes[c],
+                # lower id breaks size ties: collect() order is
+                # partition-dependent and this module's contract is
+                # deterministic-by-construction
+                key=lambda c: (-sizes[c], c),
             )
         if not todo:
             break
@@ -492,7 +513,13 @@ def split_hot_cells(
         move.write.mode("overwrite").parquet(
             f"{index_path}/cells/cell={new_id}"
         )
-        # 2) commit the new geometry (duplicates now visible; dedup-safe)
+        # 2) log the split intent, then commit the new geometry
+        #    (duplicates now visible; dedup-safe)
+        spark.createDataFrame(
+            [(int(c), int(new_id))], "src int, new int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/_split_log"
+        )
         new_centroids = np.vstack([centroids, sub[1:2]])
         new_centroids[c] = sub[0]
         dim = new_centroids.shape[1]
@@ -511,8 +538,11 @@ def split_hot_cells(
               meta["vec_col"])],
             "n_centroids int, assign_n int, id_col string, vec_col string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
-        # 3) drop the moved rows from the split cell (converges dups)
-        keep.write.mode("overwrite").parquet(f"{index_path}/cells/cell={c}")
+        # 3) drop the moved rows from the split cell via stage-and-swap
+        #    (crash-safe: the kept half is durable in staging before the
+        #    live directory is touched), then clear the log
+        _finish_split(spark, index_path, c, new_id)
+        _clear_split_log(spark, index_path)
         report["split"].append((c, new_id))
     report["sizes_after"] = {
         r["cell"]: r["n"]
@@ -522,6 +552,122 @@ def split_hot_cells(
         .collect()
     }
     return report
+
+
+def _split_log_entry(spark, index_path: str) -> tuple[int, int] | None:
+    """The pending (src, new) split, or None. Narrow catch: only a
+    missing log means 'nothing pending' (same contract as
+    ``_epoch_seen``)."""
+    try:
+        rows = spark.read.parquet(f"{index_path}/_split_log").collect()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
+    return (rows[0]["src"], rows[0]["new"]) if rows else None
+
+
+def _clear_split_log(spark, index_path: str) -> None:
+    from .shards import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_path}/_split_log")
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _finish_split(spark, index_path: str, c: int, new_id: int) -> None:
+    """Remove the moved half from the split cell's directory, crash-
+    safely and idempotently: the kept half (rows nearer the surviving
+    centroid than the new one, ties keep) is re-derivable from the
+    COMMITTED geometry, staged to ``_split_staging`` (completeness
+    proven by the write's _SUCCESS marker), and only then swapped in
+    via Hadoop-FS delete+rename. A plain ``mode("overwrite")`` of the
+    live directory would delete it before the job commits — a crash
+    mid-write would LOSE the kept half. Here every crash point leaves
+    either the old directory (with harmless, probe-deduped duplicates)
+    or a complete staged copy."""
+    from .shards import _hadoop_fs
+
+    cell_dir = f"{index_path}/cells/cell={c}"
+    stage_dir = f"{index_path}/_split_staging/cell={c}"
+    fs, cell_p = _hadoop_fs(spark, cell_dir)
+    _, stage_p = _hadoop_fs(spark, stage_dir)
+    _, success_p = _hadoop_fs(spark, f"{stage_dir}/_SUCCESS")
+    staged_complete = fs.exists(stage_p) and fs.exists(success_p)
+    if not fs.exists(cell_p):
+        if not staged_complete:
+            raise RuntimeError(
+                f"cell directory {cell_dir} is missing and no complete "
+                f"staged copy exists — index is damaged beyond this "
+                f"repair; rebuild with build_ivf_index"
+            )
+        fs.rename(stage_p, cell_p)
+        return
+    if not staged_complete:
+        centroids, _meta = read_ivf_index(spark, index_path)
+        pair = np.vstack([centroids[c], centroids[new_id]])
+        keep = (
+            spark.read.option("basePath", f"{index_path}/cells")
+            .parquet(f"{index_path}/cells")
+            .filter(F.col("cell") == c)
+            .select("neighbor_id", "c_vec", "c_norm")
+            .withColumn(
+                "_half", F.element_at(_topcells_udf(pair, 1)("c_vec"), 1)
+            )
+            .filter(F.col("_half") == 0)
+            .drop("_half")
+        )
+        if fs.exists(stage_p):  # incomplete leftover from a prior crash
+            fs.delete(stage_p, True)
+        keep.write.mode("overwrite").parquet(stage_dir)
+        if not fs.exists(success_p):
+            raise RuntimeError(
+                f"staging write at {stage_dir} produced no _SUCCESS "
+                f"marker (committer configured without success files?) "
+                f"— refusing the live swap without proof of completeness"
+            )
+    fs.delete(cell_p, True)
+    fs.rename(stage_p, cell_p)
+    _, stage_root = _hadoop_fs(spark, f"{index_path}/_split_staging")
+    fs.delete(stage_root, True)
+
+
+def _recover_splits(spark, index_path: str) -> list[tuple[int, int]]:
+    """Converge any crashed split before new work: a logged split whose
+    geometry never committed rolls back (orphan directory deleted); one
+    whose geometry committed is finished from durable state; un-logged
+    orphan cell directories (ids the centroid table doesn't know —
+    a crash between the move-write and the log) are deleted. Returns
+    the (src, new) pairs it finished."""
+    from .shards import _hadoop_fs
+
+    finished: list[tuple[int, int]] = []
+    pending = _split_log_entry(spark, index_path)
+    centroids, _meta = read_ivf_index(spark, index_path)
+    k = len(centroids)
+    if pending is not None:
+        c, new_id = pending
+        if new_id < k:  # geometry committed: finish the swap
+            _finish_split(spark, index_path, c, new_id)
+            finished.append((c, new_id))
+        else:  # geometry never committed: roll the move-write back
+            fs, p = _hadoop_fs(spark, f"{index_path}/cells/cell={new_id}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        _clear_split_log(spark, index_path)
+    # un-logged orphans: directories for cells the geometry doesn't know
+    fs, cells_root = _hadoop_fs(spark, f"{index_path}/cells")
+    for st in fs.listStatus(cells_root):
+        name = st.getPath().getName()
+        if name.startswith("cell="):
+            try:
+                cid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if cid >= k:
+                fs.delete(st.getPath(), True)
+    return finished
 
 
 def kmeans_profile(

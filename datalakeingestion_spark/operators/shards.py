@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .packing import keyed_prefix_sum
+from .packing import keyed_prefix_sum, pack_sequences
 
 MANIFEST_DIR = "_manifest"
 
@@ -304,6 +304,57 @@ def write_training_shards(
     return {"written": written, "skipped": skipped, "vacuumed": vacuumed}
 
 
+RESERVED_DELIVERY_COLS = ("seq_id", "shard_id", "epoch")
+
+
+def pack_assign_with_payload(
+    frame: DataFrame,
+    seq_token_budget: int,
+    shard_token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, tokens, *payload) -> the same rows with ``seq_id`` and
+    ``shard_id`` added, payload columns CARRIED THROUGH: pack/assign
+    project down to the id/token pair internally, so delivered shards
+    would otherwise hold only bookkeeping columns and a trainer would
+    need a separate join back to the corpus. Shared by the batch quota
+    writer and the streaming delivery/compaction paths so the
+    carry-through semantics exist once.
+
+    ``id_col`` must be UNIQUE in ``frame`` — the payload join-back is an
+    equi-join on it, and a duplicated id would multiply rows (checked up
+    front against the reserved bookkeeping names; uniqueness itself is
+    pack_sequences' documented contract). ``order_cols`` overrides the
+    pack order (default: id order) — callers whose unique key is a
+    synthetic string (e.g. compaction's doc#epoch) pass the natural
+    numeric order here."""
+    clash = [c for c in frame.columns if c in RESERVED_DELIVERY_COLS]
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with delivery "
+            f"bookkeeping columns; rename them upstream"
+        )
+    payload = [c for c in frame.columns if c not in (id_col, tokens_col)]
+    keep = [id_col, tokens_col] + [
+        c for c in (order_cols or []) if c not in (id_col, tokens_col)
+    ]
+    packed = pack_sequences(
+        frame.select(*keep),
+        token_budget=seq_token_budget,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        order_cols=order_cols,
+    )
+    sharded = assign_shards(
+        packed, shard_token_budget=shard_token_budget, tokens_col=tokens_col
+    )
+    if payload:
+        sharded = sharded.join(frame.select(id_col, *payload), id_col)
+    return sharded
+
+
 def select_to_quota(
     sized: DataFrame,
     quotas: dict[str, int],
@@ -366,19 +417,19 @@ def write_training_shards_with_quota(
     ``selected``: per-source (n_docs, n_tokens) actually delivered —
     driver-side, len(quotas) rows.
     """
-    from .packing import pack_sequences
-
+    # lazy checkpoint: the selection (md5 hash + per-source window over
+    # the corpus) feeds the pack, the payload join-back AND the report
+    # aggregate — without the pin it would recompute three times
     selected = select_to_quota(
         sized, quotas, source_col, id_col, tokens_col, salt=salt
+    ).localCheckpoint(eager=False)
+    sharded = pack_assign_with_payload(
+        selected,
+        seq_token_budget,
+        shard_token_budget,
+        id_col=id_col,
+        tokens_col=tokens_col,
     )
-    packed = pack_sequences(selected, token_budget=seq_token_budget,
-                            id_col=id_col, tokens_col=tokens_col)
-    payload = [
-        c for c in selected.columns if c not in (id_col, tokens_col)
-    ]
-    sharded = assign_shards(packed, shard_token_budget=shard_token_budget)
-    if payload:
-        sharded = sharded.join(selected.select(id_col, *payload), id_col)
     report = write_training_shards(
         sharded, path, id_col=id_col, tokens_col=tokens_col
     )

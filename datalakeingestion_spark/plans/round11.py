@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import n_tokens_of
 from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
 from .registry import register
@@ -98,9 +99,8 @@ _DOC_TOKENS_SQL = (
     "(extractors/ingest_mysql_data.py:525-542).",
 )
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"))
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
     return _shard_manifest_frame(sized)
 
 
@@ -150,7 +150,6 @@ def training_shard_delivery_contract(
 ) -> DataFrame:
     import tempfile
 
-    from ..functions.text import tokens
     from ..operators.packing import pack_sequences
     from ..operators.shards import (
         assign_shards,
@@ -160,7 +159,7 @@ def training_shard_delivery_contract(
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens")
+        "doc_id", n_tokens_of("text").alias("n_tokens")
     ).localCheckpoint(eager=False)  # one tokenize, many deliveries
 
     def sharded(frame):
@@ -585,12 +584,11 @@ def ivf_index_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is an integer-ratio division rounded at 6 dp (IEEE-portable).",
 )
 def shard_source_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens
     from ..operators.packing import pack_sequences
     from ..operators.shards import assign_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"))
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
     sharded = assign_shards(
         pack_sequences(sized, token_budget=_SEQ_BUDGET),
         shard_token_budget=_SHARD_BUDGET,
@@ -714,11 +712,10 @@ def _curated_shard_oracle() -> str:
 def curated_corpus_shard_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.text import tokens
     from ..operators.curation import curate_v2
 
     docs = load_table(spark, sf_dir, "documents")
     kept = curate_v2(docs).select(
-        "doc_id", F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens")
+        "doc_id", n_tokens_of("text").alias("n_tokens")
     )
     return _shard_manifest_frame(kept)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import n_tokens_of
 from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
 from .registry import register
@@ -96,7 +97,6 @@ def quota_enforced_delivery_contract(
 ) -> DataFrame:
     import tempfile
 
-    from ..functions.text import tokens
     from ..operators.shards import (
         read_training_shards,
         write_training_shards_with_quota,
@@ -105,7 +105,7 @@ def quota_enforced_delivery_contract(
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
-        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tokens"),
+        n_tokens_of("text").alias("n_tokens"),
         "source",
     )
     with tempfile.TemporaryDirectory() as td:
@@ -147,8 +147,7 @@ def quota_enforced_delivery_contract(
         [
             (s, v["n_docs"], v["n_tokens"])
             for s, v in sorted(report["selected"].items())
-        ]
-        or spark.sparkContext.emptyRDD(),
+        ],
         "source string, n_docs long, delivered_tokens long",
     )
     return (

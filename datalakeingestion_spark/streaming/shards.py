@@ -38,31 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from ..functions.text import tokens
-from ..operators.packing import pack_sequences
-from ..operators.shards import assign_shards, shard_manifest
+from ..functions.text import n_tokens_of
+from ..operators.shards import pack_assign_with_payload, shard_manifest
 
 
 _RESERVED_COLS = ("n_tokens", "seq_id", "shard_id", "epoch")
-
-
-def _pack_assign_with_payload(
-    frame: DataFrame, seq_token_budget: int, shard_token_budget: int
-) -> DataFrame:
-    """(doc_id, n_tokens, *payload) -> the same rows with ``seq_id`` and
-    ``shard_id`` added, payload columns CARRIED THROUGH: pack/assign
-    project down to the id/token pair internally, so delivered shards
-    would otherwise hold only bookkeeping columns and a trainer would
-    need a separate join back to the corpus. The join-back here is
-    epoch-scale (O(batch) at delivery, O(folded rows) at compaction)."""
-    payload = [c for c in frame.columns if c not in ("doc_id", "n_tokens")]
-    packed = pack_sequences(
-        frame.select("doc_id", "n_tokens"), token_budget=seq_token_budget
-    )
-    sharded = assign_shards(packed, shard_token_budget=shard_token_budget)
-    if payload:
-        sharded = sharded.join(frame.select("doc_id", *payload), "doc_id")
-    return sharded
 
 
 def _read_manifest_raw(spark: SparkSession, delivery_dir: str):
@@ -253,15 +233,33 @@ def compact_delivery(
             "basePath", f"{delivery_dir}/data"
         ).parquet(f"{delivery_dir}/data")
         # keep payload columns (doc text etc.) through the fold; only
-        # the derived assignment columns are recomputed
+        # the derived assignment columns are recomputed. The same doc
+        # can legitimately appear in SEVERAL folded epochs (it was
+        # re-delivered), so the unique pack/join key is doc#epoch —
+        # joining payload back on doc_id alone would MULTIPLY the
+        # duplicates (2 epochs -> 4 rows); pack order stays the natural
+        # (doc_id, source epoch).
         folded = (
             data.filter(F.col("epoch").isin(fold_src))
-            .drop("epoch", "seq_id", "shard_id")
+            .drop("seq_id", "shard_id")
+            .withColumnRenamed("epoch", "_src_epoch")
+            .withColumn(
+                "_uid",
+                F.concat_ws("#", F.col("doc_id"), F.col("_src_epoch")),
+            )
             .localCheckpoint()  # materialized before any write
         )
-        sharded = _pack_assign_with_payload(
-            folded, seq_token_budget, shard_token_budget
-        ).localCheckpoint()
+        sharded = (
+            pack_assign_with_payload(
+                folded,
+                seq_token_budget,
+                shard_token_budget,
+                id_col="_uid",
+                order_cols=["doc_id", "_src_epoch"],
+            )
+            .drop("_uid", "_src_epoch")
+            .localCheckpoint()
+        )
         new_id = _baseline_id(max(new_folds))
         (
             sharded.write.mode("overwrite")
@@ -328,12 +326,29 @@ def shard_delivery_stream(
         )
 
     def deliver(batch_df: DataFrame, epoch_id: int) -> None:
+        # the payload join-back requires a unique id per batch; a
+        # duplicated id would silently MULTIPLY rows (n copies -> n^2),
+        # so fail the stream loudly instead (one batch-scale aggregate;
+        # cross-epoch re-delivery of the same doc remains fine — epochs
+        # are independent and compaction keys on doc#epoch)
+        dup = (
+            batch_df.groupBy(F.col(id_col))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"batch for epoch {epoch_id} carries duplicate "
+                f"{id_col} values; deduplicate upstream"
+            )
         sized = batch_df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(tokens(text_col)).alias("n_tokens"),
+            n_tokens_of(F.col(text_col)).alias("n_tokens"),
             *[c for c in batch_df.columns if c != id_col],
         )
-        sharded = _pack_assign_with_payload(
+        sharded = pack_assign_with_payload(
             sized, seq_token_budget, shard_token_budget
         ).localCheckpoint()  # consumed by the data write AND the manifest
         (

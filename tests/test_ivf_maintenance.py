@@ -379,3 +379,82 @@ def test_split_hot_cells_targeted_rewrite_and_conservation(spark, tmp_path):
     assert rep2["split"] == [] and rep2["skipped"] == [target]
     cent2, meta2 = read_ivf_index(spark, ix2)
     assert meta2["n_centroids"] == 2  # geometry untouched on skip
+
+
+def test_split_hot_cells_crash_recovery_converges(spark, tmp_path):
+    """Every split crash window converges on the next call without loss
+    or double-splitting: (a) move-write done but intent never logged ->
+    orphan directory deleted; (b) logged but geometry never committed ->
+    rolled back; (c) geometry committed but swap unfinished -> finished
+    from durable state (no second new cell, rows conserved exactly)."""
+    import numpy as np
+
+    from datalakeingestion_spark.operators.ivf import (
+        _topcells_udf,
+        build_ivf_index,
+        read_ivf_index,
+        split_hot_cells,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+
+    def fresh(name):
+        ix = str(tmp_path / name)
+        build_ivf_index(emb, ix, n_centroids=4, iters=1, assign_n=1)
+        total = spark.read.parquet(f"{ix}/cells").count()
+        return ix, total
+
+    def cells_of(ix):
+        return {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(f"{ix}/cells")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    # (a) orphan move-write, no log: recovery deletes it, then the call
+    # proceeds to a normal (fully logged) split of the target
+    ix, total = fresh("a")
+    victim = spark.read.option("basePath", f"{ix}/cells").parquet(
+        f"{ix}/cells").filter(F.col("cell") == 0).drop("cell").limit(5)
+    victim.write.parquet(f"{ix}/cells/cell=99")
+    rep = split_hot_cells(spark, ix, cells=[1])
+    assert 99 not in rep["sizes_after"]
+    assert sum(rep["sizes_after"].values()) == total
+    assert rep["split"] == [(1, 4)]
+
+    # (b) logged split whose geometry never committed: rolled back
+    ix, total = fresh("b")
+    victim = spark.read.option("basePath", f"{ix}/cells").parquet(
+        f"{ix}/cells").filter(F.col("cell") == 0).drop("cell").limit(5)
+    victim.write.parquet(f"{ix}/cells/cell=4")
+    spark.createDataFrame([(0, 4)], "src int, new int").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{ix}/_split_log")
+    rep = split_hot_cells(spark, ix, max_skew=100.0)  # nothing hot
+    assert rep["split"] == [] and rep["recovered"] == []
+    assert sum(cells_of(ix).values()) == total  # rollback: no dup rows
+    cent, meta = read_ivf_index(spark, ix)
+    assert meta["n_centroids"] == 4
+
+    # (c) geometry committed, swap unfinished: recovery finishes it
+    ix, total = fresh("c")
+    sizes0 = cells_of(ix)
+    hot = max(sizes0, key=lambda c: (sizes0[c], -c))
+    rep1 = split_hot_cells(spark, ix, cells=[hot])
+    assert rep1["split"] == [(hot, 4)]
+    clean = cells_of(ix)
+    # reconstruct the mid-crash state: moved rows back in the split
+    # cell (duplicates), log re-written as if the swap never ran
+    cent, _ = read_ivf_index(spark, ix)
+    moved = spark.read.option("basePath", f"{ix}/cells").parquet(
+        f"{ix}/cells").filter(F.col("cell") == 4).drop("cell")
+    moved.write.mode("append").parquet(f"{ix}/cells/cell={hot}")
+    spark.createDataFrame([(int(hot), 4)], "src int, new int").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{ix}/_split_log")
+    assert cells_of(ix)[hot] == clean[hot] + clean[4]  # dup window
+    rep2 = split_hot_cells(spark, ix, max_skew=100.0)
+    assert rep2["recovered"] == [(hot, 4)]
+    assert rep2["split"] == []  # never double-splits into cell 5
+    after = cells_of(ix)
+    assert after == clean  # exact convergence
+    _, meta = read_ivf_index(spark, ix)
+    assert meta["n_centroids"] == 5

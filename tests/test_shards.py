@@ -296,3 +296,32 @@ def test_quota_enforced_delivery_contract_and_replay(spark, tmp_path):
 
     with pytest.raises(ValueError, match="negative"):
         write_training_shards_with_quota(sized, {"s0": -1}, path)
+
+
+def test_quota_writer_custom_column_names(spark, tmp_path):
+    """Non-default id/tokens column names flow through selection, pack,
+    assign, payload join and the writer (regression: tokens_col was not
+    forwarded to assign_shards)."""
+    from datalakeingestion_spark.operators.shards import (
+        read_training_shards,
+        write_training_shards_with_quota,
+    )
+
+    sized = spark.createDataFrame(
+        [(i, 10 + i % 5, f"s{i % 2}", f"payload-{i}") for i in range(60)],
+        "item long, tok long, source string, blob string",
+    )
+    path = str(tmp_path / "d")
+    report = write_training_shards_with_quota(
+        sized, {"s0": 200, "s1": 120}, path,
+        id_col="item", tokens_col="tok",
+        seq_token_budget=32, shard_token_budget=128,
+    )
+    assert report["selected"]["s0"]["n_tokens"] <= 200
+    assert report["selected"]["s1"]["n_tokens"] <= 120
+    back = read_training_shards(spark, path, id_col="item",
+                                tokens_col="tok")
+    assert {"item", "tok", "blob", "source"} <= set(back.columns)
+    assert back.count() == sum(
+        v["n_docs"] for v in report["selected"].values()
+    )

@@ -1907,3 +1907,75 @@ def test_shard_delivery_carries_full_doc_payload(spark, tmp_path):
     ).parquet(src)
     with pytest.raises(ValueError, match="shard_id"):
         shard_delivery_stream(spark, bad, out, ckpt)
+
+
+def test_compact_fold_preserves_cross_epoch_duplicates(spark, tmp_path):
+    """A doc re-delivered in two epochs appears TWICE in the compacted
+    baseline (delivery history is preserved) — never four times (the
+    payload join-back keys on doc#epoch, so duplicates cannot multiply)
+    — and a batch with duplicate ids fails the stream loudly."""
+    from datalakeingestion_spark.streaming.shards import (
+        compact_delivery,
+        read_delivery_manifest,
+        shard_delivery_stream,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "delivery")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(40)], schema
+    ).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = shard_delivery_stream(
+            spark, stream, out, ckpt,
+            seq_token_budget=16, shard_token_budget=64,
+        )
+        q.awaitTermination(120)
+
+    run()
+    # epoch 1 re-delivers docs 0..9 (changed text) plus fresh docs
+    spark.createDataFrame(
+        [(i, f"redelivered {i}") for i in range(10)]
+        + [(100 + i, f"fresh {i}") for i in range(5)],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    # epoch 2: one more batch so compaction has a tail to keep verbatim
+    spark.createDataFrame([(200, "tail doc")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    res = compact_delivery(spark, out, seq_token_budget=16,
+                           shard_token_budget=64)
+    assert res["folded"] == [0, 1]
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    dup = data.filter(F.col("doc_id") < 10)
+    assert dup.count() == 20  # twice each, never four times
+    per = {r["doc_id"]: r["n"] for r in dup.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per.values()) == {2}
+    # both text versions survive the fold
+    texts = {r["text"] for r in dup.filter(F.col("doc_id") == 3).collect()}
+    assert texts == {"alpha beta gamma 3", "redelivered 3"}
+    assert data.count() == 40 + 15 + 1
+    man = read_delivery_manifest(spark, out)
+    assert man.agg(F.sum("n_docs")).first()[0] == 56
+
+    # duplicate ids WITHIN one batch fail the stream loudly
+    src2 = str(tmp_path / "landing2")
+    spark.createDataFrame(
+        [(7, "one"), (7, "two")], schema
+    ).write.parquet(src2)
+    stream = spark.readStream.schema(schema).parquet(src2)
+    q = shard_delivery_stream(
+        spark, stream, str(tmp_path / "d2"), str(tmp_path / "c2"),
+        seq_token_budget=16, shard_token_budget=64,
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        q.awaitTermination(120)
+        q.processAllAvailable()

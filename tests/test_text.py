@@ -286,3 +286,33 @@ def test_psi_detects_planted_shift(spark):
     ).first()[0]
     assert stable < 0.01
     assert drifted > 0.25
+
+
+def test_n_tokens_of_null_and_conf_independent(spark):
+    """n_tokens_of: NULL text counts 0 via an explicit NULL branch —
+    NOT coalesce(size(...), 0), which is a silent -1 under
+    spark.sql.legacy.sizeOfNull (the 3.5 default)."""
+    from datalakeingestion_spark.functions.text import n_tokens_of
+
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, None), (3, ""), (4, "  ")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", n_tokens_of("text").alias("n")).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0, 4: 0}
+    # under the legacy conf, size(NULL) is -1; the explicit branch
+    # must still say 0
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try:
+        got2 = {
+            r["id"]: r["n"]
+            for r in df.select(
+                "id", n_tokens_of("text").alias("n")
+            ).collect()
+        }
+        assert got2 == got
+    finally:
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")
