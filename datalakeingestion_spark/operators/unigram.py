@@ -156,6 +156,173 @@ def _cost_dict(vocab) -> dict[str, int]:
     return {r["piece"]: _int_cost(total, r["cnt"]) for r in rows}
 
 
+def _softmin(xs: list[int]) -> int:
+    """Quantized soft-min in integer micro-nats:
+    ``min(xs) - round(1e6*ln(sum(round(1e6*exp(-(x-min)/1e6)))/1e6))``.
+    Every transcendental evaluates at an INTEGER-determined argument and
+    rounds half-up at 0.5-micro-unit absolute precision, so both engines
+    compute the identical integer (the hard-EM portability argument,
+    applied per log-sum-exp call); the inner sum is over INTEGERS, so
+    float summation order cannot perturb it."""
+    m = min(xs)
+    s = sum(math.floor(1e6 * math.exp(-(x - m) / 1e6) + 0.5) for x in xs)
+    return m - math.floor(1e6 * math.log(s / 1e6) + 0.5)
+
+
+def _soft_post_udf(cost: dict[str, int], lmax: int):
+    """Per-word edge posteriors under the quantized soft-EM recursion:
+    forward/backward over the piece lattice with ``_softmin`` in place
+    of min, edge weight ``W = round(1e6*exp(-max(fa[j]+cost+bb[i]-Z,
+    0)/1e6))`` in integer micro-units (W of the best path is 1e6; the
+    GREATEST clamp absorbs quantization making a path look better than
+    Z). Emits the (piece, W) pairs with W > 0."""
+
+    @F.pandas_udf("array<struct<piece:string,w:long>>")
+    def post(words: pd.Series) -> pd.Series:
+        out = []
+        for wd in words:
+            n = len(wd)
+            fa: list[int | None] = [None] * (n + 1)
+            fa[0] = 0
+            for i in range(1, n + 1):
+                terms = [
+                    fa[j] + cost[wd[j:i]]
+                    for j in range(max(0, i - lmax), i)
+                    if fa[j] is not None and wd[j:i] in cost
+                ]
+                fa[i] = _softmin(terms) if terms else None
+            bb: list[int | None] = [None] * (n + 1)
+            bb[n] = 0
+            for j in range(n - 1, -1, -1):
+                terms = [
+                    cost[wd[j:i]] + bb[i]
+                    for i in range(j + 1, min(n, j + lmax) + 1)
+                    if bb[i] is not None and wd[j:i] in cost
+                ]
+                bb[j] = _softmin(terms) if terms else None
+            z = fa[n]
+            pairs = []
+            if z is not None:
+                for j in range(n):
+                    for i in range(j + 1, min(n, j + lmax) + 1):
+                        p = wd[j:i]
+                        if (
+                            p in cost
+                            and fa[j] is not None
+                            and bb[i] is not None
+                        ):
+                            delta = max(fa[j] + cost[p] + bb[i] - z, 0)
+                            w = math.floor(
+                                1e6 * math.exp(-delta / 1e6) + 0.5
+                            )
+                            if w:
+                                pairs.append((p, w))
+            out.append(pairs)
+        return pd.Series(out)
+
+    return post
+
+
+def _soft_vocab(docs, text_col, lmax, wmax, iters):
+    """The soft-EM loop: (words frame, vocab frame of MICRO-counts).
+    Seed vocab = raw substring counts (occurrences); from iteration 1
+    on, counts are integer MICRO-occurrences (sum of f x W). Single
+    chars are floored at 1e6 micro (one occurrence) for coverage —
+    the soft pendant of hard-EM's floor of 1; multi-char pieces whose
+    posterior mass rounds to zero everywhere prune naturally."""
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= wmax)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    ).localCheckpoint(eager=False)
+
+    sub = words.select(
+        "word",
+        "f",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(word)), s ->
+                    transform(sequence(1, least({lmax}, length(word) - s + 1)),
+                              l -> struct(substring(word, s, l) AS piece,
+                                          l AS l))))"""
+            )
+        ).alias("e"),
+    ).select("word", "f", "e.piece", "e.l")
+    chars = sub.filter(F.col("l") == 1).select("piece").distinct()
+    vocab = sub.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt"))
+
+    for _ in range(iters):
+        cost = _cost_dict(vocab)
+        used = (
+            words.select(
+                "f",
+                F.explode(_soft_post_udf(cost, lmax)("word")).alias("e"),
+            )
+            .select("f", "e.piece", "e.w")
+            .groupBy("piece")
+            .agg(
+                F.sum(F.col("f") * F.col("w")).cast("long").alias("mcnt")
+            )
+            .filter(F.col("mcnt") > 0)
+        )
+        floored = chars.join(used, "piece", "left").select(
+            "piece",
+            F.greatest(
+                F.coalesce(F.col("mcnt"), F.lit(0)), F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+        multi = used.filter(F.length("piece") > 1).select(
+            "piece", F.col("mcnt").alias("cnt")
+        )
+        vocab = floored.unionByName(multi).localCheckpoint(eager=False)
+    return words, vocab
+
+
+def train_unigram_soft(
+    docs: DataFrame,
+    text_col: str = "text",
+    lmax: int = 4,
+    wmax: int = 12,
+    iters: int = 2,
+    top: int | None = None,
+) -> DataFrame:
+    """Soft-EM (forward-backward) unigram trainer — the published
+    SentencePiece E-step, made ENGINE-EXACT by quantizing the whole
+    recursion to integer micro-nats (see ``_softmin``; hard-EM's
+    ``train_unigram`` remains the Viterbi baseline). Returns (piece,
+    n_uses_micro, cost_micro_nats): n_uses_micro is the piece's
+    expected usage in MICRO-occurrences (1e6 = one expected occurrence;
+    single chars floored at 1e6 for coverage), cost the final integer
+    micro-nat cost. Sorted (n_uses_micro DESC, piece ASC), limited to
+    ``top`` when given.
+
+    Same scale shape as hard-EM: the corpus pays one distinct-word
+    shuffle; the E-step is an Arrow batch over distinct words with the
+    cost dict in closure; per-iteration state is the vocab-sized piece
+    table. The DuckDB oracle unrolls forward+backward+posterior per
+    iteration as MATERIALIZED CTEs (plans/round12.py); a pure-Python
+    twin pins the math in tests/test_unigram.py.
+    """
+    spark = docs.sparkSession
+    words, vocab = _soft_vocab(docs, text_col, lmax, wmax, iters)
+    total = vocab.agg(F.sum("cnt")).first()[0]  # bounded 1-row scalar
+    if not total:
+        return spark.createDataFrame(
+            [], "piece string, n_uses_micro long, cost_micro_nats long"
+        )
+    out = vocab.select(
+        "piece",
+        F.col("cnt").alias("n_uses_micro"),
+        F.round(F.lit(1e6) * F.log(F.lit(float(total)) / F.col("cnt")), 0)
+        .cast("long")
+        .alias("cost_micro_nats"),
+    ).orderBy(F.desc("n_uses_micro"), F.asc("piece"))
+    return out.limit(top) if top is not None else out
+
+
 def train_unigram(
     docs: DataFrame,
     text_col: str = "text",

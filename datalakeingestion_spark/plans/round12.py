@@ -259,3 +259,140 @@ def ivf_split_hot_cells_contract(
         F.lit(bool(post_skew < pre_skew)).alias("skew_reduced"),
         F.lit(bool(overlap >= 0.8)).alias("probe_overlap_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft-EM unigram trainer (forward-backward posteriors, engine-exact)
+# ---------------------------------------------------------------------------
+
+# Quantized soft-min in integer micro-nats (operators/unigram.py::
+# _softmin): min(set) - round(1e6*ln(SUM(round(1e6*exp(-(x-min)/1e6)))
+# /1e6)). The inner per-term exponentials round to INTEGER micro-units
+# before summation, so float summation order cannot perturb the result;
+# the two transcendentals evaluate at integer-determined arguments and
+# round at 0.5-micro-unit absolute precision — the hard-EM portability
+# argument, applied per log-sum-exp call.
+_SOFTMIN_AGG = (
+    "MIN(x) - CAST(round(1e6*ln(SUM(CAST(round(1e6*exp(-(x - mx)/1e6)) "
+    "AS BIGINT))/1e6)) AS BIGINT)"
+)
+
+_EDGE_W = (
+    "CAST(round(1e6*exp(-GREATEST(fa.v + e{t}x.cost + bb.v - z.z, 0)/1e6)) "
+    "AS BIGINT)"
+)
+
+
+def _uni_soft_iter(t: int, prev: str, lmax: int, wmax: int) -> list[str]:
+    """One soft-EM iteration under ``prev``'s counts: cost table, edge
+    lattice, forward chain (fa), backward chain (bb), edge-posterior
+    M-step (post) and the floored next vocab. Mirrors
+    operators/unigram.py::_soft_vocab line for line."""
+    parts = [f"""
+stot{t} AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev}),
+scost{t} AS (SELECT piece, CAST(round(1e6*ln(total/cnt)) AS BIGINT) AS cost
+             FROM {prev} CROSS JOIN stot{t}),
+se{t} AS MATERIALIZED (
+  SELECT s.word, s.j, s.i, s.piece, c.cost
+  FROM sub s JOIN scost{t} c ON c.piece = s.piece),
+fa{t}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS v FROM w)"""]
+    for k in range(1, wmax + 1):
+        parts.append(f"""
+fd{t}_{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, {_SOFTMIN_AGG} AS v
+  FROM (SELECT e.word, d.v + e.cost AS x,
+               MIN(d.v + e.cost) OVER (PARTITION BY e.word) AS mx
+        FROM se{t} e JOIN fa{t}_{k - 1} d
+          ON d.word = e.word AND d.pos = e.j
+        WHERE e.i = {k})
+  GROUP BY word),
+fa{t}_{k} AS MATERIALIZED (
+  SELECT * FROM fa{t}_{k - 1} UNION ALL SELECT * FROM fd{t}_{k})""")
+    parts.append(f"""
+bb{t}_{wmax} AS MATERIALIZED (
+  SELECT word, len(word) AS pos, CAST(0 AS BIGINT) AS v FROM w)""")
+    for k in range(wmax - 1, -1, -1):
+        parts.append(f"""
+bd{t}_{k} AS MATERIALIZED (
+  SELECT word, {k} AS pos, {_SOFTMIN_AGG} AS v
+  FROM (SELECT e.word, e.cost + d.v AS x,
+               MIN(e.cost + d.v) OVER (PARTITION BY e.word) AS mx
+        FROM se{t} e JOIN bb{t}_{k + 1} d
+          ON d.word = e.word AND d.pos = e.i
+        WHERE e.j = {k} AND len(e.word) > {k})
+  GROUP BY word),
+bb{t}_{k} AS MATERIALIZED (
+  SELECT * FROM bb{t}_{k + 1} UNION ALL SELECT * FROM bd{t}_{k})""")
+    ew = _EDGE_W.format(t=t)
+    parts.append(f"""
+z{t} AS (SELECT fa.word, fa.v AS z
+         FROM fa{t}_{wmax} fa JOIN w ON w.word = fa.word
+         WHERE fa.pos = len(fa.word)),
+post{t} AS MATERIALIZED (
+  SELECT e{t}x.piece, CAST(SUM(w.f * {ew}) AS BIGINT) AS mcnt
+  FROM se{t} e{t}x
+  JOIN fa{t}_{wmax} fa ON fa.word = e{t}x.word AND fa.pos = e{t}x.j
+  JOIN bb{t}_0 bb ON bb.word = e{t}x.word AND bb.pos = e{t}x.i
+  JOIN z{t} z ON z.word = e{t}x.word
+  JOIN w ON w.word = e{t}x.word
+  GROUP BY e{t}x.piece
+  HAVING CAST(SUM(w.f * {ew}) AS BIGINT) > 0),
+svocab{t} AS MATERIALIZED (
+  SELECT piece, GREATEST(COALESCE(p.mcnt, 0), 1000000) AS cnt
+  FROM chars c LEFT JOIN post{t} p USING (piece)
+  UNION ALL
+  SELECT piece, mcnt AS cnt FROM post{t} WHERE len(piece) > 1)""")
+    return parts
+
+
+def _unigram_soft_oracle_sql() -> str:
+    from .round11 import _UNI_ITERS, _UNI_LMAX, _UNI_TOP, _UNI_WMAX, _uni_base
+
+    parts = [_uni_base(_UNI_LMAX, _UNI_WMAX)]
+    prev = "vocab0"
+    for t in range(1, _UNI_ITERS + 1):
+        parts.extend(_uni_soft_iter(t, prev, _UNI_LMAX, _UNI_WMAX))
+        prev = f"svocab{t}"
+    return (
+        f"WITH {','.join(parts)},\n"
+        f"ftot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {prev})\n"
+        f"SELECT piece, CAST(cnt AS BIGINT) AS n_uses_micro,\n"
+        f"       CAST(round(1e6*ln(total/cnt)) AS BIGINT)\n"
+        f"           AS cost_micro_nats\n"
+        f"FROM {prev} CROSS JOIN ftot\n"
+        f"ORDER BY n_uses_micro DESC, piece LIMIT {_UNI_TOP}"
+    )
+
+
+@register(
+    "unigram_train_softem_top50",
+    oracle=_unigram_soft_oracle_sql(),
+    doc="Soft-EM unigram trainer (operators/unigram.py::"
+    "train_unigram_soft) — the published SentencePiece forward-backward "
+    "E-step, made ENGINE-EXACT (VERDICT r11 item #7, answered "
+    "positively): the whole lattice recursion is quantized to integer "
+    "micro-nats — soft-min folds round each exponential term to integer "
+    "micro-units BEFORE summation (float order can't perturb an integer "
+    "sum) and every transcendental evaluates at an integer-determined "
+    "argument rounded at 0.5-micro-unit absolute precision, the hard-EM "
+    "trainer's portability argument applied per log-sum-exp call. "
+    "Expected piece usages are integer micro-occurrences (edge "
+    "posterior W = round(1e6*exp(-(fa+cost+bb-Z)))); single chars "
+    "floored at 1e6 for coverage; zero-mass pieces prune naturally. "
+    "Oracle unrolls forward+backward+posterior per EM iteration as "
+    "MATERIALIZED CTEs; the hard-EM Viterbi trainer remains the "
+    "baseline beside it.",
+)
+def unigram_train_softem_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import train_unigram_soft
+    from .round11 import _UNI_ITERS, _UNI_LMAX, _UNI_TOP, _UNI_WMAX
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_unigram_soft(
+        docs,
+        lmax=_UNI_LMAX,
+        wmax=_UNI_WMAX,
+        iters=_UNI_ITERS,
+        top=_UNI_TOP,
+    )
