@@ -493,8 +493,28 @@ def split_hot_cells(
             .filter(F.col("cell") == c)  # partition-pruned: one directory
             .select("neighbor_id", "c_vec", "c_norm")
         )
+        # train the 2-means on a DETERMINISTIC hash-sample (~100k rows):
+        # the decimal-exact Lloyd pass is linear in training rows, and a
+        # binary split needs nowhere near the full cell to place two
+        # centroids (10M-vec probe: full-cell training cost rivaled an
+        # iters=0 REBUILD, defeating the point of a targeted repair);
+        # assignment below still covers EVERY row, so conservation and
+        # determinism are untouched
+        cap = 100_000
+        if sizes[c] > cap:
+            ratio = sizes[c] // cap + 1
+            train_rows = rows.filter(
+                F.pmod(
+                    portable_hash32(F.col("neighbor_id").cast("string")),
+                    F.lit(ratio),
+                )
+                == 0
+            )
+        else:
+            train_rows = rows
         sub = train_centroids(
-            rows, k=2, iters=iters, id_col="neighbor_id", vec_col="c_vec"
+            train_rows, k=2, iters=iters, id_col="neighbor_id",
+            vec_col="c_vec",
         )
         # binary partition between the two halves; EAGER checkpoint —
         # the final step overwrites the directory these rows were read

@@ -71,7 +71,11 @@ def pack_sequences(
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
     order_cols = list(order_cols or [id_col])
-    keep = [id_col] + [c for c in order_cols if c != id_col]
+    # tokens_col may itself be an order column (length curriculum):
+    # it is projected once below, never duplicated into keep
+    keep = [id_col] + [
+        c for c in order_cols if c not in (id_col, tokens_col)
+    ]
     if "_k" in (*keep, tokens_col) or "_cum" in (*keep, tokens_col):
         # "_k" would be silently clobbered by the constant key below
         # (a tokens_col named "_k" would turn every weight into 1);

@@ -207,6 +207,52 @@ def cap_tokens_per_quota(
     )
 
 
+def upsample_by_factor(
+    df: DataFrame,
+    factors: dict[str, int],
+    group_col: str = "source",
+    default_factor: int = 1,
+) -> DataFrame:
+    """Integer per-group EPOCH UPSAMPLING — the other half of a data
+    recipe beside rate-based downsampling (``mix_corpora``) and token
+    quotas (``cap_tokens_per_quota``): "repeat the curated source 3x,
+    wikipedia 2x, drop raw crawl" is factors={'curated': 3, 'wiki': 2,
+    'crawl': 0}. Every row of a group appears exactly ``factor`` times,
+    tagged with ``repeat_idx`` (0-based) so downstream keys stay unique
+    as (id, repeat_idx); groups not listed get ``default_factor``; a
+    zero factor drops the group. Deterministic, shuffle-free (a
+    broadcast factor join + one explode).
+    """
+    bad = {g: x for g, x in factors.items() if x < 0}
+    if bad:
+        raise ValueError(f"negative factors: {bad}")
+    if default_factor < 0:
+        raise ValueError(f"negative default_factor: {default_factor}")
+    if "repeat_idx" in df.columns or "_factor" in df.columns:
+        raise ValueError(
+            "input already has a 'repeat_idx'/'_factor' column; rename it"
+        )
+    spark = df.sparkSession
+    fdf = spark.createDataFrame(
+        [(g, int(x)) for g, x in sorted(factors.items())],
+        f"{group_col} string, _factor int",
+    )
+    return (
+        df.join(F.broadcast(fdf), group_col, "left")
+        .withColumn(
+            "_factor", F.coalesce(F.col("_factor"), F.lit(default_factor))
+        )
+        # filter BEFORE the explode: Spark's sequence(0, -1) counts
+        # DOWN ([0, -1]) rather than returning empty
+        .filter(F.col("_factor") > 0)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_factor") - 1)),
+        )
+        .drop("_factor")
+    )
+
+
 def stratified_sample_exact(
     docs: DataFrame,
     stratum_col: str,

@@ -70,6 +70,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quota_enforced_delivery_contract",  # never checked
     "ivf_split_hot_cells_contract",  # never checked
     "unigram_train_softem_top50",  # never checked
+    "upsampled_corpus_shard_manifest",  # never checked
+    "curriculum_shard_manifest",  # never checked
     "q4_order_priority_exists",  # last green r6
     "q10_returned_items",  # last green r6
     "q14_promo_revenue",  # last green r6
@@ -115,8 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",  # last green r7
     "dedup_embedding_cosine",  # last green r7
     "ann_cosine_topk",  # last green r7
-    "ann_lsh_bucketed",  # last green r7
-    "text_quality_score",  # last green r7
 )
 
 

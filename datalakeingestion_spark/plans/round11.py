@@ -26,16 +26,18 @@ _SEQ_BUDGET = 512
 _SHARD_BUDGET = 4096
 
 
-def _pack_shard_ctes(tok_src: str) -> str:
+def _pack_shard_ctes(tok_src: str, order_sql: str = "doc_id") -> str:
     """The pack→shard CTE chain over ``tok_src`` (SQL yielding
     (doc_id, n_tokens)): two-level prefix-sum assignment, shared by the
-    manifest oracle, the delivery-contract oracle and the curated
-    capstone so the assignment semantics exist in ONE place."""
+    manifest oracle, the delivery-contract oracle, the curated capstone
+    and the round-12 curriculum/upsampling queries so the assignment
+    semantics exist in ONE place. ``order_sql`` overrides the pack
+    order (must be a total order; the default is the id itself)."""
     return f"""
     t AS ({tok_src}),
     c AS (SELECT doc_id, n_tokens,
                  COALESCE(SUM(n_tokens) OVER (
-                     ORDER BY doc_id
+                     ORDER BY {order_sql}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS cb
           FROM t),

@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from ..functions.text import n_tokens_of
 from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
+from .round11 import (
+    _DOC_TOKENS_SQL,
+    _SHARD_MANIFEST_SELECT,
+    _pack_shard_ctes,
+)
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -395,4 +400,114 @@ def unigram_train_softem_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmax=_UNI_WMAX,
         iters=_UNI_ITERS,
         top=_UNI_TOP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-recipe delivery variants: epoch upsampling and curriculum order
+# ---------------------------------------------------------------------------
+
+# stride for the (doc, repeat) -> uid embedding; > max repeat factor
+_UPSAMPLE_STRIDE = 4
+_UPSAMPLE_FACTORS: dict[str, int] = {"src0": 3, "src1": 2, "src2": 0}
+
+
+def _upsample_values_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', {x})" for s, x in sorted(_UPSAMPLE_FACTORS.items())
+    )
+    return f"(VALUES {rows}) fv(source, fac)"
+
+
+@register(
+    "upsampled_corpus_shard_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT d.doc_id, CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT)
+                 AS n_tokens,
+             COALESCE(fv.fac, 1) AS fac
+      FROM documents d LEFT JOIN {_upsample_values_sql()} USING (source)),
+    {_pack_shard_ctes(
+        "SELECT doc_id * " + str(_UPSAMPLE_STRIDE)
+        + " + unnest(generate_series(0, fac - 1)) AS doc_id, n_tokens "
+        "FROM base WHERE fac > 0"
+    )}
+    {_SHARD_MANIFEST_SELECT}
+    """,
+    doc="EPOCH-UPSAMPLED delivery (operators/sampling.py::"
+    "upsample_by_factor -> pack -> shard manifest): the data-recipe op "
+    "quotas and rate-mixing don't cover — 'repeat the curated source "
+    "3x, wiki 2x, drop raw crawl'. Every doc of a factor-f source "
+    "appears exactly f times under a unique uid = doc_id*stride + "
+    "repeat_idx (so packing stays a total order and digests stay "
+    "well-defined); unlisted sources default to 1x, zero factors drop. "
+    "Shuffle-free upsampling (broadcast factor join + explode), then "
+    "the proven two-level prefix-sum chain. Oracle: same uid embedding "
+    "via generate_series, same pack/shard CTEs.",
+)
+def upsampled_corpus_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sampling import upsample_by_factor
+    from .round11 import _shard_manifest_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", n_tokens_of("text").alias("n_tokens"), "source"
+    )
+    up = upsample_by_factor(sized, _UPSAMPLE_FACTORS)
+    uid = up.select(
+        (
+            F.col("doc_id") * _UPSAMPLE_STRIDE + F.col("repeat_idx")
+        ).alias("doc_id"),
+        "n_tokens",
+    )
+    return _shard_manifest_frame(uid)
+
+
+@register(
+    "curriculum_shard_manifest",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL,
+                           order_sql="n_tokens, doc_id")},
+    mm AS (SELECT sh.shard_id,
+                  MIN(p.n_tokens) AS min_tokens,
+                  MAX(p.n_tokens) AS max_tokens
+           FROM p JOIN sh ON sh.seq_id = p.seq_id
+           GROUP BY sh.shard_id),
+    man AS ({_SHARD_MANIFEST_SELECT})
+    SELECT man.shard_id, man.n_docs, man.n_seqs, man.n_tokens,
+           man.digest, mm.min_tokens, mm.max_tokens
+    FROM man JOIN mm USING (shard_id)
+    """,
+    doc="CURRICULUM-ordered delivery: documents pack in (n_tokens, "
+    "doc_id) order — shortest first, the classic length curriculum — "
+    "so shard ids ARE the curriculum stages a trainer consumes in "
+    "order; per-shard min/max token counts expose the stage boundaries "
+    "(monotone non-decreasing across shards by construction of the "
+    "prefix sum over the sorted order). Same two-level distributed "
+    "prefix sum (pack_sequences order_cols does the ordering — still "
+    "one range shuffle, never a global window); oracle = the shared "
+    "pack/shard CTE chain with the order overridden.",
+)
+def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+    from ..operators.shards import assign_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
+    packed = pack_sequences(
+        sized,
+        token_budget=_SEQ_BUDGET,
+        order_cols=["n_tokens", "doc_id"],
+    )
+    sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
+    man = shard_manifest(sharded)
+    mm = sharded.groupBy("shard_id").agg(
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return man.join(mm, "shard_id").select(
+        "shard_id", "n_docs", "n_seqs", "n_tokens", "digest",
+        "min_tokens", "max_tokens",
     )

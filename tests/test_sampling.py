@@ -184,3 +184,38 @@ def test_cap_tokens_per_quota_per_group_budgets(spark):
         cap_tokens_per_quota(
             df.withColumn("_running", df.id), "g", "tok", {"a": 1}, ["id"]
         )
+
+
+def test_upsample_by_factor_repeats_and_defaults(spark):
+    """Integer epoch upsampling: listed groups repeat exactly factor
+    times with 0-based repeat_idx, unlisted groups get the default,
+    zero factors drop the group, negatives raise."""
+    import pytest
+    from datalakeingestion_spark.operators.sampling import (
+        upsample_by_factor,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "id long, source string"
+    )
+    up = upsample_by_factor(df, {"s0": 3, "s1": 0})
+    per = {
+        r["source"]: r["n"]
+        for r in up.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"s0": 30, "s2": 10}  # s1 dropped, s2 default 1x
+    idxs = sorted(
+        r["repeat_idx"]
+        for r in up.filter("source = 's0' and id = 0").collect()
+    )
+    assert idxs == [0, 1, 2]
+    assert up.filter("repeat_idx >= 3").count() == 0
+    # (id, repeat_idx) unique
+    assert (
+        up.groupBy("id", "repeat_idx").count().filter("count > 1").count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="negative"):
+        upsample_by_factor(df, {"s0": -1})
+    with pytest.raises(ValueError, match="repeat_idx"):
+        upsample_by_factor(up, {"s0": 2})
