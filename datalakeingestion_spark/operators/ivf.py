@@ -402,6 +402,7 @@ def split_hot_cells(
     max_splits: int = 1,
     iters: int = 3,
     cells: list[int] | None = None,
+    train_sample_cap: int = 100_000,
 ) -> dict:
     """Detect→REPAIR for a skewed stored index: re-train k'=2
     sub-centroids INSIDE an oversized cell and rewrite only that cell's
@@ -500,7 +501,7 @@ def split_hot_cells(
         # iters=0 REBUILD, defeating the point of a targeted repair);
         # assignment below still covers EVERY row, so conservation and
         # determinism are untouched
-        cap = 100_000
+        cap = max(2, train_sample_cap)
         if sizes[c] > cap:
             ratio = sizes[c] // cap + 1
             train_rows = rows.filter(

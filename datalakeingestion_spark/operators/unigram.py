@@ -106,10 +106,12 @@ def _viterbi_udf(cost: dict[str, int], lmax: int):
     return segment
 
 
-def _em_vocab(docs, text_col, lmax, wmax, iters):
-    """The shared EM loop: returns (words frame, final vocab frame) —
-    consumed by the trainer (emits the piece table) and the encoder
-    (segments under the final costs)."""
+def _seed_vocab(docs, text_col, lmax, wmax):
+    """(words, chars, seed vocab) — the shared seed construction for
+    BOTH EM variants: distinct training-eligible words with counts, the
+    single-character set, and the all-substrings seed counts. One
+    definition so the substring lattice cannot drift between hard-EM,
+    soft-EM and the SQL oracles."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.length("word") <= wmax)
@@ -132,6 +134,14 @@ def _em_vocab(docs, text_col, lmax, wmax, iters):
     ).select("word", "f", "e.piece", "e.l")
     chars = sub.filter(F.col("l") == 1).select("piece").distinct()
     vocab = sub.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt"))
+    return words, chars, vocab
+
+
+def _em_vocab(docs, text_col, lmax, wmax, iters):
+    """The shared EM loop: returns (words frame, final vocab frame) —
+    consumed by the trainer (emits the piece table) and the encoder
+    (segments under the final costs)."""
+    words, chars, vocab = _seed_vocab(docs, text_col, lmax, wmax)
 
     for _ in range(iters):
         cost = _cost_dict(vocab)
@@ -152,8 +162,10 @@ def _em_vocab(docs, text_col, lmax, wmax, iters):
 
 def _cost_dict(vocab) -> dict[str, int]:
     rows = vocab.collect()  # bounded: vocab-sized (see module doc)
-    total = sum(r["cnt"] for r in rows)
-    return {r["piece"]: _int_cost(total, r["cnt"]) for r in rows}
+    # int() normalizes Decimal counts (the soft path's exact sums) so
+    # the cost division is the same double/double both engines compute
+    total = int(sum(r["cnt"] for r in rows))
+    return {r["piece"]: _int_cost(total, int(r["cnt"])) for r in rows}
 
 
 def _softmin(xs: list[int]) -> int:
@@ -229,28 +241,15 @@ def _soft_vocab(docs, text_col, lmax, wmax, iters):
     on, counts are integer MICRO-occurrences (sum of f x W). Single
     chars are floored at 1e6 micro (one occurrence) for coverage —
     the soft pendant of hard-EM's floor of 1; multi-char pieces whose
-    posterior mass rounds to zero everywhere prune naturally."""
-    words = (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= wmax)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    ).localCheckpoint(eager=False)
+    posterior mass rounds to zero everywhere prune naturally.
 
-    sub = words.select(
-        "word",
-        "f",
-        F.explode(
-            F.expr(
-                f"""flatten(transform(sequence(1, length(word)), s ->
-                    transform(sequence(1, least({lmax}, length(word) - s + 1)),
-                              l -> struct(substring(word, s, l) AS piece,
-                                          l AS l))))"""
-            )
-        ).alias("e"),
-    ).select("word", "f", "e.piece", "e.l")
-    chars = sub.filter(F.col("l") == 1).select("piece").distinct()
-    vocab = sub.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt"))
+    Micro-count sums accumulate in DECIMAL(38,0) — micro-units are 1e6x
+    occurrences, so a BIGINT sum would wrap 6 orders of magnitude
+    sooner than hard-EM's raw counts while the DuckDB twin sums into
+    HUGEINT; the exact decimal keeps the engines identical. The FINAL
+    cast to long bounds output counts at ~9.2e18 micro (~9.2e12
+    expected occurrences per piece)."""
+    words, chars, vocab = _seed_vocab(docs, text_col, lmax, wmax)
 
     for _ in range(iters):
         cost = _cost_dict(vocab)
@@ -262,17 +261,18 @@ def _soft_vocab(docs, text_col, lmax, wmax, iters):
             .select("f", "e.piece", "e.w")
             .groupBy("piece")
             .agg(
-                F.sum(F.col("f") * F.col("w")).cast("long").alias("mcnt")
+                F.sum(
+                    F.col("f").cast("decimal(38,0)") * F.col("w")
+                ).alias("mcnt")
             )
             .filter(F.col("mcnt") > 0)
         )
         floored = chars.join(used, "piece", "left").select(
             "piece",
             F.greatest(
-                F.coalesce(F.col("mcnt"), F.lit(0)), F.lit(1_000_000)
-            )
-            .cast("long")
-            .alias("cnt"),
+                F.coalesce(F.col("mcnt"), F.lit(0).cast("decimal(38,0)")),
+                F.lit(1_000_000).cast("decimal(38,0)"),
+            ).alias("cnt"),
         )
         multi = used.filter(F.length("piece") > 1).select(
             "piece", F.col("mcnt").alias("cnt")
@@ -315,8 +315,12 @@ def train_unigram_soft(
         )
     out = vocab.select(
         "piece",
-        F.col("cnt").alias("n_uses_micro"),
-        F.round(F.lit(1e6) * F.log(F.lit(float(total)) / F.col("cnt")), 0)
+        F.col("cnt").cast("long").alias("n_uses_micro"),
+        F.round(
+            F.lit(1e6)
+            * F.log(F.lit(float(total)) / F.col("cnt").cast("double")),
+            0,
+        )
         .cast("long")
         .alias("cost_micro_nats"),
     ).orderBy(F.desc("n_uses_micro"), F.asc("piece"))

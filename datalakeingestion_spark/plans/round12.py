@@ -17,6 +17,8 @@ from ..sources.fixtures import load_table
 from .llm import TOKS_SQL
 from .round11 import (
     _DOC_TOKENS_SQL,
+    _SEQ_BUDGET,
+    _SHARD_BUDGET,
     _SHARD_MANIFEST_SELECT,
     _pack_shard_ctes,
 )
@@ -26,8 +28,9 @@ from .registry import register
 # Quota-enforced delivery (the mixture spec, enforced — not just audited)
 # ---------------------------------------------------------------------------
 
-_SEQ_BUDGET = 512
-_SHARD_BUDGET = 4096
+# budgets come from round11 (the CTE builder bakes the same values
+# into every oracle) — a local copy could silently desynchronize the
+# Spark side from the SQL side
 
 # The contract's mixture spec: two binding quotas (well under a source's
 # fixture material), one slack quota (everything fits), one zero quota
@@ -383,7 +386,8 @@ def _unigram_soft_oracle_sql() -> str:
     "argument rounded at 0.5-micro-unit absolute precision, the hard-EM "
     "trainer's portability argument applied per log-sum-exp call. "
     "Expected piece usages are integer micro-occurrences (edge "
-    "posterior W = round(1e6*exp(-(fa+cost+bb-Z)))); single chars "
+    "posterior W = round(1e6*exp(-max(fa+cost+bb-Z, 0)/1e6)), the "
+    "clamp absorbing quantization making a path beat Z); single chars "
     "floored at 1e6 for coverage; zero-mass pieces prune naturally. "
     "Oracle unrolls forward+backward+posterior per EM iteration as "
     "MATERIALIZED CTEs; the hard-EM Viterbi trainer remains the "
@@ -410,6 +414,9 @@ def unigram_train_softem_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stride for the (doc, repeat) -> uid embedding; > max repeat factor
 _UPSAMPLE_STRIDE = 4
 _UPSAMPLE_FACTORS: dict[str, int] = {"src0": 3, "src1": 2, "src2": 0}
+# colliding uids (doc 0 repeat STRIDE == doc 1 repeat 0) would break
+# the pack's unique-id contract on BOTH engines — fail at import
+assert _UPSAMPLE_STRIDE > max(_UPSAMPLE_FACTORS.values(), default=0)
 
 
 def _upsample_values_sql() -> str:

@@ -458,3 +458,37 @@ def test_split_hot_cells_crash_recovery_converges(spark, tmp_path):
     assert after == clean  # exact convergence
     _, meta = read_ivf_index(spark, ix)
     assert meta["n_centroids"] == 5
+
+
+def test_split_hot_cells_sampled_training_path(spark, tmp_path):
+    """The hash-sampled 2-means training branch (cells above
+    train_sample_cap): assignment still covers EVERY row, rows are
+    conserved exactly, and the split remains deterministic across two
+    identical runs."""
+    from datalakeingestion_spark.operators.ivf import (
+        build_ivf_index,
+        split_hot_cells,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+
+    def run(name):
+        ix = str(tmp_path / name)
+        build_ivf_index(emb, ix, n_centroids=4, iters=1, assign_n=1)
+        sizes = {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(f"{ix}/cells")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        hot = max(sizes, key=lambda c: (sizes[c], -c))
+        # cap far below the cell size -> the sampled branch runs
+        rep = split_hot_cells(
+            spark, ix, cells=[hot], train_sample_cap=20
+        )
+        assert rep["split"] == [(hot, 4)]
+        after = rep["sizes_after"]
+        assert sum(after.values()) == sum(sizes.values())
+        assert after[hot] + after[4] == sizes[hot]
+        return after
+
+    assert run("s1") == run("s2")  # hash-sample -> deterministic
