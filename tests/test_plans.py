@@ -723,3 +723,46 @@ def test_maxmatch_single_word_shuffle(spark):
 
     plan = formatted_plan(run(spark, "maxmatch_encode_words"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_quota_selection_single_source_shuffle(spark):
+    """select_to_quota = ONE shuffle Exchange (hash on the source key
+    for the per-source running-sum window) + a broadcast of the quota
+    table — the mixture spec never moves the corpus twice and never
+    degenerates into a global window."""
+    import re
+
+    from datalakeingestion_spark.functions.text import n_tokens_of
+    from datalakeingestion_spark.operators.shards import select_to_quota
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sized = docs.select(
+        "doc_id", n_tokens_of("text").alias("n_tokens"), "source"
+    )
+    plan = formatted_plan(select_to_quota(sized, {"src0": 800, "src1": 600}))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "hashpartitioning(source" in plan
+    assert "BroadcastExchange" in plan  # len(quotas)-row table broadcasts
+
+
+def test_curriculum_pack_window_stays_bucketed(spark):
+    """Length-curriculum packing keeps the prefix sum's scale shape:
+    the window runs PER (bucket, key) ordered by the curriculum key
+    (n_tokens, doc_id) — never a single-partition global window. (The
+    range shuffle itself sits behind keyed_prefix_sum's eager
+    checkpoint, so the visible plan starts at the bucketed frame.)"""
+    from datalakeingestion_spark.functions.text import n_tokens_of
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
+    plan = formatted_plan(
+        pack_sequences(
+            sized, token_budget=512, order_cols=["n_tokens", "doc_id"]
+        )
+    )
+    assert "hashpartitioning(_pid" in plan, plan  # per-bucket window
+    assert "n_tokens" in plan and "ASC NULLS FIRST" in plan
+    assert "SinglePartition" not in plan, plan
