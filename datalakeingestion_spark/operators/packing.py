@@ -577,3 +577,147 @@ def maxmatch_encode_words(
         .alias("n_pieces"),
         (~covered).alias("is_unk"),
     )
+
+
+def packing_efficiency_report(
+    sized: DataFrame,
+    orders: dict[str, list[str]],
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Padding/overflow audit of the greedy prefix-sum packer under
+    alternative pack ORDERS — the number a data engineer actually tunes
+    packing with: every sequence shorter than the budget pads up to it
+    (wasted compute), every pack-with-overflow sequence carries tokens
+    past it (truncation risk), and BOTH are pure functions of the order
+    documents enter the prefix sum. ``orders`` maps an order name to the
+    ``pack_sequences`` ``order_cols`` for it (columns must exist on
+    ``sized``; each must be a total order).
+
+    One row per order: ``n_seqs``, ``total_tokens`` (order-invariant —
+    a built-in cross-check), ``padding_tokens`` =
+    Σ max(budget − seq_tokens, 0), ``overflow_tokens`` =
+    Σ max(seq_tokens − budget, 0), and ``padding_ppm`` =
+    padding·1e6 div (n_seqs·budget) — all exact BIGINT arithmetic, so
+    the report is engine-portable (integer ``div``, no float ratios).
+
+    Scale shape: one pack (a range shuffle + broadcast offsets) and one
+    seq-level aggregate per order — k orders cost k passes, each the
+    same plan the delivery itself runs; the result is k rows.
+
+    Reference pendant: none — greenfield trainer-facing audit
+    (SURVEY.md §2 beyond-reference set).
+    """
+    if not orders:
+        raise ValueError("orders must name at least one pack order")
+    out = []
+    for name, order_cols in sorted(orders.items()):
+        packed = pack_sequences(
+            sized,
+            token_budget=token_budget,
+            id_col=id_col,
+            tokens_col=tokens_col,
+            order_cols=list(order_cols),
+        )
+        seqs = packed.groupBy("seq_id").agg(
+            F.sum(tokens_col).cast("long").alias("seq_tokens")
+        )
+        agg = seqs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.greatest(
+                    F.lit(token_budget).cast("long") - F.col("seq_tokens"),
+                    F.lit(0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("padding_tokens"),
+            F.sum(
+                F.greatest(
+                    F.col("seq_tokens") - F.lit(token_budget).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            )
+            .cast("long")
+            .alias("overflow_tokens"),
+        )
+        out.append(
+            agg.select(
+                F.lit(name).alias("order_name"),
+                "n_seqs",
+                "total_tokens",
+                "padding_tokens",
+                "overflow_tokens",
+                # GREATEST guards the empty-corpus division on both
+                # engines (DuckDB // raises on zero, Spark div NULLs)
+                F.expr(
+                    f"padding_tokens * 1000000 div "
+                    f"(greatest(n_seqs, 1) * {token_budget})"
+                )
+                .cast("long")
+                .alias("padding_ppm"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def sequence_boundaries(
+    sized: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-sequence document boundaries for packed training batches:
+    a trainer that packs multiple documents into one sequence needs the
+    within-sequence start offset of every document to reset position
+    ids and mask cross-document attention (the standard packed-batch
+    attention-mask construction). This materializes exactly that — per
+    ``seq_id``: ``n_docs``, ``seq_tokens``, and ``boundaries``, the
+    ascending ':'-joined start offsets (first is always 0).
+
+    Boundaries come straight from the pack's OWN exclusive prefix sum
+    (``include_position=True``): a doc's within-sequence offset is its
+    global prefix position minus the sequence's minimum — no second
+    pass over text. The window partitions by ``seq_id``, whose size is
+    bounded by the token budget (plus one overflow doc), so the
+    per-partition sort is O(budget), never O(corpus). Offsets are
+    joined as a STRING (driver results ban array columns); equal
+    offsets (zero-token docs) concatenate identically in any order, so
+    the string is deterministic.
+
+    Reference pendant: none — greenfield trainer-facing op
+    (SURVEY.md §2 beyond-reference set).
+    """
+    from pyspark.sql import Window
+
+    packed = pack_sequences(
+        sized,
+        token_budget=token_budget,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        order_cols=order_cols,
+        include_position=True,
+    )
+    w = Window.partitionBy("seq_id")
+    off = (F.col("position") - F.min("position").over(w)).alias("off")
+    return (
+        packed.select("seq_id", tokens_col, off)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("seq_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("off")),
+                    lambda x: x.cast("string"),
+                ),
+                ":",
+            ).alias("boundaries"),
+        )
+    )

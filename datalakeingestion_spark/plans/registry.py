@@ -72,6 +72,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unigram_train_softem_top50",  # never checked
     "upsampled_corpus_shard_manifest",  # never checked
     "curriculum_shard_manifest",  # never checked
+    "packing_efficiency_by_order",  # never checked
+    "shuffled_shard_manifest",  # never checked
+    "packed_sequence_boundaries",  # never checked
+    "tokenizer_true_shard_manifest",  # never checked
     "q4_order_priority_exists",  # last green r6
     "q10_returned_items",  # last green r6
     "q14_promo_revenue",  # last green r6
@@ -113,10 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",  # last green r7
     "dedup_cluster_assign",  # last green r7
     "decontaminate_ngram_overlap",  # last green r7
-    "dedup_ngram_jaccard",  # last green r7
-    "dedup_simhash",  # last green r7
-    "dedup_embedding_cosine",  # last green r7
-    "ann_cosine_topk",  # last green r7
 )
 
 

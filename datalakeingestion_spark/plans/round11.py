@@ -26,39 +26,47 @@ _SEQ_BUDGET = 512
 _SHARD_BUDGET = 4096
 
 
-def _pack_shard_ctes(tok_src: str, order_sql: str = "doc_id") -> str:
+def _pack_shard_ctes(
+    tok_src: str, order_sql: str = "doc_id", prefix: str = ""
+) -> str:
     """The pack→shard CTE chain over ``tok_src`` (SQL yielding
     (doc_id, n_tokens)): two-level prefix-sum assignment, shared by the
     manifest oracle, the delivery-contract oracle, the curated capstone
-    and the round-12 curriculum/upsampling queries so the assignment
-    semantics exist in ONE place. ``order_sql`` overrides the pack
-    order (must be a total order; the default is the id itself)."""
+    and the round-12 curriculum/upsampling/efficiency queries so the
+    assignment semantics exist in ONE place. ``order_sql`` overrides the
+    pack order (must be a total order; the default is the id itself).
+    ``prefix`` namespaces the CTEs ({prefix}t … {prefix}j) so ONE oracle
+    can instantiate the chain several times (e.g. to compare pack
+    orders) without name collisions; the default yields the historical
+    unprefixed names."""
+    x = prefix
     return f"""
-    t AS ({tok_src}),
-    c AS (SELECT doc_id, n_tokens,
+    {x}t AS ({tok_src}),
+    {x}c AS (SELECT doc_id, n_tokens,
                  COALESCE(SUM(n_tokens) OVER (
                      ORDER BY {order_sql}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS cb
-          FROM t),
-    p AS (SELECT doc_id, n_tokens, CAST(cb // {_SEQ_BUDGET} AS BIGINT)
+          FROM {x}t),
+    {x}p AS (SELECT doc_id, n_tokens, CAST(cb // {_SEQ_BUDGET} AS BIGINT)
                      AS seq_id
-          FROM c),
-    s AS (SELECT seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
-          FROM p GROUP BY seq_id),
-    sc AS (SELECT seq_id,
+          FROM {x}c),
+    {x}s AS (SELECT seq_id, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+          FROM {x}p GROUP BY seq_id),
+    {x}sc AS (SELECT seq_id,
                   COALESCE(SUM(seq_tokens) OVER (
                       ORDER BY seq_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                       AS scb
-           FROM s),
-    sh AS (SELECT seq_id, CAST(scb // {_SHARD_BUDGET} AS BIGINT) AS shard_id
-           FROM sc),
-    j AS (SELECT sh.shard_id, p.seq_id, p.n_tokens,
-                 md5(CAST(p.doc_id AS VARCHAR) || ':'
-                     || CAST(p.n_tokens AS VARCHAR) || ':'
-                     || CAST(p.seq_id AS VARCHAR)) AS fp
-          FROM p JOIN sh ON sh.seq_id = p.seq_id)"""
+           FROM {x}s),
+    {x}sh AS (SELECT seq_id, CAST(scb // {_SHARD_BUDGET} AS BIGINT)
+                  AS shard_id
+           FROM {x}sc),
+    {x}j AS (SELECT {x}sh.shard_id, {x}p.seq_id, {x}p.n_tokens,
+                 md5(CAST({x}p.doc_id AS VARCHAR) || ':'
+                     || CAST({x}p.n_tokens AS VARCHAR) || ':'
+                     || CAST({x}p.seq_id AS VARCHAR)) AS fp
+          FROM {x}p JOIN {x}sh ON {x}sh.seq_id = {x}p.seq_id)"""
 
 
 _SHARD_MANIFEST_SELECT = """

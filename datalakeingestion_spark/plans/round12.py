@@ -518,3 +518,267 @@ def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id", "n_docs", "n_seqs", "n_tokens", "digest",
         "min_tokens", "max_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-order audits and boundary materialization (trainer-facing)
+# ---------------------------------------------------------------------------
+
+# seed for the round's deterministic shuffle order; the '|' separator
+# mirrors the quota selection's md5-of-id recipe
+_SHUF_SEED = "shuf12|"
+
+_SHUF_TOKENS_SQL = (
+    f"SELECT doc_id, n_tokens, "
+    f"md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key "
+    f"FROM ({_DOC_TOKENS_SQL})"
+)
+
+
+def _shuffle_key_col():
+    return F.md5(
+        F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))
+    ).alias("shuffle_key")
+
+
+def _eff_select(pfx: str, name: str) -> str:
+    """Efficiency metrics over one prefixed pack chain's seq sums —
+    exact BIGINT arithmetic only (integer // ppm, no float ratios)."""
+    pad = f"GREATEST({_SEQ_BUDGET} - seq_tokens, 0)"
+    return f"""
+    SELECT '{name}' AS order_name,
+           COUNT(*)::BIGINT AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM({pad}) AS BIGINT) AS padding_tokens,
+           CAST(SUM(GREATEST(seq_tokens - {_SEQ_BUDGET}, 0)) AS BIGINT)
+               AS overflow_tokens,
+           CAST(SUM({pad}) * 1000000
+                // (GREATEST(COUNT(*), 1) * {_SEQ_BUDGET}) AS BIGINT)
+               AS padding_ppm
+    FROM {pfx}s"""
+
+
+@register(
+    "packing_efficiency_by_order",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL, prefix="n_")},
+    {_pack_shard_ctes(_DOC_TOKENS_SQL,
+                      order_sql="n_tokens, doc_id", prefix="c_")},
+    {_pack_shard_ctes(_SHUF_TOKENS_SQL,
+                      order_sql="shuffle_key, doc_id", prefix="s_")}
+    {_eff_select("c_", "curriculum")}
+    UNION ALL {_eff_select("n_", "natural")}
+    UNION ALL {_eff_select("s_", "shuffled")}
+    """,
+    doc="Packing-efficiency audit (operators/packing.py::"
+    "packing_efficiency_report): padding and overflow waste of the "
+    "greedy prefix-sum packer under the three pack orders the recipe "
+    "queries deliver — natural id order, length curriculum, seeded "
+    "shuffle. Padding (sequences short of the budget) is wasted trainer "
+    "compute, overflow (pack-with-overflow tails) is truncation risk, "
+    "and both are pure functions of the order, so this is THE tuning "
+    "number for the delivery recipe. total_tokens is order-invariant "
+    "by construction — a built-in cross-check. All metrics are exact "
+    "BIGINT arithmetic (integer-div ppm); the oracle instantiates the "
+    "shared pack CTE chain three times under CTE prefixes (the builder "
+    "extension, never string-edited). One pack pass per order.",
+)
+def packing_efficiency_by_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.packing import packing_efficiency_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", n_tokens_of("text").alias("n_tokens"), _shuffle_key_col()
+    )
+    return packing_efficiency_report(
+        sized,
+        {
+            "natural": ["doc_id"],
+            "curriculum": ["n_tokens", "doc_id"],
+            "shuffled": ["shuffle_key", "doc_id"],
+        },
+        token_budget=_SEQ_BUDGET,
+    )
+
+
+@register(
+    "shuffled_shard_manifest",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_SHUF_TOKENS_SQL,
+                           order_sql="shuffle_key, doc_id")},
+    man AS ({_SHARD_MANIFEST_SELECT}),
+    ps AS (SELECT sh.shard_id, p.doc_id, p.n_tokens
+           FROM p JOIN sh ON sh.seq_id = p.seq_id),
+    mix AS (SELECT ps.shard_id, d.source,
+                   CAST(SUM(ps.n_tokens) AS BIGINT) AS stok
+            FROM ps JOIN documents d USING (doc_id)
+            GROUP BY ps.shard_id, d.source),
+    mm AS (SELECT shard_id, COUNT(*)::BIGINT AS n_sources,
+                  CAST(MAX(stok) * 1000000
+                       // GREATEST(SUM(stok), 1) AS BIGINT)
+                      AS top_share_ppm
+           FROM mix GROUP BY shard_id)
+    SELECT man.shard_id, man.n_docs, man.n_seqs, man.n_tokens, man.digest,
+           mm.n_sources, mm.top_share_ppm
+    FROM man JOIN mm USING (shard_id)
+    """,
+    doc="SHUFFLED delivery with a mixing audit: the training-order "
+    "composition trainers actually run — shuffle_rank_deterministic's "
+    "seeded portable hash AS the pack order, feeding the proven "
+    "pack→shard chain (still one range shuffle; the hash key is just "
+    "another total order), so every engine and every run agrees on the "
+    "permutation AND the shards. Because shuffling exists to decorrelate "
+    "consecutive batches, the manifest carries the audit that proves it "
+    "worked: per-shard distinct-source count and the dominant source's "
+    "token share (exact integer ppm) — under curriculum order shards "
+    "cluster by source/length, under seeded shuffle every shard "
+    "approaches the corpus mix. Payload (source) rides the delivery via "
+    "pack_assign_with_payload — no join back to the corpus at read "
+    "time; the audit itself is manifest-scale.",
+)
+def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shards import pack_assign_with_payload, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        n_tokens_of("text").alias("n_tokens"),
+        "source",
+        _shuffle_key_col(),
+    )
+    sharded = pack_assign_with_payload(
+        sized,
+        _SEQ_BUDGET,
+        _SHARD_BUDGET,
+        order_cols=["shuffle_key", "doc_id"],
+    )
+    man = shard_manifest(sharded)
+    mix = sharded.groupBy("shard_id", "source").agg(
+        F.sum("n_tokens").cast("long").alias("stok")
+    )
+    mm = mix.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.expr("max(stok) * 1000000 div greatest(sum(stok), 1)")
+        .cast("long")
+        .alias("top_share_ppm"),
+    )
+    return man.join(mm, "shard_id").select(
+        "shard_id", "n_docs", "n_seqs", "n_tokens", "digest",
+        "n_sources", "top_share_ppm",
+    )
+
+
+@register(
+    "packed_sequence_boundaries",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)},
+    q AS (SELECT seq_id, n_tokens,
+                 cb - MIN(cb) OVER (PARTITION BY seq_id) AS off
+          FROM (SELECT n_tokens, cb,
+                       CAST(cb // {_SEQ_BUDGET} AS BIGINT) AS seq_id
+                FROM c))
+    SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           string_agg(CAST(off AS VARCHAR), ':' ORDER BY off) AS boundaries
+    FROM q GROUP BY seq_id
+    """,
+    doc="Packed-sequence BOUNDARY materialization (operators/packing.py"
+    "::sequence_boundaries): a trainer packing multiple documents into "
+    "one sequence must reset position ids and mask cross-document "
+    "attention at every document start — this emits, per seq_id, the "
+    "ascending ':'-joined within-sequence start offsets (plus n_docs "
+    "and seq_tokens). Offsets fall out of the pack's OWN exclusive "
+    "prefix sum (include_position=True) minus the per-sequence minimum "
+    "— no second pass over text; the only window partitions by seq_id, "
+    "whose size the token budget bounds, so the sort is O(budget) per "
+    "partition, never O(corpus). Boundaries are a string (driver "
+    "results ban arrays); tied offsets (zero-token docs) concatenate "
+    "identically in any order, so the value is deterministic.",
+)
+def packed_sequence_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.packing import sequence_boundaries
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
+    return sequence_boundaries(sized, token_budget=_SEQ_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-true delivery (real piece counts feed the pack, not whitespace)
+# ---------------------------------------------------------------------------
+
+# Per-doc MaxMatch piece counts: the round10 regex-alternation encode
+# (one regexp_replace IS the greedy longest-match scan on both engines)
+# applied at doc granularity. Docs whose every token joins nothing
+# (empty/NULL text) keep n_tokens = 0 via the LEFT join — the
+# NULL-survival rule at every sizing boundary.
+from .round10 import _MAXMATCH_PATTERN, _MAXMATCH_VOCAB  # noqa: E402
+
+_MAXMATCH_DOC_TOKENS_SQL = f"""
+    mw AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
+    mnp AS (SELECT word,
+                   CASE WHEN regexp_replace(word, '{_MAXMATCH_PATTERN}',
+                                            '', 'g') = ''
+                        THEN CAST(len(string_split(trim(regexp_replace(
+                                 word, '{_MAXMATCH_PATTERN}', '\\1 ', 'g')),
+                                 ' ')) AS BIGINT)
+                        ELSE 1 END AS n_pieces
+            FROM (SELECT DISTINCT word FROM mw)),
+    mdt AS (SELECT mw.doc_id, CAST(SUM(mnp.n_pieces) AS BIGINT) AS n_tokens
+            FROM mw JOIN mnp USING (word) GROUP BY mw.doc_id),
+    mbase AS (SELECT d.doc_id,
+                     CAST(COALESCE(mdt.n_tokens, 0) AS BIGINT) AS n_tokens
+              FROM documents d LEFT JOIN mdt USING (doc_id))"""
+
+
+@register(
+    "tokenizer_true_shard_manifest",
+    oracle=f"""
+    WITH {_MAXMATCH_DOC_TOKENS_SQL},
+    {_pack_shard_ctes("SELECT doc_id, n_tokens FROM mbase")}
+    {_SHARD_MANIFEST_SELECT}
+    """,
+    doc="TOKENIZER-TRUE delivery: the shard manifest sized by REAL "
+    "subword piece counts instead of whitespace counts — a trainer's "
+    "token budget is tokenizer tokens, and whitespace sizing "
+    "systematically under-packs fragmenting languages (the fertility "
+    "audits measure exactly that tax). MaxMatch is the tokenizer here "
+    "because its encode is ONE regex projection on both engines "
+    "(plans/round10.py::maxmatch_encode_words — length-desc vocab "
+    "alternation = greedy longest-match; [UNK] counts 1). Corpus work: "
+    "one distinct-word encode (vocab discipline), one word→n_pieces "
+    "join over the token explode, one per-doc sum — then the proven "
+    "two-level prefix-sum pack/shard chain over the PIECE counts. "
+    "Empty/NULL-text docs keep n_tokens=0 through the LEFT join and "
+    "survive delivery (the NULL-survival rule).",
+)
+def tokenizer_true_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.packing import maxmatch_encode_words as mm
+    from .round11 import _shard_manifest_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_pieces = mm(docs, _MAXMATCH_VOCAB).select("word", "n_pieces")
+    per_doc = (
+        words.join(n_pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
+    )
+    sized = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    return _shard_manifest_frame(sized)

@@ -559,3 +559,65 @@ def test_maxmatch_property_vs_python_reference(spark):
             assert got[w] == py_maxmatch(w, vocab), (w, sorted(vocab))
 
     check()
+
+
+def test_packing_efficiency_report_exact_counts(spark):
+    """Hand-computed padding/overflow per order, exact integer ppm."""
+    from datalakeingestion_spark.operators.packing import (
+        packing_efficiency_report,
+    )
+
+    # natural (doc_id) order: cum 0,300,600 -> seqs {0: 600, 1: 300}
+    # curriculum (n_tokens,doc_id): 100,300,500 -> cum 0,100,400 ->
+    # seq0 holds all three (900 tokens, overflow 388)
+    rows = [(1, 300), (2, 300), (3, 300)]
+    rows_c = [(1, 100), (2, 300), (3, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["order_name"]: r
+        for r in packing_efficiency_report(
+            df, {"natural": ["doc_id"]}, token_budget=512
+        ).collect()
+    }["natural"]
+    assert (got["n_seqs"], got["total_tokens"]) == (2, 900)
+    assert (got["padding_tokens"], got["overflow_tokens"]) == (212, 88)
+    assert got["padding_ppm"] == 212 * 1_000_000 // (2 * 512)
+
+    dfc = spark.createDataFrame(rows_c, "doc_id long, n_tokens long")
+    eff = {
+        r["order_name"]: r
+        for r in packing_efficiency_report(
+            dfc,
+            {"natural": ["doc_id"], "curriculum": ["n_tokens", "doc_id"]},
+            token_budget=512,
+        ).collect()
+    }
+    # same multiset of lengths -> total_tokens order-invariant
+    assert eff["natural"]["total_tokens"] == eff["curriculum"]["total_tokens"]
+    assert eff["curriculum"]["n_seqs"] == 1
+    assert eff["curriculum"]["overflow_tokens"] == 900 - 512
+
+    with pytest.raises(ValueError):
+        packing_efficiency_report(df, {})
+
+
+def test_sequence_boundaries_offsets_and_ties(spark):
+    """Within-sequence start offsets from the pack's own prefix sum;
+    zero-token ties concatenate deterministically."""
+    from datalakeingestion_spark.operators.packing import (
+        sequence_boundaries,
+    )
+
+    # cum-before: d1=0, d2=100, d3=500 (all < 512 -> one sequence);
+    # d4=700 -> seq 1 at offset 0; d5/d6 are zero-token docs that TIE
+    # at offset 100 (both sit at the running position after d4)
+    rows = [(1, 100), (2, 400), (3, 200), (4, 100), (5, 0), (6, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["seq_id"]: r
+        for r in sequence_boundaries(df, token_budget=512).collect()
+    }
+    assert got[0]["n_docs"] == 3 and got[0]["seq_tokens"] == 700
+    assert got[0]["boundaries"] == "0:100:500"
+    assert got[1]["n_docs"] == 3 and got[1]["seq_tokens"] == 100
+    assert got[1]["boundaries"] == "0:100:100"

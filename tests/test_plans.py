@@ -766,3 +766,47 @@ def test_curriculum_pack_window_stays_bucketed(spark):
     assert "hashpartitioning(_pid" in plan, plan  # per-bucket window
     assert "n_tokens" in plan and "ASC NULLS FIRST" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_sequence_boundaries_window_partitions_by_seq(spark):
+    """The boundary offsets window partitions by seq_id (budget-bounded
+    partitions) — never a single-partition global window; the groupBy
+    that builds the boundary string reuses the same hash partitioning."""
+    from datalakeingestion_spark.functions.text import n_tokens_of
+    from datalakeingestion_spark.operators.packing import (
+        sequence_boundaries,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
+    plan = formatted_plan(sequence_boundaries(sized, token_budget=512))
+    assert "hashpartitioning(seq_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_shuffled_pack_order_stays_bucketed(spark):
+    """Seeded-shuffle packing is just another total order: the prefix
+    sum's window stays per-(bucket, key), ordered by the hash key —
+    no global window sneaks in because the key is a string."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.functions.text import n_tokens_of
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sized = docs.select(
+        "doc_id",
+        n_tokens_of("text").alias("n_tokens"),
+        F.md5(F.concat(F.lit("shuf12|"), F.col("doc_id").cast("string")))
+        .alias("shuffle_key"),
+    )
+    plan = formatted_plan(
+        pack_sequences(
+            sized, token_budget=512, order_cols=["shuffle_key", "doc_id"]
+        )
+    )
+    assert "hashpartitioning(_pid" in plan, plan
+    assert "shuffle_key" in plan
+    assert "SinglePartition" not in plan, plan
