@@ -543,21 +543,7 @@ def maxmatch_encode_words(
     Vocab pieces must be ``[a-z0-9]+`` (regex-metacharacter-free by
     construction; raises otherwise).
     """
-    import re as _re
-
-    if not vocab:
-        raise ValueError("vocab must be non-empty")
-    for p in vocab:
-        if not _re.fullmatch(r"[a-z0-9]+", p):
-            raise ValueError(
-                f"vocab piece {p!r} must match [a-z0-9]+ (portable, "
-                "escape-free alternation)"
-            )
-    if len(set(vocab)) != len(vocab):
-        raise ValueError("vocab pieces must be unique")
-    pattern = "(" + "|".join(
-        sorted(vocab, key=lambda p: (-len(p), p))
-    ) + ")"
+    pattern = maxmatch_alternation(vocab)
 
     from ..functions.text import tokens
 
@@ -576,6 +562,50 @@ def maxmatch_encode_words(
         .otherwise(F.lit(1).cast("long"))
         .alias("n_pieces"),
         (~covered).alias("is_unk"),
+    )
+
+
+def maxmatch_alternation(vocab: Sequence[str]) -> str:
+    """The validated (length-desc, lex) vocab alternation pattern the
+    MaxMatch encode relies on — single-sourced so every consumer
+    (``maxmatch_encode_words``, ``maxmatch_piece_counts``, the round10
+    oracle fragments) shares one greedy-scan definition."""
+    import re as _re
+
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    for p in vocab:
+        if not _re.fullmatch(r"[a-z0-9]+", p):
+            raise ValueError(
+                f"vocab piece {p!r} must match [a-z0-9]+ (portable, "
+                "escape-free alternation)"
+            )
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab pieces must be unique")
+    return "(" + "|".join(sorted(vocab, key=lambda p: (-len(p), p))) + ")"
+
+
+def maxmatch_piece_counts(
+    words: DataFrame, vocab: Sequence[str], word_col: str = "word"
+) -> DataFrame:
+    """``(word, n_pieces)`` over the DISTINCT words of an already
+    exploded frame — the sizing-only slice of ``maxmatch_encode_words``
+    for callers that hold a token explode ALREADY (tokenizer-true
+    delivery): reusing the caller's frame keeps the corpus text scan
+    shared instead of re-exploding it, and skips the freq aggregate
+    a sizing consumer discards."""
+    pattern = maxmatch_alternation(vocab)
+    covered = F.regexp_replace(F.col("word"), pattern, "") == ""
+    raw = F.trim(F.regexp_replace(F.col("word"), pattern, "$1 "))
+    return (
+        words.select(F.col(word_col).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.when(covered, F.size(F.split(raw, " ")).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("n_pieces"),
+        )
     )
 
 
@@ -684,20 +714,32 @@ def sequence_boundaries(
     Boundaries come straight from the pack's OWN exclusive prefix sum
     (``include_position=True``): a doc's within-sequence offset is its
     global prefix position minus the sequence's minimum — no second
-    pass over text. The window partitions by ``seq_id``, whose size is
-    bounded by the token budget (plus one overflow doc), so the
-    per-partition sort is O(budget), never O(corpus). Offsets are
-    joined as a STRING (driver results ban array columns); equal
-    offsets (zero-token docs) concatenate identically in any order, so
-    the string is deterministic.
+    pass over text. Zero-token docs (NULL/empty text) are EXCLUDED
+    here: they occupy zero positions, so they have no boundary for a
+    trainer to reset at — and dropping them is what makes the
+    ``seq_id`` partition genuinely budget-bounded (every remaining doc
+    carries >=1 token, so a sequence holds at most ``token_budget``
+    docs plus one overflow doc; with zero-token rows kept, a run of N
+    empty docs would pile N rows into ONE partition). Excluding them
+    does not perturb anyone else's offsets — a zero-token doc never
+    advances the prefix sum. Accounting-wise they still ride
+    deliveries via ``pack_sequences``/``assign_shards`` (the
+    NULL-survival rule); this op is the position contract, not the
+    accounting contract. With every doc >=1 token, offsets within a
+    sequence are strictly increasing — no ties — and the ascending
+    ':'-joined STRING (driver results ban array columns) is
+    deterministic.
 
     Reference pendant: none — greenfield trainer-facing op
     (SURVEY.md §2 beyond-reference set).
     """
     from pyspark.sql import Window
 
+    positive = sized.filter(
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)) > 0
+    )
     packed = pack_sequences(
-        sized,
+        positive,
         token_budget=token_budget,
         id_col=id_col,
         tokens_col=tokens_col,

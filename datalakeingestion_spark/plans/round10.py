@@ -635,25 +635,32 @@ _MAXMATCH_PATTERN = (
     "(" + "|".join(sorted(_MAXMATCH_VOCAB, key=lambda p: (-len(p), p))) + ")"
 )
 
+# Single-source oracle fragments for the MaxMatch encode rules (covered
+# test, greedy piece split, the ELSE-1 [UNK] count). Both registered
+# MaxMatch oracles (this one and round12's tokenizer-true sizing) build
+# from these, so a change to the UNK rule or the pattern edits ONE place.
+_MAXMATCH_COVERED_SQL = (
+    f"regexp_replace(word, '{_MAXMATCH_PATTERN}', '', 'g') = ''"
+)
+_MAXMATCH_RAW_SQL = (
+    f"trim(regexp_replace(word, '{_MAXMATCH_PATTERN}', '\\1 ', 'g'))"
+)
+_MAXMATCH_NPIECES_SQL = f"""CASE WHEN {_MAXMATCH_COVERED_SQL}
+         THEN CAST(len(string_split({_MAXMATCH_RAW_SQL}, ' ')) AS BIGINT)
+         ELSE 1 END"""
+
 
 @register(
     "maxmatch_encode_words",
     oracle=f"""
     WITH w AS (SELECT unnest({TOKS_SQL}) AS word FROM documents),
-    freq AS (SELECT word, COUNT(*)::BIGINT AS freq FROM w GROUP BY 1),
-    enc AS (SELECT word, freq,
-                   regexp_replace(word, '{_MAXMATCH_PATTERN}', '', 'g')
-                       = '' AS covered,
-                   trim(regexp_replace(word, '{_MAXMATCH_PATTERN}',
-                                       '\\1 ', 'g')) AS raw_pieces
-            FROM freq)
+    freq AS (SELECT word, COUNT(*)::BIGINT AS freq FROM w GROUP BY 1)
     SELECT word, freq,
-           CASE WHEN covered THEN raw_pieces ELSE '[UNK]' END AS pieces,
-           CASE WHEN covered
-                THEN CAST(len(string_split(raw_pieces, ' ')) AS BIGINT)
-                ELSE 1 END AS n_pieces,
-           NOT covered AS is_unk
-    FROM enc
+           CASE WHEN {_MAXMATCH_COVERED_SQL}
+                THEN {_MAXMATCH_RAW_SQL} ELSE '[UNK]' END AS pieces,
+           {_MAXMATCH_NPIECES_SQL} AS n_pieces,
+           NOT ({_MAXMATCH_COVERED_SQL}) AS is_unk
+    FROM freq
     """,
     doc="MaxMatch tokenization audit — the WordPiece INFERENCE loop "
     "beside the BPE trainer/encoder (operators/packing.py::"

@@ -625,11 +625,14 @@ def packing_efficiency_by_order(
     FROM man JOIN mm USING (shard_id)
     """,
     doc="SHUFFLED delivery with a mixing audit: the training-order "
-    "composition trainers actually run — shuffle_rank_deterministic's "
-    "seeded portable hash AS the pack order, feeding the proven "
-    "pack→shard chain (still one range shuffle; the hash key is just "
-    "another total order), so every engine and every run agrees on the "
-    "permutation AND the shards. Because shuffling exists to decorrelate "
+    "composition trainers actually run — a seeded md5-of-doc_id hash "
+    "(the quota selection's md5 recipe under this round's seed; "
+    "shuffle_rank_deterministic is the RANK pendant over a different "
+    "seeded hash, so the two permutations intentionally differ) AS the "
+    "pack order, feeding the proven pack→shard chain (still one range "
+    "shuffle; the hash key is just another total order), so every "
+    "engine and every run agrees on the permutation AND the shards. "
+    "Because shuffling exists to decorrelate "
     "consecutive batches, the manifest carries the audit that proves it "
     "worked: per-shard distinct-source count and the dominant source's "
     "token share (exact integer ppm) — under curriculum order shards "
@@ -678,7 +681,7 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cb - MIN(cb) OVER (PARTITION BY seq_id) AS off
           FROM (SELECT n_tokens, cb,
                        CAST(cb // {_SEQ_BUDGET} AS BIGINT) AS seq_id
-                FROM c))
+                FROM c WHERE n_tokens >= 1))
     SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            string_agg(CAST(off AS VARCHAR), ':' ORDER BY off) AS boundaries
@@ -691,11 +694,15 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ascending ':'-joined within-sequence start offsets (plus n_docs "
     "and seq_tokens). Offsets fall out of the pack's OWN exclusive "
     "prefix sum (include_position=True) minus the per-sequence minimum "
-    "— no second pass over text; the only window partitions by seq_id, "
-    "whose size the token budget bounds, so the sort is O(budget) per "
-    "partition, never O(corpus). Boundaries are a string (driver "
-    "results ban arrays); tied offsets (zero-token docs) concatenate "
-    "identically in any order, so the value is deterministic.",
+    "— no second pass over text. Zero-token docs are EXCLUDED: they "
+    "occupy zero positions (no boundary to reset at), they never "
+    "advance anyone else's offset, and dropping them is what makes the "
+    "seq_id partition truly budget-bounded (every kept doc >=1 token "
+    "=> <= budget docs per sequence; kept, a run of N empty docs would "
+    "pile N rows into ONE partition). They still ride deliveries via "
+    "the manifest chain (NULL-survival is the accounting contract; "
+    "this is the position contract). Offsets are strictly increasing, "
+    "and boundaries are a string (driver results ban arrays).",
 )
 def packed_sequence_boundaries(
     spark: SparkSession, sf_dir: str
@@ -715,18 +722,14 @@ def packed_sequence_boundaries(
 # (one regexp_replace IS the greedy longest-match scan on both engines)
 # applied at doc granularity. Docs whose every token joins nothing
 # (empty/NULL text) keep n_tokens = 0 via the LEFT join — the
-# NULL-survival rule at every sizing boundary.
-from .round10 import _MAXMATCH_PATTERN, _MAXMATCH_VOCAB  # noqa: E402
+# NULL-survival rule at every sizing boundary. The encode rules are the
+# round10 fragments — ONE definition of covered/[UNK]/piece-count shared
+# by both registered MaxMatch oracles.
+from .round10 import _MAXMATCH_NPIECES_SQL, _MAXMATCH_VOCAB  # noqa: E402
 
 _MAXMATCH_DOC_TOKENS_SQL = f"""
     mw AS (SELECT doc_id, unnest({TOKS_SQL}) AS word FROM documents),
-    mnp AS (SELECT word,
-                   CASE WHEN regexp_replace(word, '{_MAXMATCH_PATTERN}',
-                                            '', 'g') = ''
-                        THEN CAST(len(string_split(trim(regexp_replace(
-                                 word, '{_MAXMATCH_PATTERN}', '\\1 ', 'g')),
-                                 ' ')) AS BIGINT)
-                        ELSE 1 END AS n_pieces
+    mnp AS (SELECT word, {_MAXMATCH_NPIECES_SQL} AS n_pieces
             FROM (SELECT DISTINCT word FROM mw)),
     mdt AS (SELECT mw.doc_id, CAST(SUM(mnp.n_pieces) AS BIGINT) AS n_tokens
             FROM mw JOIN mnp USING (word) GROUP BY mw.doc_id),
@@ -750,8 +753,11 @@ _MAXMATCH_DOC_TOKENS_SQL = f"""
     "because its encode is ONE regex projection on both engines "
     "(plans/round10.py::maxmatch_encode_words — length-desc vocab "
     "alternation = greedy longest-match; [UNK] counts 1). Corpus work: "
-    "one distinct-word encode (vocab discipline), one word→n_pieces "
-    "join over the token explode, one per-doc sum — then the proven "
+    "the piece-table branch prunes to a text-only scan with map-side "
+    "distinct (word-cardinality shuffle, no freq aggregate — sizing "
+    "discards it), the occurrence branch broadcast-joins the piece "
+    "table and partial-sums straight to doc_id (doc-scale shuffle); "
+    "NO token-scale shuffle anywhere (plan-pinned) — then the proven "
     "two-level prefix-sum pack/shard chain over the PIECE counts. "
     "Empty/NULL-text docs keep n_tokens=0 through the LEFT join and "
     "survive delivery (the NULL-survival rule).",
@@ -760,12 +766,21 @@ def tokenizer_true_shard_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.text import tokens
-    from ..operators.packing import maxmatch_encode_words as mm
+    from ..operators.packing import maxmatch_piece_counts
     from .round11 import _shard_manifest_frame
 
     docs = load_table(spark, sf_dir, "documents")
+    # One explode feeds BOTH consumers. Catalyst splits the branches the
+    # way you'd hand-write them at scale: the piece-table branch prunes
+    # to a TEXT-ONLY scan with map-side distinct (word-cardinality
+    # shuffle), while the occurrence branch broadcast-joins the piece
+    # table and partial-sums straight to doc_id (doc-scale shuffle) —
+    # no token-scale shuffle anywhere (plan-pinned). An alternative that
+    # pre-aggregates (doc_id, word) counts to share one scan was
+    # measured and rejected: it buys scan sharing with a token-scale
+    # exchange, a worse trade.
     words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    n_pieces = mm(docs, _MAXMATCH_VOCAB).select("word", "n_pieces")
+    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
     per_doc = (
         words.join(n_pieces, "word")
         .groupBy("doc_id")

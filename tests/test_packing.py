@@ -508,6 +508,40 @@ def test_maxmatch_encode_greedy_longest_first_and_unk(spark):
         maxmatch_encode_words(docs, ())
 
 
+def test_maxmatch_piece_counts_matches_encode(spark):
+    """The sizing-only slice over a pre-exploded frame must agree with
+    the full encode's n_pieces per distinct word (shared alternation),
+    and share its vocab validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.functions.text import tokens
+    from datalakeingestion_spark.operators.packing import (
+        maxmatch_encode_words,
+        maxmatch_piece_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "unaffable the them x9z the")],
+        "doc_id long, text string",
+    )
+    vocab = ("the", "un", "aff", "able", "them", "m", "a", "b", "e",
+             "f", "l", "n", "u", "x", "z")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    got = {
+        r["word"]: r["n_pieces"]
+        for r in maxmatch_piece_counts(words, vocab).collect()
+    }
+    want = {
+        r["word"]: r["n_pieces"]
+        for r in maxmatch_encode_words(docs, vocab).collect()
+    }
+    assert got == want  # one row per DISTINCT word, same counts
+
+    with pytest.raises(ValueError, match="a-z0-9"):
+        maxmatch_piece_counts(words, ("no|pe",))
+
+
 def test_maxmatch_property_vs_python_reference(spark):
     """The regex-alternation trick must equal the textbook greedy
     longest-match-first loop on arbitrary words/vocabs — the property
@@ -601,17 +635,21 @@ def test_packing_efficiency_report_exact_counts(spark):
         packing_efficiency_report(df, {})
 
 
-def test_sequence_boundaries_offsets_and_ties(spark):
+def test_sequence_boundaries_offsets_and_zero_token_exclusion(spark):
     """Within-sequence start offsets from the pack's own prefix sum;
-    zero-token ties concatenate deterministically."""
+    zero-token docs (no positional extent) are excluded WITHOUT
+    perturbing anyone else's offsets — the budget-bound contract."""
     from datalakeingestion_spark.operators.packing import (
         sequence_boundaries,
     )
 
     # cum-before: d1=0, d2=100, d3=500 (all < 512 -> one sequence);
-    # d4=700 -> seq 1 at offset 0; d5/d6 are zero-token docs that TIE
-    # at offset 100 (both sit at the running position after d4)
-    rows = [(1, 100), (2, 400), (3, 200), (4, 100), (5, 0), (6, 0)]
+    # d4=700 -> seq 1 at offset 0; d5/d6 are zero-token docs sitting at
+    # the running position after d4 — excluded from boundaries, and d7
+    # behind them keeps the offset it would have had either way
+    rows = [
+        (1, 100), (2, 400), (3, 200), (4, 100), (5, 0), (6, 0), (7, 50),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     got = {
         r["seq_id"]: r
@@ -619,5 +657,12 @@ def test_sequence_boundaries_offsets_and_ties(spark):
     }
     assert got[0]["n_docs"] == 3 and got[0]["seq_tokens"] == 700
     assert got[0]["boundaries"] == "0:100:500"
-    assert got[1]["n_docs"] == 3 and got[1]["seq_tokens"] == 100
-    assert got[1]["boundaries"] == "0:100:100"
+    # zero-token d5/d6 gone; d7 lands at offset 100 regardless of them
+    assert got[1]["n_docs"] == 2 and got[1]["seq_tokens"] == 150
+    assert got[1]["boundaries"] == "0:100"
+
+    # NULL token counts are zero-token docs too (the coalesce boundary)
+    rows2 = [(1, 300), (2, None), (3, 100)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, n_tokens long")
+    (only,) = sequence_boundaries(df2, token_budget=512).collect()
+    assert only["n_docs"] == 2 and only["boundaries"] == "0:300"

@@ -785,6 +785,40 @@ def test_sequence_boundaries_window_partitions_by_seq(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_tokenizer_true_sizing_has_no_token_scale_shuffle(spark):
+    """tokenizer_true's sizing never shuffles token-scale rows: the
+    piece table broadcasts onto the occurrence explode (partial sums go
+    straight to a doc_id exchange), and the distinct-word branch prunes
+    its scan to the text column alone — the two shuffles are
+    word-cardinality and doc-cardinality, never token-cardinality."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.functions.text import tokens
+    from datalakeingestion_spark.operators.packing import (
+        maxmatch_piece_counts,
+    )
+    from datalakeingestion_spark.plans.round10 import _MAXMATCH_VOCAB
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
+    per_doc = (
+        words.join(n_pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
+    )
+    plan = formatted_plan(per_doc)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only hash exchanges are by doc_id and by word — a combined
+    # (doc_id, word) exchange would be a token-scale shuffle
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L, word", plan), plan
+    # distinct-word branch scans text ONLY (column pruning reached it)
+    assert "ReadSchema: struct<text:string>" in plan, plan
+
+
 def test_shuffled_pack_order_stays_bucketed(spark):
     """Seeded-shuffle packing is just another total order: the prefix
     sum's window stays per-(bucket, key), ordered by the hash key —
