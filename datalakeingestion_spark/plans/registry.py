@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "shuffled_shard_manifest",  # never checked
     "packed_sequence_boundaries",  # never checked
     "tokenizer_true_shard_manifest",  # never checked
+    "holdout_excluded_delivery_contract",  # never checked
     "q4_order_priority_exists",  # last green r6
     "q10_returned_items",  # last green r6
     "q14_promo_revenue",  # last green r6
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",  # last green r7
     "dedup_minhash_lsh",  # last green r7
     "dedup_cluster_assign",  # last green r7
-    "decontaminate_ngram_overlap",  # last green r7
 )
 
 

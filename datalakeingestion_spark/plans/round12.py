@@ -797,3 +797,91 @@ def tokenizer_true_shard_manifest(
         )
     )
     return _shard_manifest_frame(sized)
+
+
+# ---------------------------------------------------------------------------
+# Holdout-excluded delivery (the eval-contamination firewall at the door)
+# ---------------------------------------------------------------------------
+
+# Source-level 80/20 split, the split_group_holdout recipe (round4):
+# the row-level hash of the GROUP key is the group assignment — no
+# assignment table, no shuffle. Held out at SOURCE granularity because
+# that is the delivery-side contamination unit (eval sets are built
+# from held-out sources; doc-level near-dup leakage is the
+# decontaminate_* family's job).
+_HSPLIT_THRESHOLD = int(0.8 * 2**32)  # 3435973836
+_HSPLIT_SEED = "#hsplit12"
+
+_HSPLIT_LABELED_SQL = f"""SELECT doc_id, source,
+           CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens,
+           CASE WHEN ('0x' || substr(md5(source || '{_HSPLIT_SEED}'),
+                                     1, 8))::BIGINT < {_HSPLIT_THRESHOLD}
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents"""
+
+
+@register(
+    "holdout_excluded_delivery_contract",
+    oracle=f"""
+    WITH lbl AS ({_HSPLIT_LABELED_SQL}),
+    {_pack_shard_ctes("SELECT doc_id, n_tokens FROM lbl "
+                      "WHERE split = 'train'")},
+    dmap AS (SELECT p.doc_id, sh.shard_id FROM p JOIN sh USING (seq_id))
+    SELECT lbl.split,
+           COUNT(DISTINCT lbl.source)::BIGINT AS n_sources,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(lbl.n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT dmap.shard_id)::BIGINT AS n_shards,
+           COUNT(dmap.shard_id)::BIGINT AS docs_in_delivery
+    FROM lbl LEFT JOIN dmap USING (doc_id)
+    GROUP BY lbl.split
+    """,
+    doc="HOLDOUT-EXCLUDED delivery contract — the eval-contamination "
+    "firewall composed INTO the delivery instead of audited after it: "
+    "documents split 80/20 at SOURCE granularity by the "
+    "split_group_holdout hash recipe (md5-of-group-key, zero-shuffle "
+    "row-level assignment), only the train side enters the proven "
+    "pack/shard chain, and the contract recomputes per split what the "
+    "delivery actually contains: docs_in_delivery is a LEFT join of "
+    "EVERY doc against the sharded frame — the holdout row must show 0 "
+    "shards / 0 delivered docs (leakage), the train row must show "
+    "docs_in_delivery == n_docs (completeness: the NULL-token class of "
+    "silent drop would surface here). Both sides recomputed "
+    "independently by the oracle, so exclusion AND completeness are "
+    "cross-engine exact, not engine-asserted booleans.",
+)
+def holdout_excluded_delivery_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.hashing import portable_hash32
+    from ..operators.packing import pack_sequences
+    from ..operators.shards import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash32(F.concat(F.col("source"), F.lit(_HSPLIT_SEED)))
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        n_tokens_of("text").alias("n_tokens"),
+        F.when(h < F.lit(_HSPLIT_THRESHOLD), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+    train = labeled.filter(F.col("split") == "train").select(
+        "doc_id", "n_tokens"
+    )
+    sharded = assign_shards(
+        pack_sequences(train, token_budget=_SEQ_BUDGET),
+        shard_token_budget=_SHARD_BUDGET,
+    )
+    return (
+        labeled.join(sharded.select("doc_id", "shard_id"), "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.count_distinct("shard_id").alias("n_shards"),
+            F.count("shard_id").cast("long").alias("docs_in_delivery"),
+        )
+    )

@@ -785,6 +785,26 @@ def test_sequence_boundaries_window_partitions_by_seq(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_holdout_delivery_excludes_and_delivers_completely(spark):
+    """The holdout contract's two invariants, engine-side: the holdout
+    split reaches ZERO shards (leakage) and the train split delivers
+    every doc (completeness — a NULL-token silent drop would show
+    here); the split is non-degenerate on the fixtures."""
+    from datalakeingestion_spark.plans.round12 import (
+        holdout_excluded_delivery_contract,
+    )
+
+    rows = {
+        r["split"]: r
+        for r in holdout_excluded_delivery_contract(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"train", "holdout"}  # non-degenerate split
+    assert rows["holdout"]["n_shards"] == 0
+    assert rows["holdout"]["docs_in_delivery"] == 0
+    assert rows["train"]["docs_in_delivery"] == rows["train"]["n_docs"]
+    assert rows["train"]["n_shards"] > 0
+
+
 def test_tokenizer_true_sizing_has_no_token_scale_shuffle(spark):
     """tokenizer_true's sizing never shuffles token-scale rows: the
     piece table broadcasts onto the occurrence explode (partial sums go
