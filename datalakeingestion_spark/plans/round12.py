@@ -885,3 +885,66 @@ def holdout_excluded_delivery_contract(
             F.count("shard_id").cast("long").alias("docs_in_delivery"),
         )
     )
+
+
+@register(
+    "delivery_resume_table",
+    oracle=f"""
+    WITH {_pack_shard_ctes(_DOC_TOKENS_SQL)},
+    man AS ({_SHARD_MANIFEST_SELECT}),
+    cum AS (SELECT shard_id, n_docs, n_tokens, digest,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY shard_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS tb
+            FROM man),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM man)
+    SELECT cum.shard_id, cum.n_docs, cum.n_tokens, cum.digest,
+           CAST(cum.tb AS BIGINT) AS tokens_before,
+           CAST(tot.total - cum.tb - cum.n_tokens AS BIGINT)
+               AS tokens_remaining,
+           CAST(cum.tb * 1000000 // GREATEST(tot.total, 1) AS BIGINT)
+               AS progress_ppm
+    FROM cum, tot
+    """,
+    doc="Mid-epoch RESUME table for a shard delivery — the row a "
+    "restarting trainer reads: per shard (in delivery order) the "
+    "manifest row plus exact tokens_before / tokens_remaining and "
+    "integer-ppm progress, and the digest to re-verify the next shard "
+    "before trusting it. A trainer that crashed after consuming shard "
+    "k looks up row k+1 and knows exactly what is left without "
+    "re-listing or re-reading the tree. The prefix sum over the "
+    "manifest runs through keyed_prefix_sum (the same two-level form "
+    "as the pack itself — no single-partition window even though the "
+    "manifest is metadata-scale, ~1e5 rows at 100 TB); the grand "
+    "total is a 1-row broadcast (audited BNLJ).",
+)
+def delivery_resume_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import keyed_prefix_sum
+    from .round11 import _shard_manifest_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
+    man = _shard_manifest_frame(sized)
+    cum = keyed_prefix_sum(
+        man.withColumn("_k", F.lit(1)),
+        ["_k"],
+        ["shard_id"],
+        "n_tokens",
+        out_col="_cum",
+    )
+    total = man.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return cum.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "digest",
+        (F.col("_cum") - F.col("n_tokens")).cast("long").alias(
+            "tokens_before"
+        ),
+        (F.col("_total") - F.col("_cum")).cast("long").alias(
+            "tokens_remaining"
+        ),
+        F.expr("(_cum - n_tokens) * 1000000 div greatest(_total, 1)")
+        .cast("long")
+        .alias("progress_ppm"),
+    )

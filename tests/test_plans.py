@@ -627,6 +627,8 @@ _BNLJ_WHITELIST = {
     "ks_drift_by_source",
     "lsh_candidate_precision",
     "q11_important_stock",
+    # 1-row grand-total broadcast onto the manifest-scale resume table
+    "delivery_resume_table",
     # block-pair / probe-set broadcasts on non-equi conditions
     "ann_ivf_topk",
     "knn_graph_topk",
@@ -783,6 +785,29 @@ def test_sequence_boundaries_window_partitions_by_seq(spark):
     plan = formatted_plan(sequence_boundaries(sized, token_budget=512))
     assert "hashpartitioning(seq_id" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_delivery_resume_table_accounting_is_exact(spark):
+    """Resume-table invariants engine-side: first shard starts at 0,
+    every row's before + own + remaining == grand total, progress is
+    non-decreasing in shard order."""
+    from datalakeingestion_spark.plans.round12 import delivery_resume_table
+
+    rows = sorted(
+        delivery_resume_table(spark, SF_SMALL).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert rows and rows[0]["tokens_before"] == 0
+    total = rows[0]["tokens_before"] + rows[0]["n_tokens"] + rows[0][
+        "tokens_remaining"
+    ]
+    for r in rows:
+        assert (
+            r["tokens_before"] + r["n_tokens"] + r["tokens_remaining"]
+            == total
+        )
+    ppm = [r["progress_ppm"] for r in rows]
+    assert ppm == sorted(ppm) and rows[-1]["tokens_remaining"] == 0
 
 
 def test_holdout_delivery_excludes_and_delivers_completely(spark):
