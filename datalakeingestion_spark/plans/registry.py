@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_true_shard_manifest",  # never checked
     "holdout_excluded_delivery_contract",  # never checked
     "delivery_resume_table",  # never checked
+    "tokenizer_true_quota_selection",  # never checked
     "q4_order_priority_exists",  # last green r6
     "q10_returned_items",  # last green r6
     "q14_promo_revenue",  # last green r6
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "d3_grouped_zscore",  # last green r7
     "g5_unpivot_balances",  # last green r7
     "dedup_exact",  # last green r7
-    "dedup_minhash_lsh",  # last green r7
 )
 
 

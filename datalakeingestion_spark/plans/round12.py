@@ -51,13 +51,16 @@ def _quota_values_sql() -> str:
     return f"q(source, quota) AS (VALUES {rows})"
 
 
-_QUOTA_SELECTION_SQL = f"""
-    t AS (SELECT doc_id,
-                 CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens,
-                 source
-          FROM documents),
+def _quota_selection_ctes(tok_src: str) -> str:
+    """The md5-ordered greedy-prefix selection chain (t→o→r→k) over
+    ``tok_src`` (SQL yielding at least (doc_id, n_tokens, source);
+    extra columns ride through) — the DuckDB twin of
+    ``select_to_quota``. A builder so sizing variants (whitespace,
+    tokenizer-true) share ONE selection definition."""
+    return f"""
+    t AS ({tok_src}),
     {_quota_values_sql()},
-    o AS (SELECT t.doc_id, t.n_tokens, t.source, q.quota,
+    o AS (SELECT t.*, q.quota,
                  md5('|' || CAST(t.doc_id AS VARCHAR)) AS ord
           FROM t JOIN q USING (source)),
     r AS (SELECT *, SUM(n_tokens) OVER (
@@ -66,6 +69,13 @@ _QUOTA_SELECTION_SQL = f"""
           FROM o),
     k AS (SELECT * FROM r WHERE running <= quota)
 """
+
+
+_QUOTA_SELECTION_SQL = _quota_selection_ctes(
+    f"SELECT doc_id, "
+    f"CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT) AS n_tokens, "
+    f"source FROM documents"
+)
 
 
 @register(
@@ -733,7 +743,9 @@ _MAXMATCH_DOC_TOKENS_SQL = f"""
             FROM (SELECT DISTINCT word FROM mw)),
     mdt AS (SELECT mw.doc_id, CAST(SUM(mnp.n_pieces) AS BIGINT) AS n_tokens
             FROM mw JOIN mnp USING (word) GROUP BY mw.doc_id),
-    mbase AS (SELECT d.doc_id,
+    mbase AS (SELECT d.doc_id, d.source,
+                     CAST(COALESCE(len({TOKS_SQL}), 0) AS BIGINT)
+                         AS ws_tokens,
                      CAST(COALESCE(mdt.n_tokens, 0) AS BIGINT) AS n_tokens
               FROM documents d LEFT JOIN mdt USING (doc_id))"""
 
@@ -947,4 +959,83 @@ def delivery_resume_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(_cum - n_tokens) * 1000000 div greatest(_total, 1)")
         .cast("long")
         .alias("progress_ppm"),
+    )
+
+
+@register(
+    "tokenizer_true_quota_selection",
+    oracle=f"""
+    WITH {_MAXMATCH_DOC_TOKENS_SQL},
+    {_quota_selection_ctes(
+        "SELECT doc_id, n_tokens, ws_tokens, source FROM mbase")},
+    agg AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS piece_tokens,
+                   CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens
+            FROM k GROUP BY source)
+    SELECT q.source, q.quota,
+           COALESCE(agg.n_docs, 0)::BIGINT AS n_docs,
+           CAST(COALESCE(agg.piece_tokens, 0) AS BIGINT) AS piece_tokens,
+           CAST(COALESCE(agg.ws_tokens, 0) AS BIGINT) AS ws_tokens
+    FROM q LEFT JOIN agg USING (source)
+    """,
+    doc="Quota selection sized in TOKENIZER tokens — the budget "
+    "trainers actually enforce: the md5-ordered greedy prefix "
+    "(select_to_quota, the proven selection) runs over per-doc "
+    "MaxMatch piece counts instead of whitespace counts, so a "
+    "fragmenting source stops at its REAL token quota instead of "
+    "overshooting it by its fertility. Reports, per quota row, the "
+    "selected docs, the piece-token total (never over quota, under "
+    "only by < one doc) AND what those same docs cost in whitespace "
+    "tokens — the visible sizing delta a whitespace-budget selection "
+    "would have mis-delivered. Both the sizing (round10 MaxMatch "
+    "fragments) and the selection (the t→o→r→k builder) are the "
+    "single-sourced chains shared with their sibling queries; extra "
+    "columns ride the selection untouched.",
+)
+def tokenizer_true_quota_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.packing import maxmatch_piece_counts
+    from ..operators.shards import select_to_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
+    per_doc = (
+        words.join(n_pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("_pieces"))
+    )
+    sized = (
+        docs.select(
+            "doc_id", "source", n_tokens_of("text").alias("ws_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "ws_tokens",
+            F.coalesce(F.col("_pieces"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    kept = select_to_quota(sized, _QUOTAS)
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("piece_tokens"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+    )
+    qdf = spark.createDataFrame(
+        sorted(_QUOTAS.items()), "source string, quota long"
+    )
+    return qdf.join(agg, "source", "left").select(
+        "source",
+        "quota",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("piece_tokens", F.lit(0))
+        .cast("long")
+        .alias("piece_tokens"),
+        F.coalesce("ws_tokens", F.lit(0)).cast("long").alias("ws_tokens"),
     )

@@ -787,6 +787,34 @@ def test_sequence_boundaries_window_partitions_by_seq(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_tokenizer_true_quota_respects_piece_budget(spark):
+    """Quota enforcement in tokenizer tokens: every row's piece total
+    stays within its quota, pieces dominate whitespace counts (each
+    word is >= 1 piece), the zero quota selects nothing, and the slack
+    quota keeps every doc of its source."""
+    from datalakeingestion_spark.plans.round12 import (
+        _QUOTAS,
+        tokenizer_true_quota_selection,
+    )
+    from datalakeingestion_spark.sources.fixtures import load_table
+
+    rows = {
+        r["source"]: r
+        for r in tokenizer_true_quota_selection(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(_QUOTAS)
+    for r in rows.values():
+        assert r["piece_tokens"] <= r["quota"]
+        assert r["piece_tokens"] >= r["ws_tokens"]
+    assert rows["src3"]["n_docs"] == 0  # zero quota
+    n_src2 = (
+        load_table(spark, SF_SMALL, "documents")
+        .filter("source = 'src2'")
+        .count()
+    )
+    assert rows["src2"]["n_docs"] == n_src2  # slack quota keeps all
+
+
 def test_delivery_resume_table_accounting_is_exact(spark):
     """Resume-table invariants engine-side: first shard starts at 0,
     every row's before + own + remaining == grand total, progress is
