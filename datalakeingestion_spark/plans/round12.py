@@ -44,6 +44,14 @@ _QUOTAS: dict[str, int] = {
 }
 
 
+def _quota_frame(spark: SparkSession) -> DataFrame:
+    """The quota spec as a (source, quota) frame — the Spark pendant of
+    ``_quota_values_sql``, shared by both quota contract queries."""
+    return spark.createDataFrame(
+        sorted(_QUOTAS.items()), "source string, quota long"
+    )
+
+
 def _quota_values_sql() -> str:
     rows = ", ".join(
         f"('{s}', CAST({b} AS BIGINT))" for s, b in sorted(_QUOTAS.items())
@@ -158,9 +166,7 @@ def quota_enforced_delivery_contract(
             .collect()  # bounded: one row per delivered source
         }
         tree_ok = tree_mix == report["selected"]
-    qdf = spark.createDataFrame(
-        sorted(_QUOTAS.items()), "source string, quota long"
-    )
+    qdf = _quota_frame(spark)
     sel = spark.createDataFrame(
         [
             (s, v["n_docs"], v["n_tokens"])
@@ -750,6 +756,49 @@ _MAXMATCH_DOC_TOKENS_SQL = f"""
               FROM documents d LEFT JOIN mdt USING (doc_id))"""
 
 
+def _maxmatch_sized_docs(docs: DataFrame) -> DataFrame:
+    """Per-doc MaxMatch sizing — the Spark pendant of
+    ``_MAXMATCH_DOC_TOKENS_SQL``'s ``mbase``, shared by every
+    tokenizer-true query so the tuned plan shape exists ONCE:
+    ``(doc_id, source, ws_tokens, n_tokens)`` with ``n_tokens`` the
+    piece count (0 for empty/NULL text via the LEFT join).
+
+    One explode feeds BOTH consumers. Catalyst splits the branches the
+    way you'd hand-write them at scale: the piece-table branch prunes
+    to a TEXT-ONLY scan with map-side distinct (word-cardinality
+    shuffle), while the occurrence branch broadcast-joins the piece
+    table and partial-sums straight to doc_id (doc-scale shuffle) —
+    no token-scale shuffle anywhere (plan-pinned). An alternative that
+    pre-aggregates (doc_id, word) counts to share one scan was
+    measured and rejected: it buys scan sharing with a token-scale
+    exchange, a worse trade.
+    """
+    from ..functions.text import tokens
+    from ..operators.packing import maxmatch_piece_counts
+
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
+    per_doc = (
+        words.join(n_pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("_pieces"))
+    )
+    return (
+        docs.select(
+            "doc_id", "source", n_tokens_of("text").alias("ws_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "ws_tokens",
+            F.coalesce(F.col("_pieces"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 @register(
     "tokenizer_true_shard_manifest",
     oracle=f"""
@@ -777,37 +826,10 @@ _MAXMATCH_DOC_TOKENS_SQL = f"""
 def tokenizer_true_shard_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.text import tokens
-    from ..operators.packing import maxmatch_piece_counts
     from .round11 import _shard_manifest_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    # One explode feeds BOTH consumers. Catalyst splits the branches the
-    # way you'd hand-write them at scale: the piece-table branch prunes
-    # to a TEXT-ONLY scan with map-side distinct (word-cardinality
-    # shuffle), while the occurrence branch broadcast-joins the piece
-    # table and partial-sums straight to doc_id (doc-scale shuffle) —
-    # no token-scale shuffle anywhere (plan-pinned). An alternative that
-    # pre-aggregates (doc_id, word) counts to share one scan was
-    # measured and rejected: it buys scan sharing with a token-scale
-    # exchange, a worse trade.
-    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
-    per_doc = (
-        words.join(n_pieces, "word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_pieces").cast("long").alias("n_tokens"))
-    )
-    sized = (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
-        )
-    )
+    sized = _maxmatch_sized_docs(docs).select("doc_id", "n_tokens")
     return _shard_manifest_frame(sized)
 
 
@@ -956,9 +978,14 @@ def delivery_resume_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_total") - F.col("_cum")).cast("long").alias(
             "tokens_remaining"
         ),
-        F.expr("(_cum - n_tokens) * 1000000 div greatest(_total, 1)")
-        .cast("long")
-        .alias("progress_ppm"),
+        # decimal(38,0) BEFORE the ×1e6: tokens_before is corpus-scale
+        # (~2.5e13 at 100 TB), so a long multiply overflows right at the
+        # advertised scale while the oracle's window SUM is HUGEINT —
+        # the decimal form matches it exactly (ppm itself is <= 1e6)
+        F.expr(
+            "cast(cast(_cum - n_tokens as decimal(38,0)) * 1000000 "
+            "div greatest(_total, 1) as bigint)"
+        ).alias("progress_ppm"),
     )
 
 
@@ -995,41 +1022,17 @@ def delivery_resume_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokenizer_true_quota_selection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.text import tokens
-    from ..operators.packing import maxmatch_piece_counts
     from ..operators.shards import select_to_quota
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-    n_pieces = maxmatch_piece_counts(words, _MAXMATCH_VOCAB)
-    per_doc = (
-        words.join(n_pieces, "word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_pieces").cast("long").alias("_pieces"))
-    )
-    sized = (
-        docs.select(
-            "doc_id", "source", n_tokens_of("text").alias("ws_tokens")
-        )
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "ws_tokens",
-            F.coalesce(F.col("_pieces"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
+    sized = _maxmatch_sized_docs(docs)
     kept = select_to_quota(sized, _QUOTAS)
     agg = kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("piece_tokens"),
         F.sum("ws_tokens").cast("long").alias("ws_tokens"),
     )
-    qdf = spark.createDataFrame(
-        sorted(_QUOTAS.items()), "source string, quota long"
-    )
+    qdf = _quota_frame(spark)
     return qdf.join(agg, "source", "left").select(
         "source",
         "quota",

@@ -790,8 +790,9 @@ def test_sequence_boundaries_window_partitions_by_seq(spark):
 def test_tokenizer_true_quota_respects_piece_budget(spark):
     """Quota enforcement in tokenizer tokens: every row's piece total
     stays within its quota, pieces dominate whitespace counts (each
-    word is >= 1 piece), the zero quota selects nothing, and the slack
-    quota keeps every doc of its source."""
+    word is >= 1 piece), the zero quota contributes zero tokens (a
+    zero-token doc may still ride it: running 0 <= quota 0 on both
+    engines), and the slack quota keeps every doc of its source."""
     from datalakeingestion_spark.plans.round12 import (
         _QUOTAS,
         tokenizer_true_quota_selection,
@@ -806,7 +807,9 @@ def test_tokenizer_true_quota_respects_piece_budget(spark):
     for r in rows.values():
         assert r["piece_tokens"] <= r["quota"]
         assert r["piece_tokens"] >= r["ws_tokens"]
-    assert rows["src3"]["n_docs"] == 0  # zero quota
+    # a zero quota contributes zero TOKENS; n_docs == 0 would be
+    # fixture luck (an empty-text src3 doc passes running 0 <= 0)
+    assert rows["src3"]["piece_tokens"] == 0
     n_src2 = (
         load_table(spark, SF_SMALL, "documents")
         .filter("source = 'src2'")
