@@ -146,6 +146,61 @@ def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
 
 
+def resume_table(
+    man: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mid-epoch resume accounting over ANY delivery manifest: appends
+    exact ``tokens_before`` / ``tokens_remaining`` and integer-ppm
+    ``progress_ppm`` to each manifest row in consumption order — the
+    row a restarting trainer reads to know exactly what remains
+    without re-listing or re-reading the tree.
+
+    Works on the batch manifest (default ``shard_id`` order) and on a
+    streaming snapshot's manifest (pass
+    ``order_cols=["epoch", "shard_id"]`` — the order
+    ``shard_delivery_stream`` epochs are consumed in). The prefix sum
+    runs through ``keyed_prefix_sum`` (no single-partition window even
+    at metadata scale); the grand total is a 1-row broadcast. The ppm
+    multiply is done in decimal(38,0): cumulative token counts at the
+    advertised 100 TB scale (~2.5e13) overflow a BIGINT×1e6.
+    """
+    order_cols = list(order_cols or ["shard_id"])
+    reserved = {"_k", "_cum", "_total",
+                "tokens_before", "tokens_remaining", "progress_ppm"}
+    clash = reserved & set(man.columns)
+    if clash:
+        raise ValueError(f"manifest already has reserved columns {clash}")
+    cum = keyed_prefix_sum(
+        man.withColumn("_k", F.lit(1)),
+        ["_k"],
+        order_cols,
+        tokens_col,
+        out_col="_cum",
+    )
+    total = man.agg(F.sum(tokens_col).cast("long").alias("_total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "tokens_before",
+            (F.col("_cum") - F.col(tokens_col)).cast("long"),
+        )
+        .withColumn(
+            "tokens_remaining",
+            (F.col("_total") - F.col("_cum")).cast("long"),
+        )
+        .withColumn(
+            "progress_ppm",
+            F.expr(
+                f"cast(cast(_cum - {tokens_col} as decimal(38,0)) "
+                f"* 1000000 div greatest(_total, 1) as bigint)"
+            ),
+        )
+        .drop("_k", "_cum", "_total")
+    )
+
+
 class ShardIntegrityError(RuntimeError):
     """A delivered shard's content no longer matches its manifest."""
 

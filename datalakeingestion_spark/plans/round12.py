@@ -940,52 +940,38 @@ def holdout_excluded_delivery_contract(
                AS progress_ppm
     FROM cum, tot
     """,
-    doc="Mid-epoch RESUME table for a shard delivery — the row a "
+    doc="Mid-epoch RESUME table for a shard delivery "
+    "(operators/shards.py::resume_table) — the row a "
     "restarting trainer reads: per shard (in delivery order) the "
     "manifest row plus exact tokens_before / tokens_remaining and "
     "integer-ppm progress, and the digest to re-verify the next shard "
     "before trusting it. A trainer that crashed after consuming shard "
     "k looks up row k+1 and knows exactly what is left without "
-    "re-listing or re-reading the tree. The prefix sum over the "
-    "manifest runs through keyed_prefix_sum (the same two-level form "
-    "as the pack itself — no single-partition window even though the "
+    "re-listing or re-reading the tree. The operator takes ANY "
+    "manifest — this query runs it on the batch manifest; a streaming "
+    "snapshot's manifest (read_delivery_as_of) resumes the same way "
+    "under order_cols=[epoch, shard_id] (pytest-covered). The prefix "
+    "sum runs through keyed_prefix_sum (the same two-level form as "
+    "the pack itself — no single-partition window even though the "
     "manifest is metadata-scale, ~1e5 rows at 100 TB); the grand "
-    "total is a 1-row broadcast (audited BNLJ).",
+    "total is a 1-row broadcast (audited BNLJ); the ppm multiply is "
+    "decimal(38,0) (a long×1e6 wraps at corpus-scale token counts).",
 )
 def delivery_resume_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.packing import keyed_prefix_sum
+    from ..operators.shards import resume_table
     from .round11 import _shard_manifest_frame
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
     man = _shard_manifest_frame(sized)
-    cum = keyed_prefix_sum(
-        man.withColumn("_k", F.lit(1)),
-        ["_k"],
-        ["shard_id"],
-        "n_tokens",
-        out_col="_cum",
-    )
-    total = man.agg(F.sum("n_tokens").cast("long").alias("_total"))
-    return cum.crossJoin(F.broadcast(total)).select(
+    return resume_table(man).select(
         "shard_id",
         "n_docs",
         "n_tokens",
         "digest",
-        (F.col("_cum") - F.col("n_tokens")).cast("long").alias(
-            "tokens_before"
-        ),
-        (F.col("_total") - F.col("_cum")).cast("long").alias(
-            "tokens_remaining"
-        ),
-        # decimal(38,0) BEFORE the ×1e6: tokens_before is corpus-scale
-        # (~2.5e13 at 100 TB), so a long multiply overflows right at the
-        # advertised scale while the oracle's window SUM is HUGEINT —
-        # the decimal form matches it exactly (ppm itself is <= 1e6)
-        F.expr(
-            "cast(cast(_cum - n_tokens as decimal(38,0)) * 1000000 "
-            "div greatest(_total, 1) as bigint)"
-        ).alias("progress_ppm"),
+        "tokens_before",
+        "tokens_remaining",
+        "progress_ppm",
     )
 
 

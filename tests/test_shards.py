@@ -325,3 +325,37 @@ def test_quota_writer_custom_column_names(spark, tmp_path):
     assert back.count() == sum(
         v["n_docs"] for v in report["selected"].values()
     )
+
+
+def test_resume_table_batch_and_streaming_orders(spark):
+    """resume_table works over any manifest: exact accounting in
+    shard_id order (batch) and in (epoch, shard_id) order (streaming
+    snapshot shape); reserved output columns raise on collision."""
+    from datalakeingestion_spark.operators.shards import resume_table
+
+    # streaming-shaped manifest: two epochs, shards restart per epoch
+    man = spark.createDataFrame(
+        [
+            (0, 0, 3, 100, "d00"),
+            (0, 1, 2, 60, "d01"),
+            (1, 0, 4, 40, "d10"),
+        ],
+        "epoch long, shard_id long, n_docs long, n_tokens long, "
+        "digest string",
+    )
+    rows = {
+        (r["epoch"], r["shard_id"]): r
+        for r in resume_table(
+            man, order_cols=["epoch", "shard_id"]
+        ).collect()
+    }
+    assert rows[(0, 0)]["tokens_before"] == 0
+    assert rows[(0, 1)]["tokens_before"] == 100
+    assert rows[(1, 0)]["tokens_before"] == 160
+    assert rows[(1, 0)]["tokens_remaining"] == 0
+    assert rows[(0, 1)]["tokens_remaining"] == 40
+    # exact integer ppm of a 200-token delivery
+    assert rows[(0, 1)]["progress_ppm"] == 100 * 1_000_000 // 200
+
+    with pytest.raises(ValueError, match="reserved"):
+        resume_table(man.withColumnRenamed("digest", "tokens_before"))
