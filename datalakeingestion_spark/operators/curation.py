@@ -111,8 +111,16 @@ def curate_v2(
 
     Stage costs: the containment prefix-filter join, the CDC hash
     aggregate + join, one bigram model pass, then a zero-shuffle scored
-    projection. Survivor frontiers persist between stages (each feeds
-    the next stage's model AND its semi-join).
+    projection. Survivor frontiers are eagerly localCheckpoint'd between
+    stages (each feeds the next stage's model AND its semi-join) — a
+    plain persist kept the full logical lineage, and because every stage
+    references the previous frontier 2-3 times the composed tree grew
+    EXPONENTIALLY (measured: the assembled plan held ~4.5k Exchange
+    references and fn()+first() took 36 s at sf0.001 with the data work
+    itself under 2 s; checkpoint truncation makes planning linear in the
+    stage count). The checkpoint also guarantees the percentile cut
+    below and the delivered rows score the SAME materialized survivors,
+    the same double-consumption argument as keyed_prefix_sum's.
     """
     from .dedup import cdc_shared_chunks, containment_join
     from .text_analysis import bigram_logprob, quality_logistic
@@ -121,13 +129,13 @@ def curate_v2(
         docs, threshold=containment_threshold, text_col=text_col, id_col=id_col
     )
     drop1 = pairs.select(F.col("doc_id_small").alias(id_col)).distinct()
-    s1 = docs.join(drop1, id_col, "left_anti").persist()
+    s1 = docs.join(drop1, id_col, "left_anti").localCheckpoint(eager=True)
 
     cdc = cdc_shared_chunks(s1, avg_chunk=8, text_col=text_col, id_col=id_col)
     drop2 = cdc.filter(F.col("shared_frac") > cdc_max_shared).select(id_col)
-    s2 = s1.join(drop2, id_col, "left_anti").persist()
+    s2 = s1.join(drop2, id_col, "left_anti").localCheckpoint(eager=True)
 
-    lm = bigram_logprob(s2, text_col=text_col).persist()
+    lm = bigram_logprob(s2, text_col=text_col).localCheckpoint(eager=True)
     p_lo = float(
         lm.agg(
             F.percentile("mean_logprob", F.lit(lm_percentile)).alias("p")

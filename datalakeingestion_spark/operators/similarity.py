@@ -93,6 +93,41 @@ def _norm(a: Column) -> Column:
     return _NORM_PD(a)
 
 
+def _round6_spark(arr):
+    """Vectorized replica of Spark's ``round(double, 6)``.
+
+    Spark rounds a double by re-parsing its shortest decimal repr
+    (``BigDecimal(Double.toString(x)).setScale(6, HALF_UP)``). Off a
+    .5e-6 tie boundary that equals plain numpy rounding, so the fast
+    path is ``np.round``; lanes within a hair of a tie (where numpy's
+    binary half-even and Java's decimal HALF_UP can disagree) are
+    recomputed exactly with ``decimal`` — ``repr(float)`` is the same
+    shortest-repr algorithm as ``Double.toString``. NaN/inf pass
+    through untouched (Spark's round leaves them alone too).
+    """
+    import numpy as np
+
+    scaled = arr * 1e6
+    out = np.round(arr, 6)
+    with np.errstate(invalid="ignore"):
+        frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        sus = np.isfinite(arr) & (frac < 1e-8 + np.abs(scaled) * 4e-15)
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quantum = Decimal("0.000001")
+        flat_out, flat_in = out.reshape(-1), arr.reshape(-1)
+        for i in np.nonzero(sus.reshape(-1))[0]:
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    quantum, rounding=ROUND_HALF_UP
+                )
+            )
+    # tiny negatives round to numpy's -0.0 but to Java BigDecimal's 0.0;
+    # adding +0.0 maps -0.0 → 0.0 and is the identity elsewhere
+    return out + 0.0
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -104,29 +139,84 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine) with deterministic ranking
     (cosine rounded to 6 dp, ties broken by neighbor_id).
+
+    Execution shape (one corpus pass): the query set is metadata-scale
+    by contract — it was a driver-built broadcast already — so it is
+    collected once and closed over by a single ``mapInPandas`` kernel
+    that scores EVERY query against each Arrow batch with one BLAS
+    matmul and emits only the batch-local top-k per query. Each corpus
+    vector crosses the Python boundary exactly once (the former shape
+    replicated it per query through a BroadcastNestedLoopJoin and paid
+    three ArrowEvalPython nodes); the global window then ranks the
+    ~k·n_batches survivors per query — global top-k under a total
+    order is always a subset of the union of per-batch top-k under the
+    same order, so results are identical row-for-row.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_rows = [
+        r
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if r[0] is not None
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", embeddings.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+    spark = embeddings.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.vstack(
+        [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+    )  # m × dim
+    # same call as the per-batch corpus norms below, so a vector that is
+    # both query and corpus row gets the bit-identical norm either side
+    q_norms = np.linalg.norm(Q, axis=1)
+
+    # the former join condition (query_id != neighbor_id) silently drops
+    # NULL-id rows; keep that contract explicit
+    c = embeddings.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            c_norms = np.linalg.norm(C, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _round6_spark(
+                    (C @ Q.T) / np.outer(c_norms, q_norms)
+                )  # n × m
+            # ranking replica of ORDER BY cosine DESC, neighbor_id ASC:
+            # Spark sorts NaN above every double, so NaN ranks first
+            rank = np.where(np.isnan(cos), np.inf, cos)
+            self_mask = ids[:, None] == q_ids[None, :]
+            rank[self_mask] = -np.inf
+            kk = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                top = np.lexsort((ids, -rank[:, j]))[:kk]
+                keep = top[~self_mask[top, j]]
+                out_q.append(np.repeat(q_ids[j], len(keep)))
+                out_n.append(ids[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -167,37 +257,6 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def _multi_buckets_udf(n_tables: int, planes_per_table: int, dim: int):
-    """Vectorized bucket assignment: array<long> of one k-bit bucket per LSH
-    table (index = table id).
-
-    All L·k plane projections happen as ONE numpy matmul per Arrow batch —
-    the per-row higher-order-function form costs L·k interpreted folds per
-    row, which is the difference between BLAS and tree-walking at corpus
-    scale. Planes are deterministic (md5-derived), so results are stable
-    across runs and executors.
-    """
-    import numpy as np
-
-    mats = np.array(
-        [
-            hyperplanes(planes_per_table, dim, seed=t)
-            for t in range(n_tables)
-        ],
-        dtype=np.float64,
-    ).reshape(n_tables * planes_per_table, dim)
-    weights = 1 << np.arange(planes_per_table)
-
-    @F.pandas_udf("array<long>")
-    def buckets(col: pd.Series) -> pd.Series:
-        X = np.vstack(col.to_numpy()).astype(np.float64)  # n × dim
-        bits = (X @ mats.T) >= 0.0  # n × (L·k)
-        b = bits.reshape(len(X), n_tables, planes_per_table) @ weights
-        return pd.Series(list(b))
-
-    return buckets
-
-
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -210,41 +269,89 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to candidates sharing
     an LSH bucket in ANY of the L hash tables. Same output schema as
-    ``cosine_topk``. Candidates are deduped before scoring so each pair is
-    scored once regardless of how many tables it collides in."""
-    buckets = _multi_buckets_udf(n_tables, planes_per_table, dim)
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    ``cosine_topk``; each candidate pair is scored once regardless of how
+    many tables it collides in.
+
+    Execution shape (r12, one corpus pass — same rationale as
+    ``cosine_topk``): the metadata-scale query set is collected once,
+    its buckets/norms computed driver-side with the identical numpy
+    kernel, and a single ``mapInPandas`` pass buckets + scores each
+    corpus batch against all queries, emitting batch-local top-k among
+    bucket-colliding candidates. The former shape posexploded every
+    corpus vector ×L (the vector payload rode the explode), broadcast-
+    joined, then shuffled full vectors through a pair-level groupBy —
+    three vector-payload movements the one-pass form never makes.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    mats = np.array(
+        [hyperplanes(planes_per_table, dim, seed=t) for t in range(n_tables)],
+        dtype=np.float64,
+    ).reshape(n_tables * planes_per_table, dim)
+    weights = 1 << np.arange(planes_per_table)
+
+    def bucketize(X: "np.ndarray") -> "np.ndarray":
+        bits = (X @ mats.T) >= 0.0  # n × (L·k)
+        return bits.reshape(len(X), n_tables, planes_per_table) @ weights
+
+    q_rows = [
+        r
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if r[0] is not None
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", embeddings.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    spark = embeddings.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norms = np.linalg.norm(Q, axis=1)
+    q_buckets = bucketize(Q)  # m × L
+
+    c = embeddings.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    candidates = (
-        c.join(F.broadcast(q), ["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        # dedupe pairs colliding in several tables; keep one payload row
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.first("q_vec").alias("q_vec"),
-            F.first("c_vec").alias("c_vec"),
-            F.first("q_norm").alias("q_norm"),
-            F.first("c_norm").alias("c_norm"),
-        )
-    )
-    scored = candidates.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
-    ).select("query_id", "neighbor_id", "cosine")
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            c_norms = np.linalg.norm(C, axis=1)
+            c_buckets = bucketize(C)  # n × L
+            # candidate = shares a bucket in ANY table, and not self
+            cand = (c_buckets[:, None, :] == q_buckets[None, :, :]).any(
+                axis=2
+            ) & (ids[:, None] != q_ids[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = _round6_spark((C @ Q.T) / np.outer(c_norms, q_norms))
+            rank = np.where(np.isnan(cos), np.inf, cos)
+            rank[~cand] = -np.inf
+            kk = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(q_ids)):
+                top = np.lexsort((ids, -rank[:, j]))[:kk]
+                keep = top[cand[top, j]]
+                out_q.append(np.repeat(q_ids[j], len(keep)))
+                out_n.append(ids[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -42,7 +42,15 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # derived fact-side pushdown (r12, guide §2.3/§6): a lineitem row can
+    # only witness an in-range order when l_shipdate > o_orderdate >=
+    # 1996-01-01, so rows at/below the range floor never match — the
+    # optimizer cannot infer this through the non-equi residual, stating
+    # it explicitly lands a range predicate in the scan's PushedFilters
+    # and shrinks the join's build/shuffle side before it moves
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
     return (
         orders.join(
             li,

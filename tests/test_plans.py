@@ -104,11 +104,17 @@ def test_dedup_queries_avoid_cartesian(spark):
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
 
 
-def test_ann_broadcasts_queries(spark):
+def test_ann_single_corpus_pass(spark):
     plan = formatted_plan(run(spark, "ann_cosine_topk"))
-    # small query side broadcast; corpus side stays partitioned
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan
+    # r12 shape: the query set is closed over by ONE mapInPandas kernel,
+    # so the corpus crosses the Python boundary once — no per-query
+    # replication join, no separate norm/dot ArrowEvalPython nodes
+    assert plan.count("MapInPandas (") == 1  # one tree node (+ detail block)
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # covers BroadcastNestedLoop/SortMerge/Hash
+    # exactly one Exchange: the k·n_batches-row survivor shuffle for the
+    # global per-query window
+    assert plan.count("+- Exchange") == 1
 
 
 @pytest.mark.parametrize(

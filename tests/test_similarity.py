@@ -309,3 +309,83 @@ def test_rrf_fuse_missing_ranks_and_ties(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_cosine_topk_matches_join_window_twin(spark, emb):
+    """r12 optimization pin: the single-pass mapInPandas cosine_topk must
+    be row-identical to the former broadcast-join + full-window
+    formulation (which this twin re-states inline). Global top-k under a
+    total order is a subset of the union of per-batch top-k under the
+    same order, so the two shapes are provably equivalent — this test is
+    the executable form of that proof on real fixture vectors."""
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < 5)
+    qf = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        sim._norm(F.col("embedding")).alias("q_norm"),
+    )
+    cf = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        sim._norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        cf.join(F.broadcast(qf), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                sim._dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    twin = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .collect()
+    )
+    fast = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.cosine_topk(emb, q, k=10).collect()
+    )
+    assert fast == twin
+
+
+def test_round6_spark_matches_engine_round():
+    """_round6_spark (the kernel-side rounding replica) vs Spark's own
+    round(double, 6), including exact .5e-6 ties where binary half-even
+    and decimal HALF_UP disagree, negative ties (HALF_UP = away from
+    zero), and values whose shortest repr sits a hair off the tie."""
+    import numpy as np
+
+    vals = [
+        0.1234565,  # shortest-repr tie → HALF_UP rounds up
+        -0.1234565,  # negative tie → away from zero
+        0.9999995,
+        -0.9999995,
+        0.5,
+        1.0,
+        -1.0,
+        0.12345649999999,
+        0.1234565000001,
+        1e-7,
+        -1e-7,
+        0.7071067811865476,
+        -0.33333333333333331,
+    ]
+    got = sim._round6_spark(np.array(vals, dtype=np.float64))
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r[0] for r in df.select(F.round("x", 6)).collect()]
+    assert [repr(g) for g in got.tolist()] == [repr(w) for w in want]
