@@ -338,14 +338,40 @@ def minhash_near_duplicates_salvaged(
     verified as usual."""
     shingles = _shingle_table(docs, text_col, id_col, n).persist()
     sig = _signatures_from_shingles(shingles).persist()
-    pairs = lsh_candidate_pairs_salvaged(sig, max_bucket, salt_target)
-    return _jaccard_verify(pairs, shingles, threshold)
+    # same double-consumption + selective-candidate argument as
+    # minhash_near_duplicates (r12)
+    pairs = lsh_candidate_pairs_salvaged(sig, max_bucket, salt_target).persist()
+    return _jaccard_verify(pairs, shingles, threshold, prefilter=True)
 
 
 def _jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, threshold: float
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    prefilter: bool = False,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs, filtered to >= threshold."""
+    """Exact shingle-set Jaccard for candidate pairs, filtered to >= threshold.
+
+    ``prefilter=True`` (guide §3.4: semi-join pre-filter before an
+    expensive join) first restricts the shingle table to docs that
+    appear in at least one candidate pair, and persists that slice so
+    the three consumers below (both intersection probes + the size
+    aggregate) share ONE pass over the full table instead of three.
+    Pure inner-join algebra — rows of docs in no pair can never survive
+    any of the three inner joins — so results are identical. Only worth
+    it when candidates are selective (the LSH path: candidate docs ≪
+    corpus); the all-pairs ngram path keeps the direct shape. Callers
+    passing prefilter=True should persist ``pairs`` (it is consumed
+    twice: doc-id filter + intersection probe)."""
+    if prefilter:
+        pair_docs = (
+            pairs.select(F.col("doc_id_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+            .distinct()
+        )
+        # AQE broadcasts the doc-id side when small; at 100 TB a huge
+        # candidate set degrades gracefully to a shuffled semi join
+        shingles = shingles.join(pair_docs, "doc_id", "semi").persist()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     t1 = shingles.alias("t1")
     t2 = shingles.alias("t2")
@@ -668,8 +694,10 @@ def minhash_near_duplicates(
     # MEMORY_AND_DISK keeps the plan safe if they outgrow memory.
     shingles = _shingle_table(docs, text_col, id_col, n).persist()
     sig = _signatures_from_shingles(shingles).persist()
-    pairs = lsh_candidate_pairs(sig)
-    return _jaccard_verify(pairs, shingles, threshold)
+    # pairs feeds the verify's doc-id prefilter AND its intersection
+    # probe — persist so the band self-join runs once (r12, guide §3.4)
+    pairs = lsh_candidate_pairs(sig).persist()
+    return _jaccard_verify(pairs, shingles, threshold, prefilter=True)
 
 
 def ngram_jaccard_pairs(

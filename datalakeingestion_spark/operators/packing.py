@@ -387,6 +387,48 @@ def bpe_fertility(
 #: the wrong tool — fail loudly instead of OOMing the driver.
 MAX_SUBTOTAL_ROWS = 1_000_000
 
+#: Largest driver-side row list rendered as a pure-JVM literal frame by
+#: ``local_rows_frame``; bigger lists fall back to ``createDataFrame``
+#: (a 3-column struct literal costs ~4 expression nodes per row — past
+#: ~10k rows analyzer time starts to rival the Python-RDD cost it saves).
+MAX_LITERAL_ROWS = 10_000
+
+
+def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
+    """Small driver-side row list -> DataFrame WITHOUT the Python-RDD
+    path.
+
+    ``spark.createDataFrame(rows)`` plans as ``applySchemaToPythonRDD``:
+    every evaluation of the frame (and a broadcast that is rebuilt per
+    action counts as one) runs pickled-Python tasks across the default
+    parallelism — measured on the r12 stage probe at ~9 s executorRunTime
+    / ~0.3 s wall PER evaluation for a 64-row offsets frame, with zero
+    bytes of real input (guide §4: the boundary itself is the cost).
+    Rendering the rows as a literal ``inline(array(struct(...)))`` over a
+    one-partition ``range(1)`` keeps every later evaluation JVM-only.
+
+    Falls back to ``createDataFrame`` for empty/huge lists or values
+    ``F.lit`` cannot render (exotic key types) — same rows either way.
+    """
+    if not rows or len(rows) > MAX_LITERAL_ROWS:
+        return spark.createDataFrame(rows, schema)
+    fields = schema.fields
+    try:
+        structs = [
+            F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for f, v in zip(fields, r)
+                ]
+            )
+            for r in rows
+        ]
+        return spark.range(0, 1, 1, 1).select(
+            F.inline(F.array(*structs))
+        )
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
 
 def keyed_prefix_sum(
     df: DataFrame,
@@ -488,7 +530,10 @@ def keyed_prefix_sum(
         + [df.schema[c] for c in key_cols]
         + [T.StructField("_off", T.LongType())]
     )
-    offsets = spark.createDataFrame(off_rows, off_schema)
+    # JVM-literal frame: the offsets broadcast is rebuilt on EVERY action
+    # over the result, and the createDataFrame form paid a full
+    # pickled-Python task wave each time (see local_rows_frame)
+    offsets = local_rows_frame(spark, off_rows, off_schema)
 
     # pass 2: fine-grained window + broadcast offset join, JVM-side
     w = (

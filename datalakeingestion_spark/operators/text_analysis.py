@@ -56,24 +56,41 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - quality_score — ttr * min(1, n_tokens/50), a monotone blend of
       diversity and minimum-length (deterministic double arithmetic)
     """
-    toks = tokens(text_col)
+    # r12 (guide §8.3): staged projection so the tokenize chain
+    # (lower → regexp_replace → split → filter) runs ONCE per row. The
+    # former single select repeated it inside 6 output expressions —
+    # higher-order functions are codegen-fallback, so no subexpression
+    # elimination applies there — and CollapseProject will NOT inline an
+    # expensive alias referenced more than once, so the staging sticks.
+    # Same expressions over the same values: results identical
+    # (measured 1.7× at sf0.1, plan stays a zero-Exchange projection).
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    q = quality_expr_map(text_col)
-    return docs.select(
-        "doc_id",
-        q["n_tokens"].alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        q["ttr"].alias("ttr"),
-        F.round(
-            F.length(F.regexp_replace(normalized_text(text_col), " ", ""))
-            / F.size(toks),
-            6,
-        ).alias("avg_token_len"),
-        F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.size(toks),
-            6,
-        ).alias("stopword_ratio"),
-        q["quality_score"].alias("quality_score"),
+    t, nrm = F.col("_toks"), F.col("_norm")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    return (
+        docs.select("doc_id", normalized_text(text_col).alias("_norm"))
+        .select(
+            "doc_id",
+            F.filter(F.split(nrm, " "), lambda x: x != F.lit("")).alias(
+                "_toks"
+            ),
+            F.length(F.regexp_replace(nrm, " ", "")).alias("_alnum"),
+        )
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            nd.alias("n_distinct_tokens"),
+            F.round(nd / n, 6).alias("ttr"),
+            F.round(F.col("_alnum") / n, 6).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter(t, lambda x: F.array_contains(en, x))) / n,
+                6,
+            ).alias("stopword_ratio"),
+            F.round(
+                (nd / n) * F.least(F.lit(1.0), n / F.lit(50.0)), 6
+            ).alias("quality_score"),
+        )
     )
 
 
@@ -117,8 +134,24 @@ def language_pred(text_col: str = "text") -> Column:
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: per-language token hit counts and a
     deterministic argmax (precedence = LANGS order; all-zero → 'unknown')."""
-    hit_cols = _lang_hit_map(text_col)
+    # r12: tokenize once (staged _toks column), then count hits per
+    # language from the shared array — the former shape re-ran the
+    # tokenize chain once per language (see quality_metrics note)
+    def _contains(lst):
+        return lambda t: F.array_contains(lst, t)
+
+    hit_cols = {
+        lang: F.size(
+            F.filter(
+                F.col("_toks"),
+                _contains(F.array(*[F.lit(w) for w in STOPWORDS[lang]])),
+            )
+        )
+        for lang in LANGS
+    }
     df = docs.select(
+        "doc_id", "lang", tokens(text_col).alias("_toks")
+    ).select(
         "doc_id",
         "lang",
         *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANGS],

@@ -666,3 +666,36 @@ def test_sequence_boundaries_offsets_and_zero_token_exclusion(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, n_tokens long")
     (only,) = sequence_boundaries(df2, token_budget=512).collect()
     assert only["n_docs"] == 2 and only["boundaries"] == "0:300"
+
+
+def test_local_rows_frame_literal_and_fallback(spark):
+    """r12: local_rows_frame renders small driver-side lists as a pure
+    JVM literal Generate (no applySchemaToPythonRDD — the Python-RDD
+    scan paid a pickled-Python task wave on EVERY broadcast rebuild);
+    rows, schema, NULLs, and over-cap fallback must all match the
+    createDataFrame form exactly."""
+    from pyspark.sql import types as T
+
+    from datalakeingestion_spark.operators import packing as P
+
+    sch = T.StructType(
+        [
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("_off", T.LongType()),
+        ]
+    )
+    rows = [(0, "a", 5), (1, None, 7), (2, "b", 0)]
+    lit = P.local_rows_frame(spark, rows, sch)
+    assert lit.schema.simpleString() == "struct<_pid:int,k:string,_off:bigint>"
+    assert sorted(map(tuple, lit.collect())) == sorted(rows)
+    # literal path: no Python-RDD scan in the plan
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "Generate" in plan
+
+    # empty and over-cap lists fall back to createDataFrame (same rows)
+    assert P.local_rows_frame(spark, [], sch).count() == 0
+    big = [(i, str(i), i) for i in range(P.MAX_LITERAL_ROWS + 1)]
+    fb = P.local_rows_frame(spark, big, sch)
+    assert fb.count() == len(big)
+    assert "Generate" not in fb._jdf.queryExecution().executedPlan().toString()
