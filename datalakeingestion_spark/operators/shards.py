@@ -102,6 +102,72 @@ def assign_shards(
     return packed.join(shard_of_seq, seq_col)
 
 
+def assign_shards_aligned(
+    packed: DataFrame,
+    shard_token_budget: int,
+    seq_token_budget: int,
+    seq_col: str = "seq_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``assign_shards`` for the aligned common case — ``packed`` is
+    the UNFILTERED output of ``pack_sequences(..., token_budget=
+    seq_token_budget)`` and ``shard_token_budget`` is a multiple of
+    it. Then ``shard_id = seq_id div (shard_token_budget div
+    seq_token_budget)`` EXACTLY, and the whole second-level prefix sum
+    (per-seq aggregate, range shuffle, offsets collect, equi-join back
+    onto the doc frame — 3 Exchanges + a join in the physical plan)
+    collapses to a zero-shuffle projection (r12, guide §2.4: remove
+    shuffles outright).
+
+    Proof. ``pack_sequences`` assigns ``seq_id = b div S`` where ``b``
+    is the doc's exclusive token prefix in the pack order and ``S`` the
+    sequence budget; ``assign_shards`` assigns ``shard_id = c div H``
+    where ``c`` is the exclusive prefix of per-sequence token totals in
+    ``seq_id`` order. Sequence totals are sums of doc tokens in that
+    same global order, so ``c`` of sequence ``s`` equals the exclusive
+    prefix ``b`` of the FIRST doc of ``s``, and that ``b`` lies in
+    ``[S*s, S*(s+1))`` by definition of ``seq_id``. With ``H = m*S``,
+    every multiple of ``H`` is a multiple of ``S``, and the half-open
+    interval contains a multiple of ``S`` only at its left edge — so
+    ``b div H`` is constant on the interval and equals ``(S*s) div H
+    = s div m``, for every sequence including those after empty seq-id
+    gaps left by documents larger than ``S``.
+
+    The identity needs (a) ``H % S == 0`` — otherwise a shard boundary
+    can fall strictly inside the interval (falls back to the general
+    ``assign_shards``) — and (b) ``packed`` passed through unmodified:
+    dropping rows between pack and assign changes the sequence totals
+    the general operator would see (caller's contract; every in-repo
+    composition passes the pack output straight through). Column order,
+    dtypes and the drop-NULL-``seq_col`` semantics match the general
+    operator exactly; equality is property-tested against it in
+    tests/test_shards.py across budgets, orders and zero/NULL tokens.
+    """
+    if shard_token_budget <= 0:
+        raise ValueError("shard_token_budget must be positive")
+    if seq_token_budget <= 0:
+        raise ValueError("seq_token_budget must be positive")
+    if shard_token_budget % seq_token_budget:
+        return assign_shards(
+            packed,
+            shard_token_budget,
+            seq_col=seq_col,
+            tokens_col=tokens_col,
+            num_partitions=num_partitions,
+        )
+    ratio = shard_token_budget // seq_token_budget
+    others = [c for c in packed.columns if c != seq_col]
+    # same shape as the general operator's inner join: seq_col fronted,
+    # NULL-seq rows dropped (pack_sequences never emits them; a foreign
+    # frame with NULL seq keys must behave identically on both paths)
+    return packed.where(F.col(seq_col).isNotNull()).select(
+        seq_col,
+        *others,
+        F.expr(f"`{seq_col}` div {ratio}").alias("shard_id"),
+    )
+
+
 def shard_manifest(
     sharded: DataFrame,
     shard_col: str = "shard_id",
@@ -402,8 +468,13 @@ def pack_assign_with_payload(
         tokens_col=tokens_col,
         order_cols=order_cols,
     )
-    sharded = assign_shards(
-        packed, shard_token_budget=shard_token_budget, tokens_col=tokens_col
+    # aligned fast path: packed is the unmodified pack output and both
+    # budgets are in hand, so the second prefix sum is a projection
+    sharded = assign_shards_aligned(
+        packed,
+        shard_token_budget,
+        seq_token_budget,
+        tokens_col=tokens_col,
     )
     if payload:
         sharded = sharded.join(frame.select(id_col, *payload), id_col)

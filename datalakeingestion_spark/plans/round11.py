@@ -120,10 +120,12 @@ def _shard_manifest_frame(sized: DataFrame) -> DataFrame:
     _SHARD_MANIFEST_SELECT, shared by the raw-corpus and curated
     manifest queries so the composition exists once."""
     from ..operators.packing import pack_sequences
-    from ..operators.shards import assign_shards, shard_manifest
+    from ..operators.shards import assign_shards_aligned, shard_manifest
 
     packed = pack_sequences(sized, token_budget=_SEQ_BUDGET)
-    sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
+    # aligned identity (shard_id = seq_id div 8): drops the second
+    # prefix sum + the seq_id join — see assign_shards_aligned's proof
+    sharded = assign_shards_aligned(packed, _SHARD_BUDGET, _SEQ_BUDGET)
     return shard_manifest(sharded).select(
         "shard_id", "n_docs", "n_seqs", "n_tokens", "digest"
     )
@@ -162,7 +164,7 @@ def training_shard_delivery_contract(
 
     from ..operators.packing import pack_sequences
     from ..operators.shards import (
-        assign_shards,
+        assign_shards_aligned,
         read_shard_manifest,
         write_training_shards,
     )
@@ -173,9 +175,10 @@ def training_shard_delivery_contract(
     ).localCheckpoint(eager=False)  # one tokenize, many deliveries
 
     def sharded(frame):
-        return assign_shards(
+        return assign_shards_aligned(
             pack_sequences(frame, token_budget=_SEQ_BUDGET),
-            shard_token_budget=_SHARD_BUDGET,
+            _SHARD_BUDGET,
+            _SEQ_BUDGET,
         )
 
     half_max = sized.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
@@ -595,13 +598,14 @@ def ivf_index_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shard_source_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_sequences
-    from ..operators.shards import assign_shards
+    from ..operators.shards import assign_shards_aligned
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
-    sharded = assign_shards(
+    sharded = assign_shards_aligned(
         pack_sequences(sized, token_budget=_SEQ_BUDGET),
-        shard_token_budget=_SHARD_BUDGET,
+        _SHARD_BUDGET,
+        _SEQ_BUDGET,
     )
     d = sharded.join(docs.select("doc_id", "source"), "doc_id")
     tot = d.groupBy("shard_id").agg(

@@ -515,7 +515,7 @@ def upsampled_corpus_shard_manifest(
 )
 def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_sequences
-    from ..operators.shards import assign_shards, shard_manifest
+    from ..operators.shards import assign_shards_aligned, shard_manifest
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", n_tokens_of("text").alias("n_tokens"))
@@ -524,7 +524,9 @@ def curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=_SEQ_BUDGET,
         order_cols=["n_tokens", "doc_id"],
     )
-    sharded = assign_shards(packed, shard_token_budget=_SHARD_BUDGET)
+    # aligned identity holds under ANY pack order (the proof only uses
+    # the shared global order) — curriculum order included
+    sharded = assign_shards_aligned(packed, _SHARD_BUDGET, _SEQ_BUDGET)
     man = shard_manifest(sharded)
     mm = sharded.groupBy("shard_id").agg(
         F.min("n_tokens").alias("min_tokens"),
@@ -889,7 +891,7 @@ def holdout_excluded_delivery_contract(
 ) -> DataFrame:
     from ..functions.hashing import portable_hash32
     from ..operators.packing import pack_sequences
-    from ..operators.shards import assign_shards
+    from ..operators.shards import assign_shards_aligned
 
     docs = load_table(spark, sf_dir, "documents")
     h = portable_hash32(F.concat(F.col("source"), F.lit(_HSPLIT_SEED)))
@@ -904,9 +906,12 @@ def holdout_excluded_delivery_contract(
     train = labeled.filter(F.col("split") == "train").select(
         "doc_id", "n_tokens"
     )
-    sharded = assign_shards(
+    # the holdout filter runs BEFORE pack, so packed is the unmodified
+    # pack output of the train split — aligned precondition holds
+    sharded = assign_shards_aligned(
         pack_sequences(train, token_budget=_SEQ_BUDGET),
-        shard_token_budget=_SHARD_BUDGET,
+        _SHARD_BUDGET,
+        _SEQ_BUDGET,
     )
     return (
         labeled.join(sharded.select("doc_id", "shard_id"), "doc_id", "left")

@@ -359,3 +359,69 @@ def test_resume_table_batch_and_streaming_orders(spark):
 
     with pytest.raises(ValueError, match="reserved"):
         resume_table(man.withColumnRenamed("digest", "tokens_before"))
+
+
+def test_assign_shards_aligned_equals_general(spark):
+    """r12: the aligned fast path (shard_id = seq_id div ratio) must
+    equal the general two-level prefix sum EXACTLY — same rows, same
+    column order, same dtypes — across budget ratios, pack orders,
+    zero-token docs and docs far larger than the sequence budget, and
+    must add ZERO Exchange/join nodes beyond the pack itself."""
+    from datalakeingestion_spark.operators.packing import pack_sequences
+    from datalakeingestion_spark.operators.shards import (
+        assign_shards,
+        assign_shards_aligned,
+    )
+
+    def tok(i):
+        # zero-token docs, small docs, and docs spanning many sequences
+        return [0, 3, 700, 64, 1, 0, 130, 65][i % 8] + (i * 7) % 9
+
+    sized = spark.createDataFrame(
+        [(i * 3 + 1, tok(i)) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    for seq_b, shard_b in [(64, 512), (100, 300), (7, 21), (1, 8)]:
+        packed = pack_sequences(sized, token_budget=seq_b)
+        gen = assign_shards(packed, shard_token_budget=shard_b)
+        fast = assign_shards_aligned(packed, shard_b, seq_b)
+        assert fast.columns == gen.columns, (seq_b, shard_b)
+        assert fast.schema == gen.schema, (seq_b, shard_b)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, gen.collect())
+        ), (seq_b, shard_b)
+
+    # curriculum-style pack order: the identity only uses the shared
+    # global order, so any order_cols must agree too
+    packed = pack_sequences(
+        sized, token_budget=64, order_cols=["n_tokens", "doc_id"]
+    )
+    assert sorted(
+        map(tuple, assign_shards_aligned(packed, 512, 64).collect())
+    ) == sorted(map(tuple, assign_shards(packed, 512).collect()))
+
+    # non-divisible budgets fall back to the general operator
+    packed = pack_sequences(sized, token_budget=100)
+    assert sorted(
+        map(tuple, assign_shards_aligned(packed, 250, 100).collect())
+    ) == sorted(map(tuple, assign_shards(packed, 250).collect()))
+
+    # plan shape: the aligned path adds no Exchange and no join beyond
+    # what the pack itself needs
+    packed = pack_sequences(sized, token_budget=64)
+    base = packed._jdf.queryExecution().executedPlan().toString()
+    fastp = (
+        assign_shards_aligned(packed, 512, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert fastp.count("Exchange") == base.count("Exchange")
+    # pack's own offsets broadcast join is the ONLY join either way
+    assert fastp.count("Join") == base.count("Join")
+    assert "SortMergeJoin" not in fastp
+
+    with pytest.raises(ValueError, match="positive"):
+        assign_shards_aligned(packed, 0, 64)
+    with pytest.raises(ValueError, match="positive"):
+        assign_shards_aligned(packed, 512, 0)
