@@ -22,8 +22,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from .dedup import exact_duplicates, minhash_near_duplicates
-from .text_analysis import LANGS, _lang_hit_map, _lang_pred_cascade, quality_expr_map
+from .text_analysis import LANGS, STOPWORDS, _lang_pred_cascade
+
+
+def _pin_once(col: F.Column) -> F.Column:
+    """Value-preserving evaluate-once pin for an expensive expression
+    (r12, guide §4.4 applied to built-ins): wraps ``col`` in a CASE
+    WHEN on a nondeterministic no-op (``spark_partition_id() >= 0``,
+    always true), so the value is untouched but the enclosing alias is
+    nondeterministic — Catalyst's filter pushdown
+    (PushPredicateThroughNonJoin) and CollapseProject both require
+    every projected field to be deterministic, so neither may inline
+    the alias into downstream predicates/projections. Without the pin
+    a filter over derived columns re-expands the full expression tree
+    at every reference and pushes it below the staging projection
+    (measured on curate: the tokenize chain re-inlined ~40× per row).
+    A plain extra nondeterministic column does NOT work: column
+    pruning strips it before the pushdown check runs."""
+    return F.when(F.spark_partition_id() >= 0, col)
 
 
 def curate(
@@ -56,34 +74,58 @@ def curate(
     stage2 = stage1.join(drop, id_col, "left_anti").persist()
 
     # 3+4. quality + language filters evaluated INLINE — chained per-row
-    # projections, so this tail adds ZERO shuffles/joins (the previous
-    # form projected twins and joined them back by id: two avoidable
-    # shuffled joins on the survivor set). The language hit counts are
-    # materialized as intermediate COLUMNS before the argmax cascade:
-    # the cascade references each count ~2·|LANGS| times, and inlining
-    # the full tokenize-and-filter tree at every reference blows up the
-    # expression tree Catalyst must analyze on every (re)plan.
-    q = quality_expr_map(text_col)
-    hits = _lang_hit_map(text_col)
+    # projections, so this tail adds ZERO shuffles/joins. r12: the
+    # tokenize chain is staged ONCE as a pinned _toks column (see
+    # _pin_once) — the previous shape materialized hit-count columns,
+    # but filter pushdown substituted those aliases back into the
+    # predicate and pushed the fully re-expanded tokenize chain (~40
+    # copies per row) below the projections and into the stage2 cache
+    # scan. With the pin the filter stays above the staging projection
+    # and every predicate references the shared token array. Same
+    # formulas over the same tokens: results identical (oracle-pinned).
+    staged = stage2.select(
+        "*", _pin_once(tokens(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
     hit_cols = [f"__hits_{lang}" for lang in LANGS]
-    stage3 = stage2.select(
+
+    def _contains(lst):
+        # closure factory: a default-arg lambda would look like a 2-arg
+        # (element, index) lambda to F.filter
+        return lambda tok: F.array_contains(lst, tok)
+
+    stage3 = staged.select(
         "*",
-        q["n_tokens"].alias("n_tokens"),
-        q["ttr"].alias("ttr"),
-        q["quality_score"].alias("quality_score"),
-        *[hits[lang].alias(c) for lang, c in zip(LANGS, hit_cols)],
+        n.alias("n_tokens"),
+        F.round(nd / n, 6).alias("ttr"),
+        F.round(
+            (nd / n) * F.least(F.lit(1.0), n / F.lit(50.0)), 6
+        ).alias("quality_score"),
+        *[
+            F.size(
+                F.filter(
+                    t,
+                    _contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                    ),
+                )
+            ).alias(c)
+            for lang, c in zip(LANGS, hit_cols)
+        ],
     )
     pred = _lang_pred_cascade(
         {lang: F.col(c) for lang, c in zip(LANGS, hit_cols)}
     )
     return (
         stage3.withColumn("predicted_lang", pred)
-        .drop(*hit_cols)
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("ttr") >= min_ttr)
             & F.col("predicted_lang").isin(*keep_langs)
         )
+        .drop(*hit_cols, "_toks")
     )
 
 
