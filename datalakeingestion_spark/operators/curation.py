@@ -63,9 +63,17 @@ def curate(
     # tokenization run once per stage, not once per consumer
     stage1 = docs.join(keepers, id_col, "left_semi").persist()
 
-    # 2. near-dedup: drop the b-side of each verified near-dup pair
+    # 2. near-dedup: drop the b-side of each verified near-dup pair.
+    # prefilter=False: inside the pipeline the pair frame only feeds one
+    # anti-join and the shingle table is already a shared hot cache —
+    # the verify's semi-join slice measured SLOWER here while winning
+    # 2.8× standalone (see minhash_near_duplicates' docstring)
     pairs = minhash_near_duplicates(
-        stage1, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+        stage1,
+        threshold=near_dup_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        prefilter=False,
     )
     drop = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     # persist the survivor frontier: the near-dup verification above it is

@@ -678,6 +678,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    prefilter: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
@@ -686,6 +687,16 @@ def minhash_near_duplicates(
     pair above threshold that never collides on a band is (by design) not
     in the output — the SQL oracle replicates the banding exactly, so
     results are deterministic and comparable.
+
+    ``prefilter`` toggles the candidate-doc semi-join slice inside the
+    verify (see ``_jaccard_verify``); results are identical either way.
+    Keep the default when the pair frame is THE result; pass False when
+    the call is one stage of a larger pipeline whose later stages
+    re-consume the corpus anyway (operators/curation.py::curate) — there
+    the extra persisted layer costs more than the saved shingle pass
+    (r12 in-protocol A/B at sf0.1: standalone 0.74 s -> 0.26 s WITH the
+    prefilter, curate's timed block 0.19 s -> 0.46 s, so each site gets
+    the shape that measured faster).
     """
     # The shingle table feeds three consumers (signatures + both sides of
     # the Jaccard-verify join) and the signature table two (both sides of
@@ -697,7 +708,7 @@ def minhash_near_duplicates(
     # pairs feeds the verify's doc-id prefilter AND its intersection
     # probe — persist so the band self-join runs once (r12, guide §3.4)
     pairs = lsh_candidate_pairs(sig).persist()
-    return _jaccard_verify(pairs, shingles, threshold, prefilter=True)
+    return _jaccard_verify(pairs, shingles, threshold, prefilter=prefilter)
 
 
 def ngram_jaccard_pairs(

@@ -68,15 +68,24 @@ def pagerank_fixed_point(
     if n == 0:
         raise ValueError("pagerank_fixed_point: edge list is empty")
     base = (scale * (100 - damping_pct)) // (100 * n)
+    # r12 (guide §3.3, the hits_fixed_point precedent): the e⋈deg join
+    # is iteration-invariant — hoist it out of the sweep (one join for
+    # the whole run instead of one per sweep), and EAGERLY checkpoint
+    # the rank frontier each sweep. Without the truncation every sweep's
+    # plan embeds the previous sweep's whole tree plus fresh copies of
+    # the edge/node subtrees (~4× per level — the r12 audit counted 218
+    # Exchange references in the 3-iteration plan), and both planning
+    # and execution grow with the power of the iteration count. Values
+    # are identical: the recurrence is unchanged, only the lineage is
+    # cut at materialized sweep boundaries.
+    ew = e.join(deg, "src").persist()
     rank = nodes.withColumn("rank", F.lit(scale // n))
     for _ in range(iters):
-        contrib = (
-            e.join(deg, "src")
-            .join(rank.withColumnRenamed("node", "src"), "src")
-            .select(
-                "dst",
-                F.expr("rank div outdeg").alias("contrib"),
-            )
+        contrib = ew.join(
+            rank.withColumnRenamed("node", "src"), "src"
+        ).select(
+            "dst",
+            F.expr("rank div outdeg").alias("contrib"),
         )
         recv = contrib.groupBy("dst").agg(F.sum("contrib").alias("recv"))
         rank = (
@@ -90,6 +99,7 @@ def pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return rank
 
@@ -409,12 +419,14 @@ def personalized_pagerank_fixed_point(
             F.lit(0)
         ),
     ).select("node", "rank")
+    # r12: same sweep-boundary discipline as pagerank_fixed_point /
+    # hits_fixed_point — iteration-invariant e⋈deg hoisted, frontier
+    # lineage cut per sweep (values unchanged, see the proof there)
+    ew = e.join(deg, "src").persist()
     for _ in range(iters):
-        contrib = (
-            e.join(deg, "src")
-            .join(rank.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank div outdeg").alias("contrib"))
-        )
+        contrib = ew.join(
+            rank.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("rank div outdeg").alias("contrib"))
         recv = contrib.groupBy("dst").agg(F.sum("contrib").alias("recv"))
         rank = (
             nodes.join(
@@ -431,5 +443,6 @@ def personalized_pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
     return rank

@@ -100,7 +100,11 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intentional session-lifetime persists (lazy result; LRU-evictable)
     # — see dedup.lsh_candidate_report for the policy
     sh = dd._shingle_table(docs, "text", "doc_id", 3).persist()
-    sig = dd._signatures_from_shingles(sh)
+    # r12: sig feeds EVERY band branch of the union below, and the
+    # self-join duplicates the whole union on both sides — unpersisted,
+    # the minhash aggregate re-ran once per branch per side (~56 copies,
+    # 127 Exchange references in the audit). One persist, one aggregate.
+    sig = dd._signatures_from_shingles(sh).persist()
     frames = []
     for b, r in _SWEEP_CONFIGS:
         for j in range(b):
@@ -116,6 +120,9 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = frames[0]
     for fr in frames[1:]:
         bands = bands.unionByName(fr)
+    # both sides of the self-join read the materialized band table
+    # instead of re-deriving the 28-branch union twice
+    bands = bands.persist()
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cand = (
         b1.join(
@@ -133,8 +140,11 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    upairs = cand.select("doc_id_a", "doc_id_b").distinct()
-    ver = dd._jaccard_verify(upairs, sh, 0.5).select(
+    # candidates are selective vs the corpus — the semi-join prefilter
+    # shares one shingle pass across the verify's three consumers
+    # (same argument as minhash_near_duplicates, r12)
+    upairs = cand.select("doc_id_a", "doc_id_b").distinct().persist()
+    ver = dd._jaccard_verify(upairs, sh, 0.5, prefilter=True).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("_true")
     )
     return (
