@@ -79,6 +79,13 @@ def pagerank_fixed_point(
     # are identical: the recurrence is unchanged, only the lineage is
     # cut at materialized sweep boundaries.
     ew = e.join(deg, "src").persist()
+    # checkpointing captures the frontier RDD BEFORE AQE's final-stage
+    # coalescing, so without the explicit coalesce each sweep
+    # materialized all spark.sql.shuffle.partitions as near-empty
+    # blocks (200 under a bare session — measured 5 s/sweep of pure
+    # task overhead at sf0.01); defaultParallelism is scale-adaptive
+    # (cluster cores) and the frontier is a narrow (node, rank) frame
+    npart = edges.sparkSession.sparkContext.defaultParallelism
     rank = nodes.withColumn("rank", F.lit(scale // n))
     for _ in range(iters):
         contrib = ew.join(
@@ -99,6 +106,7 @@ def pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
+            .coalesce(npart)
             .localCheckpoint(eager=True)
         )
     return rank
@@ -159,9 +167,14 @@ def hits_fixed_point(
     # normalization totals are control-plane scalars read off the
     # checkpointed frame (same status as pagerank's node count), and
     # recompute can never cascade across sweeps.
+    # scale-adaptive partition count for the checkpointed frontiers —
+    # same rationale as pagerank_fixed_point (r12): checkpoint captures
+    # the RDD before AQE's final coalescing, so near-empty
+    # shuffle-partition blocks would otherwise be materialized
+    npart = edges.sparkSession.sparkContext.defaultParallelism
     hub = nodes.withColumn(
         "hub", F.lit(int(scale))
-    ).localCheckpoint(eager=True)
+    ).coalesce(npart).localCheckpoint(eager=True)
     auth = None
     for _ in range(int(iters)):
         a_raw = (
@@ -175,6 +188,7 @@ def hits_fixed_point(
                 a_raw.withColumnRenamed("dst", "node"), "node", "left"
             )
             .select("node", _norm("_araw", a_tot).alias("auth"))
+            .coalesce(npart)
             .localCheckpoint(eager=True)
         )
         h_raw = (
@@ -188,6 +202,7 @@ def hits_fixed_point(
                 h_raw.withColumnRenamed("src", "node"), "node", "left"
             )
             .select("node", _norm("_hraw", h_tot).alias("hub"))
+            .coalesce(npart)
             .localCheckpoint(eager=True)
         )
     return hub.join(auth, "node")
@@ -326,6 +341,9 @@ def triangle_counts(
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # referenced twice below (da/db sides of the orientation join) —
+        # one aggregate instead of two (r12)
+        .persist()
     )
     # orient by (deg, node): lo -> hi
     da = deg.select(
@@ -352,10 +370,11 @@ def triangle_counts(
     wedges = w1.join(w2, "c").filter(F.col("v") < F.col("w"))
     probe = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tri = wedges.join(probe, ["v", "w"], "left_semi")
-    corners = (
-        tri.select(F.col("c").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # one explode pass over the triangle list (as the docstring always
+    # promised) — the previous 3-way union re-executed the wedge
+    # existence join once per corner reference (r12, guide §2.4)
+    corners = tri.select(
+        F.explode(F.array("c", "v", "w")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -421,8 +440,10 @@ def personalized_pagerank_fixed_point(
     ).select("node", "rank")
     # r12: same sweep-boundary discipline as pagerank_fixed_point /
     # hits_fixed_point — iteration-invariant e⋈deg hoisted, frontier
-    # lineage cut per sweep (values unchanged, see the proof there)
+    # lineage cut per sweep at a scale-adaptive partition count
+    # (values unchanged, see the notes there)
     ew = e.join(deg, "src").persist()
+    npart = edges.sparkSession.sparkContext.defaultParallelism
     for _ in range(iters):
         contrib = ew.join(
             rank.withColumnRenamed("node", "src"), "src"
@@ -443,6 +464,7 @@ def personalized_pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
+            .coalesce(npart)
             .localCheckpoint(eager=True)
         )
     return rank

@@ -521,9 +521,15 @@ def resolve_increment(
     if "__w" in golden.columns or "__w" in batch.columns:
         raise ValueError("resolve_increment reserves column name __w")
 
+    # r12: fresh feeds THREE consumers (the blocked match, the
+    # unmatched anti-join, the member fold) and matched/assignments two
+    # each — left lazy, every reference re-expanded the batch×golden
+    # match subtree (159 Exchange references in the r12 plan audit).
+    # Batch-sized frames; persist so each pass over the lineage runs
+    # once. Results unchanged.
     fresh = batch.join(
         crosswalk.select(F.col(record_id)).distinct(), record_id, "left_anti"
-    )
+    ).persist()
     cand = match_against(
         fresh, golden, record_id, entity_col, block_cols, fields, min_score
     )
@@ -535,6 +541,7 @@ def resolve_increment(
             F.col("id_a").alias(record_id),
             F.col("id_b").cast("long").alias(entity_col),
         )
+        .persist()
     )
     unmatched = fresh.select(record_id).distinct().join(
         matched.select(record_id), record_id, "left_anti"
@@ -553,7 +560,7 @@ def resolve_increment(
             (F.col("__base") + F.col("__rk")).cast("long").alias(entity_col),
         )
     )
-    assignments = matched.unionByName(minted)
+    assignments = matched.unionByName(minted).persist()
 
     keep = [name_col, *max_cols, *min_cols]
     new_members = fresh.join(assignments, record_id).select(
