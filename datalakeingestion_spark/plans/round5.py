@@ -140,11 +140,14 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # candidates are selective vs the corpus — the semi-join prefilter
-    # shares one shingle pass across the verify's three consumers
-    # (same argument as minhash_near_duplicates, r12)
+    # NO verify prefilter here: a calibration sweep's candidate union
+    # covers most of the corpus (every config's collisions), so the
+    # semi-join slice saves nothing and its extra plan layers cost —
+    # measured 37.3 s with vs 14.5 s without at sf0.01 (r12 A/B; the
+    # prefilter only pays when candidates ≪ corpus, see
+    # minhash_near_duplicates)
     upairs = cand.select("doc_id_a", "doc_id_b").distinct().persist()
-    ver = dd._jaccard_verify(upairs, sh, 0.5, prefilter=True).select(
+    ver = dd._jaccard_verify(upairs, sh, 0.5).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("_true")
     )
     return (
