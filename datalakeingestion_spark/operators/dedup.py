@@ -339,7 +339,9 @@ def minhash_near_duplicates_salvaged(
     shingles = _shingle_table(docs, text_col, id_col, n).persist()
     sig = _signatures_from_shingles(shingles).persist()
     # same double-consumption + selective-candidate argument as
-    # minhash_near_duplicates (r12)
+    # minhash_near_duplicates; prefilter A/B'd solo in r12 (in-protocol
+    # min-of-medians at sf0.1): 0.633 s with vs 0.812 s without — the
+    # standalone dedup shape keeps it, like the plain minhash path
     pairs = lsh_candidate_pairs_salvaged(sig, max_bucket, salt_target).persist()
     return _jaccard_verify(pairs, shingles, threshold, prefilter=True)
 
