@@ -100,58 +100,111 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intentional session-lifetime persists (lazy result; LRU-evictable)
     # — see dedup.lsh_candidate_report for the policy
     sh = dd._shingle_table(docs, "text", "doc_id", 3).persist()
-    # r12: sig feeds EVERY band branch of the union below, and the
-    # self-join duplicates the whole union on both sides — unpersisted,
-    # the minhash aggregate re-ran once per branch per side (~56 copies,
-    # 127 Exchange references in the audit). One persist, one aggregate.
     sig = dd._signatures_from_shingles(sh).persist()
-    frames = []
-    for b, r in _SWEEP_CONFIGS:
-        for j in range(b):
-            cols = [F.col(f"mh{j * r + k}") for k in range(r)]
-            frames.append(
-                sig.select(
-                    F.lit(f"{b}x{r}").alias("config"),
-                    "doc_id",
-                    F.lit(j).alias("band_id"),
-                    F.concat_ws(",", *cols).alias("band_sig"),
-                )
-            )
-    bands = frames[0]
-    for fr in frames[1:]:
-        bands = bands.unionByName(fr)
-    # both sides of the self-join read the materialized band table
-    # instead of re-deriving the 28-branch union twice
-    bands = bands.persist()
+
+    # r13 (guide §2.4, VERDICT r12 item 1): the three configs share the
+    # SAME 16 minhash perms, and every (b×r) band [j·r, (j+1)·r) is a
+    # union of consecutive 2-row bands of the FINEST config (8×2) —
+    # r ∈ {8,4,2} are aligned multiples of 2. Equality on all r rows of
+    # any band therefore implies equality on each contained 2-row band,
+    # so cand(2x8) ⊆ cand(4x4) ⊆ cand(8x2): ONE self-join on the 8×2
+    # banding generates the candidate superset, and each pair's
+    # membership in the coarser configs is a pure signature-equality
+    # predicate (band_sig string equality ⟺ element-wise mh equality:
+    # comma-separated integers are an injective encoding, and minhash
+    # values are never NULL — a MIN over a non-empty shingle group).
+    # The former shape unioned 28 branches (2+4+8 bands × both join
+    # sides) and re-joined per config: 130 Exchange plan refs, 14.5 s
+    # at sf0.01 with 83 candidate rows — pure plan/stage overhead.
+    n_bands, n_rows = 8, 2
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{j * n_rows + k}") for k in range(n_rows)],
+            ).alias("band_sig"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band_id", "b.band_sig")
     b1, b2 = bands.alias("b1"), bands.alias("b2")
-    cand = (
+    pairs = (
         b1.join(
             b2,
-            (F.col("b1.config") == F.col("b2.config"))
-            & (F.col("b1.band_id") == F.col("b2.band_id"))
+            (F.col("b1.band_id") == F.col("b2.band_id"))
             & (F.col("b1.band_sig") == F.col("b2.band_sig"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
         )
         .select(
-            F.col("b1.config").alias("config"),
             F.col("b1.doc_id").alias("doc_id_a"),
             F.col("b2.doc_id").alias("doc_id_b"),
         )
         .distinct()
-        .persist()
+        .persist()  # consumed by the verify AND the membership flags
     )
+
+    # per-config membership from the signatures themselves (broadcast
+    # join-back on the persisted doc-level sig frame)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+
+    def _in_cfg(b: int, r: int) -> F.Column:
+        cond = F.lit(False)
+        for j in range(b):
+            band_eq = F.lit(True)
+            for k in range(r):
+                i = j * r + k
+                band_eq = band_eq & (F.col(f"a{i}") == F.col(f"b{i}"))
+            cond = cond | band_eq
+        return cond
+
+    flagged = (
+        pairs.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{b}x{r}").alias("config"),
+                            (
+                                F.lit(True)
+                                if (b, r) == (n_bands, n_rows)
+                                else _in_cfg(b, r)
+                            ).alias("m"),
+                        )
+                        for b, r in _SWEEP_CONFIGS
+                    ]
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c.m"))
+        .select("c.config", "doc_id_a", "doc_id_b")
+    )
+
     # NO verify prefilter here: a calibration sweep's candidate union
     # covers most of the corpus (every config's collisions), so the
     # semi-join slice saves nothing and its extra plan layers cost —
     # measured 37.3 s with vs 14.5 s without at sf0.01 (r12 A/B; the
     # prefilter only pays when candidates ≪ corpus, see
-    # minhash_near_duplicates)
-    upairs = cand.select("doc_id_a", "doc_id_b").distinct().persist()
-    ver = dd._jaccard_verify(upairs, sh, 0.5).select(
+    # minhash_near_duplicates). `pairs` is already the distinct union
+    # of candidates across configs (the 8×2 superset).
+    ver = dd._jaccard_verify(pairs, sh, 0.5).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("_true")
     )
     return (
-        cand.join(ver, ["doc_id_a", "doc_id_b"], "left")
+        flagged.join(ver, ["doc_id_a", "doc_id_b"], "left")
         .groupBy("config")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
