@@ -875,8 +875,16 @@ def connected_components(
     """
     sc = pairs.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
+    # scale-adaptive partition count for the checkpointed frontiers
+    # (r13, the r12 graph-sweep pattern): checkpoint captures the RDD
+    # BEFORE AQE's final-stage coalescing, so under a bare driver-style
+    # session every round otherwise materializes all 200 default
+    # shuffle partitions as near-empty blocks. The frontier is a narrow
+    # (node, label) frame; defaultParallelism tracks cluster cores.
+    npart = sc.defaultParallelism
 
     def _checkpoint(df: DataFrame) -> DataFrame:
+        df = df.coalesce(npart)
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
             eager=True
         )
@@ -884,6 +892,10 @@ def connected_components(
     both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    # both feeds the node set AND the edge union below — persisted so
+    # the caller's pair-generation subtree (often an expensive blocked
+    # self-join) executes once, not once per consumer (r13).
+    both = both.persist()
     # self-loops fold the "keep your own label" term into the neighbor-min
     # join itself, so the propagation loop contains NO Union — a Union of
     # a checkpointed child inside the loop trips Catalyst's
@@ -928,18 +940,31 @@ def connected_components(
                 F.coalesce(F.col("l_label"), F.col("a.label")).alias("label"),
             )
         )
-        new_labels = _checkpoint(jumped)
         # fixpoint test by direct comparison — works for ANY orderable id
         # type (a sum-of-labels shortcut would misread string ids as an
-        # empty graph and can overflow on wide hash-derived longs)
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
+        # empty graph and can overflow on wide hash-derived longs).
+        # r13: the old-vs-new comparison join runs INSIDE the round's
+        # checkpoint job (one eager job per round instead of checkpoint
+        # + a separate convergence-join job); the convergence test then
+        # only scans the materialized checkpoint blocks.
+        new_labels = _checkpoint(
+            jumped.alias("n")
+            .join(
+                labels.select(
+                    "node", F.col("label").alias("__old")
+                ).alias("o"),
+                "node",
+            )
+            .select(
+                "node",
+                F.col("n.label").alias("label"),
+                (F.col("n.label") != F.col("__old")).alias("__chg"),
+            )
         )
-        labels = new_labels
+        converged = new_labels.filter(F.col("__chg")).isEmpty()
+        labels = new_labels.select("node", "label")
     edges.unpersist()
+    both.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -1269,8 +1294,13 @@ def connected_components_star(
     """
     sc = pairs.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
+    # scale-adaptive partition count, same rationale as
+    # connected_components: checkpoint captures the RDD before AQE's
+    # final coalescing, so don't materialize 200 near-empty blocks/round
+    npart = sc.defaultParallelism
 
     def _checkpoint(df: DataFrame) -> DataFrame:
+        df = df.coalesce(npart)
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
             eager=True
         )

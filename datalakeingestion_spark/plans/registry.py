@@ -67,56 +67,56 @@ def register(
 # positions 0-49 and test_parity.py pins the tuple length to the
 # checked window).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "quota_enforced_delivery_contract",  # never checked
-    "ivf_split_hot_cells_contract",  # never checked
-    "unigram_train_softem_top50",  # never checked
-    "upsampled_corpus_shard_manifest",  # never checked
-    "curriculum_shard_manifest",  # never checked
-    "packing_efficiency_by_order",  # never checked
-    "shuffled_shard_manifest",  # never checked
-    "packed_sequence_boundaries",  # never checked
-    "tokenizer_true_shard_manifest",  # never checked
-    "holdout_excluded_delivery_contract",  # never checked
-    "delivery_resume_table",  # never checked
-    "tokenizer_true_quota_selection",  # never checked
-    "q4_order_priority_exists",  # last green r6
-    "q10_returned_items",  # last green r6
-    "q14_promo_revenue",  # last green r6
-    "q18_large_volume_orders",  # last green r6
-    "q19_disjunctive_join",  # last green r6
-    "q7_nation_volume",  # last green r6
-    "q12_priority_shipping",  # last green r6
-    "q13_order_count_distribution",  # last green r6
-    "q22_global_sales_opportunity",  # last green r6
-    "q8_market_share",  # last green r6
-    "q15_top_supplier",  # last green r6
-    "q17_small_quantity_revenue",  # last green r6
-    "q2_min_acctbal_supplier",  # last green r6
-    "q21_sole_late_supplier",  # last green r6
-    "q21_sole_late_supplier_agg",  # last green r6
-    "q9_profit_by_nation_year",  # last green r6
-    "f3_predicate_string_filter",  # last green r7
-    "f5_key_lookup",  # last green r7
-    "c3_parse_truncate",  # last green r7
-    "c6_regex_extract",  # last green r7
-    "c7_concat_case",  # last green r7
-    "a4_count_with_predicate",  # last green r7
-    "w3_sessionize",  # last green r7
-    "w4_running_total",  # last green r7
-    "g1_rollup_counts",  # last green r7
-    "g2_pivot_status",  # last green r7
-    "g3_percentiles",  # last green r7
-    "asof_latest_order_per_event",  # last green r7
-    "sketch_kmv_distinct",  # last green r7
-    "t7_windowed_counts",  # last green r7
-    "zorder_clustering_key",  # last green r7
-    "g4_cube_counts",  # last green r7
-    "w5_latest_composite_key",  # last green r7
-    "t8_session_window_counts",  # last green r7
-    "profile_orders",  # last green r7
-    "d3_grouped_zscore",  # last green r7
-    "g5_unpivot_balances",  # last green r7
-    "dedup_exact",  # last green r7
+    "dedup_minhash_lsh",  # last green r7
+    "dedup_cluster_assign",  # last green r7
+    "decontaminate_ngram_overlap",  # last green r7
+    "dedup_ngram_jaccard",  # last green r7
+    "dedup_simhash",  # last green r7
+    "dedup_embedding_cosine",  # last green r7
+    "ann_cosine_topk",  # last green r7
+    "ann_lsh_bucketed",  # last green r7
+    "text_quality_score",  # last green r7
+    "lang_id_heuristic",  # last green r7
+    "token_count",  # last green r7
+    "text_repetition_filter",  # last green r7
+    "text_redact_pii",  # last green r7
+    "vocab_topk",  # last green r7
+    "text_length_filter_percentile",  # last green r7
+    "doc_fingerprint",  # last green r7
+    "ks_drift_time_sliced",  # last green r7
+    "price_percentile_rank",  # last green r7
+    "psi_drift_windowed",  # last green r7
+    "video_avi_channel_stats",  # last green r7
+    "ks_drift_windowed_grid",  # last green r7
+    "ks_drift_sampled",  # last green r7
+    "price_quantiles_sketched",  # last green r7
+    "event_value_quantiles_windowed",  # last green r7
+    "weekly_active_users_sampled",  # last green r7
+    "q16_supplier_part_variety",  # last green r7
+    "q20_half_volume_suppliers",  # last green r7
+    "q11_important_stock",  # last green r7
+    "multimodal_feature_extract",  # last green r8
+    "curation_pipeline",  # last green r8
+    "ann_ivf_topk",  # last green r8
+    "dedup_embedding_cosine_blocked",  # last green r8
+    "text_token_entropy",  # last green r8
+    "sample_documents_deterministic",  # last green r8
+    "stratified_sample_exact",  # last green r8
+    "split_train_val",  # last green r8
+    "mix_corpora_weighted",  # last green r8
+    "pack_sequences_512",  # last green r8
+    "chunk_documents_128",  # last green r8
+    "shuffle_rank_deterministic",  # last green r8
+    "embedding_quantize_int8",  # last green r8
+    "range_join_error_context_5min",  # last green r8
+    "range_join_signup_followups_1h",  # last green r8
+    "cms_term_frequency",  # last green r8
+    "g6_grouping_sets",  # last green r8
+    "w7_event_gap_stats",  # last green r8
+    "d4_price_quantity_correlation",  # last green r8
+    "sketch_kmv_by_returnflag",  # last green r8
+    "countsketch_term_frequency",  # last green r8
+    "a8_approx_distinct_parts",  # last green r8
 )
 
 

@@ -800,6 +800,13 @@ def _er_lake_frames(
         F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
     )
     labels = dd.connected_components(pairs)
+    # r13 (guide §5, VERDICT item 4): members feeds golden_records'
+    # two aggregates AND the crosswalk; golden feeds up to three
+    # consumers in resolve_increment (blocked match, base-id aggregate,
+    # survivorship fold). Left lazy, each reference re-ran the
+    # lake⋈labels join + survivorship aggregates — persist both
+    # (members is lake-record-sized, golden entity-sized; lazy,
+    # LRU-evictable, the dedup.lsh_candidate_report policy).
     members = (
         lake.join(labels, lake.c_custkey == labels.doc_id, "left")
         .withColumn(
@@ -807,6 +814,7 @@ def _er_lake_frames(
             F.coalesce(F.col("cluster_id"), F.col("c_custkey")),
         )
         .drop("doc_id", "cluster_id")
+        .persist()
     )
     golden = golden_records(
         members,
@@ -814,7 +822,7 @@ def _er_lake_frames(
         "c_name",
         max_cols=("c_acctbal",),
         min_cols=("c_nationkey", "c_mktsegment"),
-    ).select(
+    ).persist().select(
         F.col("entity_id").alias("c_custkey"),
         F.col("golden_c_name").alias("c_name"),
         "c_acctbal",
