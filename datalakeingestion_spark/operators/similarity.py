@@ -128,6 +128,97 @@ def _round6_spark(arr):
     return out + 0.0
 
 
+#: Upper bound on query rows collected to the driver by the one-pass
+#: kernels below. The query set is metadata-scale by contract (it was a
+#: driver-built broadcast in the former formulation already), but the
+#: contract was only a docstring — past this bound the collect would
+#: bloat the driver and every task closure, so the operator falls back
+#: to the broadcast-join formulation instead (r13, the
+#: packing.MAX_LITERAL_ROWS precedent).
+MAX_COLLECT_QUERIES = 100_000
+
+
+def _collect_query_rows(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded collect of (id, vec) query rows; ``None`` past the bound
+    (caller falls back to the join formulation). Rows with a NULL id or
+    NULL vector are dropped — the NULL-id drop replicates the former
+    join condition, the NULL-vec drop is the explicit contract both
+    formulations now share (a NULL vector can never score)."""
+    rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(MAX_COLLECT_QUERIES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_COLLECT_QUERIES:
+        return None
+    return [r for r in rows if r[0] is not None and r[1] is not None]
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _cosine_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The former broadcast-join formulation — the fallback when the
+    query set exceeds ``MAX_COLLECT_QUERIES``. Same output contract as
+    the kernel path: NULL-id/NULL-vec rows dropped on both sides,
+    mismatched-dimension pairs dropped, zero-norm cosines NULL (Spark's
+    non-ANSI divide), ranked last under desc."""
+    q = queries.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = embeddings.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.size("q_vec") == F.size("c_vec")),
+        )
+        .withColumn("cosine", _safe_cosine())
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _rank_topk(scored, k)
+
+
+def _safe_cosine() -> Column:
+    """6-dp cosine over (q_vec, c_vec, q_norm, c_norm) with zero-norm
+    lanes yielding NULL — guarded CASE WHEN, because Spark 4's default
+    ANSI mode makes a bare divide-by-zero THROW rather than return
+    NULL. NULL sorts last under the desc ranking, the same contract the
+    mapInPandas kernels implement."""
+    return F.when(
+        (F.col("q_norm") != 0) & (F.col("c_norm") != 0),
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -138,28 +229,33 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query row.
 
     Output: (query_id, neighbor_id, cosine) with deterministic ranking
-    (cosine rounded to 6 dp, ties broken by neighbor_id).
+    (cosine rounded to 6 dp, ties broken by neighbor_id). Rows with a
+    NULL id or NULL vector never participate (either side); corpus rows
+    whose dimension differs from the query dimension are skipped; a
+    zero-norm vector on either side yields a NULL cosine that ranks
+    LAST (Spark's divide-by-zero-is-NULL, NULLS-LAST-desc behavior —
+    r13, ADVICE fix).
 
     Execution shape (one corpus pass): the query set is metadata-scale
-    by contract — it was a driver-built broadcast already — so it is
-    collected once and closed over by a single ``mapInPandas`` kernel
-    that scores EVERY query against each Arrow batch with one BLAS
-    matmul and emits only the batch-local top-k per query. Each corpus
-    vector crosses the Python boundary exactly once (the former shape
-    replicated it per query through a BroadcastNestedLoopJoin and paid
-    three ArrowEvalPython nodes); the global window then ranks the
+    by contract and bounded by ``MAX_COLLECT_QUERIES`` (past the bound
+    the operator falls back to the broadcast-join formulation), so it
+    is collected once and closed over by a single ``mapInPandas``
+    kernel that scores EVERY query against each Arrow batch with one
+    BLAS matmul and emits only the batch-local top-k per query. Each
+    corpus vector crosses the Python boundary exactly once (the former
+    shape replicated it per query through a BroadcastNestedLoopJoin and
+    paid three ArrowEvalPython nodes); the global window then ranks the
     ~k·n_batches survivors per query — global top-k under a total
     order is always a subset of the union of per-batch top-k under the
-    same order, so results are identical row-for-row.
+    same order (dead lanes rank -inf, so they fill spare slots only),
+    so results are identical row-for-row.
     """
     import numpy as np
     from pyspark.sql import types as T
 
-    q_rows = [
-        r
-        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
-        if r[0] is not None
-    ]
+    q_rows = _collect_query_rows(queries, id_col, vec_col)
+    if q_rows is None:
+        return _cosine_topk_join(embeddings, queries, k, id_col, vec_col)
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
@@ -177,10 +273,12 @@ def cosine_topk(
     # same call as the per-batch corpus norms below, so a vector that is
     # both query and corpus row gets the bit-identical norm either side
     q_norms = np.linalg.norm(Q, axis=1)
+    q_zero = q_norms == 0.0
+    dim = Q.shape[1]
 
-    # the former join condition (query_id != neighbor_id) silently drops
-    # NULL-id rows; keep that contract explicit
-    c = embeddings.filter(F.col(id_col).isNotNull()).select(
+    c = embeddings.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
 
@@ -188,6 +286,16 @@ def cosine_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # skip ragged rows (dimension != query dimension) instead of
+            # crashing vstack; NULL vecs are filtered JVM-side above
+            lens = np.fromiter(
+                (len(v) for v in pdf["c_vec"]), dtype=np.int64,
+                count=len(pdf),
+            )
+            if not (lens == dim).all():
+                pdf = pdf[lens == dim]
+                if pdf.empty:
+                    continue
             ids = pdf["neighbor_id"].to_numpy()
             C = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
             c_norms = np.linalg.norm(C, axis=1)
@@ -195,9 +303,16 @@ def cosine_topk(
                 cos = _round6_spark(
                     (C @ Q.T) / np.outer(c_norms, q_norms)
                 )  # n × m
-            # ranking replica of ORDER BY cosine DESC, neighbor_id ASC:
-            # Spark sorts NaN above every double, so NaN ranks first
-            rank = np.where(np.isnan(cos), np.inf, cos)
+            # zero-norm lanes: NULL cosine (NaN → Arrow null), ranked
+            # LAST — replicating Spark's NULL divide + NULLS-LAST desc.
+            # Rank -2.0: below every real cosine (≥ -1) but ABOVE the
+            # -inf self rows, so a dead lane is never crowded out of
+            # the batch-local top-k by a row the final ranking drops —
+            # the union-superset argument needs the batch order to
+            # match the global order over EMITTABLE rows.
+            dead = (c_norms == 0.0)[:, None] | q_zero[None, :]
+            cos[dead] = np.nan
+            rank = np.where(dead, -2.0, cos)
             self_mask = ids[:, None] == q_ids[None, :]
             rank[self_mask] = -np.inf
             kk = min(k, len(ids))
@@ -217,14 +332,7 @@ def cosine_topk(
             )
 
     scored = c.mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
@@ -257,6 +365,71 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_bucketed_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_tables: int,
+    planes_per_table: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The former posexplode+broadcast-join formulation — the fallback
+    when the query set exceeds ``MAX_COLLECT_QUERIES``. Buckets are the
+    same numpy kernel (one matmul per Arrow batch); candidate pairs
+    dedupe through a groupBy before scoring."""
+    import numpy as np
+
+    mats = np.array(
+        [hyperplanes(planes_per_table, dim, seed=t) for t in range(n_tables)],
+        dtype=np.float64,
+    ).reshape(n_tables * planes_per_table, dim)
+    weights = 1 << np.arange(planes_per_table)
+
+    @F.pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        X = np.vstack(col.to_numpy()).astype(np.float64)  # n × dim
+        bits = (X @ mats.T) >= 0.0  # n × (L·k)
+        b = bits.reshape(len(X), n_tables, planes_per_table) @ weights
+        return pd.Series(list(b))
+
+    c = embeddings.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    q = queries.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.size("q_vec") == F.size("c_vec"))
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("q_vec").alias("q_vec"),
+            F.first("c_vec").alias("c_vec"),
+            F.first("q_norm").alias("q_norm"),
+            F.first("c_norm").alias("c_norm"),
+        )
+    )
+    scored = candidates.withColumn("cosine", _safe_cosine()).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -270,20 +443,31 @@ def lsh_bucketed_topk(
     """Approximate top-k: cosine ranking restricted to candidates sharing
     an LSH bucket in ANY of the L hash tables. Same output schema as
     ``cosine_topk``; each candidate pair is scored once regardless of how
-    many tables it collides in.
+    many tables it collides in. NULL-id/NULL-vec rows drop on either
+    side; ragged corpus rows are skipped; zero-norm cosines are NULL and
+    rank LAST (r13, the ``cosine_topk`` contract).
 
     Execution shape (r12, one corpus pass — same rationale as
-    ``cosine_topk``): the metadata-scale query set is collected once,
-    its buckets/norms computed driver-side with the identical numpy
-    kernel, and a single ``mapInPandas`` pass buckets + scores each
-    corpus batch against all queries, emitting batch-local top-k among
-    bucket-colliding candidates. The former shape posexploded every
-    corpus vector ×L (the vector payload rode the explode), broadcast-
-    joined, then shuffled full vectors through a pair-level groupBy —
-    three vector-payload movements the one-pass form never makes.
+    ``cosine_topk``): the metadata-scale query set is collected once
+    (bounded by ``MAX_COLLECT_QUERIES``, falling back to the explode-
+    join formulation past it), its buckets/norms computed driver-side
+    with the identical numpy kernel, and a single ``mapInPandas`` pass
+    buckets + scores each corpus batch against all queries, emitting
+    batch-local top-k among bucket-colliding candidates. The former
+    shape posexploded every corpus vector ×L (the vector payload rode
+    the explode), broadcast-joined, then shuffled full vectors through
+    a pair-level groupBy — three vector-payload movements the one-pass
+    form never makes.
     """
     import numpy as np
     from pyspark.sql import types as T
+
+    q_rows = _collect_query_rows(queries, id_col, vec_col)
+    if q_rows is None:
+        return _lsh_bucketed_topk_join(
+            embeddings, queries, k, n_tables, planes_per_table, dim,
+            id_col, vec_col,
+        )
 
     mats = np.array(
         [hyperplanes(planes_per_table, dim, seed=t) for t in range(n_tables)],
@@ -295,11 +479,6 @@ def lsh_bucketed_topk(
         bits = (X @ mats.T) >= 0.0  # n × (L·k)
         return bits.reshape(len(X), n_tables, planes_per_table) @ weights
 
-    q_rows = [
-        r
-        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
-        if r[0] is not None
-    ]
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
@@ -313,9 +492,13 @@ def lsh_bucketed_topk(
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norms = np.linalg.norm(Q, axis=1)
+    q_zero = q_norms == 0.0
     q_buckets = bucketize(Q)  # m × L
+    qdim = Q.shape[1]
 
-    c = embeddings.filter(F.col(id_col).isNotNull()).select(
+    c = embeddings.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
 
@@ -323,6 +506,14 @@ def lsh_bucketed_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
+            lens = np.fromiter(
+                (len(v) for v in pdf["c_vec"]), dtype=np.int64,
+                count=len(pdf),
+            )
+            if not (lens == qdim).all():
+                pdf = pdf[lens == qdim]
+                if pdf.empty:
+                    continue
             ids = pdf["neighbor_id"].to_numpy()
             C = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
             c_norms = np.linalg.norm(C, axis=1)
@@ -333,7 +524,12 @@ def lsh_bucketed_topk(
             ) & (ids[:, None] != q_ids[None, :])
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = _round6_spark((C @ Q.T) / np.outer(c_norms, q_norms))
-            rank = np.where(np.isnan(cos), np.inf, cos)
+            # zero-norm lanes: NULL cosine ranked last among candidates
+            # but ABOVE non-candidates (-2.0 < every real cosine; see
+            # cosine_topk for the union-superset argument)
+            dead = (c_norms == 0.0)[:, None] | q_zero[None, :]
+            cos[dead] = np.nan
+            rank = np.where(dead, -2.0, cos)
             rank[~cand] = -np.inf
             kk = min(k, len(ids))
             out_q, out_n, out_c = [], [], []
@@ -352,14 +548,7 @@ def lsh_bucketed_topk(
             )
 
     scored = c.mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_duplicates_blocked(

@@ -88,6 +88,26 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+@pytest.fixture(scope="session")
+def registry_frames(spark):
+    """Every registered query built ONCE at sf0.001 (r13, suite wall
+    time): ``fn()`` assembly — where connected-components loops, IVF
+    training and graph sweeps eagerly execute — is the expensive half
+    of a registry sweep (~4 min), and both the cartesian-product net
+    (test_plans) and the array/map schema net (test_parity) only need
+    the built DataFrame, so they share one build instead of paying two.
+    """
+    from datalakeingestion_spark.plans.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    return {
+        name: qd.fn(spark, SF_SMALL) for name, qd in REGISTRY.items()
+    }
+
+
 def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
     actual = canonicalize(spark_df.toPandas())
     expected = canonicalize(duck_con.execute(oracle).df())

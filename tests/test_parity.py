@@ -76,15 +76,15 @@ def test_driver_priority_invariants():
     assert list(all_queries())[:50] == list(DRIVER_PRIORITY)
 
 
-def test_no_registered_query_returns_array_or_map(spark):
+def test_no_registered_query_returns_array_or_map(registry_frames):
     """Driver-hash safety: an array/map result column renders as a numpy
     array under the Arrow-enabled session but as a Python list in the
     driver's bare session — the value hash then depends on formatting,
     not values. Registered queries must ship scalars only (join arrays
-    into strings; see tokenize_to_ids)."""
+    into strings; see tokenize_to_ids). Schemas are SF-independent, so
+    the shared sf0.001 registry build (registry_frames) serves here."""
     offenders = []
-    for name, qd in REGISTRY.items():
-        df = qd.fn(spark, SF_DIR)
+    for name, df in registry_frames.items():
         for f in df.schema.fields:
             t = f.dataType.simpleString()
             if "array" in t or "map" in t:

@@ -673,25 +673,17 @@ _BNLJ_WHITELIST = {
 }
 
 
-def test_registry_wide_no_cartesian_products(spark):
+def test_registry_wide_no_cartesian_products(registry_frames):
     """Global plan-shape net: NO registered query may compile to a
     CartesianProduct, and BroadcastNestedLoopJoin only where audited
     (1-row scalar builds / broadcast query sets on non-equi conditions).
     A refactor that drops a join key or wraps it in a non-pushable
     expression degrades to one of these silently — this catches it
-    across every registered query at plan-build cost, no execution."""
-    from datalakeingestion_spark.plans.registry import (
-        REGISTRY,
-        _ensure_loaded,
-    )
-
-    _ensure_loaded()
-    sf = "/root/testdata/sf0.001"
+    across every registered query at plan-build cost, no execution
+    (the build itself is shared session-wide via registry_frames)."""
     offenders = {}
-    for name, qd in REGISTRY.items():
-        plan = (
-            qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
-        )
+    for name, df in registry_frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         cart = plan.count("CartesianProduct")
         bnlj = plan.count("BroadcastNestedLoopJoin")
         if cart:

@@ -389,3 +389,121 @@ def test_round6_spark_matches_engine_round():
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     want = [r[0] for r in df.select(F.round("x", 6)).collect()]
     assert [repr(g) for g in got.tolist()] == [repr(w) for w in want]
+
+
+def _zero_vec_frame(spark):
+    """Tiny corpus with an all-zero embedding (vec 99) planted among
+    normal vectors — the zero-norm lane whose cosine must be NULL and
+    rank LAST (r13 ADVICE fix)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (99, [0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_cosine_topk_zero_vector_null_cosine_ranks_last(spark):
+    """Zero-norm lanes: the mapInPandas kernel must replicate Spark's
+    non-ANSI divide (NULL cosine) and NULLS-LAST desc ordering — the
+    numpy path's 0/0 NaN formerly ranked FIRST. Pinned against the
+    join-formulation fallback (the literal former shape)."""
+    df = _zero_vec_frame(spark)
+    q = df.filter(F.col("vec_id").isin(1, 99))
+    fast = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.cosine_topk(df, q, k=10).collect()
+    )
+    twin = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim._cosine_topk_join(
+            df, q, 10, "vec_id", "embedding"
+        ).collect()
+    )
+    assert fast == twin
+    by_query = {}
+    for qid, nid, cos in fast:
+        by_query.setdefault(qid, []).append((nid, cos))
+    # the zero vector is a NULL-cosine neighbor for query 1, and every
+    # cosine of query 99 is NULL
+    assert (99, None) in by_query[1]
+    assert all(c is None for _, c in by_query[99])
+    # NULLs rank last: query 1's NULL row comes after all real cosines
+    ranked = [
+        r
+        for r in sim.cosine_topk(df, q, k=10).collect()
+        if r.query_id == 1
+    ]
+    null_pos = [i for i, r in enumerate(ranked) if r.cosine is None]
+    real_pos = [i for i, r in enumerate(ranked) if r.cosine is not None]
+    assert null_pos and real_pos and min(null_pos) > max(real_pos)
+
+
+def test_lsh_bucketed_topk_zero_vector_matches_join_twin(spark):
+    df = _zero_vec_frame(spark)
+    q = df.filter(F.col("vec_id").isin(1, 99))
+    kwargs = dict(k=10, n_tables=4, planes_per_table=3, dim=3)
+    fast = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.lsh_bucketed_topk(df, q, **kwargs).collect()
+    )
+    twin = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim._lsh_bucketed_topk_join(
+            df, q, 10, 4, 3, 3, "vec_id", "embedding"
+        ).collect()
+    )
+    assert fast == twin
+
+
+def test_cosine_topk_bounded_collect_falls_back(spark, emb, monkeypatch):
+    """VERDICT r12 item 6: the driver-side query collect is bounded —
+    past MAX_COLLECT_QUERIES the operator must return the join
+    formulation's (identical) result instead of collecting an unbounded
+    frame onto the driver."""
+    q = emb.filter(F.col("vec_id") < 5)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.cosine_topk(emb, q, k=10).collect()
+    )
+    monkeypatch.setattr(sim, "MAX_COLLECT_QUERIES", 2)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.cosine_topk(emb, q, k=10).collect()
+    )
+    assert got == want
+    lsh_kwargs = dict(k=5, n_tables=4, planes_per_table=3, dim=64)
+    monkeypatch.setattr(sim, "MAX_COLLECT_QUERIES", 100_000)
+    want_lsh = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.lsh_bucketed_topk(emb, q, **lsh_kwargs).collect()
+    )
+    monkeypatch.setattr(sim, "MAX_COLLECT_QUERIES", 2)
+    got_lsh = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.lsh_bucketed_topk(emb, q, **lsh_kwargs).collect()
+    )
+    assert got_lsh == want_lsh
+
+
+def test_cosine_topk_null_and_ragged_vectors_skipped(spark):
+    """ADVICE r12: NULL or wrong-length corpus vectors must not crash
+    the vstack — they are filtered/skipped on both formulations."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),  # ragged
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") == 1)
+    got = sim.cosine_topk(df, q, k=10).collect()
+    assert sorted(r.neighbor_id for r in got) == [2]
+    twin = sim._cosine_topk_join(df, q, 10, "vec_id", "embedding").collect()
+    assert sorted(r.neighbor_id for r in twin) == [2]
