@@ -1614,6 +1614,13 @@ def dedup_against_index(
             F.col("b.doc_id").alias("doc_id_b"),
         )
         .distinct()
+        # r13 (VERDICT item 10 re-measurement): cand feeds the verify
+        # pair probe AND the candidate-id prune below — left lazy, the
+        # signature aggregates + band join re-executed once per
+        # reference (the r11 "persist-subtree only" claim was wrong).
+        # Lazy localCheckpoint, not persist: per-batch path, same
+        # no-session-cache policy as the shingle tables above.
+        .localCheckpoint(eager=False)
     )
     # verify over the union shingle table, SEMI-PRUNED to candidate docs
     # first: without the prune, the verify joins shuffle the whole lake
@@ -1631,9 +1638,12 @@ def dedup_against_index(
         .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
         .distinct()
     )
+    # consumed three times inside _jaccard_verify (sizes + both
+    # intersection probes) — checkpoint so the union + semi join run
+    # once per batch (r13)
     pruned = sh_new.unionByName(sh_old).join(
         F.broadcast(ids), "doc_id", "leftsemi"
-    )
+    ).localCheckpoint(eager=False)
     return _jaccard_verify(cand, pruned, threshold)
 
 

@@ -367,6 +367,24 @@ def triangle_counts(
     # whole edge-construction subtree (often a join+groupBy of its own)
     # re-executes for every consumer.
     e = e.persist()
+    counts, _deg = _canonical_triangle_counts(e)
+    return counts
+
+
+def _canonical_triangle_counts(
+    e: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Triangle counts over a PERSISTED canonical edge frame: columns
+    (a, b) with a < b, distinct, no self-loops — the post-
+    canonicalization core of :func:`triangle_counts`, split out (r13,
+    guide §2.4) so callers whose edge list is canonical BY CONSTRUCTION
+    (e.g. the support>=2 co-order graph: a GROUP BY over a.p < b.p
+    pairs) skip the redundant distinct exchange, and so the degree
+    frame — which clustering-coefficient callers need anyway — is
+    aggregated ONCE and shared instead of twice.
+
+    Returns ``(per-node triangle counts, persisted (node, deg) frame)``.
+    """
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -407,9 +425,10 @@ def triangle_counts(
     corners = tri.select(
         F.explode(F.array("c", "v", "w")).alias("node")
     )
-    return corners.groupBy("node").agg(
+    counts = corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    return counts, deg
 
 
 def personalized_pagerank_fixed_point(

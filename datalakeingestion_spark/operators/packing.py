@@ -394,6 +394,39 @@ MAX_SUBTOTAL_ROWS = 1_000_000
 MAX_LITERAL_ROWS = 10_000
 
 
+#: Python types a literal can faithfully render per Spark type —
+#: anything else (and any out-of-range integral) falls back to
+#: ``createDataFrame`` so construction-time validation stays identical
+#: (r13, ADVICE: the bare ``F.lit(v).cast`` path deferred value errors
+#: to execution, where a non-ANSI session would null-coerce silently).
+_LIT_RANGES = {
+    T.ByteType: (-(1 << 7), (1 << 7) - 1),
+    T.ShortType: (-(1 << 15), (1 << 15) - 1),
+    T.IntegerType: (-(1 << 31), (1 << 31) - 1),
+    T.LongType: (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _lit_compatible(v, field: T.StructField) -> bool:
+    if v is None:
+        return bool(field.nullable)
+    dt = type(field.dataType)
+    if dt in _LIT_RANGES:
+        lo, hi = _LIT_RANGES[dt]
+        return (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and lo <= v <= hi
+        )
+    if dt in (T.DoubleType, T.FloatType):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if dt is T.StringType:
+        return isinstance(v, str)
+    if dt is T.BooleanType:
+        return isinstance(v, bool)
+    return False  # decimals/dates/exotic types: take the verified path
+
+
 def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
     """Small driver-side row list -> DataFrame WITHOUT the Python-RDD
     path.
@@ -407,20 +440,38 @@ def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
     Rendering the rows as a literal ``inline(array(struct(...)))`` over a
     one-partition ``range(1)`` keeps every later evaluation JVM-only.
 
-    Falls back to ``createDataFrame`` for empty/huge lists or values
-    ``F.lit`` cannot render (exotic key types) — same rows either way.
+    Falls back to ``createDataFrame`` for empty/huge lists, values a
+    literal cannot faithfully render (exotic types, out-of-range
+    integrals, NULL in a non-nullable field — validated up front so
+    value errors surface at construction exactly like createDataFrame's,
+    never as a deferred cast), or any construction failure. The literal
+    frame is reconciled with ``.to(schema)`` so the result schema —
+    including nullability — matches the createDataFrame path.
     """
     if not rows or len(rows) > MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, schema)
     fields = schema.fields
+    if not all(
+        len(r) == len(fields)
+        and all(_lit_compatible(v, f) for f, v in zip(fields, r))
+        for r in rows
+    ):
+        return spark.createDataFrame(rows, schema)
+    def _lit(v, f: T.StructField):
+        # a bare (or try_cast) literal analyzes non-nullable under
+        # Spark 4's finish-analysis constant folding, so the literal
+        # frame's schema would diverge from createDataFrame's in
+        # nullability (the ADVICE r12 latent divergence). CASE WHEN on
+        # a nondeterministic no-op (the curation._pin_once trick) is
+        # nullable at analysis, value-preserving, and fold-proof.
+        col = F.lit(v).cast(f.dataType)
+        if f.nullable:
+            col = F.when(F.spark_partition_id() >= 0, col)
+        return col.alias(f.name)
+
     try:
         structs = [
-            F.struct(
-                *[
-                    F.lit(v).cast(f.dataType).alias(f.name)
-                    for f, v in zip(fields, r)
-                ]
-            )
+            F.struct(*[_lit(v, f) for f, v in zip(fields, r)])
             for r in rows
         ]
         return spark.range(0, 1, 1, 1).select(

@@ -72,10 +72,17 @@ def _coorder_edges(li: DataFrame) -> DataFrame:
 def triangle_count_coorder_parts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.graph import triangle_counts
+    from ..operators.graph import _canonical_triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    return triangle_counts(_coorder_edges(li))
+    # _coorder_edges is canonical by construction (GROUP BY over
+    # a.p < b.p pairs: distinct, ordered, no self-loops), so the core
+    # skips triangle_counts' re-canonicalizing distinct exchange (r13)
+    e = _coorder_edges(li).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).persist()
+    counts, _deg = _canonical_triangle_counts(e)
+    return counts
 
 
 @register(
@@ -1037,17 +1044,18 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clustering_coefficient_parts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.graph import triangle_counts
+    from ..operators.graph import _canonical_triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _coorder_edges(li).persist()
-    tri = triangle_counts(edges)
-    deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    # canonical by construction (see triangle_count_coorder_parts); the
+    # core SHARES its degree aggregate, so the former caller-side
+    # second degree pass and the operator's re-canonicalizing distinct
+    # are both gone (r13: 2 exchanges + 1 persist fill fewer)
+    edges = _coorder_edges(li).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).persist()
+    tri, deg_frame = _canonical_triangle_counts(edges)
+    deg = deg_frame.select("node", F.col("deg").alias("degree"))
     j = deg.join(tri, "node", "left").select(
         "node",
         F.col("degree").cast("long").alias("degree"),

@@ -699,3 +699,40 @@ def test_local_rows_frame_literal_and_fallback(spark):
     fb = P.local_rows_frame(spark, big, sch)
     assert fb.count() == len(big)
     assert "Generate" not in fb._jdf.queryExecution().executedPlan().toString()
+
+
+def test_local_rows_frame_schema_nullability_and_value_validation(spark):
+    """r13 (ADVICE): the literal path must (a) produce a schema EQUAL
+    to createDataFrame's including nullability, and (b) never defer a
+    value error to a runtime cast — values a literal cannot faithfully
+    render (out-of-range integrals, NULL in a non-nullable field, wrong
+    Python type) take the createDataFrame path, which validates at
+    construction."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from datalakeingestion_spark.operators import packing as P
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType(), True),
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("off", T.LongType(), True),
+        ]
+    )
+    rows = [("a", 1, 10), ("b", 2, None)]
+    lit = P.local_rows_frame(spark, rows, sch)
+    cdf = spark.createDataFrame(rows, sch)
+    assert lit.schema == cdf.schema  # nullability included
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, cdf.collect())
+    )
+    # out-of-range int: construction-time error, same as createDataFrame
+    with _pytest.raises(Exception, match="2147483647|OUT_OF_BOUNDS"):
+        P.local_rows_frame(spark, [("a", 2**40, 1)], sch)
+    # NULL in a non-nullable field: construction-time error
+    with _pytest.raises(Exception):
+        P.local_rows_frame(spark, [("a", None, 1)], sch)
+    # wrong python type routes through the validated path
+    with _pytest.raises(Exception):
+        P.local_rows_frame(spark, [(1, 1, "x")], sch)

@@ -918,3 +918,31 @@ def test_shuffled_pack_order_stays_bucketed(spark):
     assert "hashpartitioning(_pid" in plan, plan
     assert "shuffle_key" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_curate_tokenize_chain_pinned_once(spark):
+    """r13 pin for the curate anti-re-inline (_pin_once, VERDICT r12
+    item 8 / ADVICE): the quality+language tail must evaluate the
+    tokenize chain ONCE, behind the nondeterministic CASE WHEN
+    (SPARK_PARTITION_ID() >= 0) pin. The pin leans on Catalyst
+    internals (PushPredicateThroughNonJoin / CollapseProject skip
+    nondeterministic aliases), so a Spark upgrade could silently
+    re-inline the chain ~40x per row into the filter predicates —
+    value-preserving but a large perf regression. This asserts the
+    executable facts: exactly one pinned chain in the optimized plan,
+    and no tokenize chain inside any Filter condition."""
+    df = run(spark, "curation_pipeline")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("SPARK_PARTITION_ID") == 1, (
+        "the _pin_once projection must appear exactly once "
+        f"(found {opt.count('SPARK_PARTITION_ID')})"
+    )
+    filter_lines = [
+        ln for ln in opt.splitlines() if ln.lstrip("+- ").startswith("Filter")
+    ]
+    assert filter_lines, "expected at least one Filter in the curate plan"
+    offenders = [ln[:160] for ln in filter_lines if "regexp_replace" in ln]
+    assert not offenders, (
+        "tokenize chain re-inlined into a filter predicate: "
+        f"{offenders}"
+    )
