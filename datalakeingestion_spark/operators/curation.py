@@ -175,17 +175,28 @@ def curate_v2(
     from .dedup import cdc_shared_chunks, containment_join
     from .text_analysis import bigram_logprob, quality_logistic
 
+    # scale-adaptive partition count for the checkpointed frontiers —
+    # checkpoint captures the RDD before AQE's final coalescing, so a
+    # bare 200-partition session otherwise materializes near-empty
+    # blocks per stage (r13, the graph-sweep pattern)
+    npart = docs.sparkSession.sparkContext.defaultParallelism
     pairs = containment_join(
         docs, threshold=containment_threshold, text_col=text_col, id_col=id_col
     )
     drop1 = pairs.select(F.col("doc_id_small").alias(id_col)).distinct()
-    s1 = docs.join(drop1, id_col, "left_anti").localCheckpoint(eager=True)
+    s1 = docs.join(drop1, id_col, "left_anti").coalesce(
+        npart
+    ).localCheckpoint(eager=True)
 
     cdc = cdc_shared_chunks(s1, avg_chunk=8, text_col=text_col, id_col=id_col)
     drop2 = cdc.filter(F.col("shared_frac") > cdc_max_shared).select(id_col)
-    s2 = s1.join(drop2, id_col, "left_anti").localCheckpoint(eager=True)
+    s2 = s1.join(drop2, id_col, "left_anti").coalesce(
+        npart
+    ).localCheckpoint(eager=True)
 
-    lm = bigram_logprob(s2, text_col=text_col).localCheckpoint(eager=True)
+    lm = bigram_logprob(s2, text_col=text_col).coalesce(
+        npart
+    ).localCheckpoint(eager=True)
     p_lo = float(
         lm.agg(
             F.percentile("mean_logprob", F.lit(lm_percentile)).alias("p")

@@ -245,6 +245,10 @@ def bpe_train(
         .select(
             F.concat_ws(BPE_SEP, F.split("w", "")).alias("syms"), "cnt"
         )
+        # vocab-sized frame; coalesce before the checkpoint so a bare
+        # 200-partition session doesn't materialize (and re-scan, k
+        # times) near-empty blocks (r13, the graph-sweep pattern)
+        .coalesce(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []
@@ -481,6 +485,35 @@ def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+#: Target bytes per range bucket for the prefix-sum bucketing — the
+#: guide §2.2 "100 MB – 1 GB reduce partitions" band.
+_RANGE_BUCKET_BYTES = 128 * 1024 * 1024
+
+
+def _derived_range_partitions(df: DataFrame) -> int:
+    """Input-size-derived range-bucket count (r13, guide §2.2): under a
+    bare driver-style session the old default — the raw
+    ``spark.sql.shuffle.partitions`` conf, 200 — materialized 200
+    near-empty checkpointed buckets and a 200×keys offsets collect for
+    kilobyte inputs. Derive from the optimizer's size estimate instead:
+    ~128 MB per bucket, floored at ``defaultParallelism`` (all cores
+    stay busy), capped at the session's shuffle-partition conf (the
+    operator's explicit parallelism knob at cluster scale; pass
+    ``num_partitions`` to override). Results are identical for ANY
+    bucket count — the offsets are computed per actual bucket."""
+    spark = df.sparkSession
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return conf_n
+    derived = max(dp, -(-size // _RANGE_BUCKET_BYTES))
+    return max(1, min(conf_n, derived))
+
+
 def keyed_prefix_sum(
     df: DataFrame,
     key_cols: list[str],
@@ -530,10 +563,7 @@ def keyed_prefix_sum(
             f"input already has reserved column(s) {sorted(clash)}"
         )
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    n = int(num_partitions or 0) or _derived_range_partitions(df)
     all_cols = list(df.columns)
     rng = [F.col(c) for c in (*key_cols, *order_cols)]
     # EAGER localCheckpoint, not persist: the collected offsets are keyed

@@ -331,3 +331,30 @@ def test_hits_empty_edges_raises(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty"):
         hits_fixed_point(df, iters=1)
+
+
+def test_graph_rankers_leave_no_cached_frames(spark):
+    """r13 (VERDICT item 7, unpersist discipline): the iterative
+    rankers' build-time persists (edges, degrees, nodes, e⋈deg) must be
+    released once the frontier is checkpoint-materialized — a
+    long-lived session running the full registry otherwise accumulates
+    dead cache entries until eviction churn. The returned frames remain
+    fully usable (they scan checkpoint blocks, not the cache)."""
+    from pyspark.sql import functions as F
+
+    from datalakeingestion_spark.operators.graph import (
+        hits_fixed_point,
+        pagerank_fixed_point,
+    )
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    pr = pagerank_fixed_point(edges, iters=2)
+    hits = hits_fixed_point(edges, iters=1)
+    # results stay valid after the unpersists
+    assert pr.count() == 3
+    assert hits.count() == 3
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "graph rankers left persisted frames behind"

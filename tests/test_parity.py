@@ -29,16 +29,28 @@ def duck():
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, duck, registry_frames, name):
     qd = REGISTRY[name]
-    df = qd.fn(spark, SF_DIR)
+    # at the default sf0.001 the session-wide registry build is reused
+    # (fn() assembly — eager checkpoints, CC loops — runs once per
+    # session, not once per sweep AND once per parity test); a
+    # PARITY_SF_DIR override still builds fresh at that scale
+    df = (
+        registry_frames[name]
+        if SF_DIR == SF_SMALL
+        else qd.fn(spark, SF_DIR)
+    )
     assert_matches_oracle(df, duck, qd.oracle, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, name):
+def test_rows_only_query_runs(spark, registry_frames, name):
     qd = REGISTRY[name]
-    df = qd.fn(spark, SF_DIR)
+    df = (
+        registry_frames[name]
+        if SF_DIR == SF_SMALL
+        else qd.fn(spark, SF_DIR)
+    )
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

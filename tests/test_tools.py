@@ -42,26 +42,29 @@ def test_load_latest_green_tracks_round_and_requires_all_three(tmp_path):
 
 def test_registry_priority_is_exactly_the_recomputed_stalest_50():
     """The DRIVER_PRIORITY tuple must equal the tool's recomputation
-    from the CORRECTNESS files: never-checked queries first, then
-    checked ones by (latest green round, registration order). Keeping
-    this pinned prevents the ledger from drifting from reality again."""
+    from the CORRECTNESS files: ROUND_TOUCHED queries first (r13,
+    ADVICE — rewritten paths must land in the external sample), then
+    never-checked, then checked ones by (latest green round,
+    registration order). Keeping this pinned prevents the ledger from
+    drifting from reality again."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     sys.path.insert(0, REPO)
-    from rotate_priority import load_latest_green
+    from rotate_priority import load_latest_green, pick_priority
 
     from datalakeingestion_spark.plans.registry import (
         DRIVER_PRIORITY,
         REGISTRY,
+        ROUND_TOUCHED,
         _ensure_loaded,
     )
 
     _ensure_loaded()
     names = list(REGISTRY)
-    order = {n: i for i, n in enumerate(names)}
     latest = load_latest_green(REPO)
-    never = [n for n in names if n not in latest]
-    done = sorted(
-        (n for n in names if n in latest),
-        key=lambda n: (latest[n], order[n]),
+    assert DRIVER_PRIORITY == tuple(
+        pick_priority(names, latest, ROUND_TOUCHED)
     )
-    assert DRIVER_PRIORITY == tuple((never + done)[:50])
+    # every touched name must really exist in the registry (a typo here
+    # silently shrinks the force-included head)
+    missing = [n for n in ROUND_TOUCHED if n not in REGISTRY]
+    assert missing == []

@@ -39,10 +39,31 @@ def load_latest_green(repo: str) -> dict[str, int]:
     return latest
 
 
+def pick_priority(
+    names: list[str],
+    latest: dict[str, int],
+    touched: tuple[str, ...] = (),
+) -> list[str]:
+    """The 50-name driver window: round-TOUCHED queries first (their
+    code paths changed — an external green on the final tree is worth
+    more than rotation coverage; ADVICE r12 item 3), then never-checked,
+    then stalest by (latest green round, registration order)."""
+    order = {n: i for i, n in enumerate(names)}
+    head = [n for n in names if n in set(touched)]
+    rest = [n for n in names if n not in set(head)]
+    never = [n for n in rest if n not in latest]
+    done = sorted(
+        (n for n in rest if n in latest),
+        key=lambda n: (latest[n], order[n]),
+    )
+    return (head + never + done)[:50]
+
+
 def main(repo: str) -> int:
     sys.path.insert(0, repo)
     from datalakeingestion_spark.plans.registry import (
         REGISTRY,
+        ROUND_TOUCHED,
         _ensure_loaded,
     )
 
@@ -59,7 +80,8 @@ def main(repo: str) -> int:
         key=lambda n: (latest[n], order[n]),
     )
     print(f"registry: {len(names)}  driver-green ever: {len(done)}  "
-          f"never-checked: {len(never)}")
+          f"never-checked: {len(never)}  round-touched: "
+          f"{len([n for n in names if n in set(ROUND_TOUCHED)])}")
     hist: dict[int, int] = {}
     for n in done:
         hist[latest[n]] = hist.get(latest[n], 0) + 1
@@ -68,13 +90,17 @@ def main(repo: str) -> int:
     print("\n# never driver-checked (rotation candidates, registration order):")
     for n in never:
         print(f"  {n}")
-    pick = (never + done)[:50]
+    pick = pick_priority(names, latest, ROUND_TOUCHED)
     print("\n# suggested DRIVER_PRIORITY (paste into plans/registry.py):")
+    touched = set(ROUND_TOUCHED)
     print("DRIVER_PRIORITY: tuple[str, ...] = (")
     for n in pick:
-        print(f'    "{n}",  # ' + (
+        tag = (
             f"last green r{latest[n]}" if n in latest else "never checked"
-        ))
+        )
+        if n in touched:
+            tag = "ROUND-TOUCHED; " + tag
+        print(f'    "{n}",  # {tag}')
     print(")")
     return 0
 
