@@ -73,12 +73,19 @@ def _managed_fs_path(spark: SparkSession, table_name: str):
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | Sequence[str],
     n_buckets: int = 8,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed+sorted managed table (session warehouse).
+
+    ``bucket_col`` may be a single column or a sequence: a join avoids
+    the bucketed side's shuffle only when the bucket columns cover ALL
+    its equi-join keys (Spark 4 runs with
+    ``spark.sql.requireAllClusterKeysForCoPartition=true``, and a
+    subset-key bucketed scan is not even planned as bucketed) — so
+    bucket by exactly the key set the consuming join uses.
 
     ``mode="append"`` with the SAME bucket spec adds new files per
     bucket and keeps the table's bucketing metadata valid — the
@@ -139,10 +146,11 @@ def _check_rename_target_free(spark: SparkSession, table_name: str) -> None:
 
 
 def _bucketed_writer(df, mode, bucket_col, n_buckets, sort_cols):
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     return (
         df.write.mode(mode)
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(*(sort_cols or [bucket_col]))
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+        .sortBy(*(sort_cols or cols))
         .option("compression", "snappy")
     )
 

@@ -892,10 +892,17 @@ def connected_components(
     both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    # both feeds the node set AND the edge union below — persisted so
-    # the caller's pair-generation subtree (often an expensive blocked
-    # self-join) executes once, not once per consumer (r13).
-    both = both.persist()
+    # both feeds the node set AND the edge union below. CHECKPOINTED,
+    # not persisted (r13): persist runs the caller's pair-generation
+    # subtree once, but its LOGICAL plan (often an entire
+    # classifier+minhash+verify pipeline) still rides into every
+    # round's join — and each round's analyze/optimize/cache-lookup
+    # pass re-walks that tree, so per-round cost grows with caller
+    # lineage, not graph size (measured: 72 s of pure planning for an
+    # 11-pair graph under curation_pipeline_v3's lineage vs 2.8 s with
+    # the input checkpointed). The checkpoint truncates lineage at the
+    # loop entrance, same as the star variant's edge checkpoint.
+    both = _checkpoint(both)
     # self-loops fold the "keep your own label" term into the neighbor-min
     # join itself, so the propagation loop contains NO Union — a Union of
     # a checkpointed child inside the loop trips Catalyst's
@@ -964,7 +971,7 @@ def connected_components(
         converged = new_labels.filter(F.col("__chg")).isEmpty()
         labels = new_labels.select("node", "label")
     edges.unpersist()
-    both.unpersist()
+    # both is checkpointed — its blocks free when the frame is GC'd
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -1658,7 +1665,9 @@ def build_dedup_index(
     """Persist the lake-side state `dedup_against_stored_index` probes:
 
     - ``{index_name}_bands``  (band_id, band_sig, doc_id), BUCKETED by
-      band_sig — the hash index the batch's band signatures probe;
+      (band_sig, band_id) — the hash index the batch's band signatures
+      probe; both probe-join keys are bucket keys, so the bucketed scan
+      satisfies the join's co-partition requirement outright;
     - ``{index_name}_shingles``  (doc_id, s), BUCKETED by doc_id — the
       exact-verify side.
 
@@ -1692,10 +1701,16 @@ def _write_dedup_index(
     sh = _shingle_table(docs, text_col, id_col, n).persist()
     try:
         bands = _lsh_bands(_signatures_from_shingles(sh))
+        # bucketed by BOTH probe-join keys: under Spark 4's
+        # all-cluster-keys co-partition rule a band_sig-only bucketing
+        # is not usable for the (band_sig, band_id) equi-join — the
+        # planner falls back to a non-bucketed scan and re-shuffles the
+        # lake side per batch (r13, pinned by the no-lake-Exchange walk
+        # in tests/test_dedup.py)
         write_bucketed(
             bands,
             f"{index_name}_bands",
-            "band_sig",
+            ["band_sig", "band_id"],
             n_buckets,
             sort_cols=["band_sig", "band_id"],
             mode=mode,
