@@ -56,7 +56,14 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
-    e = e.persist()
+    # checkpoint, don't persist (r13, the connected_components lesson):
+    # persist caches rows but the caller's edge-BUILD lineage (e.g. the
+    # orders⋈lineitem trade-graph join) still rides into every sweep's
+    # plan, so per-sweep planning cost grows with the caller's plan
+    # size, not the graph. The eager checkpoint truncates lineage at
+    # the loop entrance; deg/nodes/ew below inherit the short plan.
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    e = e.coalesce(npart).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -80,12 +87,11 @@ def pagerank_fixed_point(
     # cut at materialized sweep boundaries.
     ew = e.join(deg, "src").persist()
     # checkpointing captures the frontier RDD BEFORE AQE's final-stage
-    # coalescing, so without the explicit coalesce each sweep
-    # materialized all spark.sql.shuffle.partitions as near-empty
+    # coalescing, so without the explicit coalesce (npart above) each
+    # sweep materialized all spark.sql.shuffle.partitions as near-empty
     # blocks (200 under a bare session — measured 5 s/sweep of pure
     # task overhead at sf0.01); defaultParallelism is scale-adaptive
     # (cluster cores) and the frontier is a narrow (node, rank) frame
-    npart = edges.sparkSession.sparkContext.defaultParallelism
     rank = nodes.withColumn("rank", F.lit(scale // n))
     for _ in range(iters):
         contrib = ew.join(
@@ -116,7 +122,7 @@ def pagerank_fixed_point(
     ew.unpersist()
     deg.unpersist()
     nodes.unpersist()
-    e.unpersist()
+    # e is checkpointed — its blocks free when the frame is GC'd
     return rank
 
 
@@ -149,9 +155,13 @@ def hits_fixed_point(
     control-plane scalars (one bigint each, the same status as
     pagerank's node count). Returns (node, hub, auth).
     """
+    # checkpoint, don't persist (r13, the connected_components lesson):
+    # the caller's edge-build lineage otherwise rides into every
+    # sweep's plan — see pagerank_fixed_point
+    npart = edges.sparkSession.sparkContext.defaultParallelism
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().persist()
+    ).distinct().coalesce(npart).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -178,11 +188,10 @@ def hits_fixed_point(
     # normalization totals are control-plane scalars read off the
     # checkpointed frame (same status as pagerank's node count), and
     # recompute can never cascade across sweeps.
-    # scale-adaptive partition count for the checkpointed frontiers —
-    # same rationale as pagerank_fixed_point (r12): checkpoint captures
-    # the RDD before AQE's final coalescing, so near-empty
-    # shuffle-partition blocks would otherwise be materialized
-    npart = edges.sparkSession.sparkContext.defaultParallelism
+    # scale-adaptive partition count (npart above) for the checkpointed
+    # frontiers — same rationale as pagerank_fixed_point (r12):
+    # checkpoint captures the RDD before AQE's final coalescing, so
+    # near-empty shuffle-partition blocks would otherwise materialize
     hub = nodes.withColumn(
         "hub", F.lit(int(scale))
     ).coalesce(npart).localCheckpoint(eager=True)
@@ -233,8 +242,8 @@ def hits_fixed_point(
         )
         h_raw.unpersist()
     # hub/auth are checkpoint-materialized; free the build-time caches
-    # (scoped lifetime, VERDICT item 7)
-    e.unpersist()
+    # (scoped lifetime, VERDICT item 7). e is checkpointed — its
+    # blocks free when the frame is GC'd
     nodes.unpersist()
     return hub.join(auth, "node")
 
@@ -458,16 +467,16 @@ def personalized_pagerank_fixed_point(
     ``seed`` is a boolean Column over the node id column ``node``.
     Every node needs out-degree ≥ 1 (as for the global form). Returns
     (node, rank); non-seed nodes unreachable from S rank 0.
-
-    Edge/degree persists are intentionally session-lifetime (lazy
-    result; LRU-evictable) — see ``dedup.lsh_candidate_report``.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
-    e = e.persist()
+    # checkpoint, don't persist (r13): caller's edge-build lineage
+    # otherwise rides into every sweep's plan — see pagerank_fixed_point
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    e = e.coalesce(npart).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -493,7 +502,6 @@ def personalized_pagerank_fixed_point(
     # lineage cut per sweep at a scale-adaptive partition count
     # (values unchanged, see the notes there)
     ew = e.join(deg, "src").persist()
-    npart = edges.sparkSession.sparkContext.defaultParallelism
     for _ in range(iters):
         contrib = ew.join(
             rank.withColumnRenamed("node", "src"), "src"
@@ -518,9 +526,9 @@ def personalized_pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     # frontier checkpoint-materialized each sweep — free build caches
-    # (scoped lifetime, VERDICT item 7)
+    # (scoped lifetime, VERDICT item 7); e is checkpointed, blocks
+    # free when the frame is GC'd
     ew.unpersist()
     deg.unpersist()
     nodes.unpersist()
-    e.unpersist()
     return rank

@@ -85,9 +85,20 @@ def train_centroids(
         F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm_expr, F.lit(1e-12))
     )
 
+    # one pass over the source: Lloyd's loop otherwise re-reads the
+    # corpus AND re-normalizes every vector once per iteration (iters
+    # full scans instead of one — guide §5; values identical, the loop
+    # consumes the same (unit vec, raw vec) rows either way). Local
+    # checkpoint rather than persist: blocks free with the frame, and
+    # the loop's per-iteration plans stay lineage-free. Production
+    # note: training at 100 TB runs on a sample by contract, so the
+    # checkpointed copy is sample-sized, not corpus-sized.
+    loop_base = embeddings.select(
+        unit_vec.alias("v"), F.col(vec_col)
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = embeddings.select(
-            unit_vec.alias("v"),
+        assigned = loop_base.select(
+            "v",
             _assign_udf(centroids)(F.col(vec_col)).alias("cell"),
         )
         # decimal-exact per-dimension means → order-independent centroids
@@ -135,8 +146,16 @@ def ivf_topk(
     assign_n: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k probing the nprobe nearest cells.
+
+    ``centroids`` (k×dim) skips training and probes with the given
+    coarse quantizer — for callers that already trained one (the
+    trainer is deterministic, pinned by
+    tests/test_ivf_maintenance.py::test_ivf_centroids_deterministic,
+    so passing ``train_centroids``' output is value-identical to
+    retraining here).
 
     ``assign_n`` multi-assigns every CORPUS vector to its assign_n nearest
     cells (FAISS-style index redundancy). Boundary vectors — the ones a
@@ -148,7 +167,10 @@ def ivf_topk(
     Output schema matches ``similarity.cosine_topk``:
     (query_id, neighbor_id, cosine), cosine rounded to 6 dp, ties by id.
     """
-    centroids = train_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        )
     corpus = _corpus_cells(embeddings, centroids, assign_n, id_col, vec_col)
     q = _query_cells(queries, centroids, nprobe, id_col, vec_col)
     # with assign_n=1 cells are disjoint and a distinct would be a pure
@@ -227,6 +249,7 @@ def build_ivf_index(
     assign_n: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Train once, persist the IVF index — the production shape of
     ``ivf_topk`` (which retrains and re-assigns the corpus per call,
@@ -254,10 +277,16 @@ def build_ivf_index(
     dedup index NEEDS hash bucketing; a cell id does not.
 
     Returns the trained centroid matrix (k×dim float64).
+
+    ``centroids`` skips training and persists the given quantizer —
+    same caveat as ``ivf_topk``: only valid with the deterministic
+    ``train_centroids`` output for the SAME embeddings/config, which
+    is what the caller would have gotten here anyway.
     """
-    centroids = train_centroids(
-        embeddings, n_centroids, iters, id_col, vec_col
-    )
+    if centroids is None:
+        centroids = train_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        )
     spark = embeddings.sparkSession
     k, dim = centroids.shape
     spark.createDataFrame(

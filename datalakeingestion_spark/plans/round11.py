@@ -271,11 +271,21 @@ def ivf_stored_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index,
         ivf_topk,
         ivf_topk_stored,
+        train_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     cfg = dict(n_centroids=16, iters=5, assign_n=2)
+    # the full-corpus quantizer is trained ONCE and shared by the
+    # inline probe and the stored build (r13, guide §2.4 "don't compute
+    # things twice"): train_centroids is deterministic — pinned by
+    # tests/test_ivf_maintenance.py::test_ivf_centroids_deterministic —
+    # so each side retraining from the identical input yielded the
+    # identical matrix; stored==inline still compares the two PROBE
+    # paths end to end. The even-half index trains its own (different
+    # input).
+    cents = train_centroids(emb, cfg["n_centroids"], cfg["iters"])
     # all collects are bounded at n_queries x k = 200 rows
     truth = {
         (r["query_id"], r["neighbor_id"])
@@ -285,10 +295,12 @@ def ivf_stored_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     inline = {
         (r["query_id"], r["neighbor_id"], r["cosine"])
-        for r in ivf_topk(emb, queries, k=10, nprobe=6, **cfg).collect()
+        for r in ivf_topk(
+            emb, queries, k=10, nprobe=6, centroids=cents, **cfg
+        ).collect()
     }
     with tempfile.TemporaryDirectory() as td:
-        build_ivf_index(emb, f"{td}/full", **cfg)
+        build_ivf_index(emb, f"{td}/full", centroids=cents, **cfg)
         stored = {
             (r["query_id"], r["neighbor_id"], r["cosine"])
             for r in ivf_topk_stored(
