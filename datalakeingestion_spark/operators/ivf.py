@@ -92,10 +92,13 @@ def train_centroids(
     # checkpoint rather than persist: blocks free with the frame, and
     # the loop's per-iteration plans stay lineage-free. Production
     # note: training at 100 TB runs on a sample by contract, so the
-    # checkpointed copy is sample-sized, not corpus-sized.
-    loop_base = embeddings.select(
-        unit_vec.alias("v"), F.col(vec_col)
-    ).localCheckpoint(eager=True)
+    # checkpointed copy is sample-sized, not corpus-sized. Guarded so
+    # the iters=0 hash-seeded path (ivf_trained_recall_delta's
+    # baseline) pays no corpus pass at all, as before.
+    if iters > 0:
+        loop_base = embeddings.select(
+            unit_vec.alias("v"), F.col(vec_col)
+        ).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = loop_base.select(
             "v",
