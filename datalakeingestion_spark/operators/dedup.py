@@ -873,21 +873,7 @@ def connected_components(
     cluster); otherwise ``localCheckpoint`` (executor-local blocks,
     fine for local / small-cluster runs).
     """
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-    # scale-adaptive partition count for the checkpointed frontiers
-    # (r13, the r12 graph-sweep pattern): checkpoint captures the RDD
-    # BEFORE AQE's final-stage coalescing, so under a bare driver-style
-    # session every round otherwise materializes all 200 default
-    # shuffle partitions as near-empty blocks. The frontier is a narrow
-    # (node, label) frame; defaultParallelism tracks cluster cores.
-    npart = sc.defaultParallelism
-
-    def _checkpoint(df: DataFrame) -> DataFrame:
-        df = df.coalesce(npart)
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
+    from ._loops import loop_checkpoint as _checkpoint
 
     both = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -971,7 +957,10 @@ def connected_components(
         converged = new_labels.filter(F.col("__chg")).isEmpty()
         labels = new_labels.select("node", "label")
     edges.unpersist()
-    # both is checkpointed — its blocks free when the frame is GC'd
+    # both is checkpointed — local blocks free when the frame is GC'd;
+    # reliable checkpoint files live until the context stops (enable
+    # spark.cleaner.referenceTracking.cleanCheckpoints on a long-lived
+    # driver that loops over many CC calls)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -1299,18 +1288,7 @@ def connected_components_star(
     (reliable if ``setCheckpointDir`` was called, else local) so lineage
     stays flat and the returned frame is materialized.
     """
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-    # scale-adaptive partition count, same rationale as
-    # connected_components: checkpoint captures the RDD before AQE's
-    # final coalescing, so don't materialize 200 near-empty blocks/round
-    npart = sc.defaultParallelism
-
-    def _checkpoint(df: DataFrame) -> DataFrame:
-        df = df.coalesce(npart)
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
+    from ._loops import loop_checkpoint as _checkpoint
 
     def _large_star(edges: DataFrame) -> DataFrame:
         # neighborhoods over BOTH directions; min includes the center
@@ -1736,7 +1714,14 @@ def append_dedup_index(
     later probe still joins shuffle-free. ``n_buckets`` must match the
     ``build_dedup_index`` call. Run compaction on the same cadence as
     the lake's (many small per-batch files per bucket is the usual
-    bucketed-append tax)."""
+    bucketed-append tax).
+
+    MIGRATION NOTE (r13): the bands bucket spec changed from
+    ``band_sig`` to ``(band_sig, band_id)``. Appending to an index
+    built by an older build fails LOUDLY on Spark's bucket-spec
+    mismatch check — rebuild once with ``build_dedup_index`` (a stale
+    single-key index would otherwise silently re-shuffle the lake side
+    on every probe, the regression the new spec removes)."""
     _write_dedup_index(
         docs, index_name, text_col, id_col, n, n_buckets, mode="append"
     )

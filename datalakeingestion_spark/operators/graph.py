@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._loops import loop_checkpoint
+
 SCALE = 10**12  # fixed-point units per 1.0 of probability mass
 
 
@@ -63,7 +65,7 @@ def pagerank_fixed_point(
     # size, not the graph. The eager checkpoint truncates lineage at
     # the loop entrance; deg/nodes/ew below inherit the short plan.
     npart = edges.sparkSession.sparkContext.defaultParallelism
-    e = e.coalesce(npart).localCheckpoint(eager=True)
+    e = loop_checkpoint(e, npart)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -112,8 +114,7 @@ def pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
-            .coalesce(npart)
-            .localCheckpoint(eager=True)
+            .transform(lambda d: loop_checkpoint(d, npart))
         )
     # every sweep's frontier (including the returned one) is already
     # checkpoint-materialized, so the build-time caches can be freed —
@@ -155,13 +156,17 @@ def hits_fixed_point(
     control-plane scalars (one bigint each, the same status as
     pagerank's node count). Returns (node, hub, auth).
     """
+    if int(iters) < 1:
+        # auth is only defined after the first half-sweep; an iters=0
+        # call would otherwise die on hub.join(None) far from its cause
+        raise ValueError("hits_fixed_point: iters must be >= 1")
     # checkpoint, don't persist (r13, the connected_components lesson):
     # the caller's edge-build lineage otherwise rides into every
     # sweep's plan — see pagerank_fixed_point
     npart = edges.sparkSession.sparkContext.defaultParallelism
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().coalesce(npart).localCheckpoint(eager=True)
+    ).distinct().transform(lambda d: loop_checkpoint(d, npart))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -194,7 +199,7 @@ def hits_fixed_point(
     # near-empty shuffle-partition blocks would otherwise materialize
     hub = nodes.withColumn(
         "hub", F.lit(int(scale))
-    ).coalesce(npart).localCheckpoint(eager=True)
+    ).transform(lambda d: loop_checkpoint(d, npart))
     auth = None
     # r13 (VERDICT item 9): the per-sweep normalization totals were
     # driver-collected scalars — two blocking .first() jobs per sweep on
@@ -220,8 +225,7 @@ def hits_fixed_point(
             )
             .join(F.broadcast(a_tot))
             .select("node", _norm("_araw", "__tot").alias("auth"))
-            .coalesce(npart)
-            .localCheckpoint(eager=True)
+            .transform(lambda d: loop_checkpoint(d, npart))
         )
         a_raw.unpersist()
         h_raw = (
@@ -237,8 +241,7 @@ def hits_fixed_point(
             )
             .join(F.broadcast(h_tot))
             .select("node", _norm("_hraw", "__tot").alias("hub"))
-            .coalesce(npart)
-            .localCheckpoint(eager=True)
+            .transform(lambda d: loop_checkpoint(d, npart))
         )
         h_raw.unpersist()
     # hub/auth are checkpoint-materialized; free the build-time caches
@@ -476,7 +479,7 @@ def personalized_pagerank_fixed_point(
     # checkpoint, don't persist (r13): caller's edge-build lineage
     # otherwise rides into every sweep's plan — see pagerank_fixed_point
     npart = edges.sparkSession.sparkContext.defaultParallelism
-    e = e.coalesce(npart).localCheckpoint(eager=True)
+    e = loop_checkpoint(e, npart)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -522,8 +525,7 @@ def personalized_pagerank_fixed_point(
                     )
                 ).alias("rank"),
             )
-            .coalesce(npart)
-            .localCheckpoint(eager=True)
+            .transform(lambda d: loop_checkpoint(d, npart))
         )
     # frontier checkpoint-materialized each sweep — free build caches
     # (scoped lifetime, VERDICT item 7); e is checkpointed, blocks

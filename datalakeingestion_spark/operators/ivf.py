@@ -292,6 +292,13 @@ def build_ivf_index(
         )
     spark = embeddings.sparkSession
     k, dim = centroids.shape
+    if k != n_centroids:
+        # a caller-supplied matrix must agree with the declared config,
+        # or meta/ would silently desynchronize from the stored cells
+        raise ValueError(
+            f"build_ivf_index: centroids has {k} rows but "
+            f"n_centroids={n_centroids}"
+        )
     spark.createDataFrame(
         [
             (int(c), int(d), float(centroids[c, d]))
@@ -301,7 +308,7 @@ def build_ivf_index(
         "cell int, dim int, value double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     spark.createDataFrame(
-        [(n_centroids, assign_n, id_col, vec_col)],
+        [(k, assign_n, id_col, vec_col)],
         "n_centroids int, assign_n int, id_col string, vec_col string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
     _write_cells(embeddings, index_path, centroids, assign_n, id_col,
