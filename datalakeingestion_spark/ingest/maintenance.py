@@ -78,27 +78,28 @@ def compact(
     df = spark.read.parquet(path)
     n_before = df.count()
 
+    from .merge import _write_counted
+
     if partition_col is not None:
         # hash-partition on (partition value, salt): every Hive value's rows
         # land in ≤ files_per_partition tasks, and each task writes one file
         # per value it holds — bounded files per directory, parallel write
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
         out = df.repartition(F.col(partition_col), salt)
-        writer = (
-            out.write.mode("overwrite")
+        conf = lambda w: (
+            w.mode("overwrite")
             .option("compression", "snappy")
             .partitionBy(partition_col)
         )
     else:
-        writer = (
-            df.coalesce(files_per_partition)
-            .write.mode("overwrite")
-            .option("compression", "snappy")
-        )
+        out = df.coalesce(files_per_partition)
+        conf = lambda w: w.mode("overwrite").option("compression", "snappy")
 
     staging = path.rstrip("/") + ".__compact__"
-    writer.parquet(staging)
-    assert spark.read.parquet(staging).count() == n_before
+    # the rewrite must carry every row the pre-count saw; the count rides
+    # the staging write itself (Observation) instead of a re-read job
+    n_staged = _write_counted(out, conf, staging)
+    assert n_staged == n_before
 
     _publish_swap(spark, staging, path)
 

@@ -18,10 +18,24 @@ partition spec is provided).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config.partition_spec import PartitionSpec
+
+
+def _write_counted(writer_frame: DataFrame, configure, staging: str) -> int:
+    """Write ``writer_frame`` to ``staging`` and return its row count from
+    an :class:`Observation` on the SAME pass — the former
+    ``spark.read.parquet(staging).count()`` re-scan paid a whole extra
+    job (and a full read of the files just written) per merge, purely to
+    report a number the write stream already knew. ``configure`` maps the
+    observed frame's ``.write`` builder to the final writer (mode/
+    compression/partitioning)."""
+    obs = Observation()
+    observed = writer_frame.observe(obs, F.count(F.lit(1)).alias("n"))
+    configure(observed.write).parquet(staging)
+    return int(obs.get["n"])
 
 
 def _fs(spark: SparkSession, p: str):
@@ -98,8 +112,11 @@ def merge_latest(
         merged = batch_winners
 
     staging = latest_path.rstrip("/") + ".__staging__"
-    merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    n = _write_counted(
+        merged,
+        lambda w: w.mode("overwrite").option("compression", "snappy"),
+        staging,
+    )
     _publish_swap(spark, staging, latest_path)
     return n
 
@@ -130,11 +147,14 @@ def merge_upsert(
         merged = updates
 
     staging = target_path.rstrip("/") + ".__staging__"
-    writer = merged.write.mode("overwrite").option("compression", "snappy")
-    if partition_spec is not None:
-        writer = writer.partitionBy(partition_spec.partition_column_name)
-    writer.parquet(staging)
-    n = spark.read.parquet(staging).count()
+
+    def _conf(w):
+        w = w.mode("overwrite").option("compression", "snappy")
+        if partition_spec is not None:
+            w = w.partitionBy(partition_spec.partition_column_name)
+        return w
+
+    n = _write_counted(merged, _conf, staging)
 
     # swap: best-effort atomicity on a single filesystem (rename is atomic
     # on HDFS/local; on S3 use Delta instead — see module docstring)
@@ -195,7 +215,10 @@ def merge_rollup(
         merged = combine(new)  # idempotent: combine of partials is partials
 
     staging = rollup_path.rstrip("/") + ".__staging__"
-    merged.write.mode("overwrite").option("compression", "snappy").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    n = _write_counted(
+        merged,
+        lambda w: w.mode("overwrite").option("compression", "snappy"),
+        staging,
+    )
     _publish_swap(spark, staging, rollup_path)
     return n

@@ -227,7 +227,7 @@ class IncrementalIngestJob:
         # dot-prefixed → invisible to Spark/Hive lake readers while in flight
         return f"{self.target_location.rstrip('/')}/.staging-{token}"
 
-    def _cleanup_orphans(self) -> None:
+    def _cleanup_orphans(self, rows: list) -> None:
         """Crash-recovery for the staged append (reference T5 analog).
 
         Every append goes through a run-private staging dir whose path is
@@ -251,17 +251,20 @@ class IncrementalIngestJob:
         a prior cleanup marker logged at-or-after its STARTED row; an
         exception-text FAILED row does not close it (that was the
         duplicate-on-retry window this method exists to shut).
+
+        ``rows`` is the run's one :meth:`ExecutionLog.id_rows` snapshot
+        (this method only APPENDS cleanup markers, so the snapshot stays
+        valid for the watermark resolution that follows it).
         """
-        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
+        started = self.log.latest_entry(
+            self.ingestion_id, STATUS_STARTED, rows=rows
+        )
         if started is None:
             return
         # one batch's rows — a handful, driver-side by design
-        batch = (
-            self.log.read()
-            .filter(F.col("lake_ingestion_id") == self.ingestion_id)
-            .filter(F.col("insert_datetime") >= started["insert_datetime"])
-            .collect()
-        )
+        batch = [
+            r for r in rows if r["insert_datetime"] >= started["insert_datetime"]
+        ]
         closed = {STATUS_SUCCESS, STATUS_VALIDATION_FAILURE, STATUS_NO_DATA}
         markers = {"orphaned-staging-cleaned", "orphaned-batch-cleaned"}
         for r in batch:
@@ -320,8 +323,13 @@ class IncrementalIngestJob:
             # must not leave STARTED orphans per retry
             require_delta("IncrementalIngestJob(sink_format='delta')")
             return self._run_delta()
-        self._cleanup_orphans()
-        start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
+        # one log snapshot serves orphan cleanup AND watermark resolution
+        # (cleanup only appends marker rows, never SUCCESS rows)
+        log_rows = self.log.id_rows(self.ingestion_id)
+        self._cleanup_orphans(log_rows)
+        start = resolve_watermark(
+            self.log, self.ingestion_id, self.integer_watermark, rows=log_rows
+        )
         staging = self._staging_dir(uuid.uuid4().hex)
         self.log.append(
             self.ingestion_id,
@@ -461,8 +469,11 @@ class IncrementalIngestJob:
         against a parquet-backed fake of the seam."""
         from . import delta_sink as dsink
 
-        self._cleanup_orphans_delta()
-        start = resolve_watermark(self.log, self.ingestion_id, self.integer_watermark)
+        log_rows = self.log.id_rows(self.ingestion_id)
+        self._cleanup_orphans_delta(log_rows)
+        start = resolve_watermark(
+            self.log, self.ingestion_id, self.integer_watermark, rows=log_rows
+        )
         self.log.append(
             self.ingestion_id,
             STATUS_STARTED,
@@ -553,7 +564,7 @@ class IncrementalIngestJob:
         self._maintain_latest_delta(post)
         return IngestResult(STATUS_SUCCESS, mn, mx, n, target_n)
 
-    def _cleanup_orphans_delta(self) -> None:
+    def _cleanup_orphans_delta(self, rows: list) -> None:
         """Delta twin of :meth:`_cleanup_orphans` — the T5 crash window
         that remains under an atomic sink: a crash AFTER the append
         commit but BEFORE the SUCCESS row. The watermark then still
@@ -570,15 +581,14 @@ class IncrementalIngestJob:
         the parquet path's concurrent-writer contract)."""
         from . import delta_sink as dsink
 
-        started = self.log.latest_entry(self.ingestion_id, STATUS_STARTED)
+        started = self.log.latest_entry(
+            self.ingestion_id, STATUS_STARTED, rows=rows
+        )
         if started is None or started["reason_code"] != "delta-sink":
             return
-        batch = (
-            self.log.read()
-            .filter(F.col("lake_ingestion_id") == self.ingestion_id)
-            .filter(F.col("insert_datetime") >= started["insert_datetime"])
-            .collect()
-        )
+        batch = [
+            r for r in rows if r["insert_datetime"] >= started["insert_datetime"]
+        ]
         closed = {STATUS_SUCCESS, STATUS_VALIDATION_FAILURE, STATUS_NO_DATA}
         for r in batch:
             if r["execution_status"] in closed:

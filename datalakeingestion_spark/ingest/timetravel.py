@@ -121,15 +121,17 @@ def _snapshot_files(
     hist = history(log, ingestion_id)
     if version is not None:
         top = hist.filter(F.col("version") <= version)
-        if top.count() != version + 1:
-            raise ValueError(
-                f"version {version} does not exist for id {ingestion_id}"
-            )
     else:
         top = hist.filter(F.col("committed_at") <= F.lit(as_of))
-    commits = (  # metadata-sized
+    commits = (  # metadata-sized: one collect answers both the existence
+        # check and the file-list union (the former separate count() paid
+        # a second job over the same window)
         top.orderBy("version").select("files", "baseline").collect()
     )
+    if version is not None and len(commits) != version + 1:
+        raise ValueError(
+            f"version {version} does not exist for id {ingestion_id}"
+        )
     if not commits:
         raise ValueError(
             f"no committed snapshot for id {ingestion_id} at the requested point"

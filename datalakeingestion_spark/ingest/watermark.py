@@ -97,6 +97,75 @@ class ExecutionLog:
             .parquet(self.path)
         )
 
+    def _write_batch(self, rows: list[tuple]) -> None:
+        """Write one batch directory holding the given rows — from the
+        DRIVER, without launching a Spark job.
+
+        A log append is a single metadata row; routing it through
+        ``createDataFrame`` + a one-task parquet write paid a full Spark
+        job (~0.3-0.7 s of scheduler/committer floor) per state
+        transition — 3+ jobs per ingest batch for rows of a few hundred
+        bytes. The row is instead serialized with pyarrow locally and
+        copied into place through the Hadoop FS API, so the path works
+        for any supported scheme (file://, hdfs://, s3a://...) exactly
+        like the old committer did. The file lands under a dot-prefixed
+        in-flight name and is renamed into place, so a concurrent
+        recursive reader never sees a partial parquet footer (rename is
+        atomic on local/HDFS; on S3A it is copy+delete, the same
+        weakness the default parquet committer had here).
+
+        Layout is unchanged: one fresh ``batch-<uuid>`` directory per
+        append, one snappy parquet file inside, schema == LOG_SCHEMA —
+        concurrent writers still need no locking, and readers
+        (``read()``'s recursive schema-pinned scan) are untouched.
+        """
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [
+                pa.array(cols[0], pa.int32()),
+                pa.array(cols[1], pa.string()),
+                pa.array(cols[2], pa.string()),
+                pa.array(cols[3], pa.string()),
+                pa.array(cols[4], pa.int64()),
+                pa.array(cols[5], pa.int64()),
+                pa.array(cols[6], pa.string()),
+                # naive datetimes are driver-local wall clock — the same
+                # interpretation createDataFrame applied (TimestampType
+                # .toInternal uses the local tz) — so attach the local
+                # offset before the UTC-normalized arrow column
+                pa.array(
+                    [
+                        v if v.tzinfo is not None else v.astimezone()
+                        for v in cols[7]
+                    ],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            ],
+            names=[f.name for f in LOG_SCHEMA.fields],
+        )
+        with tempfile.NamedTemporaryFile(
+            suffix=".parquet", delete=False
+        ) as tmp:
+            local = tmp.name
+        pq.write_table(table, local, compression="snappy")
+
+        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        dst_dir = hpath(batch_dir)
+        fs = dst_dir.getFileSystem(conf)
+        fs.mkdirs(dst_dir)
+        inflight = hpath(f"{batch_dir}/.inflight-{uuid.uuid4().hex}")
+        # delSrc=True: the local temp file is consumed by the copy
+        fs.copyFromLocalFile(True, True, hpath("file:" + local), inflight)
+        fs.rename(inflight, hpath(f"{batch_dir}/part-00000.snappy.parquet"))
+
     def append(
         self,
         ingestion_id: int,
@@ -107,19 +176,20 @@ class ExecutionLog:
         target_count: int = 0,
         reason_code: str = "",
     ) -> None:
-        row = (
-            ingestion_id,
-            status,
-            start_value,
-            end_value,
-            source_count,
-            target_count,
-            reason_code,
-            datetime.now(),
+        self._write_batch(
+            [
+                (
+                    ingestion_id,
+                    status,
+                    start_value,
+                    end_value,
+                    source_count,
+                    target_count,
+                    reason_code,
+                    datetime.now(),
+                )
+            ]
         )
-        df = self.spark.createDataFrame([row], LOG_SCHEMA)
-        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
-        df.coalesce(1).write.mode("overwrite").parquet(batch_dir)
 
     def append_commit(
         self,
@@ -139,66 +209,113 @@ class ExecutionLog:
         (ordered by insert_datetime) is deterministic."""
         t0 = datetime.now()
         t1 = t0 + timedelta(microseconds=1)
-        rows = [
-            (
-                ingestion_id,
-                STATUS_LOADED,
-                start_value,
-                end_value,
-                source_count,
-                0,
-                files_json,
-                t0,
-            ),
-            (
-                ingestion_id,
-                STATUS_SUCCESS,
-                start_value,
-                end_value,
-                source_count,
-                source_count,
-                BASELINE_MARKER,
-                t1,
-            ),
-        ]
-        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
-        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
-        df.coalesce(1).write.mode("overwrite").parquet(batch_dir)
+        self._write_batch(
+            [
+                (
+                    ingestion_id,
+                    STATUS_LOADED,
+                    start_value,
+                    end_value,
+                    source_count,
+                    0,
+                    files_json,
+                    t0,
+                ),
+                (
+                    ingestion_id,
+                    STATUS_SUCCESS,
+                    start_value,
+                    end_value,
+                    source_count,
+                    source_count,
+                    BASELINE_MARKER,
+                    t1,
+                ),
+            ]
+        )
 
-    def latest_entry(self, ingestion_id: int, status: str | None = None):
+    def id_rows(self, ingestion_id: int) -> list:
+        """Every log row for one ingestion id, collected driver-side in
+        ONE job. The log holds O(runs) metadata rows per id by design, so
+        the collect is tiny — and the per-run state machinery (orphan
+        cleanup, watermark resolution, latest-entry lookups) can share
+        one snapshot instead of paying a separate scan job per question
+        it asks of the same handful of rows."""
+        return (
+            self.read()
+            .filter(F.col("lake_ingestion_id") == ingestion_id)
+            .collect()
+        )
+
+    def latest_entry(
+        self, ingestion_id: int, status: str | None = None, rows: list | None = None
+    ):
         """Most recent log row for an id (argmax over insert_datetime —
-        reference: start_ingestion.py:94-97)."""
-        df = self.read().filter(F.col("lake_ingestion_id") == ingestion_id)
-        if status is not None:
-            df = df.filter(F.col("execution_status") == status)
-        return df.orderBy(F.desc("insert_datetime")).limit(1).first()
+        reference: start_ingestion.py:94-97). ``rows`` short-circuits the
+        scan with an :meth:`id_rows` snapshot already in hand."""
+        if rows is None:
+            rows = self.id_rows(ingestion_id)
+        cand = [
+            r
+            for r in rows
+            if status is None or r["execution_status"] == status
+        ]
+        if not cand:
+            return None
+        return max(cand, key=lambda r: r["insert_datetime"])
 
     def last_success_end(
-        self, ingestion_id: int, integer_watermark: bool = False
+        self,
+        ingestion_id: int,
+        integer_watermark: bool = False,
+        rows: list | None = None,
     ) -> str | None:
         """Largest successful end_value in the watermark's own order.
 
         end_value is stored as a string; a plain string max is lexicographic
         and regresses integer watermarks at digit-length boundaries
-        ('99' > '100'). Order by the TYPED cast instead — long for integer
-        watermarks, timestamp for datetime ones — and return the original
-        string via max_by."""
-        order = (
-            F.col("end_value").cast("long")
-            if integer_watermark
-            else F.col("end_value").cast("timestamp")
-        )
-        row = (
-            self.read()
-            .filter(
-                (F.col("lake_ingestion_id") == ingestion_id)
-                & (F.col("execution_status") == STATUS_SUCCESS)
-                & (F.col("end_value") != "")
-            )
-            .agg(F.max_by("end_value", order).alias("m"))
-            .first()
-        )
-        return row["m"]
+        ('99' > '100'). Order by the TYPED value instead — int for integer
+        watermarks, parsed timestamp for datetime ones — and return the
+        original string (unparseable end_values are ignored, matching the
+        former cast-to-NULL/max_by behavior; typed ties break on the
+        string so the pick is deterministic). ``rows`` short-circuits the
+        scan with an :meth:`id_rows` snapshot already in hand."""
+        if rows is None:
+            rows = self.id_rows(ingestion_id)
+        best: str | None = None
+        best_key = None
+        for r in rows:
+            if r["execution_status"] != STATUS_SUCCESS or not r["end_value"]:
+                continue
+            key = _wm_key(r["end_value"], integer_watermark)
+            if key is None:
+                continue
+            if (
+                best_key is None
+                or key > best_key
+                or (key == best_key and r["end_value"] > best)
+            ):
+                best_key, best = key, r["end_value"]
+        return best
+
+
+def _wm_key(value: str, integer_watermark: bool):
+    """Typed ordering key for a stored end_value string; None when the
+    string does not parse (mirrors the former SQL cast returning NULL,
+    which max_by ignored). Accepts the formats this module itself writes
+    — 'YYYY-MM-DD HH:MM:SS[.ffffff]' — plus bare dates, which the SQL
+    timestamp cast also accepted."""
+    if integer_watermark:
+        try:
+            return int(value)
+        except ValueError:
+            return None
+    for fmt in (_TS_FMT + ".%f", _TS_FMT, "%Y-%m-%d"):
+        try:
+            return datetime.strptime(value, fmt)
+        except ValueError:
+            continue
+    return None
 
 
 def bump_watermark(value: str, integer_watermark: bool) -> str:
@@ -222,10 +339,14 @@ def bump_watermark(value: str, integer_watermark: bool) -> str:
 
 
 def resolve_watermark(
-    log: ExecutionLog, ingestion_id: int, integer_watermark: bool
+    log: ExecutionLog,
+    ingestion_id: int,
+    integer_watermark: bool,
+    rows: list | None = None,
 ) -> str:
-    """Start value for the next incremental pull (T1)."""
-    last = log.last_success_end(ingestion_id, integer_watermark)
+    """Start value for the next incremental pull (T1). ``rows`` reuses an
+    :meth:`ExecutionLog.id_rows` snapshot instead of re-scanning."""
+    last = log.last_success_end(ingestion_id, integer_watermark, rows=rows)
     if last is None or last == "":
         return INTEGER_EPOCH if integer_watermark else DATETIME_EPOCH
     return bump_watermark(last, integer_watermark)

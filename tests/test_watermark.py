@@ -74,6 +74,68 @@ def test_corrupt_log_raises_not_resets(log, tmp_path):
         log.read().count()
 
 
+def test_append_is_driver_side_and_round_trips(log, spark):
+    """r13 suite-wall/ingest-overhead fix: a log append is a driver-side
+    pyarrow write + FS copy — it must launch NO Spark job, land as one
+    visible parquet file per batch dir (no in-flight leftovers), and read
+    back exactly under LOG_SCHEMA, interoperating with batches written by
+    the former createDataFrame committer path."""
+    import glob
+    import os
+    import uuid
+    from datetime import datetime
+
+    from datalakeingestion_spark.ingest.watermark import LOG_SCHEMA
+
+    sc = spark.sparkContext
+    sc.setJobGroup("wm-append-pin", "append must not launch jobs")
+    try:
+        before = datetime.now()
+        log.append(
+            7,
+            STATUS_SUCCESS,
+            start_value="2020-01-01 00:00:00",
+            end_value="2021-06-01 12:34:56.123456",
+            source_count=5,
+            target_count=4,
+            reason_code="rc",
+        )
+        log.append_commit(7, "a", "b", 9, '["f1","f2"]')
+        after = datetime.now()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("wm-append-pin") == []
+
+    # on-disk shape: one visible snappy parquet file per batch dir
+    for d in glob.glob(f"{log.path}/batch-*"):
+        names = sorted(os.listdir(d))
+        assert names == ["part-00000.snappy.parquet"], names
+
+    # old-format interop: a committer-written batch coexists
+    old_row = (8, STATUS_SUCCESS, "", "2022-01-01 00:00:00", 1, 1, "", datetime.now())
+    spark.createDataFrame([old_row], LOG_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{log.path}/batch-{uuid.uuid4().hex}")
+
+    df = log.read()
+    assert df.schema == LOG_SCHEMA
+    rows = {
+        (r["lake_ingestion_id"], r["execution_status"], r["end_value"]): r
+        for r in df.collect()
+    }
+    assert len(rows) == 4
+    r = rows[(7, STATUS_SUCCESS, "2021-06-01 12:34:56.123456")]
+    assert (r["source_count"], r["target_count"], r["reason_code"]) == (5, 4, "rc")
+    assert before <= r["insert_datetime"] <= after
+    loaded = rows[(7, "data-loaded-to-s3", "b")]
+    baseline = rows[(7, STATUS_SUCCESS, "b")]
+    # append_commit's deterministic 1µs LOADED→SUCCESS ordering
+    assert (
+        baseline["insert_datetime"] - loaded["insert_datetime"]
+    ).microseconds == 1
+    assert log.last_success_end(8) == "2022-01-01 00:00:00"
+
+
 def test_mixed_precision_end_values_ordered_as_timestamps(log):
     # fraction-less empty-window records and µs-precision batch records
     # coexist; the typed (timestamp) order must pick the true max
