@@ -838,6 +838,59 @@ def simhash_near_duplicates(
     )
 
 
+# Size-adaptive cutoff for resolving a pair graph on the DRIVER instead
+# of running the distributed fixpoint: a checkpointed edge frame at or
+# under this many rows (~a few MB of (id, id) tuples) is collected and
+# solved with union-find in microseconds, replacing O(log d) shuffle
+# rounds of ~2 jobs each (guide §2.2/§3 — pick the strategy from the
+# input size, the same reasoning as broadcasting a small join side).
+# Verified dedup pair graphs are usually tiny relative to the corpus;
+# graphs above the bound take the distributed loop unchanged.
+MAX_LOCAL_CC_EDGES = 100_000
+
+
+def _local_cc_labels(edge_rows, node_ids):
+    """Union-find over collected edges; returns [(node, min-id-in-its-
+    component)] for every node in ``node_ids`` — exactly the fixpoint the
+    distributed min-label propagation / star algorithms converge to."""
+    parent: dict = {n: n for n in node_ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict = {}
+    for n in node_ids:
+        r = find(n)
+        if r not in best or n < best[r]:
+            best[r] = n
+    return [(n, best[find(n)]) for n in node_ids]
+
+
+def _local_labels_frame(spark, template: DataFrame, labels: list) -> DataFrame:
+    """(node, label) frame from driver-side labels, typed like the edge
+    frame's id column so the local path's schema matches the distributed
+    one."""
+    from pyspark.sql import types as T
+
+    id_type = template.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, True),
+            T.StructField("label", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(labels, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_id_a",
@@ -889,6 +942,22 @@ def connected_components(
     # the input checkpointed). The checkpoint truncates lineage at the
     # loop entrance, same as the star variant's edge checkpoint.
     both = _checkpoint(both)
+    # size-adaptive local solve (guide §2.2): the checkpointed edge frame
+    # is materialized, so the count is a cheap block scan; a graph that
+    # fits the driver bound is solved with union-find in one collect
+    # instead of O(log d) checkpoint rounds. NULL endpoints (which the
+    # distributed joins silently drop in round 1) keep the loop path so
+    # the two paths never disagree.
+    if both.count() <= MAX_LOCAL_CC_EDGES:
+        rows = [(r["src"], r["dst"]) for r in both.collect()]
+        if all(a is not None and b is not None for a, b in rows):
+            labels = _local_cc_labels(rows, sorted({a for a, _ in rows}))
+            return _local_labels_frame(
+                pairs.sparkSession, both, labels
+            ).select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+            )
     # self-loops fold the "keep your own label" term into the neighbor-min
     # join itself, so the propagation loop contains NO Union — a Union of
     # a checkpointed child inside the loop trips Catalyst's
@@ -1327,6 +1396,17 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # size-adaptive local solve — same bound and reasoning as
+    # connected_components. The u != v filter above already dropped any
+    # NULL endpoint (NULL != NULL is NULL), so no fallback check needed.
+    if edges.count() <= MAX_LOCAL_CC_EDGES:
+        rows = [(r["u"], r["v"]) for r in edges.collect()]
+        node_ids = {a for a, _ in rows} | {b for _, b in rows}
+        labels = _local_cc_labels(rows, sorted(node_ids))
+        return _local_labels_frame(pairs.sparkSession, edges, labels).select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
     nodes = edges.select(F.col("u").alias("node")).unionByName(
         edges.select(F.col("v").alias("node"))
     ).distinct()

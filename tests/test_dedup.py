@@ -140,13 +140,54 @@ def test_connected_components_checkpoints_input_and_leaves_no_cache(spark):
     assert cm.isEmpty(), "connected_components left persisted frames behind"
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
+def test_connected_components_raises_on_nonconvergence(spark, monkeypatch):
     # a 6-hop chain cannot converge in 2 rounds; silent wrong clusters
-    # would split one component — must raise instead
+    # would split one component — must raise instead. Pin the DISTRIBUTED
+    # loop: a graph this small normally takes the r13 local union-find
+    # path, which has no convergence limit.
+    monkeypatch.setattr(dd, "MAX_LOCAL_CC_EDGES", 0)
     chain = [(i, i + 1) for i in range(1, 8)]
     pairs = spark.createDataFrame(chain, ["doc_id_a", "doc_id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(pairs, max_iterations=2)
+
+
+def test_connected_components_local_path_matches_distributed(spark, monkeypatch):
+    """r13 size-adaptive solve: a small pair graph resolves on the driver
+    (union-find over the checkpointed edge collect) — its labels must be
+    IDENTICAL to the distributed fixpoint's on the same graph, for both
+    variants, including ids of non-numeric type."""
+    cases = [
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 4), (6, 7), (7, 8), (6, 8), (9, 9)],
+            ["doc_id_a", "doc_id_b"],
+        ),
+        spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("z", "z"), ("x", "y")],
+            ["doc_id_a", "doc_id_b"],
+        ),
+    ]
+    for pairs in cases:
+        local = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in dd.connected_components(pairs).collect()
+        )
+        local_star = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in dd.connected_components_star(pairs).collect()
+        )
+        monkeypatch.setattr(dd, "MAX_LOCAL_CC_EDGES", -1)
+        dist = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in dd.connected_components(pairs).collect()
+        )
+        dist_star = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in dd.connected_components_star(pairs).collect()
+        )
+        monkeypatch.undo()
+        assert local and local == dist
+        assert local_star == dist_star
 
 
 def test_star_contraction_matches_propagation(spark, docs):
