@@ -55,6 +55,59 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+# Size-adaptive cutoff for running the Lloyd loop on the DRIVER: at or
+# under this many vectors, ONE collect replaces the init job, the base
+# checkpoint job, and one aggregate job per iteration (guide §2.2 —
+# training runs on a sample by contract, and a sample this small spends
+# its whole distributed budget on job-scheduling floor). The decimal
+# mean arithmetic is collected FROM Spark (the same decimal(28,12)
+# cast the distributed aggregate applies), so the two paths are
+# bit-identical by construction — pinned by
+# tests/test_ivf_maintenance.py::test_train_centroids_local_matches_distributed.
+MAX_LOCAL_TRAIN_VECTORS = 20_000
+
+
+def _train_local(rows, k: int, iters: int) -> np.ndarray:
+    """Driver-side Lloyd twin of the distributed loop below. ``rows``
+    carry (__h, __id, __vec raw, __vdec = unit vec pre-cast to
+    decimal(28,12) BY SPARK). Means: exact integer sums of the scaled
+    decimals, then the identical float(sum)/n division."""
+    from decimal import Decimal
+
+    init = sorted(rows, key=lambda r: (r["__h"], r["__id"]))[:k]
+    centroids = _unit(
+        np.array([list(r["__vec"]) for r in init], dtype=np.float64)
+    )
+    if iters <= 0 or not rows:
+        return centroids
+    raw = np.vstack([list(r["__vec"]) for r in rows]).astype(np.float64)
+    X = _unit(raw)
+    # decimal(28,12) components of unit vectors are |x| <= 1, so the
+    # scaled-integer sum of n <= 20k of them is < 2e16 — int64-exact
+    vint = np.array(
+        [[int(x.scaleb(12)) for x in r["__vdec"]] for r in rows],
+        dtype=np.int64,
+    )
+    dim = vint.shape[1]
+    for _ in range(iters):
+        mat = _unit(centroids.astype(np.float64))
+        # same kernel as _topcells_udf top-1: stable argsort on -cosine
+        cells = np.argsort(-(X @ mat.T), axis=1, kind="stable")[:, 0]
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cells, vint)
+        counts = np.bincount(cells, minlength=k)
+        new = centroids.copy()
+        for c in range(k):
+            if counts[c] == 0:
+                continue  # empty cells keep their previous centroid
+            for d in range(dim):
+                new[c, d] = float(Decimal(int(sums[c, d])).scaleb(-12)) / int(
+                    counts[c]
+                )
+        centroids = new
+    return centroids
+
+
 def train_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -63,16 +116,6 @@ def train_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic Lloyd k-means; returns a k×dim float64 matrix."""
-    init = (
-        embeddings.select(id_col, vec_col)
-        .withColumn("__h", portable_hash32(F.col(id_col).cast("string")))
-        .orderBy("__h", id_col)
-        .limit(k)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = _unit(np.array([list(r[0]) for r in init], dtype=np.float64))
-
     # normalized copies feed the mean computation (spherical k-means)
     norm_expr = F.sqrt(
         F.aggregate(
@@ -84,6 +127,36 @@ def train_centroids(
     unit_vec = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm_expr, F.lit(1e-12))
     )
+
+    # size-adaptive local Lloyd: one bounded collect (raw vec for the
+    # assignment kernel, unit vec pre-cast to decimal(28,12) by the SAME
+    # Spark cast the distributed aggregate uses) replaces init +
+    # checkpoint + per-iteration jobs; over the bound, fall through to
+    # the distributed loop on the partial collect's evidence alone
+    head = (
+        embeddings.select(
+            portable_hash32(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            F.transform(
+                unit_vec, lambda x: x.cast("decimal(28,12)")
+            ).alias("__vdec"),
+        )
+        .limit(MAX_LOCAL_TRAIN_VECTORS + 1)
+        .collect()
+    )
+    if len(head) <= MAX_LOCAL_TRAIN_VECTORS:
+        return _train_local(head, k, iters)
+
+    init = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("__h", portable_hash32(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = _unit(np.array([list(r[0]) for r in init], dtype=np.float64))
 
     # one pass over the source: Lloyd's loop otherwise re-reads the
     # corpus AND re-normalizes every vector once per iteration (iters
@@ -299,21 +372,57 @@ def build_ivf_index(
             f"build_ivf_index: centroids has {k} rows but "
             f"n_centroids={n_centroids}"
         )
-    spark.createDataFrame(
-        [
-            (int(c), int(d), float(centroids[c, d]))
-            for c in range(k)
-            for d in range(dim)
-        ],
-        "cell int, dim int, value double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    spark.createDataFrame(
-        [(k, assign_n, id_col, vec_col)],
-        "n_centroids int, assign_n int, id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    _write_quantizer_meta(
+        spark, index_path, centroids, assign_n, id_col, vec_col
+    )
     _write_cells(embeddings, index_path, centroids, assign_n, id_col,
                  vec_col, mode="overwrite")
     return centroids
+
+
+def _write_quantizer_meta(
+    spark, index_path, centroids, assign_n, id_col, vec_col
+) -> None:
+    """centroids/ + meta/ are k×dim+1 rows of driver-resident data —
+    written driver-side (utils.write_driver_parquet), not as two Spark
+    jobs per build/split."""
+    import pyarrow as pa
+
+    from ..utils import write_driver_parquet
+
+    k, dim = centroids.shape
+    write_driver_parquet(
+        spark,
+        pa.Table.from_arrays(
+            [
+                pa.array(
+                    [c for c in range(k) for _ in range(dim)], pa.int32()
+                ),
+                pa.array(list(range(dim)) * k, pa.int32()),
+                pa.array(
+                    [float(centroids[c, d]) for c in range(k) for d in range(dim)],
+                    pa.float64(),
+                ),
+            ],
+            names=["cell", "dim", "value"],
+        ),
+        f"{index_path}/centroids",
+        overwrite=True,
+    )
+    write_driver_parquet(
+        spark,
+        pa.Table.from_arrays(
+            [
+                pa.array([k], pa.int32()),
+                pa.array([assign_n], pa.int32()),
+                pa.array([id_col], pa.string()),
+                pa.array([vec_col], pa.string()),
+            ],
+            names=["n_centroids", "assign_n", "id_col", "vec_col"],
+        ),
+        f"{index_path}/meta",
+        overwrite=True,
+    )
 
 
 def _write_cells(
@@ -376,9 +485,20 @@ def append_ivf_index(
         mode="append",
     )
     if batch_id is not None:
-        spark.createDataFrame(
-            [(batch_id,)], "batch_id string"
-        ).coalesce(1).write.mode("append").parquet(f"{index_path}/epochs")
+        import uuid
+
+        import pyarrow as pa
+
+        from ..utils import write_driver_parquet
+
+        write_driver_parquet(
+            spark,
+            pa.Table.from_arrays(
+                [pa.array([batch_id], pa.string())], names=["batch_id"]
+            ),
+            f"{index_path}/epochs",
+            filename=f"part-{uuid.uuid4().hex}.snappy.parquet",
+        )
     return True
 
 
@@ -575,29 +695,29 @@ def split_hot_cells(
         )
         # 2) log the split intent, then commit the new geometry
         #    (duplicates now visible; dedup-safe)
-        spark.createDataFrame(
-            [(int(c), int(new_id))], "src int, new int"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/_split_log"
+        import pyarrow as pa
+
+        from ..utils import write_driver_parquet
+
+        write_driver_parquet(
+            spark,
+            pa.Table.from_arrays(
+                [pa.array([int(c)], pa.int32()), pa.array([int(new_id)], pa.int32())],
+                names=["src", "new"],
+            ),
+            f"{index_path}/_split_log",
+            overwrite=True,
         )
         new_centroids = np.vstack([centroids, sub[1:2]])
         new_centroids[c] = sub[0]
-        dim = new_centroids.shape[1]
-        spark.createDataFrame(
-            [
-                (int(cc), int(d), float(new_centroids[cc, d]))
-                for cc in range(k + 1)
-                for d in range(dim)
-            ],
-            "cell int, dim int, value double",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/centroids"
+        _write_quantizer_meta(
+            spark,
+            index_path,
+            new_centroids,
+            int(meta["assign_n"]),
+            meta["id_col"],
+            meta["vec_col"],
         )
-        spark.createDataFrame(
-            [(k + 1, int(meta["assign_n"]), meta["id_col"],
-              meta["vec_col"])],
-            "n_centroids int, assign_n int, id_col string, vec_col string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
         # 3) drop the moved rows from the split cell via stage-and-swap
         #    (crash-safe: the kept half is durable in staging before the
         #    live directory is touched), then clear the log

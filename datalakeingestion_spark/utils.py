@@ -49,6 +49,47 @@ def section_logger(
     return logger
 
 
+def write_driver_parquet(
+    spark,
+    table,
+    dest_dir: str,
+    filename: str = "part-00000.snappy.parquet",
+    overwrite: bool = False,
+) -> None:
+    """Write a DRIVER-SIDE pyarrow table as one parquet file under
+    ``dest_dir`` without launching a Spark job — the metadata-write twin
+    of ``ExecutionLog._write_batch`` (ingest/watermark.py): serialize
+    locally, copy into place through the Hadoop FS API (works for any
+    supported scheme), land under a dot-prefixed in-flight name and
+    rename so a concurrent recursive reader never sees a partial footer.
+    For metadata-scale frames only (a k×dim centroid table, a 1-row meta
+    record); data-scale writes stay distributed.
+
+    ``overwrite=True`` replaces the directory (delete, then write) —
+    the same non-atomic window the Spark committer's overwrite mode had
+    for these single-file metadata dirs. The default appends a new file
+    beside existing ones (pass a unique ``filename``)."""
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tmp:
+        local = tmp.name
+    pq.write_table(table, local, compression="snappy")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    dst_dir = hpath(dest_dir)
+    fs = dst_dir.getFileSystem(conf)
+    if overwrite and fs.exists(dst_dir):
+        fs.delete(dst_dir, True)
+    fs.mkdirs(dst_dir)
+    inflight = hpath(f"{dest_dir}/.inflight-{uuid.uuid4().hex}")
+    fs.copyFromLocalFile(True, True, hpath("file:" + local), inflight)
+    fs.rename(inflight, hpath(f"{dest_dir}/{filename}"))
+
+
 def with_retries(
     fn: Callable[[], T],
     attempts: int = 3,

@@ -22,6 +22,24 @@ def test_ivf_centroids_deterministic(spark):
     assert (c1 == c2).all()  # decimal-exact means → bit-identical runs
 
 
+def test_train_centroids_local_matches_distributed(spark, monkeypatch):
+    """r13 size-adaptive Lloyd: the driver-side trainer must be
+    BIT-IDENTICAL to the distributed loop (same hash-seeded init, same
+    assignment kernel, and the decimal(28,12) mean arithmetic collected
+    from Spark's own cast) across configs, including iters=0 and a
+    non-divisible k."""
+    from datalakeingestion_spark.operators import ivf as ivf_mod
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for k, iters in [(8, 2), (16, 5), (5, 3), (8, 0)]:
+        local = train_centroids(emb, k=k, iters=iters)
+        monkeypatch.setattr(ivf_mod, "MAX_LOCAL_TRAIN_VECTORS", -1)
+        dist = train_centroids(emb, k=k, iters=iters)
+        monkeypatch.undo()
+        assert local.shape == dist.shape == (k, 64)
+        assert (local == dist).all(), (k, iters)
+
+
 def test_ivf_recall_against_brute_force(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     q = emb.filter(F.col("vec_id") < 5)
