@@ -93,24 +93,56 @@ def registry_frames(spark):
     """Every registered query built ONCE at sf0.001 (r13, suite wall
     time): ``fn()`` assembly — where connected-components loops, IVF
     training and graph sweeps eagerly execute — is the expensive half
-    of a registry sweep (~4 min), and both the cartesian-product net
-    (test_plans) and the array/map schema net (test_parity) only need
-    the built DataFrame, so they share one build instead of paying two.
+    of a registry sweep (~4 min serial), and both the cartesian-product
+    net (test_plans) and the array/map schema net (test_parity) only
+    need the built DataFrame, so they share one build instead of paying
+    two.
+
+    Built with 8 DRIVER THREADS (~160 s serial -> the jobs overlap; the
+    Spark scheduler is thread-safe and every fn() is self-contained:
+    per-call tempdirs, no catalog tables, the one temp view registers
+    identical content). Any per-query failure is retried SERIALLY so a
+    hypothetical thread-interaction flake can never fail the suite —
+    only a real, reproducible build error surfaces.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from datalakeingestion_spark.plans.registry import (
         REGISTRY,
         _ensure_loaded,
     )
 
     _ensure_loaded()
-    return {
-        name: qd.fn(spark, SF_SMALL) for name, qd in REGISTRY.items()
-    }
+    names = list(REGISTRY)
+
+    def build(name: str):
+        return REGISTRY[name].fn(spark, SF_SMALL)
+
+    frames = {}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        futures = {name: ex.submit(build, name) for name in names}
+        retry = []
+        for name, fut in futures.items():
+            try:
+                frames[name] = fut.result()
+            except Exception:
+                retry.append(name)
+    for name in retry:  # serial retry — a real error reproduces here
+        frames[name] = build(name)
+    return frames
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
-    actual = canonicalize(spark_df.toPandas())
-    expected = canonicalize(duck_con.execute(oracle).df())
+    # run the DuckDB oracle CONCURRENTLY with the Spark action (r13 suite
+    # wall): duckdb releases the GIL while executing, and nothing else
+    # touches the connection until fut.result(), so the two engines'
+    # single-threaded-per-test costs overlap instead of adding
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(lambda: duck_con.execute(oracle).df())
+        actual = canonicalize(spark_df.toPandas())
+        expected = canonicalize(fut.result())
     assert len(actual) == len(expected), (
         f"{name}: row count {len(actual)} != oracle {len(expected)}"
     )
