@@ -113,15 +113,25 @@ ROUND_TOUCHED: tuple[str, ...] = (
     "bpe_encode_k3",
     # tokenize-chain pin (plan-shape test added)
     "curation_pipeline",
+    # IVF: shared/driver-local quantizer training, driver-side index
+    # metadata writes (second/third session)
+    "ivf_stored_index_contract",
+    "ivf_split_hot_cells_contract",
+    "ivf_index_health_report",
+    "ann_ivf_topk",
+    "ivf_trained_recall_delta",
+    "kmeans_cluster_profile",
 )
 DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_assign",  # ROUND-TOUCHED; last green r7
     "ann_cosine_topk",  # ROUND-TOUCHED; last green r7
     "ann_lsh_bucketed",  # ROUND-TOUCHED; last green r7
     "curation_pipeline",  # ROUND-TOUCHED; last green r8
+    "ann_ivf_topk",  # ROUND-TOUCHED; last green r8
     "dedup_keep_best",  # ROUND-TOUCHED; last green r8
     "dedup_semantic_clusters",  # ROUND-TOUCHED; last green r8
     "dedup_cluster_assign_star",  # ROUND-TOUCHED; last green r9
+    "kmeans_cluster_profile",  # ROUND-TOUCHED; last green r10
     "dedup_incremental_vs_lake",  # ROUND-TOUCHED; last green r10
     "curation_pipeline_v2",  # ROUND-TOUCHED; last green r10
     "sample_negatives_contrastive",  # ROUND-TOUCHED; last green r10
@@ -141,8 +151,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_topk",  # ROUND-TOUCHED; last green r9
     "curation_pipeline_v3",  # ROUND-TOUCHED; last green r9
     "entity_resolution_merge",  # ROUND-TOUCHED; last green r10
+    "ivf_trained_recall_delta",  # ROUND-TOUCHED; last green r10
     "training_shard_manifest",  # ROUND-TOUCHED; last green r11
+    "ivf_stored_index_contract",  # ROUND-TOUCHED; last green r11
+    "ivf_index_health_report",  # ROUND-TOUCHED; last green r11
     "quota_enforced_delivery_contract",  # ROUND-TOUCHED; last green r12
+    "ivf_split_hot_cells_contract",  # ROUND-TOUCHED; last green r12
     "packed_sequence_boundaries",  # ROUND-TOUCHED; last green r12
     "delivery_resume_table",  # ROUND-TOUCHED; last green r12
     "dedup_minhash_lsh",  # last green r7
@@ -159,12 +173,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_length_filter_percentile",  # last green r7
     "doc_fingerprint",  # last green r7
     "ks_drift_time_sliced",  # last green r7
-    "price_percentile_rank",  # last green r7
-    "psi_drift_windowed",  # last green r7
-    "video_avi_channel_stats",  # last green r7
-    "ks_drift_windowed_grid",  # last green r7
-    "ks_drift_sampled",  # last green r7
-    "price_quantiles_sketched",  # last green r7
 )
 
 
