@@ -78,28 +78,33 @@ def compact(
     df = spark.read.parquet(path)
     n_before = df.count()
 
-    from .merge import _write_counted
-
     if partition_col is not None:
         # hash-partition on (partition value, salt): every Hive value's rows
         # land in ≤ files_per_partition tasks, and each task writes one file
         # per value it holds — bounded files per directory, parallel write
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
         out = df.repartition(F.col(partition_col), salt)
-        conf = lambda w: (
-            w.mode("overwrite")
+        writer = (
+            out.write.mode("overwrite")
             .option("compression", "snappy")
             .partitionBy(partition_col)
         )
     else:
-        out = df.coalesce(files_per_partition)
-        conf = lambda w: w.mode("overwrite").option("compression", "snappy")
+        writer = (
+            df.coalesce(files_per_partition)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+        )
 
     staging = path.rstrip("/") + ".__compact__"
-    # the rewrite must carry every row the pre-count saw; the count rides
-    # the staging write itself (Observation) instead of a re-read job
-    n_staged = _write_counted(out, conf, staging)
-    assert n_staged == n_before
+    writer.parquet(staging)
+    # compaction rewrites the PRIMARY data and _publish_swap deletes the
+    # old copy — so the gate deliberately RE-READS the staged files (one
+    # extra job) rather than counting the write stream: it must prove the
+    # staging is durable AND readable before anything irreversible runs.
+    # (The derived materializations in ingest/merge.py take the cheaper
+    # Observation count — they are rebuildable from the lake.)
+    assert spark.read.parquet(staging).count() == n_before
 
     _publish_swap(spark, staging, path)
 

@@ -31,7 +31,14 @@ def _write_counted(writer_frame: DataFrame, configure, staging: str) -> int:
     job (and a full read of the files just written) per merge, purely to
     report a number the write stream already knew. ``configure`` maps the
     observed frame's ``.write`` builder to the final writer (mode/
-    compression/partitioning)."""
+    compression/partitioning).
+
+    Deliberate trade (r13): the count no longer proves the staged files
+    read back — only that the rows streamed through the committer (which
+    still fails loudly on write errors). Used ONLY where the swap target
+    is a DERIVED materialization rebuildable from the lake (latest zone,
+    rollup); the primary-data swaps (``merge_upsert``,
+    ``maintenance.compact``) keep the full read-back gate."""
     obs = Observation()
     observed = writer_frame.observe(obs, F.count(F.lit(1)).alias("n"))
     configure(observed.write).parquet(staging)
@@ -147,14 +154,13 @@ def merge_upsert(
         merged = updates
 
     staging = target_path.rstrip("/") + ".__staging__"
-
-    def _conf(w):
-        w = w.mode("overwrite").option("compression", "snappy")
-        if partition_spec is not None:
-            w = w.partitionBy(partition_spec.partition_column_name)
-        return w
-
-    n = _write_counted(merged, _conf, staging)
+    writer = merged.write.mode("overwrite").option("compression", "snappy")
+    if partition_spec is not None:
+        writer = writer.partitionBy(partition_spec.partition_column_name)
+    writer.parquet(staging)
+    # the upsert target is PRIMARY data and the swap deletes the old copy:
+    # keep the read-back gate (see _write_counted's trade note)
+    n = spark.read.parquet(staging).count()
 
     # swap: best-effort atomicity on a single filesystem (rename is atomic
     # on HDFS/local; on S3 use Delta instead — see module docstring)

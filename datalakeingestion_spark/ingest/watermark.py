@@ -118,11 +118,12 @@ class ExecutionLog:
         append, one snappy parquet file inside, schema == LOG_SCHEMA —
         concurrent writers still need no locking, and readers
         (``read()``'s recursive schema-pinned scan) are untouched.
+        The serialize/copy/rename mechanics live in
+        ``utils.write_driver_parquet``.
         """
-        import tempfile
-
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from ..utils import write_driver_parquet
 
         cols = list(zip(*rows))
         table = pa.Table.from_arrays(
@@ -148,23 +149,9 @@ class ExecutionLog:
             ],
             names=[f.name for f in LOG_SCHEMA.fields],
         )
-        with tempfile.NamedTemporaryFile(
-            suffix=".parquet", delete=False
-        ) as tmp:
-            local = tmp.name
-        pq.write_table(table, local, compression="snappy")
-
-        batch_dir = f"{self.path}/batch-{uuid.uuid4().hex}"
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path
-        dst_dir = hpath(batch_dir)
-        fs = dst_dir.getFileSystem(conf)
-        fs.mkdirs(dst_dir)
-        inflight = hpath(f"{batch_dir}/.inflight-{uuid.uuid4().hex}")
-        # delSrc=True: the local temp file is consumed by the copy
-        fs.copyFromLocalFile(True, True, hpath("file:" + local), inflight)
-        fs.rename(inflight, hpath(f"{batch_dir}/part-00000.snappy.parquet"))
+        write_driver_parquet(
+            self.spark, table, f"{self.path}/batch-{uuid.uuid4().hex}"
+        )
 
     def append(
         self,
@@ -303,8 +290,12 @@ def _wm_key(value: str, integer_watermark: bool):
     """Typed ordering key for a stored end_value string; None when the
     string does not parse (mirrors the former SQL cast returning NULL,
     which max_by ignored). Accepts the formats this module itself writes
-    — 'YYYY-MM-DD HH:MM:SS[.ffffff]' — plus bare dates, which the SQL
-    timestamp cast also accepted."""
+    — 'YYYY-MM-DD HH:MM:SS[.ffffff]' — plus everything
+    ``datetime.fromisoformat`` covers ('T' separators, minute
+    precision, timezone offsets: formats the former cast-to-timestamp
+    accepted and an externally-written or migrated log may contain).
+    Offset-aware values are normalized to the session wall clock (UTC,
+    like the cast) so keys stay mutually comparable."""
     if integer_watermark:
         try:
             return int(value)
@@ -315,7 +306,15 @@ def _wm_key(value: str, integer_watermark: bool):
             return datetime.strptime(value, fmt)
         except ValueError:
             continue
-    return None
+    try:
+        ts = datetime.fromisoformat(value)
+    except ValueError:
+        return None
+    if ts.tzinfo is not None:
+        from datetime import timezone
+
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts
 
 
 def bump_watermark(value: str, integer_watermark: bool) -> str:

@@ -128,24 +128,24 @@ def train_centroids(
         F.col(vec_col), lambda x: x.cast("double") / F.greatest(norm_expr, F.lit(1e-12))
     )
 
-    # size-adaptive local Lloyd: one bounded collect (raw vec for the
-    # assignment kernel, unit vec pre-cast to decimal(28,12) by the SAME
-    # Spark cast the distributed aggregate uses) replaces init +
-    # checkpoint + per-iteration jobs; over the bound, fall through to
-    # the distributed loop on the partial collect's evidence alone
-    head = (
-        embeddings.select(
+    # size-adaptive local Lloyd: when the sample fits the driver bound,
+    # one collect (raw vec for the assignment kernel, unit vec pre-cast
+    # to decimal(28,12) by the SAME Spark cast the distributed aggregate
+    # uses) replaces init + checkpoint + per-iteration jobs. The size
+    # probe is a bare bounded count FIRST — probing with the full
+    # projection would ship ~bound wide rows (and a Decimal per
+    # dimension) to the driver just to learn "too big" on every
+    # production-scale call.
+    probe = embeddings.limit(MAX_LOCAL_TRAIN_VECTORS + 1).count()
+    if probe <= MAX_LOCAL_TRAIN_VECTORS:
+        head = embeddings.select(
             portable_hash32(F.col(id_col).cast("string")).alias("__h"),
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),
             F.transform(
                 unit_vec, lambda x: x.cast("decimal(28,12)")
             ).alias("__vdec"),
-        )
-        .limit(MAX_LOCAL_TRAIN_VECTORS + 1)
-        .collect()
-    )
-    if len(head) <= MAX_LOCAL_TRAIN_VECTORS:
+        ).collect()
         return _train_local(head, k, iters)
 
     init = (

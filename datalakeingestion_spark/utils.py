@@ -69,6 +69,7 @@ def write_driver_parquet(
     the same non-atomic window the Spark committer's overwrite mode had
     for these single-file metadata dirs. The default appends a new file
     beside existing ones (pass a unique ``filename``)."""
+    import os
     import tempfile
     import uuid
 
@@ -76,18 +77,31 @@ def write_driver_parquet(
 
     with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tmp:
         local = tmp.name
-    pq.write_table(table, local, compression="snappy")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    dst_dir = hpath(dest_dir)
-    fs = dst_dir.getFileSystem(conf)
-    if overwrite and fs.exists(dst_dir):
-        fs.delete(dst_dir, True)
-    fs.mkdirs(dst_dir)
-    inflight = hpath(f"{dest_dir}/.inflight-{uuid.uuid4().hex}")
-    fs.copyFromLocalFile(True, True, hpath("file:" + local), inflight)
-    fs.rename(inflight, hpath(f"{dest_dir}/{filename}"))
+    try:
+        pq.write_table(table, local, compression="snappy")
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        dst_dir = hpath(dest_dir)
+        fs = dst_dir.getFileSystem(conf)
+        if overwrite and fs.exists(dst_dir):
+            fs.delete(dst_dir, True)
+        fs.mkdirs(dst_dir)
+        inflight = hpath(f"{dest_dir}/.inflight-{uuid.uuid4().hex}")
+        # delSrc=True: a successful copy consumes the local temp file
+        fs.copyFromLocalFile(True, True, hpath("file:" + local), inflight)
+        # Hadoop FileSystem.rename reports failure by RETURNING false —
+        # swallowing it would silently lose the record (the row would sit
+        # under the dot-prefixed in-flight name, hidden from readers)
+        if not fs.rename(inflight, hpath(f"{dest_dir}/{filename}")):
+            raise RuntimeError(
+                f"rename failed publishing {dest_dir}/{filename} "
+                "(in-flight file left for inspection)"
+            )
+    finally:
+        # the copy consumed it on success; clean up on any failure path
+        if os.path.exists(local):
+            os.unlink(local)
 
 
 def with_retries(

@@ -74,6 +74,22 @@ def test_corrupt_log_raises_not_resets(log, tmp_path):
         log.read().count()
 
 
+def test_legacy_iso_end_values_still_order(log):
+    """r13 review fix: the driver-side typed max must accept the ISO
+    forms the former SQL cast-to-timestamp parsed ('T' separator,
+    minute precision, timezone offsets — e.g. rows migrated from an
+    external log), normalizing offsets to the UTC session wall clock,
+    or an old-format latest row would be silently skipped and the
+    watermark would regress into re-ingesting duplicates."""
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01 00:00:00")
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01T06:00:00")
+    # 05:00 UTC expressed at +02:00 — between the two naive rows above
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01 07:00:00+02:00")
+    assert log.last_success_end(1) == "2024-03-01T06:00:00"
+    log.append(1, STATUS_SUCCESS, end_value="2024-03-01 23:00:00+02:00")
+    assert log.last_success_end(1) == "2024-03-01 23:00:00+02:00"
+
+
 def test_append_is_driver_side_and_round_trips(log, spark):
     """r13 suite-wall/ingest-overhead fix: a log append is a driver-side
     pyarrow write + FS copy — it must launch NO Spark job, land as one
