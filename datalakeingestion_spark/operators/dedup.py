@@ -1262,12 +1262,38 @@ def containment_join(
     products stay small. Exact verify after; no length filter applies
     (containment is size-asymmetric by design).
 
+    Each doc's shingle-set size rides on every exploded row as
+    ``size(shingle_array)`` — computed BEFORE the explode, so it costs
+    nothing — and is carried through the candidate pairs into the final
+    containment division. That removes the groupBy(doc) size aggregate,
+    its join onto the index side, and the size join after the verify
+    (each a shuffle or broadcast stage the former shape paid; the size
+    equals the former count(*)-per-doc exactly because the explode emits
+    one row per array element).
+
     Returns (doc_id_small, doc_id_large, containment).
     """
     from pyspark.sql import Window
 
-    sh = _shingle_table(docs, text_col, id_col, n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    from .curation import _pin_once  # lazy: curation imports dedup at top
+
+    # stage the array in its own projection: size() and explode() must
+    # share ONE evaluation of the tokenize chain, and CollapseProject
+    # would otherwise inline the alias into both (measured: 3x the
+    # chain per row) — the _pin_once nondeterministic wrapper blocks it
+    sh = (
+        _rebalance(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            _pin_once(distinct_shingles(text_col, n)).alias("_arr"),
+        )
+        .select(
+            "doc_id",
+            F.size("_arr").cast("long").alias("sz"),
+            F.explode("_arr").alias("s"),
+        )
+        .persist()
+    )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     t_dec = F.lit(f"{threshold:.6f}").cast("decimal(12,6)")
     ranked = (
@@ -1275,18 +1301,17 @@ def containment_join(
         .select(
             "doc_id",
             "s",
+            "sz",
             F.row_number()
             .over(Window.partitionBy("doc_id").orderBy("df", "s"))
             .alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
         )
         .withColumn("plen", F.col("sz") - F.ceil(t_dec * F.col("sz")) + 1)
     )
     prefix = ranked.filter(F.col("r") <= F.col("plen")).select(
         "doc_id", "s", "sz"
     )
-    full = sh.join(sizes, "doc_id").select("doc_id", "s", "sz")
-    a, b = prefix.alias("a"), full.alias("b")
+    a, b = prefix.alias("a"), sh.alias("b")
     smaller = (F.col("a.sz") < F.col("b.sz")) | (
         (F.col("a.sz") == F.col("b.sz"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1296,10 +1321,12 @@ def containment_join(
         .select(
             F.col("a.doc_id").alias("doc_id_small"),
             F.col("b.doc_id").alias("doc_id_large"),
+            F.col("a.sz").alias("sz"),
         )
         .distinct()
     )
-    t1, t2 = sh.alias("t1"), sh.alias("t2")
+    shv = sh.select("doc_id", "s")  # verify sides don't need sz
+    t1, t2 = shv.alias("t1"), shv.alias("t2")
     inter = (
         cand.join(t1, F.col("t1.doc_id") == F.col("doc_id_small"))
         .join(
@@ -1307,13 +1334,12 @@ def containment_join(
             (F.col("t2.doc_id") == F.col("doc_id_large"))
             & (F.col("t2.s") == F.col("t1.s")),
         )
-        .groupBy("doc_id_small", "doc_id_large")
+        # sz is functionally determined by doc_id_small — same groups
+        .groupBy("doc_id_small", "doc_id_large", "sz")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_small"), F.col("sz"))
     return (
-        inter.join(sa, "doc_id_small")
-        .select(
+        inter.select(
             "doc_id_small",
             "doc_id_large",
             F.round(F.col("i") / F.col("sz"), 6).alias("containment"),
