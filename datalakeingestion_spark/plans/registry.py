@@ -111,6 +111,9 @@ ROUND_TOUCHED: tuple[str, ...] = (
     "curation_pipeline_v2",
     "bpe_train_merges_k3",
     "bpe_encode_k3",
+    # containment_join size-carry restructure (fourth session)
+    "containment_quote_pairs",
+    "curated_corpus_shard_manifest",
     # tokenize-chain pin (plan-shape test added)
     "curation_pipeline",
     # IVF: shared/driver-local quantizer training, driver-side index
@@ -133,6 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_assign_star",  # ROUND-TOUCHED; last green r9
     "kmeans_cluster_profile",  # ROUND-TOUCHED; last green r10
     "dedup_incremental_vs_lake",  # ROUND-TOUCHED; last green r10
+    "containment_quote_pairs",  # ROUND-TOUCHED; last green r10
     "curation_pipeline_v2",  # ROUND-TOUCHED; last green r10
     "sample_negatives_contrastive",  # ROUND-TOUCHED; last green r10
     "pagerank_trade_graph_3iter",  # ROUND-TOUCHED; last green r10
@@ -155,6 +159,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",  # ROUND-TOUCHED; last green r11
     "ivf_stored_index_contract",  # ROUND-TOUCHED; last green r11
     "ivf_index_health_report",  # ROUND-TOUCHED; last green r11
+    "curated_corpus_shard_manifest",  # ROUND-TOUCHED; last green r11
     "quota_enforced_delivery_contract",  # ROUND-TOUCHED; last green r12
     "ivf_split_hot_cells_contract",  # ROUND-TOUCHED; last green r12
     "packed_sequence_boundaries",  # ROUND-TOUCHED; last green r12
@@ -171,8 +176,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_redact_pii",  # last green r7
     "vocab_topk",  # last green r7
     "text_length_filter_percentile",  # last green r7
-    "doc_fingerprint",  # last green r7
-    "ks_drift_time_sliced",  # last green r7
 )
 
 
