@@ -46,6 +46,48 @@ from .packing import keyed_prefix_sum, pack_sequences
 MANIFEST_DIR = "_manifest"
 
 
+def _write_manifest_rows(spark, rows, schema, dest_dir: str) -> None:
+    """Publish collected manifest rows as the manifest parquet from the
+    DRIVER — no Spark job. A manifest is manifest-scale by contract
+    (one row per shard, already .collect()ed by every writer for the
+    digest diff), so routing it back through createDataFrame + a
+    one-task overwrite write paid a full job of scheduler/committer
+    floor per delivery (the execution-log finding, utils.
+    write_driver_parquet). Readers are untouched: spark.read.parquet
+    sees one snappy file with the same column types. Falls back to the
+    distributed write for any column type outside the manifest's
+    integral/string/double vocabulary."""
+    import pyarrow as pa
+
+    from ..utils import write_driver_parquet
+
+    pa_types = {
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "string": pa.string(),
+    }
+    try:
+        arrays = [
+            pa.array([r[f.name] for r in rows], pa_types[f.dataType.simpleString()])
+            for f in schema.fields
+        ]
+    except KeyError:
+        (
+            spark.createDataFrame(rows, schema=schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dest_dir)
+        )
+        return
+    write_driver_parquet(
+        spark,
+        pa.Table.from_arrays(arrays, names=[f.name for f in schema.fields]),
+        dest_dir,
+        overwrite=True,
+    )
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(Hadoop FileSystem, Path) for ``path`` — existence checks and the
     vacuum delete must go through Hadoop's FS abstraction, not the local
@@ -418,10 +460,9 @@ def write_training_shards(
         if fs.exists(p):
             fs.delete(p, True)
     if written or vacuumed or old is None:
-        mdf = spark.createDataFrame(
-            new_rows, schema=manifest.schema
-        ).coalesce(1)
-        mdf.write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+        _write_manifest_rows(
+            spark, new_rows, manifest.schema, f"{path}/{MANIFEST_DIR}"
+        )
     return {"written": written, "skipped": skipped, "vacuumed": vacuumed}
 
 

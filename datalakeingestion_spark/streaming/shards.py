@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from ..functions.text import n_tokens_of
-from ..operators.shards import pack_assign_with_payload, shard_manifest
+from ..operators.shards import (
+    _write_manifest_rows,
+    pack_assign_with_payload,
+    shard_manifest,
+)
 
 
 _RESERVED_COLS = ("n_tokens", "seq_id", "shard_id", "epoch")
@@ -267,11 +271,13 @@ def compact_delivery(
             .parquet(f"{delivery_dir}/data/epoch={new_id}")
         )
         manifest = shard_manifest(sharded)
-        n_shards = manifest.count()
-        (
-            manifest.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{delivery_dir}/manifest/epoch={new_id}")
+        # one collect serves the count AND the driver-side manifest
+        # publish (manifest-scale; was a count job + a write job)
+        man_rows = manifest.collect()
+        n_shards = len(man_rows)
+        _write_manifest_rows(
+            spark, man_rows, manifest.schema,
+            f"{delivery_dir}/manifest/epoch={new_id}",
         )
         stale = stale + (
             [effective] if effective is not None else []
@@ -356,11 +362,11 @@ def shard_delivery_stream(
             .partitionBy("shard_id")
             .parquet(f"{delivery_dir}/data/epoch={epoch_id}")
         )
-        (
-            shard_manifest(sharded)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{delivery_dir}/manifest/epoch={epoch_id}")
+        epoch_manifest = shard_manifest(sharded)
+        _write_manifest_rows(
+            batch_df.sparkSession, epoch_manifest.collect(),
+            epoch_manifest.schema,
+            f"{delivery_dir}/manifest/epoch={epoch_id}",
         )
 
     return (
