@@ -875,11 +875,27 @@ def _local_cc_labels(edge_rows, node_ids):
     return [(n, best[find(n)]) for n in node_ids]
 
 
+#: Literal-frame bound for driver-solved CC labels — TIGHTER than
+#: local_rows_frame's general 10k: the labels frame is broadcast-joined
+#: into already-deep consumer plans (ER merge, curation v3), and a
+#: thousand-struct literal inside a BroadcastExchange child blew the
+#: bare 1 GB driver's broadcast build (measured: entity_resolution_merge
+#: OOM at ~1.3k string label rows). Typical verified-dedup graphs are
+#: well under this; bigger label sets take the pickled createDataFrame
+#: wave, whose one extra task is noise at that size.
+MAX_LITERAL_LABEL_ROWS = 256
+
+
 def _local_labels_frame(spark, template: DataFrame, labels: list) -> DataFrame:
     """(node, label) frame from driver-side labels, typed like the edge
     frame's id column so the local path's schema matches the distributed
-    one."""
+    one. Small label sets render as a JVM literal (local_rows_frame) —
+    a createDataFrame here plans as applySchemaToPythonRDD, so every
+    ACTION over a CC consumer re-ran a pickled task wave just to replay
+    the solved labels."""
     from pyspark.sql import types as T
+
+    from .packing import local_rows_frame
 
     id_type = template.schema.fields[0].dataType
     schema = T.StructType(
@@ -888,7 +904,9 @@ def _local_labels_frame(spark, template: DataFrame, labels: list) -> DataFrame:
             T.StructField("label", id_type, True),
         ]
     )
-    return spark.createDataFrame(labels, schema)
+    if len(labels) > MAX_LITERAL_LABEL_ROWS:
+        return spark.createDataFrame(labels, schema)
+    return local_rows_frame(spark, labels, schema)
 
 
 def connected_components(

@@ -282,7 +282,8 @@ def bpe_train(
                 ).alias("syms"),
                 "cnt",
             ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return local_rows_frame(
+        spark,
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "
         "pair_count long",
@@ -431,9 +432,12 @@ def _lit_compatible(v, field: T.StructField) -> bool:
     return False  # decimals/dates/exotic types: take the verified path
 
 
-def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
+def local_rows_frame(
+    spark, rows, schema: T.StructType | str
+) -> DataFrame:
     """Small driver-side row list -> DataFrame WITHOUT the Python-RDD
-    path.
+    path. ``schema`` accepts the same DDL string ``createDataFrame``
+    does (parsed up front), so call sites swap in-place.
 
     ``spark.createDataFrame(rows)`` plans as ``applySchemaToPythonRDD``:
     every evaluation of the frame (and a broadcast that is rebuilt per
@@ -452,6 +456,8 @@ def local_rows_frame(spark, rows, schema: T.StructType) -> DataFrame:
     frame is reconciled with ``.to(schema)`` so the result schema —
     including nullability — matches the createDataFrame path.
     """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     if not rows or len(rows) > MAX_LITERAL_ROWS:
         return spark.createDataFrame(rows, schema)
     fields = schema.fields

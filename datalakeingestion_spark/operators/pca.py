@@ -122,7 +122,10 @@ def pca_contract(
     ortho = bool(np.allclose(gram, np.eye(comps.shape[0]), atol=1e-6))
     spark = embeddings.sparkSession
     n = embeddings.count()
-    return spark.createDataFrame(
+    from .packing import local_rows_frame
+
+    return local_rows_frame(
+        spark,
         [(n, int(comps.shape[1]), int(comps.shape[0]),
           bool(ratio >= min_var_ratio), ortho)],
         "n_vectors long, dim long, k long, var_ratio_ok boolean, "

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash32
+from .packing import local_rows_frame
 
 HASH_SPACE_32 = float(1 << 32)
 
@@ -187,7 +188,10 @@ def cap_tokens_per_quota(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
+    # JVM-literal frame: the broadcast is rebuilt per action and a
+    # createDataFrame here pays a pickled task wave each time
+    qdf = local_rows_frame(
+        spark,
         [(g, int(b)) for g, b in sorted(quotas.items())],
         f"{group_col} string, _quota long",
     )
@@ -233,7 +237,8 @@ def upsample_by_factor(
             "input already has a 'repeat_idx'/'_factor' column; rename it"
         )
     spark = df.sparkSession
-    fdf = spark.createDataFrame(
+    fdf = local_rows_frame(
+        spark,
         [(g, int(x)) for g, x in sorted(factors.items())],
         f"{group_col} string, _factor int",
     )

@@ -135,7 +135,11 @@ def cms_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("x"))
     sketch = cms_sketch(toks, "x", depth=_CMS_DEPTH, width=_CMS_WIDTH)
-    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], ["term"])
+    from ..operators.packing import local_rows_frame
+
+    probes = local_rows_frame(
+        spark, [(t,) for t in _CMS_PROBES], "term string"
+    )
     return cms_estimate(sketch, probes, "term", depth=_CMS_DEPTH, width=_CMS_WIDTH)
 
 
@@ -354,7 +358,11 @@ def countsketch_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("x"))
     sketch = countsketch_sketch(toks, "x", depth=5, width=_CMS_WIDTH)
-    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], ["term"])
+    from ..operators.packing import local_rows_frame
+
+    probes = local_rows_frame(
+        spark, [(t,) for t in _CMS_PROBES], "term string"
+    )
     return countsketch_estimate(sketch, probes, "term", depth=5, width=_CMS_WIDTH)
 
 

@@ -224,7 +224,10 @@ def training_shard_delivery_contract(
         # partial (tail-only) dynamic-partition rewrite — the grown one
         tree_ok = _tree_eq(full) and _tree_eq(grown_path)
         n_shards = read_shard_manifest(spark, full).count()
-    return spark.createDataFrame(
+    from ..operators.packing import local_rows_frame
+
+    return local_rows_frame(
+        spark,
         [(n_shards, replay_ok, tail_ok, tree_ok)],
         "n_shards long, replay_writes_nothing boolean, "
         "growth_is_tail_only boolean, tree_matches_manifest boolean",

@@ -47,8 +47,10 @@ _QUOTAS: dict[str, int] = {
 def _quota_frame(spark: SparkSession) -> DataFrame:
     """The quota spec as a (source, quota) frame — the Spark pendant of
     ``_quota_values_sql``, shared by both quota contract queries."""
-    return spark.createDataFrame(
-        sorted(_QUOTAS.items()), "source string, quota long"
+    from ..operators.packing import local_rows_frame
+
+    return local_rows_frame(
+        spark, sorted(_QUOTAS.items()), "source string, quota long"
     )
 
 
@@ -166,8 +168,11 @@ def quota_enforced_delivery_contract(
             .collect()  # bounded: one row per delivered source
         }
         tree_ok = tree_mix == report["selected"]
+    from ..operators.packing import local_rows_frame
+
     qdf = _quota_frame(spark)
-    sel = spark.createDataFrame(
+    sel = local_rows_frame(
+        spark,
         [
             (s, v["n_docs"], v["n_tokens"])
             for s, v in sorted(report["selected"].items())

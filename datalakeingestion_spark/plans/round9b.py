@@ -1292,9 +1292,11 @@ _CLS_WEIGHT_NAMES = ["bias"] + _CLS_FEATURES
 )
 def quality_classifier_train_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _cls_trained_weights(spark, sf_dir)
+    from ..operators.packing import local_rows_frame
+
     rows = list(zip(_CLS_WEIGHT_NAMES, w))
-    return spark.createDataFrame(
-        rows, "feature string, weight double"
+    return local_rows_frame(
+        spark, rows, "feature string, weight double"
     ).withColumn("weight", F.round("weight", 9))
 
 
