@@ -1218,11 +1218,19 @@ def winnowing_fingerprint_pairs(
     windows drop); only the fingerprint equi-join and the pair count
     shuffle — both on a 8-byte hash key.
 
+    The k-gram hash array is STAGED once per row (r13 — the window-min
+    algebra references it in ~2w slice() copies, and higher-order
+    functions are codegen-fallback with no common-subexpression
+    elimination, so the inline form re-tokenized the document per
+    slice: measured 64 → 8 tokenize-chain plan refs and ~3× on the
+    fingerprint pass; `_pin_once` stops CollapseProject re-inlining).
+    The fingerprint table is persisted for the self-join's two sides
+    (lazy result — session-lifetime, LRU-evictable, the
+    lsh_candidate_report policy).
+
     Returns (doc_id_a, doc_id_b, n_shared_fp).
     """
-    hs = F.transform(
-        word_shingles(tokens(text_col), k), lambda s: portable_hash32(s)
-    )
+    from .curation import _pin_once  # lazy: curation imports dedup at top
 
     def _window_min(arr):
         sz = F.size(arr)
@@ -1238,10 +1246,19 @@ def winnowing_fingerprint_pairs(
             )
         return F.filter(acc, lambda x: x.isNotNull())
 
-    fp = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_window_min(hs))).alias("fp"),
+        _pin_once(
+            F.transform(
+                word_shingles(tokens(text_col), k),
+                lambda s: portable_hash32(s),
+            )
+        ).alias("_hs"),
     )
+    fp = staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(_window_min(F.col("_hs")))).alias("fp"),
+    ).persist()
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(
@@ -1537,10 +1554,15 @@ def cdc_shared_chunks(
         F.transform(F.split(marked, "#"), lambda c: F.trim(c)),
         lambda c: c != F.lit(""),
     )
+    # persisted: ch feeds the frequency aggregate AND the join back —
+    # unpersisted, the whole tokenize/chunk/md5 chain executed twice
+    # (lazy result, session-lifetime — the lsh_candidate_report policy)
     ch = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(chunks_arr).alias("chunk_id", "chunk_text"),
-    ).select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_hash"))
+    ).select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_hash")
+    ).persist()
     freq = ch.groupBy("chunk_hash").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
